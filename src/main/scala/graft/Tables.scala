@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver test data
+  * (`/root/testdata/sf*`; schemas in FIXTURES.md §B).
+  *
+  * Design (SURVEY.md §1.2): DataFrame-first, columnar parquet at rest.
+  * Loaders are thin `spark.read.parquet` wrappers so Catalyst sees the
+  * scan directly — predicate pushdown / column pruning reach the parquet
+  * reader with no intermediate materialization (unlike the reference's
+  * per-stage RDD round-trip, NGramTransform.java:96-120).
+  */
+object Tables {
+
+  /** Generic loader: `$dir/$name.parquet`. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events` carries a parquet TIMESTAMP(NANOS) column that Spark 4
+    * refuses by default (PARQUET_TYPE_ILLEGAL). Workaround (SURVEY.md
+    * §7.4.1, verified): read nanos as long, then truncate to micros with
+    * *integer* division (`div`, not `/` — a long→double round-trip at
+    * ~1.7e18 ns loses up to ~128 ns of precision, enough to flip a µs
+    * digit vs the DuckDB oracle's exact integer truncation).
+    *
+    * Also pins parquet TIMESTAMP_MICROS output so Verify's result dumps
+    * round-trip losslessly for the oracle compare.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Normalized document tokens: `documents.text` has a trailing space
+    * (FIXTURES.md §B trap) — trim before splitting, both engines.
+    * Matches `ml.feature.Tokenizer` semantics (lowercase + `\s+` split)
+    * on this data.
+    */
+  def docTokens(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{NGram, Tokenizer}
+
+import graft.Tables
+
+/** Text / n-gram operators — the reference's flagship capability
+  * (NGramTransform.java:96-134) re-expressed Spark-first, plus the
+  * north-star text-analysis surface (SURVEY.md §2.2 "Text analysis").
+  *
+  * Two equivalent n-gram implementations are provided and cross-tested:
+  *  - [[ngramMl]]: the `ml.Pipeline(Tokenizer → NGram)` path — the same
+  *    MLlib transformer the reference wraps (NGramTransform.java:116-118);
+  *  - [[ngramCol]]: a pure Catalyst higher-order expression (codegen-able
+  *    plan, no ML uid bookkeeping) used by the registered queries so the
+  *    whole plan stays in whole-stage codegen.
+  *
+  * Semantics (both, == Spark ML NGram, == reference docs example
+  * docs/NGramTransform-sparkcompute.md:35-53): slide a width-n window over
+  * the token array; each window joins its n tokens with one space; partial
+  * windows are dropped, so < n tokens ⇒ empty array; 1:1 row mapping.
+  */
+object Text {
+
+  /** N-grams as a Catalyst expression over an array<string> column.
+    * Guard: Spark's `sequence(1, x)` DESCENDS when x < 1, so short rows
+    * must short-circuit to an empty array (reference behavior R9 default
+    * mode, SURVEY.md §7.4.2).
+    */
+  def ngramCol(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Strict mode mirroring the reference's fail-fast: the CDAP plugin's
+    * non-nullable output schema makes the whole run FAIL when any row has
+    * fewer than n tokens (NGramTransform.java:101-102, :122-133;
+    * NGramTransformTest.java:201-219). Here: raise on the offending row.
+    */
+  def ngramColStrict(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(size(toks) < n,
+      raise_error(concat(lit(s"ngram(strict): row has fewer than $n tokens: "),
+        array_join(toks, " "))).cast(ArrayType(StringType)))
+      .otherwise(ngramCol(toks, n))
+  }
+
+  /** The reference pipeline: Tokenizer → NGram(n), applied to a string
+    * column; returns input df + `outputCol` (array<string> of n-grams).
+    * Validates the input column exists and is a string, mirroring the
+    * reference's deploy-time gate (NGramTransform.java:83-93).
+    */
+  def ngramMl(df: DataFrame, textCol: String, n: Int, outputCol: String): DataFrame = {
+    val field = df.schema.fields.find(_.name == textCol).getOrElse(
+      throw new IllegalArgumentException(s"input field $textCol not in schema"))
+    require(field.dataType == StringType, s"$textCol must be string, got ${field.dataType}")
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol(s"__${outputCol}_toks")
+    val ng = new NGram().setN(n).setInputCol(tok.getOutputCol).setOutputCol(outputCol)
+    new Pipeline().setStages(Array(tok, ng)).fit(df)
+      .transform(df).drop(tok.getOutputCol)
+  }
+
+  /** Tokenize applied to an array-typed column like the reference's
+    * transform stage: validates array type at "analysis time"
+    * (NGramTransform.java:85-92 analog) then maps tokens→ngrams 1:1.
+    */
+  def ngramOverTokens(df: DataFrame, tokensCol: String, n: Int, outputCol: String,
+                      strict: Boolean = false): DataFrame = {
+    val field = df.schema.fields.find(_.name == tokensCol).getOrElse(
+      throw new IllegalArgumentException(s"input field $tokensCol not in schema"))
+    require(field.dataType.isInstanceOf[ArrayType],
+      s"$tokensCol must be array<string>, got ${field.dataType}")
+    val f = if (strict) ngramColStrict(col(tokensCol), n) else ngramCol(col(tokensCol), n)
+    // R3/R7 projection semantics: output is exactly the n-gram column.
+    df.select(f.as(outputCol))
+  }
+
+  // ---- registered queries (SURVEY.md §2.2 Text family) ----
+
+  /** q_tokenize: lowercase + whitespace tokenization of documents.text. */
+  def qTokenize(spark: SparkSession, dir: String): DataFrame =
+    Tables.docTokens(spark, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** q_ngram_bigram: the reference operator (R6) — per-doc bigram array,
+    * 1:1, empty array when < 2 tokens. Uses the MLlib path (flagship,
+    * SURVEY.md §7.3); goldens assert ml ≡ expression form.
+    */
+  def qNgramBigram(spark: SparkSession, dir: String): DataFrame =
+    ngramMl(
+      Tables.documents(spark, dir).withColumn("text", trim(col("text"))),
+      "text", 2, "ngrams")
+      .select(col("doc_id"), col("ngrams"))
+      .orderBy("doc_id")
+
+  /** q_ngram_n: general n (n=3) via the pure-expression form. */
+  def qNgramN(spark: SparkSession, dir: String): DataFrame =
+    Tables.docTokens(spark, dir)
+      .select(col("doc_id"), ngramCol(col("toks"), 3).as("ngrams"))
+      .orderBy("doc_id")
+
+  /** q_ngram_count: corpus bigram frequency — explode → count → top-50
+    * (count desc, ngram asc for a total order). Map-side partial agg is
+    * automatic; at scale this is the classic skew-tolerant word-count.
+    */
+  def qNgramCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.docTokens(spark, dir)
+      .select(explode(ngramCol(col("toks"), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(50)
+
+  /** q_text_stats: per-lang doc count, avg token count, avg chars,
+    * avg distinct-token ratio.
+    */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.docTokens(spark, dir)
+      .select(
+        col("lang"),
+        size(col("toks")).as("n_toks"),
+        length(trim(col("text"))).as("n_chars_real"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("distinct_ratio"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_toks")), 2).as("avg_tokens"),
+        round(avg(col("n_chars_real")), 2).as("avg_chars"),
+        round(avg(col("distinct_ratio")), 6).as("avg_distinct_ratio"))
+      .orderBy("lang")
+
+  /** q_tfidf: exact term frequency / document frequency / tf-idf per
+    * (doc, term). Two aggregations + a broadcast-able DF join; N docs is
+    * a scalar broadcast. At 100 TB the (term) agg is the only wide
+    * shuffle and is pre-combined map-side.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.docTokens(spark, dir)
+    // N-docs as a broadcast 1-row DF keeps the whole plan lazy (no
+    // driver-side .first() — an eager scalar would serialize plan
+    // construction at scale).
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+    val terms = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").crossJoin(nDocs)
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+}

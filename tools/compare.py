@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json:
+  - run the oracle SQL in DuckDB 1.0.0 with views over <sfDir>/*.parquet
+  - read the Spark result parquet from <verifyOutDir>/<name>/
+  - sort columns by name, compare row-by-row (order-sensitive: queries
+    are required to end in a total order)
+Reports PASS/FAIL per query with a diff sample.
+"""
+import duckdb, json, sys, glob, math
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    return v
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            o = con.sql(sql)
+            ocols = [c.lower() for c in o.columns]
+            otypes = dict(zip(ocols, [str(t) for t in o.types]))
+            orows = o.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result")
+            n_fail += 1
+            continue
+        s = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        scols = [c.lower() for c in s.columns]
+        stypes = dict(zip(scols, [str(t) for t in s.types]))
+        srows = s.fetchall()
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: columns oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        # reorder both to sorted column order
+        operm = [ocols.index(c) for c in sorted(ocols)]
+        sperm = [scols.index(c) for c in sorted(scols)]
+        orows = [tuple(norm_cell(r[i]) for i in operm) for r in orows]
+        srows = [tuple(norm_cell(r[i]) for i in sperm) for r in srows]
+        tdiff = [(c, otypes[c], stypes[c]) for c in sorted(ocols) if otypes[c] != stypes[c]]
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(orows, srows)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first at {i}:")
+            print(f"  oracle: {a}")
+            print(f"  spark : {b}")
+            n_fail += 1
+        else:
+            note = f" (type diffs: {tdiff})" if tdiff else ""
+            print(f"PASS {name}: {len(orows)} rows{note}")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
