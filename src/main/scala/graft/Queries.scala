@@ -10,16 +10,363 @@ import graft.ops._
   * Every query takes `(spark, sfDir)` and ends in a total order on a
   * unique key tuple; all doubles are rounded in-query; column names are
   * aliased identically on the Spark and oracle sides (the driver's
-  * compare sorts columns by name before hashing).
+  * compare sorts columns by name before hashing). Where return types
+  * differ across engines (DuckDB count/rank→BIGINT vs Spark INT,
+  * ceil→DOUBLE vs LONG, sum(int)→HUGEINT), the oracle SQL carries
+  * explicit casts to Spark's type.
   */
 object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Shared DuckDB CTE: normalized document tokens (trim-then-split —
-    * documents.text has a trailing space, SURVEY.md §7.4.7). */
-  private val TOKS =
-    "string_split(lower(trim(text)), ' ')"
+  /** Shared DuckDB snippets: normalized doc tokens (trim-then-split —
+    * documents.text has a trailing space, SURVEY.md §7.4.7) and the
+    * ns→µs timestamp truncation for events (§7.4.1). */
+  private val TOKS = "string_split(lower(trim(text)), ' ')"
+  private val TS = "CAST(ts AS TIMESTAMP)"
+
+  /** DuckDB emulation of Spark's `round(double, s)`. Spark rounds the
+    * SHORTEST DECIMAL REPRESENTATION of the double (Round uses
+    * `BigDecimal.valueOf`, i.e. `Double.toString`), while DuckDB rounds
+    * the exact binary value — e.g. 6925.5*0.09 = 623.294999999999963...
+    * prints as "623.295", so Spark gives 623.30 and DuckDB 623.29.
+    * Round-tripping through VARCHAR (shortest repr on DuckDB too) and a
+    * DECIMAL makes DuckDB match Spark exactly (verified on 60k rows). */
+  private def rnd(e: String, s: Int): String =
+    s"round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $s)::DOUBLE"
+
+  // -------------------------------------------------------------------
+  // Sources / filters / joins / sorts / set ops
+  // -------------------------------------------------------------------
+
+  val relational: Map[String, Q] = Map(
+    "q_scan_project"   -> (Relational.qScanProject _),
+    "q_filter_pred"    -> (Relational.qFilterPred _),
+    "q_join_inner"     -> (Relational.qJoinInner _),
+    "q_join_broadcast" -> (Relational.qJoinBroadcast _),
+    "q_join_left"      -> (Relational.qJoinLeft _),
+    "q_join_semi"      -> (Relational.qJoinSemi _),
+    "q_join_anti"      -> (Relational.qJoinAnti _),
+    "q_join_theta"     -> (Relational.qJoinTheta _),
+    "q_join_range"     -> (Relational.qJoinRange _),
+    "q_join_asof"      -> (Relational.qJoinAsof _),
+    "q_sort_multi"     -> (Relational.qSortMulti _),
+    "q_topk"           -> (Relational.qTopk _),
+    "q_union_all"      -> (Relational.qUnionAll _),
+    "q_union_distinct" -> (Relational.qUnionDistinct _),
+    "q_intersect"      -> (Relational.qIntersect _),
+    "q_except"         -> (Relational.qExcept _),
+  )
+
+  val relationalOracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 100""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount, l_tax
+        |FROM lineitem
+        |WHERE (l_returnflag IN ('A','R') AND l_quantity BETWEEN 5 AND 15
+        |       AND l_linestatus LIKE 'F%')
+        |   OR (l_discount <= 0.01 AND l_tax > 0.07)
+        |   OR (l_partkey IS NOT DISTINCT FROM 42)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |         l_discount, l_tax""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_left" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+         |       ${rnd("coalesce(sum(o_totalprice), 0)", 2)} AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${rnd("sum(l_extendedprice)", 2)} AS rev
+         |FROM lineitem JOIN orders
+         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_range" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_low', 0.0, 100.0), ('b1_mid', 100.0, 200.0),
+        |  ('b2_high', 200.0, 300.0), ('b3_top', 300.0, 500.0))
+        |SELECT band, count(*) AS n, RNDSV AS sv
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin
+        .replace("RNDSV", rnd("sum(value)", 2)),
+    "q_join_asof" ->
+      s"""WITH p AS (SELECT event_id, user_id, $TS AS ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup')
+         |SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+         |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+         |ORDER BY p.event_id""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+        |       nullif(o_orderstatus, 'O') AS status_n
+        |FROM orders
+        |ORDER BY status_n ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC
+        |LIMIT 500""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'f' AS src, o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'big' AS src, o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY src, o_orderkey""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin,
+  )
+
+  // -------------------------------------------------------------------
+  // Aggregations
+  // -------------------------------------------------------------------
+
+  val aggregates: Map[String, Q] = Map(
+    "q_agg_scan"          -> (Aggregates.qAggScan _),
+    "q_agg_distinct"      -> (Aggregates.qAggDistinct _),
+    "q_agg_approx"        -> (Aggregates.qAggApprox _),
+    "q_agg_rollup"        -> (Aggregates.qAggRollup _),
+    "q_agg_cube"          -> (Aggregates.qAggCube _),
+    "q_agg_grouping_sets" -> (Aggregates.qAggGroupingSets _),
+  )
+
+  private def rollupSelect(groupClause: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${rnd("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n,
+       |  grouping(l_returnflag)::INT AS g_rf, grouping(l_linestatus)::INT AS g_ls
+       |FROM lineitem GROUP BY $groupClause
+       |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  val aggregatesOracle: Map[String, String] = Map(
+    "q_agg_scan" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${rnd("sum(l_quantity)", 2)} AS sum_qty,
+         |  ${rnd("sum(l_extendedprice)", 2)} AS sum_base_price,
+         |  ${rnd("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+         |  ${rnd("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+         |  ${rnd("avg(l_quantity)", 2)} AS avg_qty,
+         |  ${rnd("avg(l_extendedprice)", 2)} AS avg_price,
+         |  ${rnd("avg(l_discount)", 4)} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      s"""SELECT l_returnflag,
+         |  count(DISTINCT l_partkey) AS dist_parts,
+         |  count(DISTINCT l_suppkey) AS dist_supps,
+         |  ${rnd("sum(DISTINCT l_quantity)", 2)} AS sum_dist_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" -> rollupSelect("ROLLUP (l_returnflag, l_linestatus)"),
+    "q_agg_cube" -> rollupSelect("CUBE (l_returnflag, l_linestatus)"),
+    "q_agg_grouping_sets" ->
+      rollupSelect("GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+  )
+
+  // -------------------------------------------------------------------
+  // Windows
+  // -------------------------------------------------------------------
+
+  val windows: Map[String, Q] = Map(
+    "q_window_rank"        -> (Windows.qWindowRank _),
+    "q_window_analytic"    -> (Windows.qWindowAnalytic _),
+    "q_window_frame_rows"  -> (Windows.qWindowFrameRows _),
+    "q_window_frame_range" -> (Windows.qWindowFrameRange _),
+    "q_window_topk"        -> (Windows.qWindowTopk _),
+  )
+
+  val windowsOracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |  rank() OVER (PARTITION BY c_nationkey
+        |               ORDER BY floor(c_acctbal / 1000) DESC)::INT AS rnk,
+        |  dense_rank() OVER (PARTITION BY c_nationkey
+        |               ORDER BY floor(c_acctbal / 1000) DESC)::INT AS drnk,
+        |  row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY floor(c_acctbal / 1000) DESC, c_custkey ASC)::INT AS rn,
+        |  ntile(4) OVER (PARTITION BY c_nationkey
+        |               ORDER BY floor(c_acctbal / 1000) DESC, c_custkey ASC)::INT AS nt
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_window_analytic" ->
+      s"""SELECT event_id, user_id, value,
+         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS lag_v,
+         |  lead(value, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS lead_v,
+         |  first_value(value) OVER (PARTITION BY user_id ORDER BY $TS, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+         |  last_value(value) OVER (PARTITION BY user_id ORDER BY $TS, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_frame_rows" ->
+      s"""SELECT event_id, user_id, value,
+         |  ${rnd(s"sum(value) OVER (PARTITION BY user_id ORDER BY $TS, event_id " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS running_sum,
+         |  ${rnd(s"avg(value) OVER (PARTITION BY user_id ORDER BY $TS, event_id " +
+                  "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 4)} AS mov_avg3,
+         |  count(*) OVER (PARTITION BY user_id ORDER BY $TS, event_id
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_frame
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_frame_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_near,
+        |  RNDSUM AS sum_near
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+        .replace("RNDSUM",
+          rnd("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC " +
+              "RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)", 2)),
+    "q_window_topk" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC)::INT AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+  )
+
+  // -------------------------------------------------------------------
+  // Scalar families
+  // -------------------------------------------------------------------
+
+  val scalars: Map[String, Q] = Map(
+    "q_str_funcs"   -> (Scalars.qStrFuncs _),
+    "q_date_funcs"  -> (Scalars.qDateFuncs _),
+    "q_math_funcs"  -> (Scalars.qMathFuncs _),
+    "q_array_funcs" -> (Scalars.qArrayFuncs _),
+    "q_map_funcs"   -> (Scalars.qMapFuncs _),
+    "q_json_funcs"  -> (Scalars.qJsonFuncs _),
+  )
+
+  val scalarsOracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name, lower(p_brand) AS lo_brand,
+        |  trim('  ' || p_type || '  ') AS tr_type,
+        |  substring(p_name, 1, 8) AS sub_name,
+        |  concat_ws('-', p_brand, p_type) AS cat_bt,
+        |  length(p_name)::INT AS len_name,
+        |  replace(p_type, ' ', '_') AS rep_type,
+        |  lpad(p_brand, 12, '*') AS pad_brand,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  (p_type LIKE '%ECO%') AS is_eco,
+        |  string_split(p_name, ' ') AS name_toks
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+        |  day(o_orderdate)::INT AS dy, quarter(o_orderdate)::INT AS qtr,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+        |  o_orderdate + INTERVAL 5 DAY AS plus5,
+        |  datediff('day', TIMESTAMP '1995-01-01', o_orderdate)::INT AS days_since,
+        |  epoch_ms(o_orderdate) AS epoch_ms,
+        |  last_day(o_orderdate) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${rnd("l_extendedprice * l_discount", 2)} AS rd,
+         |  ${rnd("abs(l_extendedprice - 50000)", 2)} AS ab,
+         |  CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+         |  CAST(floor(l_tax * 100) AS BIGINT) AS fl,
+         |  ${rnd("sqrt(l_extendedprice)", 6)} AS sq,
+         |  ${rnd("ln(l_extendedprice + 1)", 6)} AS lg,
+         |  ${rnd("exp(l_discount)", 6)} AS ex,
+         |  ${rnd("pow(l_quantity, 2)", 2)} AS pw,
+         |  ((l_orderkey - 3) % 7 + 7) % 7 AS pm,
+         |  sign(l_discount - 0.05)::INT AS sg,
+         |  greatest(l_extendedprice, l_quantity * 1000) AS gr,
+         |  least(l_extendedprice, l_quantity * 1000) AS le
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, rd, ab, fl, pw""".stripMargin,
+    "q_array_funcs" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |e AS (SELECT doc_id, toks, unnest(generate_series(1, 3)) AS i FROM t)
+         |SELECT doc_id,
+         |  len(toks)::INT AS n_toks,
+         |  toks[1] AS first_tok,
+         |  toks[2:4] AS sl,
+         |  list_contains(toks, 'the') AS has_the,
+         |  list_sort(toks[1:4]) AS srt4,
+         |  len(list_distinct(toks))::INT AS n_dist,
+         |  flatten([toks[1:2], toks[3:4]]) AS flat4,
+         |  list_transform(generate_series(1, 3), j -> toks[j] || '_' || toks[j+1]) AS zipped,
+         |  (i - 1)::INT AS pos, toks[i] AS tok
+         |FROM e ORDER BY doc_id, pos""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k')::INT AS k,
+        |  json_extract_string(props, '$.k')::INT AS kj
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+
+  // -------------------------------------------------------------------
+  // Event-time (batch forms)
+  // -------------------------------------------------------------------
+
+  val events: Map[String, Q] = Map(
+    "q_stream_tumbling" -> (Events.qStreamTumbling _),
+    "q_stream_sliding"  -> (Events.qStreamSliding _),
+    "q_stream_session"  -> (Events.qStreamSession _),
+  )
+
+  val eventsOracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', $TS) AS ws, event_type,
+         |  count(*) AS n, ${rnd("sum(value)", 2)} AS sv
+         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      s"""WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', $TS) AS tb, value FROM events),
+         |x AS (SELECT unnest([tb, tb - INTERVAL '30 minutes']) AS ws, value FROM e)
+         |SELECT ws, count(*) AS n, ${rnd("sum(value)", 2)} AS sv
+         |FROM x GROUP BY ws ORDER BY ws""".stripMargin,
+    "q_stream_session" ->
+      s"""WITH o AS (SELECT user_id, event_id, $TS AS ts FROM events),
+         |l AS (SELECT user_id, event_id, ts,
+         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM o),
+         |f AS (SELECT user_id, event_id, ts,
+         |        CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+         |             THEN 1 ELSE 0 END AS is_new FROM l),
+         |s AS (SELECT user_id, ts,
+         |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |      FROM f)
+         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events
+         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+  )
+
+  // -------------------------------------------------------------------
+  // Text / n-gram
+  // -------------------------------------------------------------------
 
   val text: Map[String, Q] = Map(
     "q_tokenize"     -> (Text.qTokenize _),
@@ -57,9 +404,9 @@ object Queries {
     "q_text_stats" ->
       s"""WITH t AS (SELECT lang, $TOKS AS toks, length(trim(text)) AS nc FROM documents)
          |SELECT lang, count(*) AS n_docs,
-         |  round(avg(len(toks)), 2) AS avg_tokens,
-         |  round(avg(nc), 2) AS avg_chars,
-         |  round(avg(len(list_distinct(toks))::DOUBLE / len(toks)), 6) AS avg_distinct_ratio
+         |  ${rnd("avg(len(toks))", 2)} AS avg_tokens,
+         |  ${rnd("avg(nc)", 2)} AS avg_chars,
+         |  ${rnd("avg(len(list_distinct(toks))::DOUBLE / len(toks))", 6)} AS avg_distinct_ratio
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
@@ -67,14 +414,22 @@ object Queries {
          |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
          |SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-         |  round(tf.tf * ln(n.n_docs / dfq.df), 6) AS tfidf
+         |  ${rnd("tf.tf * ln(n.n_docs / dfq.df)", 6)} AS tfidf
          |FROM tf, dfq, n WHERE tf.term = dfq.term
          |ORDER BY tf.doc_id, tf.term""".stripMargin,
   )
 
-  /** The full declared registry. */
-  val all: Map[String, Q] = text
+  // -------------------------------------------------------------------
+  // Assembly
+  // -------------------------------------------------------------------
 
-  /** DuckDB oracle for every SQL-expressible query. */
-  val oracle: Map[String, String] = textOracle
+  /** The full declared registry. */
+  val all: Map[String, Q] =
+    relational ++ aggregates ++ windows ++ scalars ++ events ++ text
+
+  /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
+    * (golden-tested): q_agg_approx, q_map_funcs. */
+  val oracle: Map[String, String] =
+    relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
+      eventsOracle ++ textOracle
 }

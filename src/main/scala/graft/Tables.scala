@@ -42,7 +42,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ keeps parity with the other tables (orders/lineitem read as
+      // TIMESTAMP_NTZ) and with DuckDB's naive TIMESTAMP; session tz is
+      // UTC so the LTZ→NTZ cast is wall-clock-identity.
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
   }
 
   /** Normalized document tokens: `documents.text` has a trailing space

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregation family (SURVEY.md §2.2): hash aggregation with automatic
+  * partial (map-side) combine, exact + approximate distincts, and the
+  * rollup/cube/grouping-sets hierarchy. All built-ins — at scale the
+  * partial-agg + single shuffle on the group keys is the plan we want
+  * and Catalyst produces it unaided.
+  */
+object Aggregates {
+
+  /** q_agg_scan: TPC-H-Q1-style — filter + 8 aggregates over 2 group
+    * keys. Doubles rounded post-aggregation (SURVEY.md §2.3.3). */
+  def qAggScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q_agg_distinct: exact distinct aggregates (Expand-based plan when
+    * multiple distinct columns are present). */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("dist_parts"),
+        countDistinct(col("l_suppkey")).as("dist_supps"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_approx: HLL++ approximate distinct. Oracle-exempt (DuckDB's
+    * HLL differs by design); ScalaTest asserts relative error vs exact. */
+  def qAggApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_rollup: hierarchical totals; GROUPING() flags distinguish
+    * real nulls from rollup nulls. */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+               col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** q_agg_cube: all 4 grouping combinations. */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+               col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** q_agg_grouping_sets: explicit sets ((rf),(ls),()) — the general
+    * form rollup/cube desugar to. */
+  def qAggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+               col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+  }
+}

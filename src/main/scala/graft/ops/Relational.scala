@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational core: scans/projections, predicates, the full join family,
+  * sorts and set operations (SURVEY.md §2.2). All plain DataFrame DSL —
+  * Catalyst owns pushdown/pruning/join selection (§4.2); the only manual
+  * hints are `broadcast()` on bounded dimension tables, which is the
+  * 100 TB-correct choice (nation/region are O(100) rows at any scale).
+  */
+object Relational {
+
+  /** q_scan_project: parquet scan + projection + limit. Column pruning
+    * must reach the scan (ReadSchema carries only 4 of 11 columns). */
+  def qScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+      // order by the full output tuple for determinism.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .limit(100)
+
+  /** q_filter_pred: compound predicate — AND/OR, BETWEEN, IN, LIKE,
+    * null-safe equality — all pushable to the parquet scan. */
+  def qFilterPred(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        (col("l_returnflag").isin("A", "R")
+          && col("l_quantity").between(5, 15)
+          && col("l_linestatus").like("F%"))
+        || (col("l_discount") <= 0.01 && col("l_tax") > 0.07)
+        || (col("l_partkey") <=> 42))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+              "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+               "l_discount", "l_tax")
+
+  /** q_join_inner: equi inner join, Spark's strategy choice (SMJ/SHJ
+    * under AQE at scale; both sides shuffle on the key). */
+  def qJoinInner(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** q_join_broadcast: star join against the two bounded dims —
+    * explicitly broadcast so no shuffle of the fact side ever happens
+    * regardless of statistics. */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_left: left outer + null-aware aggregation (customers with
+    * zero orders must appear with n_orders=0). */
+  def qJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey").as("c_custkey"))
+      .agg(
+        count(o("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_semi: EXISTS — customers with at least one big order. */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 250000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_anti: NOT EXISTS — customers with no big order. */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 250000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_theta: equi join + non-equi residual (shipped strictly after
+    * the order date), aggregated down. */
+  def qJoinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey")
+              && l("l_shipdate") > o("o_orderdate"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("l_extendedprice")), 2).as("rev"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_join_range: pure interval join — events binned against value
+    * bands. The bands side is a tiny literal relation, broadcast; Spark
+    * plans BroadcastNestedLoopJoin, which is exactly right (the
+    * alternative — shuffling 100 TB of events for 4 bands — is not).
+    */
+  def qJoinRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bands = spark.createDataFrame(Seq(
+      ("b0_low", 0.0, 100.0),
+      ("b1_mid", 100.0, 200.0),
+      ("b2_high", 200.0, 300.0),
+      ("b3_top", 300.0, 500.0),
+    )).toDF("band", "lo", "hi")
+    e.join(broadcast(bands), e("value") >= bands("lo") && e("value") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .orderBy("band")
+  }
+
+  /** q_join_asof: each purchase matched to the latest prior-or-equal
+    * signup of the same user. Spark has no native as-of join; the
+    * scalable pattern is union-tag + `last(_, ignoreNulls)` over a
+    * (user, time)-ordered window — one shuffle on user_id, no
+    * per-row subquery, no driver state (SURVEY.md §2.2).
+    */
+  def qJoinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("event_id", "user_id", "ts", "event_type")
+    // signup sorts before purchase at equal ts (desc on event_type) so an
+    // exactly-simultaneous signup is visible to the purchase (>= join).
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_type").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("sig_ts", when(col("event_type") === "signup", col("ts")))
+      .withColumn("signup_ts", last(col("sig_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("signup_ts").isNotNull)
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
+  /** q_sort_multi: multi-key sort, mixed direction, explicit null
+    * ordering (a NULLIF-derived key supplies real nulls). */
+  def qSortMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+              col("o_totalprice"),
+              nullif(col("o_orderstatus"), lit("O")).as("status_n"))
+      .orderBy(col("status_n").asc_nulls_first, col("o_totalprice").desc,
+               col("o_orderkey").asc)
+      .limit(500)
+
+  /** q_topk: global top-k — plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k, never a full sort at scale). */
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  private def unionSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(spark, dir)
+    (o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")),
+     o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey")))
+  }
+
+  /** q_union_all: bag union, tagged so the output has a unique key. */
+  def qUnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(lit("f").as("src"), col("o_orderkey"), col("o_custkey"))
+    val b = o.filter(col("o_totalprice") > 400000)
+      .select(lit("big").as("src"), col("o_orderkey"), col("o_custkey"))
+    a.unionAll(b).orderBy("src", "o_orderkey")
+  }
+
+  /** q_union_distinct: set union. */
+  def qUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = unionSides(spark, dir)
+    a.union(b).distinct().orderBy("custkey")
+  }
+
+  /** q_intersect: set intersection (distinct semantics on both engines). */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = unionSides(spark, dir)
+    a.intersect(b).orderBy("custkey")
+  }
+
+  /** q_except: set difference (distinct semantics on both engines). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val (a, b) = unionSides(spark, dir)
+    a.except(b).orderBy("custkey")
+  }
+}
