@@ -420,16 +420,67 @@ object Queries {
   )
 
   // -------------------------------------------------------------------
+  // Dedup / similarity
+  // -------------------------------------------------------------------
+
+  val dedupSim: Map[String, Q] = Map(
+    "q_dedup_exact"     -> (Dedup.qDedupExact _),
+    "q_dedup_near"      -> (Dedup.qDedupNear _),
+    "q_sim_jaccard"     -> (Dedup.qSimJaccard _),
+    "q_sim_cosine_topk" -> (Similarity.qSimCosineTopk _),
+    "q_knn"             -> (Similarity.qKnn _),
+  )
+
+  /** Shared oracle CTE: L2-normalized double vectors. */
+  private val NORMVEC =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |      FROM v),
+      |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n)""".stripMargin
+
+  val dedupSimOracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+    "q_sim_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
+         |SELECT doc_a, doc_b, ${rnd("jac", 6)} AS jac FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
+         |      / len(list_distinct(a.tset || b.tset)) AS jac
+         |  FROM d a, d b
+         |  WHERE a.lang = b.lang AND a.doc_id < b.doc_id) p
+         |WHERE jac >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sim_cosine_topk" ->
+      s"""$NORMVEC
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${rnd("list_sum(list_transform(generate_series(1, 64), i -> a.vn[i] * b.vn[i]))", 6)} AS cos_sim
+         |FROM u a, u b WHERE a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "q_knn" ->
+      s"""$NORMVEC,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${rnd("list_sum(list_transform(generate_series(1, 64), i -> a.vn[i] * b.vn[i]))", 6)} AS cos_sim
+         |  FROM u a, u b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT id_a, id_b, cos_sim,
+         |  row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b ASC)::INT AS rn
+         |  FROM p)
+         |SELECT id_a, rn, id_b, cos_sim FROM r WHERE rn <= 3
+         |ORDER BY id_a, rn""".stripMargin,
+  )
+
+  // -------------------------------------------------------------------
   // Assembly
   // -------------------------------------------------------------------
 
   /** The full declared registry. */
   val all: Map[String, Q] =
-    relational ++ aggregates ++ windows ++ scalars ++ events ++ text
+    relational ++ aggregates ++ windows ++ scalars ++ events ++ text ++ dedupSim
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
-    * (golden-tested): q_agg_approx, q_map_funcs. */
+    * (golden-tested): q_agg_approx, q_map_funcs, q_dedup_near. */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
-      eventsOracle ++ textOracle
+      eventsOracle ++ textOracle ++ dedupSimOracle
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product of two array<double> columns as a native Catalyst
+  * expression with whole-stage-codegen support.
+  *
+  * This is the hot inner loop of the similarity queries: at sf0.1 the
+  * pair stage evaluates ~4M 64-dim dot products; an interpreted
+  * higher-order `aggregate(zip_with(...))` pays per-element lambda
+  * dispatch (the 34 s baseline in BASELINE.md), while this compiles to a
+  * tight primitive loop inside the generated join consumer
+  * (preference order (b) of the build rules: custom Expression before
+  * custom physical operator).
+  *
+  * Summation is sequential left-to-right — bit-identical to
+  * `aggregate(arr, 0D, (acc, x) -> acc + x)` and to DuckDB's
+  * `list_sum(list_transform(...))`, which the oracle parity relies on.
+  *
+  * Elements must be non-null (embedding vectors); both arrays are
+  * expected to have equal length — extra elements on the right are
+  * ignored.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Registers graft's vector functions in the session's function
+    * registry (idempotent). Needed because Spark 4's public Column API
+    * no longer wraps raw Expressions — `call_function` after
+    * registration is the supported route. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  /** `dot(a, b)` over two array<double> columns (requires [[register]]
+    * to have been called on the owning session). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators (SURVEY.md §2.2 + north-star LLM-pipeline
+  * surface): exact hash-grouping, blocked exact Jaccard, and
+  * MinHash+LSH banding for near-duplicate detection at scale.
+  *
+  * Scale story: exact dedup is one hash-shuffle; the Jaccard query
+  * blocks by language AND prunes by the size-ratio bound
+  * (J(A,B) ≤ min/max ⇒ pairs failing |A|≥τ|B| can never reach τ — the
+  * prefilter provably never changes the result), so the quadratic term
+  * is per-block, not global; MinHash+LSH replaces the O(n²) entirely
+  * with a band-bucket shuffle — the 100 TB path. All three are pure
+  * expression pipelines: deterministic, no driver state, no RNG at
+  * execution time (hash-perm constants are baked at plan build).
+  */
+object Dedup {
+
+  /** q_dedup_exact: exact duplicate grouping by content hash. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  /** q_sim_jaccard: exact within-language pairwise token-set Jaccard
+    * ≥ 0.9 — the exact counterpart (and verifier) of q_dedup_near. */
+  def qSimJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.9
+    val d = Tables.docTokens(spark, dir)
+      .select(col("doc_id"), col("lang"),
+              array_distinct(col("toks")).as("tset"))
+      .withColumn("nset", size(col("tset")))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+                     col("tset").as("tset_a"), col("nset").as("n_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+                     col("tset").as("tset_b"), col("nset").as("n_b"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b")
+              // size-ratio prune, implied by the final J >= tau filter
+              && col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
+      .select(col("doc_a"), col("doc_b"),
+              (size(array_intersect(col("tset_a"), col("tset_b"))).cast("double")
+                / size(array_union(col("tset_a"), col("tset_b")))).as("jac"))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- MinHash + LSH (q_dedup_near, oracle-exempt) ----
+
+  private val MinhashK = 48        // signature length
+  private val Bands = 12           // LSH bands...
+  private val RowsPerBand = 4      // ...of 4 rows: P(candidate | J=0.9) ≈ 1-6e-5
+  private val MersennePrime = 2147483647L
+  // Deterministic hash-permutation constants (fixed seed — results are
+  // reproducible run to run; no RNG at execution time).
+  private val (permA, permB) = {
+    val rng = new scala.util.Random(42)
+    (Array.fill(MinhashK)(1L + rng.nextInt(Int.MaxValue - 1)),
+     Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 3-token shingle hashes (distinct, murmur3→[0, p)) for a tokens col. */
+  private def shingleHashes(toks: Column): Column =
+    array_distinct(transform(
+      Text.ngramCol(toks, 3), s => pmod(hash(s).cast("long"), lit(MersennePrime))))
+
+  /** MinHash signature: sig[i] = min over shingles of (a_i*h + b_i) mod p. */
+  private def minhashSig(sh: Column): Column =
+    transform(sequence(lit(0), lit(MinhashK - 1)),
+      i => array_min(transform(sh,
+        h => pmod(element_at(typedLit(permA), i + 1) * h
+                    + element_at(typedLit(permB), i + 1),
+                  lit(MersennePrime)))))
+
+  /** q_dedup_near: MinHash signatures → LSH band buckets → candidate
+    * pairs → exact shingle-Jaccard verification ≥ 0.8. Oracle-exempt
+    * (hash-permutation-dependent recall); ScalaTest asserts recall
+    * properties against planted duplicates.
+    */
+  def qDedupNear(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.8
+    val docs = Tables.docTokens(spark, dir)
+      .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSig(col("sh")))
+    // band → bucket key (hash of the band's signature slice)
+    val banded = docs
+      .select(col("doc_id"), col("sig"), col("sh"),
+              explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .select(col("doc_id"), col("sh"), col("band"),
+              hash(col("band"),
+                   slice(col("sig"), col("band") * RowsPerBand + 1,
+                         lit(RowsPerBand))).as("bkey"))
+    val a = banded.select(col("band"), col("bkey"),
+                          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val bn = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+                           col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val cands = a.join(bn,
+        col("band") === col("band_b") && col("bkey") === col("bkey_b")
+          && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .select(col("doc_a"), col("doc_b"),
+              (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+                / size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+}
