@@ -471,16 +471,103 @@ object Queries {
   )
 
   // -------------------------------------------------------------------
+  // North-star extras: text analysis, simhash/embedding dedup, ANN,
+  // multimodal plumbing
+  // -------------------------------------------------------------------
+
+  val extras: Map[String, Q] = Map(
+    "q_lang_id"             -> (TextAnalysis.qLangId _),
+    "q_quality_score"       -> (TextAnalysis.qQualityScore _),
+    "q_token_count"         -> (TextAnalysis.qTokenCount _),
+    "q_fingerprint"         -> (TextAnalysis.qFingerprint _),
+    "q_dedup_simhash"       -> (Dedup.qDedupSimhash _),
+    "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
+    "q_ann_ivf"             -> (Similarity.qAnnIvf _),
+    "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
+  )
+
+  private val langLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "de", "un", "et", "la", "il", "ne", "je", "pas", "que"),
+    "zh" -> Seq("de", "yi", "shi", "bu", "le", "ren", "wo", "zai", "you", "ta"),
+  )
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val extrasOracle: Map[String, String] = Map(
+    "q_lang_id" -> {
+      val scores = langLists.map { case (l, ws) =>
+        s"len(list_intersect(tset, ${sqlList(ws)}))::INT AS s_$l" }.mkString(",\n  ")
+      val langs = langLists.map(_._1)
+      val cases = langs.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $ge AND s_$l > 0 THEN '$l'" }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM t),
+         |p AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+         |  CASE $cases ELSE 'und' END AS pred
+         |FROM s)
+         |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, pred,
+         |  (pred = lang) AS agrees
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  len(toks)::INT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS avg_tok_len,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
+         |FROM t)
+         |SELECT doc_id, n_toks,
+         |  ${rnd("ttr", 6)} AS ttr,
+         |  ${rnd("avg_tok_len", 6)} AS avg_tok_len,
+         |  ${rnd("stop_ratio", 6)} AS stop_ratio,
+         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::INT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))::INT AS re_tokens,
+        |  length(trim(text))::INT AS n_chars,
+        |  length(regexp_replace(text, '[^a-z]', '', 'g'))::INT AS n_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp_exact,
+         |  md5(array_to_string(list_sort(list_distinct($TOKS)), ' ')) AS fp_bag
+         |FROM documents),
+         |g AS (SELECT fp_bag, count(*) AS n_same_bag FROM d GROUP BY fp_bag)
+         |SELECT d.doc_id, d.fp_exact, d.fp_bag, g.n_same_bag
+         |FROM d JOIN g USING (fp_bag) ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_embed" ->
+      s"""$NORMVEC
+         |SELECT id_a, id_b, cos_sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${rnd("list_sum(list_transform(generate_series(1, 64), i -> a.vn[i] * b.vn[i]))", 6)} AS cos_sim
+         |  FROM u a, u b WHERE a.vec_id < b.vec_id) p
+         |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+  )
+
+  // -------------------------------------------------------------------
   // Assembly
   // -------------------------------------------------------------------
 
   /** The full declared registry. */
   val all: Map[String, Q] =
-    relational ++ aggregates ++ windows ++ scalars ++ events ++ text ++ dedupSim
+    relational ++ aggregates ++ windows ++ scalars ++ events ++ text ++
+      dedupSim ++ extras
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
-    * (golden-tested): q_agg_approx, q_map_funcs, q_dedup_near. */
+    * (golden-tested): q_agg_approx, q_map_funcs, q_dedup_near,
+    * q_dedup_simhash, q_ann_ivf, q_multimodal_features. */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
-      eventsOracle ++ textOracle ++ dedupSimOracle
+      eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle
 }

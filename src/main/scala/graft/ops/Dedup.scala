@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.SimHashFunctions
 
 /** Deduplication operators (SURVEY.md §2.2 + north-star LLM-pipeline
   * surface): exact hash-grouping, blocked exact Jaccard, and
@@ -111,6 +112,36 @@ object Dedup {
                 / size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_dedup_simhash: SimHash near-dup candidates — 64-bit simhash per
+    * doc ([[graft.functions.SimHash64]]), banded into 4×16-bit keys
+    * (a pair within Hamming distance 3 shares at least one intact
+    * 16-bit band by pigeonhole... not guaranteed for d=4+, but ≥1 band
+    * collision is the standard recall/cost tradeoff), candidates
+    * verified by exact Hamming ≤ 8. Oracle-exempt (JVM murmur3 not
+    * reproducible in DuckDB); golden-tested on planted duplicates.
+    */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    SimHashFunctions.register(spark)
+    val docs = Tables.docTokens(spark, dir)
+      .select(col("doc_id"), SimHashFunctions.simhash64(col("toks")).as("sh"))
+    val banded = docs
+      .select(col("doc_id"), col("sh"),
+              explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey",
+        expr("shiftrightunsigned(sh, band * 16) % 65536"))
+    val a = banded.select(col("band"), col("bkey"),
+                          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+                          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b")
+              && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -58,4 +58,74 @@ object Similarity {
       .select(col("id_a"), col("rn"), col("id_b"), col("cos_sim"))
       .orderBy("id_a", "rn")
   }
+
+  /** q_dedup_embed: embedding-cosine near-duplicate pairs (cos ≥ 0.4 on
+    * this data — no planted dups, so the threshold sits at the top
+    * ~0.1% of the pair distribution). Same normalized-once + codegen
+    * dot discipline as the top-k query. */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val u = normalized(spark, dir)
+    val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
+    val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q_ann_ivf: approximate nearest neighbour via an IVF-style coarse
+    * quantizer — the sub-quadratic scale path for [[qKnn]].
+    *
+    * Centroids are the per-label mean vectors (deterministic, no
+    * k-means RNG: exact sums via posexplode + groupBy(label, pos)).
+    * Each vector probes its nprobe=2 nearest centroids; candidates are
+    * vectors whose HOME centroid is among the probed ones, scored with
+    * the codegen dot and cut to top-3. At scale: centroids broadcast
+    * (O(k·d)), the candidate join shuffles on centroid id only — the
+    * O(n²) pair space shrinks by ~nprobe/k per query. Oracle-exempt;
+    * golden test asserts recall@3 vs the exact kNN.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 2
+    VectorFunctions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("label"),
+              transform(col("v"), x => x / col("nrm")).as("vn"))
+    // per-label mean of normalized vectors, itself L2-normalized
+    val cent = base
+      .select(col("label"), posexplode(col("vn")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x")).as("mx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+                     s => s.getField("mx")).as("cv"))
+      .withColumn("cnrm", sqrt(VectorFunctions.dot(col("cv"), col("cv"))))
+      .select(col("label").as("cid"),
+              transform(col("cv"), x => x / col("cnrm")).as("cvn"))
+    // assignment: rank centroids per vector by cosine
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val assign = base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("vn"), col("cid"),
+              VectorFunctions.dot(col("vn"), col("cvn")).as("cscore"))
+      .withColumn("crank", row_number().over(wAssign))
+    val home = assign.filter(col("crank") === 1)
+      .select(col("vec_id").as("id_b"), col("vn").as("vn_b"), col("cid"))
+    val probes = assign.filter(col("crank") <= nprobe)
+      .select(col("vec_id").as("id_a"), col("vn").as("vn_a"), col("cid"))
+    // candidate generation: query probes × inverted lists, then top-3
+    val wTop = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b").asc)
+    probes.join(home, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("id_a"), col("rn"), col("id_b"), col("cos_sim"))
+      .orderBy("id_a", "rn")
+  }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data-pipeline text analysis (north star): language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * expression pipelines (narrow, codegen-friendly, no shuffle except
+  * the fingerprint group-size join).
+  */
+object TextAnalysis {
+
+  /** Marker stopword lists per language (tiny, deterministic). The
+    * heuristic is overlap-count argmax with alphabetical tiebreak —
+    * the structure of real n-gram lang-ID, minus a trained model. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "de", "un", "et", "la", "il", "ne", "je", "pas", "que"),
+    "zh" -> Seq("de", "yi", "shi", "bu", "le", "ren", "wo", "zai", "you", "ta"),
+  )
+
+  /** q_lang_id: n-gram/stopword-overlap language identification.
+    * Emits per-language scores, the argmax prediction ('und' when no
+    * marker hits), and agreement with the labeled lang. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.docTokens(spark, dir)
+      .withColumn("tset", array_distinct(col("toks")))
+    val scored = markers.foldLeft(d) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        size(array_intersect(col("tset"), typedLit(words.distinct))))
+    }
+    // argmax with alphabetical tiebreak: first lang (in sorted order)
+    // whose score is >= all others and > 0.
+    val pred = markers.map(_._1).foldRight(lit("und"): Column) { (lang, els) =>
+      val ge = markers.map(_._1).filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge && col(s"s_$lang") > 0, lit(lang)).otherwise(els)
+    }
+    scored
+      .withColumn("pred", pred)
+      .select(col("doc_id") +: col("lang") +:
+              markers.map { case (l, _) => col(s"s_$l") } :+
+              col("pred") :+ (col("pred") === col("lang")).as("agrees"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** q_quality_score: length / type-token-ratio / stopword-ratio
+    * composite quality score per document. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = typedLit(markers.flatMap(_._2).distinct.sorted)
+    Tables.docTokens(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("ttr"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("toks"))).as("avg_tok_len"),
+        (size(filter(col("toks"), t => array_contains(stop, t))).cast("double")
+          / size(col("toks"))).as("stop_ratio"))
+      .select(
+        col("doc_id"), col("n_toks"),
+        round(col("ttr"), 6).as("ttr"),
+        round(col("avg_tok_len"), 6).as("avg_tok_len"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(least(col("n_toks") / 100.0, lit(1.0)) * 0.3
+              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.4, 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q_token_count: whitespace tokens vs BPE-ish regex tokens
+    * ([a-z]+ | digit-runs | single non-space residue) vs chars. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+        length(trim(col("text"))).as("n_chars"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
+      .orderBy("doc_id")
+
+  /** q_fingerprint: content fingerprints — md5 of the normalized text
+    * (order-sensitive) and md5 of the sorted distinct token set (bag
+    * fingerprint), plus the bag-group size: set-identical docs share
+    * fp_bag, giving real duplicate groups on this data. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.docTokens(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(lower(trim(col("text")))).as("fp_exact"),
+        md5(array_join(sort_array(array_distinct(col("toks"))), " ")).as("fp_bag"))
+    val groups = d.groupBy("fp_bag").agg(count(lit(1)).as("n_same_bag"))
+    d.join(groups, "fp_bag")
+      .select("doc_id", "fp_exact", "fp_bag", "n_same_bag")
+      .orderBy("doc_id")
+  }
+}
