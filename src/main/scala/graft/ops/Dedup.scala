@@ -53,25 +53,25 @@ object Dedup {
 
   // ---- MinHash + LSH (q_dedup_near, oracle-exempt) ----
 
-  private val MinhashK = 48        // signature length
+  private[graft] val MinhashK = 48        // signature length
   private val Bands = 12           // LSH bands...
   private val RowsPerBand = 4      // ...of 4 rows: P(candidate | J=0.9) ≈ 1-6e-5
-  private val MersennePrime = 2147483647L
+  private[graft] val MersennePrime = 2147483647L
   // Deterministic hash-permutation constants (fixed seed — results are
   // reproducible run to run; no RNG at execution time).
-  private val (permA, permB) = {
+  private[graft] val (permA, permB) = {
     val rng = new scala.util.Random(42)
     (Array.fill(MinhashK)(1L + rng.nextInt(Int.MaxValue - 1)),
      Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong))
   }
 
   /** 3-token shingle hashes (distinct, murmur3→[0, p)) for a tokens col. */
-  private def shingleHashes(toks: Column): Column =
+  private[graft] def shingleHashes(toks: Column): Column =
     array_distinct(transform(
       Text.ngramCol(toks, 3), s => pmod(hash(s).cast("long"), lit(MersennePrime))))
 
   /** MinHash signature: sig[i] = min over shingles of (a_i*h + b_i) mod p. */
-  private def minhashSig(sh: Column): Column =
+  private[graft] def minhashSig(sh: Column): Column =
     transform(sequence(lit(0), lit(MinhashK - 1)),
       i => array_min(transform(sh,
         h => pmod(element_at(typedLit(permA), i + 1) * h

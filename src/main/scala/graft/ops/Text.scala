@@ -83,6 +83,21 @@ object Text {
     df.select(f.as(outputCol))
   }
 
+  /** Plain-Scala n-gram (the semantics in one line) — basis for the UDF
+    * variant and the ScalaCheck properties. */
+  def ngramsScala(toks: Seq[String], n: Int): Seq[String] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    if (toks.length < n) Seq.empty
+    else toks.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  /** Scalar-UDF variant of the n-gram transform (extension-point demo;
+    * cross-checked against [[ngramCol]] in tests). Prefer [[ngramCol]]
+    * in real plans — the expression form stays inside codegen, the UDF
+    * pays serialization per row. */
+  val ngramUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String], n: Int) => ngramsScala(toks, n))
+
   // ---- registered queries (SURVEY.md §2.2 Text family) ----
 
   /** q_tokenize: lowercase + whitespace tokenization of documents.text. */

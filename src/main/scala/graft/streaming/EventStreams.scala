@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the event-time operators (SURVEY.md
+  * §2.2 streaming-only rows). The batch queries in `ops.Events` use the
+  * same `groupBy(window(...))` shapes; these add watermarks (bounded
+  * state, late-data drop) and the streaming-native session operator.
+  *
+  * All take an unbounded DataFrame with at least
+  * `(event_id long, ts timestamp, user_id long, event_type string,
+  * value double)` — e.g. a `MemoryStream` in tests, or
+  * `spark.readStream.format("kafka")...` in production. State size is
+  * bounded by the watermark horizon; nothing accumulates on the driver.
+  */
+object EventStreams {
+
+  /** 1-hour tumbling counts per event_type; late rows beyond the
+    * watermark are dropped (never double-counted). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+
+  /** 1-hour windows sliding every 30 minutes. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("window.start").as("ws"), col("n"), col("sv"))
+
+  /** 30-minute-gap session windows per user — the streaming-native
+    * `session_window` counterpart of the batch gaps-and-islands query
+    * (ops.Events.qStreamSession). */
+  def sessionAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
+  /** Stateful streaming dedup by event_id with bounded state: the
+    * watermark lets Spark evict seen-keys older than the horizon. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

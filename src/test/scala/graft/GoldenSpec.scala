@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashAggregator
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Golden tests for the oracle-exempt queries (SURVEY.md §5.2.2) and
+  * the extension-point cross-checks. */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q_agg_approx: HLL estimate within 10% of exact per group") {
+    val approx = Queries.all("q_agg_approx")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = Queries.all("q_agg_distinct")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    exact.foreach { case (flag, parts, supps) =>
+      val (ap, as_) = approx(flag)
+      assert(math.abs(ap - parts).toDouble / parts < 0.10, s"$flag parts: $ap vs $parts")
+      assert(math.abs(as_ - supps).toDouble / supps < 0.10, s"$flag supps: $as_ vs $supps")
+    }
+  }
+
+  test("q_map_funcs: map round-trips keys and values") {
+    val rows = Queries.all("q_map_funcs")(spark, TestSpark.sf0001).limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == Seq("toks", "chars"))
+      val vs = r.getSeq[Long](2)
+      assert(vs == Seq(r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  /** Planted near-duplicates: base docs + copies with one token changed
+    * (+ optionally an exact duplicate of doc 0 as id 999999). */
+  private def plantedDir(withExactDup: Boolean = false): String = {
+    val dir = Files.createTempDirectory("graft_planted").toString
+    val base = Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("doc_id") < 40).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val dups = base.take(10).map { case (id, text, lang) =>
+      val toks = text.trim.split("\\s+")
+      (id + 100000L, (toks.dropRight(1) :+ "zzzz").mkString(" "), lang)
+    }
+    val exact =
+      if (withExactDup) base.take(1).map { case (_, t, l) => (999999L, t, l) }
+      else Array.empty[(Long, String, String)]
+    val all = (base ++ dups ++ exact).toSeq
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")))
+    all.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_dedup_near: finds every planted near-duplicate, all pairs >= tau") {
+    val dir = plantedDir()
+    val pairs = Dedup.qDedupNear(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // all reported pairs meet the threshold
+    pairs.foreach { case (_, _, j) => assert(j >= 0.8) }
+    // every planted (id, id+100000) pair is recalled (their 3-shingle
+    // sets differ in only ~2 of ~n shingles => J well above 0.8 for
+    // 40+-token docs; LSH candidate probability ~1)
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000L }.map(_._1).toSet
+    val expected = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 100000L).collect()
+      .map(_.getLong(0) - 100000L)
+      // only docs long enough that one changed token keeps J >= 0.8
+      .filter { id =>
+        val t = Tables.docTokens(spark, dir).filter(col("doc_id") === id)
+          .select(size(col("toks"))).first().getInt(0)
+        t >= 30
+      }.toSet
+    assert(expected.subsetOf(planted), s"missed: ${expected -- planted}")
+  }
+
+  test("q_dedup_simhash: identical docs collide at hamming 0") {
+    val dir = plantedDir(withExactDup = true)
+    val pairs = Dedup.qDedupSimhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 999999L && h == 0 })
+  }
+
+  test("MinHashAggregator == expression-based signature") {
+    val mh = udaf(
+      new MinHashAggregator(Dedup.MinhashK, Dedup.permA, Dedup.permB,
+                            Dedup.MersennePrime),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val docs = Tables.docTokens(spark, TestSpark.sf0001).limit(30)
+      .select(col("doc_id"), Dedup.shingleHashes(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val viaExpr = docs.select(col("doc_id"), Dedup.minhashSig(col("sh")).as("sig"))
+    val viaUdaf = docs
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("doc_id").agg(mh(col("h")).as("sig"))
+    val e = viaExpr.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val u = viaUdaf.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(e == u)
+  }
+
+  test("q_ann_ivf: structural properties vs exact knn") {
+    val ann = Similarity.qAnnIvf(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val knn = Similarity.qKnn(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every query vector reports exactly 3 neighbours
+    assert(ann.groupBy(_._1).forall(_._2.length == 3))
+    // reported scores are the true pair scores (spot-check via knn overlap)
+    val knnScores = knn.map(t => (t._1, t._3) -> t._4).toMap
+    ann.foreach { case (a, _, b, s) =>
+      knnScores.get((a, b)).foreach(exact => assert(exact == s)) }
+    // recall floor: uniform vectors cap IVF recall near nprobe/k (0.4)
+    val kset = knn.map(t => (t._1, t._3)).toSet
+    val aset = ann.map(t => (t._1, t._3)).toSet
+    val recall = (kset & aset).size.toDouble / kset.size
+    assert(recall > 0.3, s"recall@3 = $recall")
+  }
+
+  test("q_multimodal_features: deterministic, fixed shape") {
+    val a = Multimodal.qMultimodalFeatures(spark, TestSpark.sf0001).collect()
+    val b = Multimodal.qMultimodalFeatures(spark, TestSpark.sf0001).collect()
+    assert(a.length == 500)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.take(20).foreach { r =>
+      assert(r.getSeq[Float](4).length == 8)
+      assert(r.getInt(3) > 0)
+    }
+  }
+
+  test("SparkEntry.entry returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Top-level so Catalyst can build an encoder (inner classes need outer
+  * scope registration). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming tests (SURVEY.md §5.2.4): batch/stream parity,
+  * watermark late-data drop, session windows, stateful dedup — all via
+  * MemoryStream + memory sink, processed synchronously. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def withQuery[A](df: org.apache.spark.sql.DataFrame, mode: String,
+                           name: String)(body: StreamingQuery => A): A = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try body(q) finally q.stop()
+  }
+
+  test("tumbling counts: stream == batch on replayed sf0.001 events") {
+    val batch = Queries.all("q_stream_tumbling")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+              col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev](spark)
+    // no watermark needed for complete-mode parity
+    val agg = EventStreams.tumblingCounts(ms.toDF(), watermark = "100 days")
+    withQuery(agg, "complete", "t_tumbling") { q =>
+      ms.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("t_tumbling")
+        .select(col("ws").cast("timestamp_ntz"), col("event_type"), col("n"), col("sv"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == batch)
+    }
+  }
+
+  test("watermark drops late rows (append mode emits only closed windows)") {
+    val ms = MemoryStream[Ev](spark)
+    val agg = EventStreams.tumblingCounts(ms.toDF(), watermark = "10 minutes")
+    withQuery(agg, "append", "t_late") { q =>
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // advance watermark past 01:00 + 10min => window [00:00,01:00) closes
+      ms.addData(Seq(Ev(3, ts("2024-01-01 02:00:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // late row for the closed window — must be dropped
+      ms.addData(Seq(Ev(4, ts("2024-01-01 00:30:00"), 1, "click", 99.0)))
+      q.processAllAvailable()
+      val w0 = spark.table("t_late")
+        .filter(col("ws") === lit(ts("2024-01-01 00:00:00")))
+        .collect()
+      assert(w0.length == 1)
+      assert(w0.head.getLong(2) == 2, "late row must not be counted")
+    }
+  }
+
+  test("session windows: 30-min gap splits sessions") {
+    val ms = MemoryStream[Ev](spark)
+    val agg = EventStreams.sessionAgg(ms.toDF(), watermark = "100 days")
+    withQuery(agg, "complete", "t_session") { q =>
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0),
+        Ev(3, ts("2024-01-01 00:50:00"), 7, "click", 1.0)))
+      q.processAllAvailable()
+      val sessions = spark.table("t_session")
+        .filter(col("user_id") === 7)
+        .orderBy("session_start")
+        .collect().map(r => r.getLong(3))
+      assert(sessions.toSeq == Seq(2L, 1L), "events at 0/10/50min => sessions of 2 and 1")
+    }
+  }
+
+  test("session window parity with batch gaps-and-islands on sf0.001") {
+    val batch = Queries.all("q_stream_session")(spark, TestSpark.sf0001)
+      .select(sum(col("n_events")), count(lit(1))).collect().head
+    val rows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+              col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev](spark)
+    val agg = EventStreams.sessionAgg(ms.toDF(), watermark = "100 days")
+    withQuery(agg, "complete", "t_sess_parity") { q =>
+      ms.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("t_sess_parity")
+        .select(sum(col("n_events")), count(lit(1))).collect().head
+      assert(got.getLong(0) == batch.getLong(0), "total events in sessions")
+      assert(got.getLong(1) == batch.getLong(1), "number of sessions")
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    val ms = MemoryStream[Ev](spark)
+    val dedup = EventStreams.dedupWithinWatermark(ms.toDF(), watermark = "10 minutes")
+    withQuery(dedup, "append", "t_dedup") { q =>
+      ms.addData(Seq(
+        Ev(10, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Ev(10, ts("2024-01-01 00:00:30"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(10, ts("2024-01-01 00:01:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("t_dedup").filter(col("event_id") === 10).count() == 1)
+    }
+  }
+}
