@@ -32,7 +32,7 @@ object Queries {
     * prints as "623.295", so Spark gives 623.30 and DuckDB 623.29.
     * Round-tripping through VARCHAR (shortest repr on DuckDB too) and a
     * DECIMAL makes DuckDB match Spark exactly (verified on 60k rows). */
-  private def rnd(e: String, s: Int): String =
+  private[graft] def rnd(e: String, s: Int): String =
     s"round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $s)::DOUBLE"
 
   // -------------------------------------------------------------------
@@ -484,6 +484,8 @@ object Queries {
     "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
+    "q_sql_q3"              -> (Sql.qSqlQ3 _),
+    "q_sql_q5"              -> (Sql.qSqlQ5 _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -546,6 +548,8 @@ object Queries {
          |g AS (SELECT fp_bag, count(*) AS n_same_bag FROM d GROUP BY fp_bag)
          |SELECT d.doc_id, d.fp_exact, d.fp_bag, g.n_same_bag
          |FROM d JOIN g USING (fp_bag) ORDER BY d.doc_id""".stripMargin,
+    "q_sql_q3" -> Sql.q3Template(e => rnd(e, 2)),
+    "q_sql_q5" -> Sql.q5Template(e => rnd(e, 2)),
     "q_dedup_embed" ->
       s"""$NORMVEC
          |SELECT id_a, id_b, cos_sim FROM (
