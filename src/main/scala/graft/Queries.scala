@@ -159,6 +159,8 @@ object Queries {
     "q_agg_rollup"        -> (Aggregates.qAggRollup _),
     "q_agg_cube"          -> (Aggregates.qAggCube _),
     "q_agg_grouping_sets" -> (Aggregates.qAggGroupingSets _),
+    "q_pivot"             -> (Aggregates.qPivot _),
+    "q_percentiles"       -> (Aggregates.qPercentiles _),
   )
 
   private def rollupSelect(groupClause: String): String =
@@ -187,6 +189,21 @@ object Queries {
          |  count(DISTINCT l_partkey) AS dist_parts,
          |  count(DISTINCT l_suppkey) AS dist_supps,
          |  ${rnd("sum(DISTINCT l_quantity)", 2)} AS sum_dist_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot" -> {
+      val cases = Seq("click", "view", "purchase", "signup", "error").map { t =>
+        s"${rnd(s"sum(CASE WHEN event_type = '$t' THEN value END)", 2)} AS $t"
+      }.mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cases
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q_percentiles" ->
+      s"""SELECT l_returnflag,
+         |  ${rnd("quantile_cont(l_extendedprice, 0.25)", 4)} AS p25,
+         |  ${rnd("quantile_cont(l_extendedprice, 0.5)", 4)} AS median,
+         |  ${rnd("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
+         |  ${rnd("quantile_cont(l_quantity, 0.5)", 4)} AS median_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" -> rollupSelect("ROLLUP (l_returnflag, l_linestatus)"),
     "q_agg_cube" -> rollupSelect("CUBE (l_returnflag, l_linestatus)"),

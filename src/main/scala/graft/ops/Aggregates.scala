@@ -79,6 +79,29 @@ object Aggregates {
                col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first)
 
+  /** q_pivot: per-user value totals pivoted to one column per
+    * event_type. Pivot values are enumerated explicitly — at scale an
+    * implicit pivot triggers a distinct-values job first. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy("user_id")
+
+  /** q_percentiles: exact interpolated percentiles (median/p25/p90) per
+    * group — the sort-based exact aggregate; the approximate sketch
+    * variant is q_agg_approx's family. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
+      .orderBy("l_returnflag")
+
   /** q_agg_grouping_sets: explicit sets ((rf),(ls),()) — the general
     * form rollup/cube desugar to. */
   def qAggGroupingSets(spark: SparkSession, dir: String): DataFrame = {

@@ -54,9 +54,17 @@ object Similarity {
     val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
     val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
     val w = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b").asc)
-    a.join(b, col("id_a") =!= col("id_b"))
+    // each unordered pair scored ONCE (id_a < id_b), then mirrored via
+    // explode — halves the dot-product work vs scoring both directions
+    a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
+      .select(explode(array(
+        struct(col("id_a"), col("id_b"), col("cos_sim")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos_sim"))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+              col("p.cos_sim").as("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("id_a"), col("rn"), col("id_b"), col("cos_sim"))

@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event row for the stateful operators. */
+case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                  event_type: String, value: Double)
+
+/** Running per-user aggregate state. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming forms of the event-time operators (SURVEY.md
   * §2.2 streaming-only rows). The batch queries in `ops.Events` use the
@@ -51,4 +59,26 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-key state via `mapGroupsWithState` (the arbitrary-state
+    * extension point, SURVEY.md §2.2): running per-user event count and
+    * value total, updated each micro-batch. State lives in the state
+    * store (checkpointable, executor-side) — nothing on the driver.
+    * Emit in `update` output mode.
+    */
+  def runningUserTotals(events: Dataset[SEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[SEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          batch.foreach { e => n += 1; tot += e.value }
+          val cur = UserTotals(uid, n, tot)
+          state.update(cur)
+          cur
+      }
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Formats
+
+/** CSV/JSON round-trips and partitioned-parquet pruning. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def checksum(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)), round(sum(col("l_extendedprice")), 2),
+           round(sum(col("l_quantity")), 2)).collect().head.toSeq
+
+  test("csv round-trip preserves rows and sums") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+              "l_returnflag")
+    val dir = Files.createTempDirectory("graft_csv").toString + "/li"
+    Formats.writeCsv(li, dir)
+    val back = Formats.readCsv(spark, dir, li.schema)
+    assert(checksum(back) == checksum(li))
+  }
+
+  test("json round-trip preserves rows and sums") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val dir = Files.createTempDirectory("graft_json").toString + "/li"
+    Formats.writeJson(li, dir)
+    val back = Formats.readJson(spark, dir, li.schema)
+    assert(checksum(back) == checksum(li))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val dir = Files.createTempDirectory("graft_part").toString + "/li"
+    Formats.writePartitioned(li, dir, "l_returnflag")
+    val filtered = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    // behavior: only the A partition is read
+    val expected = li.filter(col("l_returnflag") === "A")
+    assert(checksum(filtered) == checksum(expected))
+    // plan: the partition filter appears as a PartitionFilters entry,
+    // not a data filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+           plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+             .contains("l_returnflag"))
+  }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EventStreams, SEvent}
+    val ms = MemoryStream[SEvent](spark)
+    val q = EventStreams.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName("t_totals").outputMode("update").start()
+    def ev(id: Long, u: Long, v: Double) =
+      SEvent(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "click", v)
+    try {
+      ms.addData(Seq(ev(1, 1, 10.0), ev(2, 1, 5.0), ev(3, 2, 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(4, 1, 2.5)))
+      q.processAllAvailable()
+      val last = spark.table("t_totals").filter(col("user_id") === 1)
+        .orderBy(col("n_events").desc).collect().head
+      assert(last.getLong(1) == 3 && last.getDouble(2) == 17.5)
+      val u2 = spark.table("t_totals").filter(col("user_id") === 2)
+        .orderBy(col("n_events").desc).collect().head
+      assert(u2.getLong(1) == 1 && u2.getDouble(2) == 1.0)
+    } finally q.stop()
+  }
+}
