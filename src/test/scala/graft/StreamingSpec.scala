@@ -107,6 +107,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch sink receives micro-batches (ProcessingTime trigger)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ms = MemoryStream[Ev](spark)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = EventStreams.tumblingCounts(ms.toDF(), "100 days")
+      .writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add((id, batch.count())); ()
+      }
+      .start()
+    try {
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:06:00"), 1, "view", 2.0)))
+      q.processAllAvailable()
+      val rows = seen.toArray(Array.empty[(Long, Long)])
+      assert(rows.map(_._2).sum >= 2, s"expected >=2 updated rows, got $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
     val ms = MemoryStream[Ev](spark)
     val dedup = EventStreams.dedupWithinWatermark(ms.toDF(), watermark = "10 minutes")
