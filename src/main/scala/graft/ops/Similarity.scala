@@ -1,11 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAggregator, VectorFunctions}
 
 /** Embedding-similarity operators (SURVEY.md §2.2 dedup/similarity).
   *
@@ -46,17 +46,31 @@ object Similarity {
       .limit(100)
   }
 
-  /** q_knn: per-vector k=3 nearest neighbours by cosine — pair scores
-    * + the window-top-k idiom (rank on the ROUNDED score with id
-    * tiebreak, so the cut is deterministic across engines). */
+  /** Bounded top-k cut per id_a on (cos_sim desc, id_b asc) — a typed
+    * [[graft.functions.TopKAggregator]] (map-side-combinable, buffer ≤ k)
+    * instead of a window: the shuffle carries k rows per group per map
+    * partition, not every scored pair, and no partition-wide sort runs.
+    * Tie semantics identical to `row_number() over (...) <= k`. */
+  private def topKCut(pairs: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    pairs
+      .groupBy("id_a")
+      .agg(topk(col("cos_sim"), col("id_b")).as("top"))
+      .select(col("id_a"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("id_a"), (col("pos") + 1).cast("int").as("rn"),
+              col("p._2").as("id_b"), col("p._1").as("cos_sim"))
+      .orderBy("id_a", "rn")
+  }
+
+  /** q_knn: per-vector k=3 nearest neighbours by cosine. Each unordered
+    * pair is scored ONCE (id_a < id_b, halves the dot products), then
+    * mirrored via explode into both directions for the per-vector cut. */
   def qKnn(spark: SparkSession, dir: String): DataFrame = {
     val u = normalized(spark, dir)
     val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
     val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
-    val w = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b").asc)
-    // each unordered pair scored ONCE (id_a < id_b), then mirrored via
-    // explode — halves the dot-product work vs scoring both directions
-    a.join(b, col("id_a") < col("id_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
       .select(explode(array(
@@ -65,10 +79,7 @@ object Similarity {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
               col("p.cos_sim").as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("id_a"), col("rn"), col("id_b"), col("cos_sim"))
-      .orderBy("id_a", "rn")
+    topKCut(pairs, 3)
   }
 
   /** q_dedup_embed: embedding-cosine near-duplicate pairs (cos ≥ 0.4 on
@@ -133,14 +144,10 @@ object Similarity {
     // candidate generation: query probes × inverted lists, then top-3.
     // No dedup needed: a candidate's home centroid is unique, so each
     // (id_a, id_b) arises from exactly one probed cid.
-    val wTop = Window.partitionBy("id_a").orderBy(col("cos_sim").desc, col("id_b").asc)
-    probes.join(home, Seq("cid"))
+    val cands = probes.join(home, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 3)
-      .select(col("id_a"), col("rn"), col("id_b"), col("cos_sim"))
-      .orderBy("id_a", "rn")
+    topKCut(cands, 3)
   }
 }
