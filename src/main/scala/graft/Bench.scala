@@ -21,7 +21,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // closest analogs of BASELINE.md's 7-query suite, for an
+    // apples-to-apples subtotal next to the full-registry total
+    val baselineSubset = Seq("q_agg_scan", "q_join_left", "q_window_topk",
+      "q_ngram_count", "q_sim_cosine_topk", "q_stream_tumbling", "q_dedup_exact")
+    val rmap = results.toMap
+    val subsetTotal = baselineSubset.flatMap(rmap.get).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"n_queries":${results.size}}""")
     spark.stop()
   }
 }
