@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // typed top-k buffers are tiny (k pairs); keep ObjectHashAggregate
+      // in hash mode instead of the 128-group sort fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,19 +18,28 @@ object Bench {
     // query always absorbs the first-job JVM/codegen warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      // per-query cache lifecycle: ops may persist() intermediates
+      // (normalized embeddings, LSH buckets); dropping them here keeps
+      // one query's working set from squatting on executor memory for
+      // the rest of the session
+      spark.catalog.clearCache()
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.filterNot(_._3).map(t => s"\"${t._1}\"").mkString("[", ",", "]")
+    val okTimes = results.filter(_._3).map(_._2)
+    val total = okTimes.sum
     // closest analogs of BASELINE.md's 7-query suite, for an
     // apples-to-apples subtotal next to the full-registry total
     val baselineSubset = Seq("q_agg_scan", "q_join_left", "q_window_topk",
       "q_ngram_count", "q_sim_cosine_topk", "q_stream_tumbling", "q_dedup_exact")
-    val rmap = results.toMap
+    val rmap = results.map(t => t._1 -> t._2).toMap
     val subsetTotal = baselineSubset.flatMap(rmap.get).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed}""")
     spark.stop()
   }
 }

@@ -297,7 +297,7 @@ object Queries {
         |  lpad(p_brand, 12, '*') AS pad_brand,
         |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
         |  (p_type LIKE '%ECO%') AS is_eco,
-        |  string_split(p_name, ' ') AS name_toks
+        |  array_to_string(string_split(p_name, ' '), '|') AS name_toks
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,
@@ -330,14 +330,26 @@ object Queries {
          |SELECT doc_id,
          |  len(toks)::INT AS n_toks,
          |  toks[1] AS first_tok,
-         |  toks[2:4] AS sl,
+         |  array_to_string(toks[2:4], '|') AS sl,
          |  list_contains(toks, 'the') AS has_the,
-         |  list_sort(toks[1:4]) AS srt4,
+         |  array_to_string(list_sort(toks[1:4]), '|') AS srt4,
          |  len(list_distinct(toks))::INT AS n_dist,
-         |  flatten([toks[1:2], toks[3:4]]) AS flat4,
-         |  list_transform(generate_series(1, 3), j -> toks[j] || '_' || toks[j+1]) AS zipped,
+         |  array_to_string(flatten([toks[1:2], toks[3:4]]), '|') AS flat4,
+         |  array_to_string(list_transform(generate_series(1, 3),
+         |                  j -> toks[j] || '_' || toks[j+1]), '|') AS zipped,
          |  (i - 1)::INT AS pos, toks[i] AS tok
          |FROM e ORDER BY doc_id, pos""".stripMargin,
+    "q_map_funcs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  map(['toks', 'chars'],
+         |      [len($TOKS)::BIGINT, n_chars::BIGINT]) AS m
+         |FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(map_keys(m), '|') AS ks,
+         |  array_to_string(map_values(m), '|') AS vs,
+         |  map_extract(m, 'toks')[1] AS v_toks,
+         |  map_extract(m, 'chars')[1] AS v_chars
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k')::INT AS k,
@@ -396,20 +408,23 @@ object Queries {
 
   val textOracle: Map[String, String] = Map(
     "q_tokenize" ->
-      s"""SELECT doc_id, $TOKS AS toks, len($TOKS)::INT AS n_tokens
+      s"""SELECT doc_id, array_to_string($TOKS, '|') AS toks,
+         |  len($TOKS)::INT AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ngram_bigram" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents)
          |SELECT doc_id,
-         |  list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |                 i -> toks[i] || ' ' || toks[i+1]) AS ngrams
+         |  array_to_string(
+         |    list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |                   i -> toks[i] || ' ' || toks[i+1]), '|') AS ngrams
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_ngram_n" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents)
          |SELECT doc_id,
-         |  CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-         |       ELSE list_transform(generate_series(1, len(toks)-2),
-         |                           i -> array_to_string(toks[i:i+2], ' '))
+         |  CASE WHEN len(toks) < 3 THEN ''
+         |       ELSE array_to_string(
+         |         list_transform(generate_series(1, len(toks)-2),
+         |                        i -> array_to_string(toks[i:i+2], ' ')), '|')
          |  END AS ngrams
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_ngram_count" ->
@@ -586,8 +601,8 @@ object Queries {
       dedupSim ++ extras
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
-    * (golden-tested): q_agg_approx, q_map_funcs, q_dedup_near,
-    * q_dedup_simhash, q_ann_ivf, q_multimodal_features. */
+    * (golden-tested): q_agg_approx, q_dedup_near, q_dedup_simhash,
+    * q_ann_ivf, q_multimodal_features. */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle

@@ -12,6 +12,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * instead of the whole pair space through one sort — the difference
   * between shuffling 4M scored pairs and shuffling ~k×groups rows in
   * the kNN queries.
+  *
+  * `reduce` is the per-input-row hot path (millions of calls in a pair
+  * join): it is a bounded insertion — O(1) reject against the current
+  * worst (the overwhelmingly common case once the buffer is warm, and
+  * it returns the SAME buffer object, so no allocation at all), O(k)
+  * insert otherwise. The sort-merge only runs in `merge`, which fires
+  * once per (group, map partition), not per row.
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
@@ -24,8 +31,15 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
-  override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
-    merge(buf, Seq(x))
+  /** Bounded insertion keeping the buffer sorted by [[lt]]. */
+  override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
+    if (buf.length >= k && !lt(x, buf.last)) buf // common case: not top-k, no alloc
+    else {
+      val (better, worse) = buf.span(lt(_, x))
+      val inserted = (better :+ x) ++ worse
+      if (inserted.length > k) inserted.take(k) else inserted
+    }
+  }
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (a ++ b).sortWith(lt).take(k)

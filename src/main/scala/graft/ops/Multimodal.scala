@@ -28,16 +28,36 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                            n_bytes: Int, feat: Array[Float])
 
-  /** STUB decode — replace with a real codec (e.g. javacv / a JNI
-    * decoder) in production. Deterministic: features are a pure
-    * function of the bytes. */
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Real header parse for PNG: width/height from the IHDR chunk
+    * (big-endian u32 at offsets 16 and 20 — the IHDR data follows the
+    * 8-byte signature + 4-byte length + "IHDR" tag). Pure JVM, no codec
+    * dependency. Returns None for non-PNG bytes. */
+  private[graft] def pngDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length >= 24 && bytes.take(8).sameElements(PngMagic)) {
+      def u32(off: Int): Int =
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      Some((u32(16), u32(20)))
+    } else None
+
+  /** Decode stage: PNG headers are parsed for REAL (width/height from
+    * IHDR); the pixel-level feature extraction remains a clearly-marked
+    * STUB (no image codecs in this environment) deriving deterministic
+    * pseudo-features from a SHA-256 of the bytes. Swap the feat branch
+    * for a real codec (e.g. javacv / a JNI decoder) in production. */
   private def stubDecode(row: MediaRow): MediaFeatures = {
     val digest = MessageDigest.getInstance("SHA-256").digest(row.media)
     def b(i: Int): Int = digest(i) & 0xff
+    val (w, h) = pngDims(row.media).getOrElse(
+      // stub fallback for non-PNG bytes: pseudo-dims from the hash
+      (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
     MediaFeatures(
       doc_id = row.doc_id,
-      width = 16 + (b(0) << 4 | b(1) >> 4),   // ??? stub: real decode would parse the header
-      height = 16 + (b(2) << 4 | b(3) >> 4),
+      width = w,
+      height = h,
       n_bytes = row.media.length,
       feat = Array.tabulate(8)(i => b(8 + i) / 255.0f))
   }
@@ -59,7 +79,8 @@ object Multimodal {
   /** q_multimodal_features: documents.text bytes stand in for media
     * blobs; binary column + metadata in, typed features out.
     * Oracle-exempt (JVM SHA-256-derived stub); golden-tested for
-    * determinism and schema. */
+    * determinism and schema. The float feature vector is serialized in
+    * the final projection (driver compare hashes scalar cells only). */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables.documents(spark, dir)
@@ -69,6 +90,9 @@ object Multimodal {
       .as[MediaRow]
     decodeFeatures(media)
       .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+              array_join(transform(col("feat"), _.cast("string")), "|")
+                .as("feat"))
       .orderBy("doc_id")
   }
 }

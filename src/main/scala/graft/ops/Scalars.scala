@@ -28,7 +28,9 @@ object Scalars {
         lpad(col("p_brand"), 12, "*").as("pad_brand"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
         col("p_type").like("%ECO%").as("is_eco"),
-        split(col("p_name"), " ").as("name_toks"))
+        // split() is the op under test; serialized for the scalar-only
+        // driver compare (matching array_to_string on the oracle side)
+        array_join(split(col("p_name"), " "), "|").as("name_toks"))
       .orderBy("p_partkey")
 
   /** q_date_funcs: date/time family over orders. */
@@ -83,21 +85,27 @@ object Scalars {
         col("doc_id"),
         size(col("toks")).as("n_toks"),
         element_at(col("toks"), 1).as("first_tok"),
-        slice(col("toks"), 2, 3).as("sl"),
+        // array results are serialized ('|') in this same projection:
+        // the driver's compare hashes scalar cells only
+        array_join(slice(col("toks"), 2, 3), "|").as("sl"),
         array_contains(col("toks"), "the").as("has_the"),
-        sort_array(slice(col("toks"), 1, 4)).as("srt4"),
+        array_join(sort_array(slice(col("toks"), 1, 4)), "|").as("srt4"),
         size(array_distinct(col("toks"))).as("n_dist"),
-        flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2)))
-          .as("flat4"),
-        zip_with(slice(col("toks"), 1, 3), slice(col("toks"), 2, 3),
-                 (a, b) => concat(a, lit("_"), b)).as("zipped"),
+        array_join(
+          flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))),
+          "|").as("flat4"),
+        array_join(
+          zip_with(slice(col("toks"), 1, 3), slice(col("toks"), 2, 3),
+                   (a, b) => concat(a, lit("_"), b)), "|").as("zipped"),
         posexplode(slice(col("toks"), 1, 3)))
       .withColumnRenamed("col", "tok")
       .orderBy("doc_id", "pos")
 
   /** q_map_funcs: map family — constructed in-query (no map column in
-    * the test data). Oracle-exempt: DuckDB MAP↔Spark MapType parquet
-    * round-trip is brittle (SURVEY.md §2.2); golden-tested instead. */
+    * the test data). Keys/values are serialized in the final projection
+    * (the map ops are still exercised upstream), which also makes the
+    * query oracle-eligible: DuckDB's MAP family produces the same
+    * scalars without a MapType parquet round-trip. */
   def qMapFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.docTokens(spark, dir)
       .select(
@@ -107,8 +115,9 @@ object Scalars {
           array(size(col("toks")).cast("long"), col("n_chars"))).as("m"))
       .select(
         col("doc_id"),
-        map_keys(col("m")).as("ks"),
-        map_values(col("m")).as("vs"),
+        array_join(map_keys(col("m")), "|").as("ks"),
+        array_join(transform(map_values(col("m")), _.cast("string")), "|")
+          .as("vs"),
         element_at(col("m"), "toks").as("v_toks"),
         element_at(col("m"), "chars").as("v_chars"))
       .orderBy("doc_id")

@@ -100,10 +100,14 @@ object Text {
 
   // ---- registered queries (SURVEY.md §2.2 Text family) ----
 
-  /** q_tokenize: lowercase + whitespace tokenization of documents.text. */
+  /** q_tokenize: lowercase + whitespace tokenization of documents.text.
+    * The token ARRAY is the computation under test; the final projection
+    * serializes it ('|' join) because the driver's compare layer hashes
+    * scalar cells only — the oracle SQL serializes identically. */
   def qTokenize(spark: SparkSession, dir: String): DataFrame =
     Tables.docTokens(spark, dir)
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tokens"))
+      .select(col("doc_id"), array_join(col("toks"), "|").as("toks"),
+              size(col("toks")).as("n_tokens"))
       .orderBy("doc_id")
 
   /** q_ngram_bigram: the reference operator (R6) — per-doc bigram array,
@@ -114,13 +118,16 @@ object Text {
     ngramMl(
       Tables.documents(spark, dir).withColumn("text", trim(col("text"))),
       "text", 2, "ngrams")
-      .select(col("doc_id"), col("ngrams"))
+      // serialize the n-gram array for the scalar-only compare layer
+      // (empty array -> '' on both engines)
+      .select(col("doc_id"), array_join(col("ngrams"), "|").as("ngrams"))
       .orderBy("doc_id")
 
   /** q_ngram_n: general n (n=3) via the pure-expression form. */
   def qNgramN(spark: SparkSession, dir: String): DataFrame =
     Tables.docTokens(spark, dir)
-      .select(col("doc_id"), ngramCol(col("toks"), 3).as("ngrams"))
+      .select(col("doc_id"),
+              array_join(ngramCol(col("toks"), 3), "|").as("ngrams"))
       .orderBy("doc_id")
 
   /** q_ngram_count: corpus bigram frequency — explode → count → top-50

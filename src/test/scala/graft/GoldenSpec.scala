@@ -30,9 +30,8 @@ class GoldenSpec extends AnyFunSuite {
     val rows = Queries.all("q_map_funcs")(spark, TestSpark.sf0001).limit(20).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getSeq[String](1) == Seq("toks", "chars"))
-      val vs = r.getSeq[Long](2)
-      assert(vs == Seq(r.getLong(3), r.getLong(4)))
+      assert(r.getString(1) == "toks|chars")
+      assert(r.getString(2) == s"${r.getLong(3)}|${r.getLong(4)}")
     }
   }
 
@@ -128,9 +127,22 @@ class GoldenSpec extends AnyFunSuite {
     assert(a.length == 500)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     a.take(20).foreach { r =>
-      assert(r.getSeq[Float](4).length == 8)
+      assert(r.getString(4).split('|').length == 8)
       assert(r.getInt(3) > 0)
     }
+  }
+
+  test("pngDims: real IHDR width/height from crafted PNG header bytes") {
+    // 8-byte signature + IHDR chunk (len=13, tag, w=640, h=480, ...)
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+        Array[Byte](8, 6, 0, 0, 0)
+    assert(Multimodal.pngDims(png).contains((640, 480)))
+    assert(Multimodal.pngDims("not a png".getBytes).isEmpty)
+    assert(Multimodal.pngDims(png.take(20)).isEmpty)
   }
 
   test("SparkEntry.entry returns rows (t1 smoke)") {
