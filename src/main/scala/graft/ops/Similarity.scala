@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -97,54 +96,52 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** q_ann_ivf: approximate nearest neighbour via an IVF-style coarse
-    * quantizer — the sub-quadratic scale path for [[qKnn]].
+  /** q_ann_ivf: approximate nearest neighbour via hyperplane-LSH
+    * bucketing — the sub-quadratic scale path for [[qKnn]].
     *
-    * Centroids are the per-label mean vectors (deterministic, no
-    * k-means RNG: exact sums via posexplode + groupBy(label, pos)).
-    * Each vector probes its nprobe=2 nearest centroids; candidates are
-    * vectors whose HOME centroid is among the probed ones, scored with
-    * the codegen dot and cut to top-3. At scale: centroids broadcast
-    * (O(k·d)), the candidate join shuffles on centroid id only — the
-    * O(n²) pair space shrinks by ~nprobe/k per query. Oracle-exempt;
-    * golden test asserts recall@3 vs the exact kNN.
+    * Index: h seeded random hyperplanes (h scales with the corpus:
+    * h ≈ log2(√n), so bucket count ≈ √n and mean bucket size ≈ √n —
+    * the classic IVF sizing; no data column like `label` is assumed).
+    * Each vector's bucket is its h-bit sign pattern; the hyperplanes
+    * are driver-side literals (h·d doubles — O(KB), the analog of a
+    * broadcast codebook). The single `count()` is the index-build
+    * (training) step, offline at scale.
+    *
+    * Search: multi-probe radius 1 — each query probes its own bucket
+    * plus the h single-bit flips, then joins the inverted lists on
+    * bucket id (the only shuffle key), scores candidates with the
+    * codegen dot, and cuts to a bounded top-3. Pair uniqueness is by
+    * construction (a candidate's home bucket is unique; probe masks
+    * are distinct), so no dedup stage. Candidate fraction ≈
+    * (h+1)/2^h of the pair space (~11% at sf0.1) vs nprobe/k ≈ 40%
+    * for the old label-IVF. Near-uniform vectors keep buckets
+    * balanced; a skewed corpus would salt the hot buckets
+    * ([[graft.ops.Skew]]). Oracle-exempt; golden asserts recall@3
+    * vs the exact kNN.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val nprobe = 2
     VectorFunctions.register(spark)
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-              transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
-      .select(col("vec_id"), col("label"),
-              transform(col("v"), x => x / col("nrm")).as("vn"))
-      .persist()  // consumed by the centroid agg AND the assignment join
-    // per-label mean of normalized vectors, itself L2-normalized
-    val cent = base
-      .select(col("label"), posexplode(col("vn")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg(col("x")).as("mx"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-                     s => s.getField("mx")).as("cv"))
-      .withColumn("cnrm", sqrt(VectorFunctions.dot(col("cv"), col("cv"))))
-      .select(col("label").as("cid"),
-              transform(col("cv"), x => x / col("cnrm")).as("cvn"))
-    // assignment: rank centroids per vector by cosine
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cscore").desc, col("cid").asc)
-    val assign = base.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("vn"), col("cid"),
-              VectorFunctions.dot(col("vn"), col("cvn")).as("cscore"))
-      .withColumn("crank", row_number().over(wAssign))
-      .persist()  // sliced twice: inverted lists (home) + probe lists
-    val home = assign.filter(col("crank") === 1)
-      .select(col("vec_id").as("id_b"), col("vn").as("vn_b"), col("cid"))
-    val probes = assign.filter(col("crank") <= nprobe)
-      .select(col("vec_id").as("id_a"), col("vn").as("vn_a"), col("cid"))
-    // candidate generation: query probes × inverted lists, then top-3.
-    // No dedup needed: a candidate's home centroid is unique, so each
-    // (id_a, id_b) arises from exactly one probed cid.
-    val cands = probes.join(home, Seq("cid"))
+    val base = normalized(spark, dir)
+    // index-build step: size the code length to the corpus
+    val n = Tables.embeddings(spark, dir).count()
+    val h = math.max(3,
+      math.round(math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt)
+    val dim = 64
+    val rng = new scala.util.Random(42)
+    val planes = Array.fill(h)(Array.fill(dim)(rng.nextGaussian()))
+    val bucketCol = planes.zipWithIndex.map { case (p, j) =>
+      when(VectorFunctions.dot(col("vn"), typedlit(p.toSeq)) >= 0d,
+           lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bucketed = base.withColumn("bucket", bucketCol)
+    val home = bucketed.select(col("vec_id").as("id_b"),
+                               col("vn").as("vn_b"), col("bucket"))
+    val probeMasks = array((lit(0) +: (0 until h).map(j => lit(1 << j))): _*)
+    val probes = bucketed.select(
+      col("vec_id").as("id_a"), col("vn").as("vn_a"),
+      explode(transform(probeMasks, m => col("bucket").bitwiseXOR(m)))
+        .as("bucket"))
+    val cands = probes.join(home, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))

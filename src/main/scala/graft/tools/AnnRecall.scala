@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Similarity
+
+/** Measures q_ann_ivf recall@3 and wall-time against the exact q_knn at
+  * a given scale — the tuning loop for the LSH code length / probe
+  * radius. `sbt "runMain graft.tools.AnnRecall [sfDir]"` */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warmup pass absorbs JVM/codegen cost, then a timed warm pass each
+    Similarity.qKnn(spark, dir).count(); spark.catalog.clearCache()
+    Similarity.qAnnIvf(spark, dir).count(); spark.catalog.clearCache()
+    val (knn, tKnn) = time {
+      Similarity.qKnn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2)))
+    }
+    spark.catalog.clearCache()
+    val (ann, tAnn) = time {
+      Similarity.qAnnIvf(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2)))
+    }
+    spark.catalog.clearCache()
+    val kset = knn.toSet
+    val aset = ann.toSet
+    val recall = (kset & aset).size.toDouble / kset.size
+    println(f"ANN_RECALL dir=$dir n_knn=${kset.size} n_ann=${aset.size} " +
+      f"recall@3=$recall%.4f t_knn=$tKnn%.2fs t_ann=$tAnn%.2fs")
+    spark.stop()
+  }
+}

@@ -75,6 +75,36 @@ class NGramSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Text.ngramCol(col("x"), 0) }
   }
 
+  /** 1:1 with testFewerSequenceThanNStrings (NGramTransformTest.java:
+    * 201-219): in strict mode the whole RUN fails on a < n row and the
+    * sink receives zero rows. Here: a parquet write of the strict plan
+    * throws, and the output dir holds no committed part files. */
+  test("strict run fails end-to-end, sink stays empty (NGramTransformTest.java:201-219)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_strict_sink").toString
+    val df = tokensDf(Seq(Seq("Less")))  // the reference's 1-token row vs n=3
+    intercept[Exception] {
+      Text.ngramOverTokens(df, "tokens", 3, "ngrams", strict = true)
+        .write.mode("overwrite").parquet(s"$dir/out")
+    }
+    val committed = Option(new java.io.File(s"$dir/out").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    assert(committed.isEmpty)
+  }
+
+  /** 1:1 with testNullNGramSize (NGramTransformTest.java:227-231): a
+    * missing/invalid n-gram size is rejected at config-build time on
+    * every entry point (the reference NPEs building the ETL config;
+    * our analog is the require(n >= 1) gate). */
+  test("invalid n rejected on every entry point (NGramTransformTest.java:227-231)") {
+    val df = tokensDf(Seq(Seq("a", "b")))
+    intercept[IllegalArgumentException] { Text.ngramOverTokens(df, "tokens", 0, "ngrams") }
+    intercept[IllegalArgumentException] { Text.ngramColStrict(col("x"), 0) }
+    intercept[IllegalArgumentException] { Text.ngramsScala(Seq("a"), 0) }
+    intercept[IllegalArgumentException] {
+      Text.ngramMl(df.withColumn("text", lit("a b")), "text", 0, "ngrams")
+    }
+  }
+
   test("ml.Pipeline path == expression path on the goldens") {
     val docs = Seq((0L, "hi i heard about spark"), (1L, "spark is an engine"), (2L, "hi"))
       .toDF("doc_id", "text")
