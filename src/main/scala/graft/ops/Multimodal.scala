@@ -24,8 +24,10 @@ object Multimodal {
   /** A media row: id + raw bytes + mime hint. */
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
 
-  /** Extracted features: fake "dimensions" + an 8-dim float feature. */
-  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+  /** Extracted features: detected kind + per-modality metadata (image
+    * dims / audio rate+channels) + an 8-dim float feature. */
+  case class MediaFeatures(doc_id: Long, kind: String, width: Int, height: Int,
+                           sample_rate: Int, channels: Int,
                            n_bytes: Int, feat: Array[Float])
 
   private val PngMagic: Array[Byte] =
@@ -43,21 +45,50 @@ object Multimodal {
       Some((u32(16), u32(20)))
     } else None
 
-  /** Decode stage: PNG headers are parsed for REAL (width/height from
-    * IHDR); the pixel-level feature extraction remains a clearly-marked
-    * STUB (no image codecs in this environment) deriving deterministic
-    * pseudo-features from a SHA-256 of the bytes. Swap the feat branch
-    * for a real codec (e.g. javacv / a JNI decoder) in production. */
+  /** Real header parse for RIFF/WAVE: walks the chunk list to the
+    * "fmt " chunk and reads channels (LE u16 at +2) and sample rate
+    * (LE u32 at +4). Pure JVM. Returns None for non-WAV bytes. */
+  private[graft] def wavMeta(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def tag(off: Int) = new String(bytes.slice(off, off + 4), "US-ASCII")
+    def u16le(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32le(off: Int) =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    if (bytes.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var off = 12
+      while (off + 8 <= bytes.length && tag(off) != "fmt ")
+        off += 8 + u32le(off + 4) + (u32le(off + 4) & 1) // chunks are word-aligned
+      if (off + 12 <= bytes.length && tag(off) == "fmt ")
+        Some((u16le(off + 10), u32le(off + 12)))  // (channels, sampleRate)
+      else None
+    }
+  }
+
+  /** Decode stage: PNG and WAV headers are parsed for REAL (IHDR dims;
+    * fmt channels/rate); the pixel/sample-level feature extraction
+    * remains a clearly-marked STUB (no media codecs in this
+    * environment) deriving deterministic pseudo-features from a
+    * SHA-256 of the bytes. Swap the feat branch for a real codec
+    * (e.g. javacv / a JNI decoder) in production. */
   private def stubDecode(row: MediaRow): MediaFeatures = {
     val digest = MessageDigest.getInstance("SHA-256").digest(row.media)
     def b(i: Int): Int = digest(i) & 0xff
-    val (w, h) = pngDims(row.media).getOrElse(
-      // stub fallback for non-PNG bytes: pseudo-dims from the hash
-      (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
+    val png = pngDims(row.media)
+    val wav = if (png.isEmpty) wavMeta(row.media) else None
+    val kind = if (png.isDefined) "png" else if (wav.isDefined) "wav" else "opaque"
+    // stub fallback for opaque bytes: pseudo-dims from the hash
+    val (w, h) = png.getOrElse(
+      if (wav.isDefined) (0, 0)
+      else (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
+    val (ch, sr) = wav.getOrElse((0, 0))
     MediaFeatures(
       doc_id = row.doc_id,
+      kind = kind,
       width = w,
       height = h,
+      sample_rate = sr,
+      channels = ch,
       n_bytes = row.media.length,
       feat = Array.tabulate(8)(i => b(8 + i) / 255.0f))
   }
@@ -90,7 +121,8 @@ object Multimodal {
       .as[MediaRow]
     decodeFeatures(media)
       .toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+              col("sample_rate"), col("channels"), col("n_bytes"),
               array_join(transform(col("feat"), _.cast("string")), "|")
                 .as("feat"))
       .orderBy("doc_id")

@@ -22,6 +22,15 @@ object Formats {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC round-trip (native Spark source — same pushdown/pruning
+    * machinery as parquet: predicate pushdown into ORC stripe/row-group
+    * indexes, column projection into the reader). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Hive-style partitioned parquet: a filter on the partition column
     * prunes directories at planning time (PartitionFilters in the scan),
     * reading only matching files — the at-rest layout for selective

@@ -127,8 +127,9 @@ class GoldenSpec extends AnyFunSuite {
     assert(a.length == 500)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     a.take(20).foreach { r =>
-      assert(r.getString(4).split('|').length == 8)
-      assert(r.getInt(3) > 0)
+      assert(r.getString(1) == "opaque")  // text bytes: no media header
+      assert(r.getString(7).split('|').length == 8)
+      assert(r.getInt(6) > 0)
     }
   }
 
@@ -143,6 +144,38 @@ class GoldenSpec extends AnyFunSuite {
     assert(Multimodal.pngDims(png).contains((640, 480)))
     assert(Multimodal.pngDims("not a png".getBytes).isEmpty)
     assert(Multimodal.pngDims(png.take(20)).isEmpty)
+  }
+
+  test("wavMeta: channels/sample-rate from crafted RIFF header bytes") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+                             ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+        // a JUNK chunk first: the parser must walk the chunk list
+        "JUNK".getBytes ++ le32(4) ++ Array[Byte](0, 0, 0, 0) ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+        le32(176400) ++ le16(4) ++ le16(16)
+    assert(Multimodal.wavMeta(wav).contains((2, 44100)))
+    assert(Multimodal.wavMeta("RIFFxxxxNOPE".getBytes ++ new Array[Byte](30)).isEmpty)
+    assert(Multimodal.wavMeta(Array[Byte](1, 2, 3)).isEmpty)
+
+    // end-to-end through the batched decode stage: mixed modalities in
+    // one Dataset, each row classified + parsed from its own header
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(320) ++ be32(200) ++
+        Array[Byte](8, 6, 0, 0, 0)
+    val rows = Multimodal.decodeFeatures(Seq(
+        Multimodal.MediaRow(1L, png, "image/png"),
+        Multimodal.MediaRow(2L, wav, "audio/wav"),
+        Multimodal.MediaRow(3L, "plain text".getBytes, "text/plain")).toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(rows(1L).kind == "png" && rows(1L).width == 320 && rows(1L).height == 200)
+    assert(rows(2L).kind == "wav" && rows(2L).channels == 2 && rows(2L).sample_rate == 44100)
+    assert(rows(3L).kind == "opaque" && rows(3L).width > 0)
   }
 
   test("SparkEntry.entry returns rows (t1 smoke)") {

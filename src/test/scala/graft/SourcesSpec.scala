@@ -34,6 +34,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(checksum(back) == checksum(li))
   }
 
+  test("orc round-trip preserves rows and sums, with predicate pushdown") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val dir = Files.createTempDirectory("graft_orc").toString + "/li"
+    Formats.writeOrc(li, dir)
+    val back = Formats.readOrc(spark, dir)
+    assert(checksum(back) == checksum(li))
+    // predicate reaches the ORC scan (PushedFilters), same as parquet
+    val filtered = back.filter(col("l_returnflag") === "A")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
       .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
