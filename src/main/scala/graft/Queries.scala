@@ -50,6 +50,7 @@ object Queries {
     "q_join_theta"     -> (Relational.qJoinTheta _),
     "q_join_range"     -> (Relational.qJoinRange _),
     "q_join_asof"      -> (Relational.qJoinAsof _),
+    "q_join_asof_native" -> (Relational.qJoinAsofNative _),
     "q_sort_multi"     -> (Relational.qSortMulti _),
     "q_topk"           -> (Relational.qTopk _),
     "q_union_all"      -> (Relational.qUnionAll _),
@@ -111,6 +112,14 @@ object Queries {
         |GROUP BY band ORDER BY band""".stripMargin
         .replace("RNDSV", rnd("sum(value)", 2)),
     "q_join_asof" ->
+      s"""WITH p AS (SELECT event_id, user_id, $TS AS ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup')
+         |SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+         |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+         |ORDER BY p.event_id""".stripMargin,
+    // the native plan-node formulation answers the same oracle
+    "q_join_asof_native" ->
       s"""WITH p AS (SELECT event_id, user_id, $TS AS ts FROM events
          |           WHERE event_type = 'purchase'),
          |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup')

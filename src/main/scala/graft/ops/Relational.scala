@@ -147,6 +147,22 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q_join_asof_native: the same as-of semantics as [[qJoinAsof]] but
+    * through graft's first-class plan node ([[graft.plans.AsOfJoin]] →
+    * `AsOfJoinExec` merge scan) instead of the union+window encoding —
+    * both run against the identical DuckDB `ASOF JOIN` oracle. */
+  def qJoinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
+    graft.plans.AsOfJoins
+      .asof(purchases, signups, "user_id", "su_user", "ts", "signup_ts")
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
   /** q_sort_multi: multi-key sort, mixed direction, explicit null
     * ordering (a NULLIF-derived key supplies real nulls). */
   def qSortMulti(spark: SparkSession, dir: String): DataFrame =

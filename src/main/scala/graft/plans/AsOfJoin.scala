@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** A native as-of join — the build-rules preference-(c) extension point
+  * (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`): whole-operator
+  * semantics Spark's DataFrame algebra lacks, expressed as a first-class
+  * plan node instead of the union-tag + window encoding
+  * ([[graft.ops.Relational.qJoinAsof]] — both formulations are kept and
+  * oracle-checked against DuckDB's `ASOF JOIN`).
+  *
+  * Semantics: for each left row, the single right row with the same key
+  * and the greatest right-ts <= left-ts (backward as-of, inner: left
+  * rows with no match are dropped).
+  *
+  * Scale shape: each side shuffles ONCE on its key (co-partitioned
+  * `ClusteredDistribution`s, same machinery as sort-merge join) and is
+  * sorted (key, ts) within partitions; the join itself is a streaming
+  * two-pointer merge per partition — no window state over the unioned
+  * stream, no per-row lookups, O(1) memory beyond one candidate row.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Expression, rightKey: Expression,
+                    leftTs: Expression, rightTs: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] to [[AsOfJoinExec]]. Registered either via
+  * `spark.experimental.extraStrategies` (done lazily by
+  * [[AsOfJoins.asof]]) or session-wide via [[GraftExtensions]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: co-partitioned on the keys, children
+  * sorted by (key, ts); per-partition streaming merge keeping only the
+  * latest in-range right row per key. Key/ts must be orderable atomic
+  * types whose values do not alias the row buffer (integral, floating,
+  * date/timestamp — the as-of domain). */
+case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression,
+                        left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTsB = BindReferences.bindReference(rightTs, right.output)
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      val rBuf = rIt.buffered
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      // the latest right row consumed whose key matched the key it was
+      // consumed under (checked against each left key before emitting)
+      var cand: InternalRow = null
+      var candKey: Any = null
+      lIt.flatMap { lRow =>
+        val lk = lKeyB.eval(lRow)
+        val lt = lTsB.eval(lRow)
+        if (lk == null || lt == null) Iterator.empty
+        else {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rKeyB.eval(rBuf.head)
+            val rt = rTsB.eval(rBuf.head)
+            if (rk == null || rt == null) { rBuf.next(); () } // unmatchable
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0 || (c == 0 && tsOrd.compare(rt, lt) <= 0)) {
+                val r = rBuf.next()
+                if (c == 0) { cand = r.copy(); candKey = rk }
+              } else advancing = false
+            }
+          }
+          if (cand != null && keyOrd.compare(candKey, lk) == 0)
+            Iterator.single(resultProj(joined(lRow, cand)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public entry points. */
+object AsOfJoins {
+
+  /** Idempotently registers the planner strategy on the session. */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** `left ASOF JOIN right ON left.keyCol = right.keyCol AND
+    * left.tsCol >= right.tsCol` (backward, inner). Column names are
+    * resolved per side; rename overlapping right columns first. */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKeyCol: String, rightKeyCol: String,
+           leftTsCol: String, rightTsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name).mkString(",")}"))
+    org.apache.spark.sql.graft.Shims.ofRows(spark,
+      AsOfJoin(lPlan, rPlan,
+               attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
+               attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+  }
+}
+
+/** `spark.sql.extensions`-style session extension wiring the strategy
+  * (and graft's registry functions) into every session built with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}

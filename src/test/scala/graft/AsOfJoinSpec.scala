@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+import graft.plans.{AsOfJoinExec, AsOfJoins, GraftExtensions}
+
+/** The custom-plan extension point: logical node → strategy → physical
+  * merge-scan exec, checked for plan shape, hand-computed semantics,
+  * and equivalence with the window-encoded formulation. */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hand-computed backward as-of semantics (inner, ties, no-match)") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")),
+      (2L, 100L, ts("2024-01-01 10:00:00")),  // exactly simultaneous quote
+      (3L, 100L, ts("2024-01-01 09:59:59")),  // before any quote: dropped
+      (4L, 200L, ts("2024-01-01 11:00:00")),  // user with no quotes: dropped
+      (5L, 300L, ts("2024-01-01 12:00:00"))
+    ).toDF("trade_id", "uid", "t")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1.0),
+      (100L, ts("2024-01-01 10:00:03"), 2.0),
+      (300L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("q_uid", "q_t", "px")
+    val out = AsOfJoins.asof(trades, quotes, "uid", "q_uid", "t", "q_t")
+      .select("trade_id", "px").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 2.0, 2L -> 1.0, 5L -> 9.0))
+  }
+
+  test("physical plan is AsOfJoinExec (no window, no union)") {
+    val df = Relational.qJoinAsofNative(spark, TestSpark.sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("WindowExec") && !plan.contains("Union"))
+  }
+
+  test("native node == union+window formulation on events") {
+    val a = Relational.qJoinAsofNative(spark, TestSpark.sf0001).collect().toSeq
+    val b = Relational.qJoinAsof(spark, TestSpark.sf0001).collect().toSeq
+    assert(a == b)
+  }
+
+  test("GraftExtensions injects the planner strategy via withExtensions") {
+    // apply() must accept a fresh SparkSessionExtensions without error;
+    // behavioral coverage runs through the registered session strategy
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    assert(spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+  }
+
+  test("unknown column rejected at build time") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      AsOfJoins.asof(l, l.toDF("k2", "t2"), "nope", "k2", "t", "t2")
+    }
+  }
+}
