@@ -521,6 +521,7 @@ object Queries {
     "q_quality_score"       -> (TextAnalysis.qQualityScore _),
     "q_token_count"         -> (TextAnalysis.qTokenCount _),
     "q_fingerprint"         -> (TextAnalysis.qFingerprint _),
+    "q_curate"              -> (TextAnalysis.qCurate _),
     "q_dedup_simhash"       -> (Dedup.qDedupSimhash _),
     "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
@@ -574,6 +575,24 @@ object Queries {
          |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
                   " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
          |FROM q ORDER BY doc_id""".stripMargin
+    },
+    "q_curate" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  len(toks)::INT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
+         |FROM t),
+         |s AS (SELECT doc_id, n_toks,
+         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
+         |FROM q),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
+         |SELECT s.doc_id, d.lang, s.n_toks, s.quality
+         |FROM s JOIN k USING (doc_id) JOIN documents d ON d.doc_id = s.doc_id
+         |WHERE s.quality >= 0.70::DOUBLE AND s.n_toks BETWEEN 20 AND 1000
+         |ORDER BY s.doc_id""".stripMargin
     },
     "q_token_count" ->
       """SELECT doc_id,

@@ -86,6 +86,26 @@ object TextAnalysis {
         length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
       .orderBy("doc_id")
 
+  /** q_curate: the end-to-end training-data curation pipeline — the
+    * composition an LLM-corpus build actually runs: exact-dedup down to
+    * content-hash keepers, then filter by composite quality and token
+    * band, carry the language label. Shape at scale: one hash shuffle
+    * for the keeper group, one narrow quality projection, one key join
+    * (AQE picks the strategy); no driver state. The filter is on the
+    * ROUNDED quality so the cut is reproducible across engines. */
+  def qCurate(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    qQualityScore(spark, dir)
+      .join(keepers, "doc_id")
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .filter(col("quality") >= 0.70 && col("n_toks").between(20, 1000))
+      .select("doc_id", "lang", "n_toks", "quality")
+      .orderBy("doc_id")
+  }
+
   /** q_fingerprint: content fingerprints — md5 of the normalized text
     * (order-sensitive) and md5 of the sorted distinct token set (bag
     * fingerprint), plus the bag-group size: set-identical docs share
