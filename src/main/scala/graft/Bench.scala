@@ -13,9 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed warmup absorbs one-time JVM/codegen/page-cache costs
+    // so per-query numbers reflect steady-state plan cost instead of
+    // charging session startup to the alphabetically-first queries
+    // (BASELINE.md's numbers are cold — weigh totals accordingly)
+    for (name <- Seq("q_agg_scan", "q_sim_cosine_topk"))
+      SparkEntry.queries.get(name).foreach { f =>
+        try f(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache()
     // stable alphabetical order: per-query timings comparable across
-    // rounds (Map iteration order is hash-arbitrary), and the same
-    // query always absorbs the first-job JVM/codegen warmup
+    // rounds (Map iteration order is hash-arbitrary)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

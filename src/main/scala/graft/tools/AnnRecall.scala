@@ -21,9 +21,12 @@ object AnnRecall {
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    // warmup pass absorbs JVM/codegen cost, then a timed warm pass each
-    Similarity.qKnn(spark, dir).count(); spark.catalog.clearCache()
-    Similarity.qAnnIvf(spark, dir).count(); spark.catalog.clearCache()
+    // cold pass (JVM/codegen/page-cache cost visible), then warm pass
+    val (_, cKnn) = time { Similarity.qKnn(spark, dir).count() }
+    spark.catalog.clearCache()
+    val (_, cAnn) = time { Similarity.qAnnIvf(spark, dir).count() }
+    spark.catalog.clearCache()
+    println(f"ANN_COLD t_knn=$cKnn%.2fs t_ann=$cAnn%.2fs")
     val (knn, tKnn) = time {
       Similarity.qKnn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2)))
     }
