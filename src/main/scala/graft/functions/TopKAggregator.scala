@@ -19,8 +19,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * it returns the SAME buffer object, so no allocation at all), O(k)
   * insert otherwise. The sort-merge only runs in `merge`, which fires
   * once per (group, map partition), not per row.
+  *
+  * With `distinct = true` a (score, id) pair already in the buffer is
+  * skipped (an O(k) scan of the tiny buffer). This lets a caller whose
+  * input stream may contain duplicate pairs — e.g. a multi-table LSH
+  * candidate join where the same neighbour collides in several hash
+  * tables — skip an entire pre-aggregation `dropDuplicates` shuffle of
+  * the candidate stream: the dedup happens inside the bounded buffer
+  * for free.
   */
-class TopKAggregator(k: Int)
+class TopKAggregator(k: Int, distinct: Boolean = false)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
   require(k >= 1)
@@ -34,6 +42,7 @@ class TopKAggregator(k: Int)
   /** Bounded insertion keeping the buffer sorted by [[lt]]. */
   override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {
     if (buf.length >= k && !lt(x, buf.last)) buf // common case: not top-k, no alloc
+    else if (distinct && buf.contains(x)) buf    // duplicate pair, already held
     else {
       val (better, worse) = buf.span(lt(_, x))
       val inserted = (better :+ x) ++ worse
@@ -41,8 +50,10 @@ class TopKAggregator(k: Int)
     }
   }
 
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (a ++ b).sortWith(lt).take(k)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    val all = if (distinct) (a ++ b).distinct else a ++ b
+    all.sortWith(lt).take(k)
+  }
 
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 

@@ -27,6 +27,11 @@ object AnnRecall {
     val (_, cAnn) = time { Similarity.qAnnIvf(spark, dir).count() }
     spark.catalog.clearCache()
     println(f"ANN_COLD t_knn=$cKnn%.2fs t_ann=$cAnn%.2fs")
+    // stage profile: candidate generation (join+dot) vs + top-k agg
+    val (nc, tCand) = time { Similarity.annCandidates(spark, dir).count() }
+    val (_, tAgg) = time { Similarity.qAnnIvf(spark, dir).count() }
+    spark.catalog.clearCache()
+    println(f"ANN_STAGES n_cands=$nc cand_only=$tCand%.2fs with_agg=$tAgg%.2fs")
     val (knn, tKnn) = time {
       Similarity.qKnn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2)))
     }

@@ -103,6 +103,33 @@ class GoldenSpec extends AnyFunSuite {
     assert(e == u)
   }
 
+  test("TopKPairs native aggregate == typed TopKAggregator UDAF") {
+    import graft.functions.{TopKAggregator, TopKFunctions}
+    TopKFunctions.register(spark)
+    val topkUdaf = udaf(new TopKAggregator(3, distinct = true),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    // scored pairs with ties and exact duplicates (the LSH stream shape)
+    val pairs = (1 to 2000).flatMap { i =>
+      val g = i % 7
+      Seq((g.toLong, (i % 13) / 13.0, (i % 31).toLong),
+          (g.toLong, (i % 13) / 13.0, (i % 31).toLong)) // exact duplicate
+    }.toDF("id_a", "cos_sim", "id_b")
+    val native = pairs.groupBy("id_a")
+      .agg(TopKFunctions.topk(col("cos_sim"), col("id_b"), 3, true).as("top"))
+      .select(col("id_a"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("id_a"), col("pos"), col("p.score"), col("p.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val viaUdaf = pairs.groupBy("id_a")
+      .agg(topkUdaf(col("cos_sim"), col("id_b")).as("top"))
+      .select(col("id_a"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("id_a"), col("pos"), col("p._1"), col("p._2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(native.sorted.toSeq == viaUdaf.sorted.toSeq)
+    assert(native.nonEmpty)
+  }
+
   test("q_ann_ivf: structural properties vs exact knn") {
     val ann = Similarity.qAnnIvf(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
@@ -114,11 +141,13 @@ class GoldenSpec extends AnyFunSuite {
     val knnScores = knn.map(t => (t._1, t._3) -> t._4).toMap
     ann.foreach { case (a, _, b, s) =>
       knnScores.get((a, b)).foreach(exact => assert(exact == s)) }
-    // recall floor: uniform vectors cap IVF recall near nprobe/k (0.4)
+    // recall floor: 4 OR-amplified tables with radius-1 multiprobe give
+    // 1-(1-p)^4 hit probability per true neighbour — ~0.97 expected at
+    // this n (h=4); 0.7 is the deliberate safety floor
     val kset = knn.map(t => (t._1, t._3)).toSet
     val aset = ann.map(t => (t._1, t._3)).toSet
     val recall = (kset & aset).size.toDouble / kset.size
-    assert(recall > 0.3, s"recall@3 = $recall")
+    assert(recall >= 0.7, s"recall@3 = $recall")
   }
 
   test("q_multimodal_features: deterministic, fixed shape") {
