@@ -13,11 +13,14 @@ import graft.Tables
   * (Iterator-of-batches in, Iterator-of-rows out; explicit schema via
   * Encoders; partitioning preserved, no shuffle).
   *
-  * The decode itself is a clearly-marked STUB (no image/audio codecs in
-  * this environment): it derives deterministic pseudo-features from a
-  * SHA-256 of the bytes, so the Spark-side contract — schema, batch
-  * shape, typed boundaries, determinism — is real and testable while
-  * the codec call is swappable.
+  * PNG decode is REAL end-to-end (JDK-builtin `ImageIO` — header dims
+  * AND pixel-statistics features); WAV metadata is parsed for real but
+  * sample-level audio features, and features for opaque blobs, remain
+  * a clearly-marked STUB (deterministic pseudo-features from a SHA-256
+  * of the bytes — no audio codec in this environment), so the
+  * Spark-side contract — schema, batch shape, typed boundaries,
+  * determinism — is real and testable while the stub branch stays
+  * swappable.
   */
 object Multimodal {
 
@@ -65,20 +68,61 @@ object Multimodal {
     }
   }
 
-  /** Decode stage: PNG and WAV headers are parsed for REAL (IHDR dims;
-    * fmt channels/rate); the pixel/sample-level feature extraction
-    * remains a clearly-marked STUB (no media codecs in this
+  /** REAL pixel decode for PNG via the JDK-builtin `javax.imageio`
+    * reader (no external codec dependency): 8-dim feature =
+    * [meanR, meanG, meanB, meanA, meanLuma, stdLuma, minLuma, maxLuma]
+    * with channels in [0,1] and Rec.601 luma. Returns None for bytes
+    * ImageIO cannot decode (e.g. a header-only fixture with no IDAT),
+    * letting the caller fall back to the hash stub. */
+  private[graft] def pngPixelFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val ht = img.getHeight
+        val argb = img.getRGB(0, 0, w, ht, null, 0, w)
+        val n = argb.length.toDouble
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sa = 0.0
+        var sl = 0.0; var sl2 = 0.0
+        var lmin = Double.MaxValue; var lmax = Double.MinValue
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          val a = ((p >>> 24) & 0xff) / 255.0
+          val r = ((p >>> 16) & 0xff) / 255.0
+          val g = ((p >>> 8) & 0xff) / 255.0
+          val b = (p & 0xff) / 255.0
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sa += a; sl += l; sl2 += l * l
+          if (l < lmin) lmin = l
+          if (l > lmax) lmax = l
+          i += 1
+        }
+        val meanL = sl / n
+        val stdL = math.sqrt(math.max(0.0, sl2 / n - meanL * meanL))
+        Some((w, ht, Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+                           (sa / n).toFloat, meanL.toFloat, stdL.toFloat,
+                           lmin.toFloat, lmax.toFloat)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode stage: PNG pixels are decoded for REAL (JDK `ImageIO` —
+    * mean-channel/luma-statistics feature vector); WAV headers are
+    * parsed for real (fmt channels/rate) but sample-level audio
+    * features remain a clearly-marked STUB (no audio codec in this
     * environment) deriving deterministic pseudo-features from a
-    * SHA-256 of the bytes. Swap the feat branch for a real codec
-    * (e.g. javacv / a JNI decoder) in production. */
+    * SHA-256 of the bytes, as do opaque byte blobs. Swap the stub
+    * branch for a real codec (e.g. a JNI decoder) in production. */
   private def stubDecode(row: MediaRow): MediaFeatures = {
     val digest = MessageDigest.getInstance("SHA-256").digest(row.media)
     def b(i: Int): Int = digest(i) & 0xff
     val png = pngDims(row.media)
     val wav = if (png.isEmpty) wavMeta(row.media) else None
     val kind = if (png.isDefined) "png" else if (wav.isDefined) "wav" else "opaque"
+    val pixels = if (png.isDefined) pngPixelFeatures(row.media) else None
     // stub fallback for opaque bytes: pseudo-dims from the hash
-    val (w, h) = png.getOrElse(
+    val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png).getOrElse(
       if (wav.isDefined) (0, 0)
       else (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
     val (ch, sr) = wav.getOrElse((0, 0))
@@ -90,7 +134,8 @@ object Multimodal {
       sample_rate = sr,
       channels = ch,
       n_bytes = row.media.length,
-      feat = Array.tabulate(8)(i => b(8 + i) / 255.0f))
+      feat = pixels.map(_._3)
+        .getOrElse(Array.tabulate(8)(i => b(8 + i) / 255.0f)))
   }
 
   /** Batched per-partition feature extraction. `batchSize` mirrors the

@@ -207,6 +207,41 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows(3L).kind == "opaque" && rows(3L).width > 0)
   }
 
+  test("pngPixelFeatures: real pixel statistics from a crafted 2x2 PNG") {
+    // red, green, blue, white — known channel means and luma stats
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 0xffff0000)
+    img.setRGB(1, 0, 0xff00ff00)
+    img.setRGB(0, 1, 0xff0000ff)
+    img.setRGB(1, 1, 0xffffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    // end-to-end through the batched decode stage
+    val rows = Multimodal.decodeFeatures(
+        Seq(Multimodal.MediaRow(7L, png, "image/png")).toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    val f = rows(7L)
+    assert(f.kind == "png" && f.width == 2 && f.height == 2)
+    val lumas = Seq(0.299, 0.587, 0.114, 1.0)
+    val meanL = lumas.sum / 4
+    val stdL = math.sqrt(lumas.map(l => (l - meanL) * (l - meanL)).sum / 4)
+    val expected = Seq(0.5, 0.5, 0.5, 1.0, meanL, stdL, 0.114, 1.0)
+    f.feat.toSeq.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-3, s"feat ${f.feat.toSeq} vs $expected")
+    }
+    // undecodable header-only PNG bytes fall back to the hash stub
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val headerOnly: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+        Array[Byte](8, 6, 0, 0, 0)
+    assert(Multimodal.pngPixelFeatures(headerOnly).isEmpty)
+  }
+
   test("SparkEntry.entry returns rows (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
