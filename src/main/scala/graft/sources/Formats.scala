@@ -37,4 +37,29 @@ object Formats {
     * queries at scale. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed-at-rest table: `bucketBy` on the join/grouping key (plus
+    * in-bucket `sortBy`) pays the shuffle ONCE at write time; every
+    * later join or aggregation keyed on the bucket column reads
+    * co-located, pre-sorted buckets and plans with NO ShuffleExchange
+    * (SourcesSpec asserts the plan shape). At 100 TB this is the
+    * difference between re-shuffling the fact table on every query and
+    * never shuffling it again — the at-rest layout for a repeatedly
+    * joined fact/dimension pair or a repeatedly probed ANN posting
+    * table. Registered in the session catalog with external data at
+    * `path` (bucket metadata lives in the catalog — plain
+    * `spark.read.parquet` on the files would not see it). */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    nBuckets: Int, bucketCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
+
+  /** Reads a bucketed table back through the catalog (the bucket spec
+    * only survives the catalog route). */
+  def readBucketed(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
 }

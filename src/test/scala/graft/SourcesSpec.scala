@@ -64,6 +64,34 @@ class SourcesSpec extends AnyFunSuite {
              .contains("l_returnflag"))
   }
 
+  test("bucketed tables: repeated join plans with no shuffle exchange") {
+    val dir = Files.createTempDirectory("graft_bucketed").toString
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val customer = Tables.customer(spark, TestSpark.sf0001)
+    // the write pays the shuffle once; both sides co-bucketed on the key
+    Formats.writeBucketed(orders, "orders_b", s"$dir/orders", 8, "o_custkey")
+    Formats.writeBucketed(customer, "customer_b", s"$dir/customer", 8, "c_custkey")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so a shuffle WOULD appear if the
+      // bucket layout were not being used
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Formats.readBucketed(spark, "orders_b")
+        .join(Formats.readBucketed(spark, "customer_b"),
+              col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+             plan)
+      assert(!plan.contains("Exchange"),
+             s"bucketed join must not re-shuffle either side:\n$plan")
+      // the unbucketed same join DOES shuffle — the layout is what
+      // removed it, not the data size
+      val unbucketed = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(j.count() == unbucketed.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
