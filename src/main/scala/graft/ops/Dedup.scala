@@ -43,8 +43,9 @@ object Dedup {
     SetFunctions.register(spark, permA, permB, MersennePrime)
     val d = Tables.docTokens(spark, dir)
       .select(col("doc_id"), col("lang"),
-              array_sort(transform(array_distinct(col("toks")), t => xxhash64(t)))
-                .as("hset"))
+              // sorted distinct token hashes in one pass (full 64 bits
+              // — injectivity backs the oracle parity of the counts)
+              SetFunctions.shingleHashes(col("toks"), 1, -1L).as("hset"))
       .withColumn("nset", size(col("hset")))
     val a = d.select(col("doc_id").as("doc_a"), col("lang"),
                      col("hset").as("hset_a"), col("nset").as("n_a"))
@@ -77,12 +78,13 @@ object Dedup {
      Array.fill(MinhashK)(rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** 3-token shingle hashes (sorted distinct, murmur3→[0, p)) for a
-    * tokens col. Sorted so the verify stage can use the merge-scan
-    * intersection. */
+  /** 3-token shingle hashes (sorted distinct, folded to [0, p)) for a
+    * tokens col — one [[graft.functions.ShingleHashes]] pass per doc
+    * (the interpreted ngram→hash→distinct→sort expression chain cost
+    * ~750 µs/doc, ~3.8 s per materialization at sf0.1). Sorted so the
+    * verify stage can use the merge-scan intersection. */
   private[graft] def shingleHashes(toks: Column): Column =
-    array_sort(array_distinct(transform(
-      Text.ngramCol(toks, 3), s => pmod(hash(s).cast("long"), lit(MersennePrime)))))
+    SetFunctions.shingleHashes(toks, 3, MersennePrime)
 
   /** MinHash signature: sig[i] = min over shingles of (a_i*h + b_i)
     * mod p — one [[graft.functions.MinHashSig]] loop per document
