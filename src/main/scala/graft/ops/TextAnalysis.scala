@@ -81,7 +81,8 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
-        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .as("re_tokens"),
         length(trim(col("text"))).as("n_chars"),
         length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha"))
       .orderBy("doc_id")

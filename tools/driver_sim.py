@@ -15,9 +15,15 @@ import glob, os, sys
 import pandas as pd
 
 def main():
+    if len(sys.argv) != 2 or not os.path.isdir(sys.argv[1]):
+        print("Usage: python3 tools/driver_sim.py <verifyOutDir>")
+        sys.exit(2)
     out = sys.argv[1]
     bad = 0
-    dirs = sorted(d for d in glob.glob(f"{out}/*") if os.path.isdir(d))
+    # query dumps are directories (<name>.parquet/part-*.parquet), but
+    # accept bare top-level parquet files too so none are skipped
+    dirs = sorted(d for d in glob.glob(f"{out}/*")
+                  if os.path.isdir(d) or d.endswith(".parquet"))
     for d in dirs:
         name = os.path.basename(d)
         try:
