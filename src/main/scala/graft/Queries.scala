@@ -51,6 +51,7 @@ object Queries {
     "q_join_range"     -> (Relational.qJoinRange _),
     "q_join_asof"      -> (Relational.qJoinAsof _),
     "q_join_asof_native" -> (Relational.qJoinAsofNative _),
+    "q_join_asof_left" -> (Relational.qJoinAsofLeft _),
     "q_sort_multi"     -> (Relational.qSortMulti _),
     "q_topk"           -> (Relational.qTopk _),
     "q_union_all"      -> (Relational.qUnionAll _),
@@ -125,6 +126,13 @@ object Queries {
          |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup')
          |SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
          |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+         |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_left" ->
+      s"""WITH p AS (SELECT event_id, user_id, $TS AS ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup')
+         |SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+         |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
          |ORDER BY p.event_id""".stripMargin,
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,

@@ -163,6 +163,24 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q_join_asof_left: LEFT-OUTER as-of through the native plan node —
+    * every purchase kept, matched to the latest prior-or-equal signup
+    * when one exists, null signup_ts otherwise (the trade/quote shape:
+    * a trade with no quote yet still survives). Same DuckDB
+    * `ASOF LEFT JOIN` oracle discipline as the inner form. */
+  def qJoinAsofLeft(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
+    graft.plans.AsOfJoins
+      .asof(purchases, signups, "user_id", "su_user", "ts", "signup_ts",
+            org.apache.spark.sql.catalyst.plans.LeftOuter)
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
   /** q_sort_multi: multi-key sort, mixed direction, explicit null
     * ordering (a NULLIF-derived key supplies real nulls). */
   def qSortMulti(spark: SparkSession, dir: String): DataFrame =

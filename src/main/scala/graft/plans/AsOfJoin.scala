@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
-  UnsafeProjection}
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -19,8 +20,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * oracle-checked against DuckDB's `ASOF JOIN`).
   *
   * Semantics: for each left row, the single right row with the same key
-  * and the greatest right-ts <= left-ts (backward as-of, inner: left
-  * rows with no match are dropped).
+  * and the greatest right-ts <= left-ts (backward as-of). `Inner`
+  * drops left rows with no match; `LeftOuter` keeps them with a
+  * null-filled right side (the common trade/quote shape — every trade
+  * survives, quoted or not).
   *
   * Scale shape: each side shuffles ONCE on its key (co-partitioned
   * `ClusteredDistribution`s, same machinery as sort-merge join) and is
@@ -30,9 +33,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
-                    leftTs: Expression, rightTs: Expression)
+                    leftTs: Expression, rightTs: Expression,
+                    joinType: JoinType = Inner)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  require(joinType == Inner || joinType == LeftOuter,
+          s"as-of join supports Inner and LeftOuter, got $joinType")
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -43,8 +52,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * [[AsOfJoins.asof]]) or session-wide via [[GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, jt) =>
+      AsOfJoinExec(lk, rk, lt, rt, jt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -56,10 +65,14 @@ object AsOfJoinStrategy extends SparkStrategy {
   * date/timestamp — the as-of domain). */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression,
+                        joinType: JoinType,
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) ::
@@ -79,12 +92,25 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val rTsB = BindReferences.bindReference(rightTs, right.output)
     val keyType = leftKey.dataType
     val tsType = leftTs.dataType
-    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+    val emitUnmatched = joinType == LeftOuter
+    val nRightCols = right.output.size
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions pairs partitions BY INDEX: it is only a join if both
+    // children arrived with the same partitioning. EnsureRequirements
+    // guarantees that for the ClusteredDistributions above, but a
+    // mismatch (e.g. a future planner change satisfying one side with a
+    // different layout) must fail loudly, never mis-join silently.
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      "AsOfJoinExec requires co-partitioned children, got " +
+        s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions} partitions")
+    lRdd.zipPartitions(rRdd) { (lIt, rIt) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
       val rBuf = rIt.buffered
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(output, output)
+      val nullRight = new GenericInternalRow(nRightCols)
       // the latest right row consumed whose key matched the key it was
       // consumed under (checked against each left key before emitting)
       var cand: InternalRow = null
@@ -92,8 +118,11 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       lIt.flatMap { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
-        if (lk == null || lt == null) Iterator.empty
-        else {
+        if (lk == null || lt == null) {
+          // null key/ts matches nothing; LeftOuter still keeps the row
+          if (emitUnmatched) Iterator.single(resultProj(joined(lRow, nullRight)))
+          else Iterator.empty
+        } else {
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rk = rKeyB.eval(rBuf.head)
@@ -109,6 +138,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
           }
           if (cand != null && keyOrd.compare(candKey, lk) == 0)
             Iterator.single(resultProj(joined(lRow, cand)))
+          else if (emitUnmatched)
+            Iterator.single(resultProj(joined(lRow, nullRight)))
           else Iterator.empty
         }
       }
@@ -130,12 +161,14 @@ object AsOfJoins {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
   }
 
-  /** `left ASOF JOIN right ON left.keyCol = right.keyCol AND
-    * left.tsCol >= right.tsCol` (backward, inner). Column names are
-    * resolved per side; rename overlapping right columns first. */
+  /** `left ASOF [LEFT] JOIN right ON left.keyCol = right.keyCol AND
+    * left.tsCol >= right.tsCol` (backward; `Inner` or `LeftOuter`).
+    * Column names are resolved per side; rename overlapping right
+    * columns first. */
   def asof(left: DataFrame, right: DataFrame,
            leftKeyCol: String, rightKeyCol: String,
-           leftTsCol: String, rightTsCol: String): DataFrame = {
+           leftTsCol: String, rightTsCol: String,
+           joinType: JoinType = Inner): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -147,7 +180,7 @@ object AsOfJoins {
     org.apache.spark.sql.graft.Shims.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
                attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
-               attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+               attr(lPlan, leftTsCol), attr(rPlan, rightTsCol), joinType))
   }
 }
 

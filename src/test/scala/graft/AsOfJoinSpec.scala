@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Relational
-import graft.plans.{AsOfJoinExec, AsOfJoins, GraftExtensions}
+import graft.plans.{AsOfJoins, GraftExtensions}
 
 /** The custom-plan extension point: logical node → strategy → physical
   * merge-scan exec, checked for plan shape, hand-computed semantics,
@@ -31,6 +31,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     val out = AsOfJoins.asof(trades, quotes, "uid", "q_uid", "t", "q_t")
       .select("trade_id", "px").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out == Map(1L -> 2.0, 2L -> 1.0, 5L -> 9.0))
+  }
+
+  test("left-outer as-of keeps unmatched left rows with null right side") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")),
+      (2L, 100L, ts("2024-01-01 10:00:00")),
+      (3L, 100L, ts("2024-01-01 09:59:59")),  // before any quote: kept, null px
+      (4L, 200L, ts("2024-01-01 11:00:00")),  // user with no quotes: kept, null px
+      (5L, 300L, ts("2024-01-01 12:00:00"))
+    ).toDF("trade_id", "uid", "t")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1.0),
+      (100L, ts("2024-01-01 10:00:03"), 2.0),
+      (300L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("q_uid", "q_t", "px")
+    val out = AsOfJoins.asof(trades, quotes, "uid", "q_uid", "t", "q_t",
+        org.apache.spark.sql.catalyst.plans.LeftOuter)
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map(1L -> Some(2.0), 2L -> Some(1.0), 3L -> None,
+                      4L -> None, 5L -> Some(9.0)))
+  }
+
+  test("pre-partitioned children are re-distributed, not silently zipped") {
+    // children arriving with their own (wrong) partitionings must still
+    // produce correct results: EnsureRequirements has to re-establish
+    // the co-partitioning, and the exec asserts equal partition counts
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+      .repartition(7, col("ts"))                  // wrong key, odd count
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
+      .repartitionByRange(3, col("signup_ts"))    // different layout again
+    val pre = AsOfJoins
+      .asof(purchases, signups, "user_id", "su_user", "ts", "signup_ts")
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id").collect().toSeq
+    val plain = Relational.qJoinAsofNative(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(pre == plain)
   }
 
   test("physical plan is AsOfJoinExec (no window, no union)") {
