@@ -60,6 +60,23 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT-hash dedup of documents — the LLM-pipeline form
+    * of [[graft.ops.Dedup.qDedupExact]] for an unbounded crawl stream:
+    * only the first occurrence of each sha256(text) within the
+    * watermark horizon is emitted; re-crawled bodies are dropped
+    * regardless of their doc_id. State is the seen-hash set, bounded
+    * by the watermark (a duplicate arriving after its first
+    * occurrence's state is evicted is re-admitted — the bounded-state
+    * tradeoff every streaming dedup makes; at 100 TB/day an unbounded
+    * seen-set cannot exist, so the horizon IS the contract).
+    * Input needs (text string, ts timestamp) at minimum. */
+  def dedupDocsByContent(docs: DataFrame,
+                         watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom per-key state via `mapGroupsWithState` (the arbitrary-state
     * extension point, SURVEY.md §2.2): running per-user event count and
     * value total, updated each micro-batch. State lives in the state

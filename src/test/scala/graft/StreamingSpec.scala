@@ -14,6 +14,9 @@ import graft.streaming.EventStreams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+/** A streamed document row (crawl shape) for the content-dedup test. */
+case class DocEv(doc_id: Long, text: String, ts: Timestamp)
+
 /** Structured Streaming tests (SURVEY.md §5.2.4): batch/stream parity,
   * watermark late-data drop, session windows, stateful dedup — all via
   * MemoryStream + memory sink, processed synchronously. */
@@ -140,6 +143,34 @@ class StreamingSpec extends AnyFunSuite {
       ms.addData(Seq(Ev(10, ts("2024-01-01 00:01:00"), 1, "click", 1.0)))
       q.processAllAvailable()
       assert(spark.table("t_dedup").filter(col("event_id") === 10).count() == 1)
+    }
+  }
+
+  test("streaming content-hash doc dedup: in-horizon dup dropped, evicted dup re-admitted") {
+    val ms = MemoryStream[DocEv](spark)
+    val dedup = EventStreams.dedupDocsByContent(ms.toDF(), watermark = "10 minutes")
+    withQuery(dedup, "append", "t_doc_dedup") { q =>
+      // same BODY under a different doc_id inside the horizon: dropped
+      ms.addData(Seq(
+        DocEv(1, "the quick brown fox", ts("2024-01-01 00:00:00")),
+        DocEv(2, "an entirely different doc", ts("2024-01-01 00:00:30")),
+        DocEv(3, "the quick brown fox", ts("2024-01-01 00:01:00"))))
+      q.processAllAvailable()
+      val emitted = spark.table("t_doc_dedup")
+      assert(emitted.count() == 2)
+      assert(emitted.filter(col("text") === "the quick brown fox")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // advance the watermark far past 00:00 + 10min so the seen-hash
+      // state for doc 1 is evicted...
+      ms.addData(Seq(DocEv(4, "watermark mover", ts("2024-01-01 00:30:00"))))
+      q.processAllAvailable()
+      // ...then the same body re-arrives OUT of the horizon: re-admitted
+      ms.addData(Seq(DocEv(5, "the quick brown fox", ts("2024-01-01 00:31:00"))))
+      q.processAllAvailable()
+      val fox = spark.table("t_doc_dedup")
+        .filter(col("text") === "the quick brown fox")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fox == Set(1L, 5L), s"got $fox")
     }
   }
 }
