@@ -29,31 +29,70 @@ object Dedup {
       .orderBy("h")
 
   /** q_sim_jaccard: exact within-language pairwise token-set Jaccard
-    * ≥ 0.9 — the exact counterpart (and verifier) of q_dedup_near.
+    * ≥ 0.9 — the exact counterpart (and verifier) of q_dedup_near —
+    * via a PREFIX-FILTERED set-similarity join (the SSJoin/PPJoin
+    * family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08), replacing
+    * the blocked O(n²) self-join entirely while provably returning the
+    * identical result:
     *
-    * The pair stage works on sorted distinct token HASHES and a
-    * codegen'd merge intersection ([[graft.functions
-    * .SortedIntersectSize]]): |A∪B| = |A|+|B|-|A∩B|, so one merge scan
-    * replaces `array_intersect`+`array_union` hash-set builds (~20×
-    * on the sf0.1 2.5M-pair join). xxhash64 is injective on any real
-    * vocabulary, so counts — and the oracle comparison — are unchanged.
+    *  1. token sets are re-encoded as ranks in a RAREST-FIRST global
+    *     order (document frequency asc, hash asc — a broadcast-joined
+    *     vocabulary), so each set's sorted prefix holds its rarest
+    *     tokens;
+    *  2. J(A,B) ≥ τ forces |A∩B| ≥ τ·|A|, so A and B must share an
+    *     element inside their first |X| - ⌈τ·|X|⌉ + 1 elements — the
+    *     candidate join is an inverted-index join on prefix tokens
+    *     (rare ⇒ short posting lists ⇒ near-linear candidates), never
+    *     an all-pairs product;
+    *  3. candidates (plus the size-ratio prune, also implied by
+    *     J ≥ τ) are verified exactly with the codegen merge
+    *     intersection ([[graft.functions.SortedIntersectSize]]);
+    *     |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * Injective token→hash→rank mapping preserves distinct counts and
+    * intersections, so the DuckDB string-set oracle is unchanged. At
+    * scale the vocabulary rank would come from zipWithIndex on the
+    * sorted df table instead of a single-partition window.
     */
   def qSimJaccard(spark: SparkSession, dir: String): DataFrame = {
     val tau = 0.9
     SetFunctions.register(spark, permA, permB, MersennePrime)
-    val d = Tables.docTokens(spark, dir)
+    val d0 = Tables.docTokens(spark, dir)
       .select(col("doc_id"), col("lang"),
               // sorted distinct token hashes in one pass (full 64 bits
               // — injectivity backs the oracle parity of the counts)
-              SetFunctions.shingleHashes(col("toks"), 1, -1L).as("hset"))
+              SetFunctions.shingleHashes(col("toks"), 1, -1L).as("hs"))
+    // rarest-first vocabulary rank (df asc); ~|vocab| rows, broadcast
+    val vocab = d0.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .select(col("h"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("df", "h"))
+        .cast("long").as("rank"))
+    val d = d0.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+      .join(broadcast(vocab), "h")
+      .groupBy("doc_id", "lang")
+      .agg(sort_array(collect_list(col("rank"))).as("hset"))
       .withColumn("nset", size(col("hset")))
-    val a = d.select(col("doc_id").as("doc_a"), col("lang"),
-                     col("hset").as("hset_a"), col("nset").as("n_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-                     col("hset").as("hset_b"), col("nset").as("n_b"))
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b")
-              // size-ratio prune, implied by the final J >= tau filter
-              && col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
+      .persist() // feeds the prefix explode and both verify joins
+    val prefixLen = col("nset") - ceil(col("nset") * tau).cast("int") + 1
+    val pre = d.select(col("doc_id"), col("lang"), col("nset"),
+                       explode(slice(col("hset"), lit(1), prefixLen)).as("p"))
+    val a = pre.select(col("doc_id").as("doc_a"), col("lang"),
+                       col("nset").as("n_a"), col("p"))
+    val b = pre.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+                       col("nset").as("n_b"), col("p").as("p_b"))
+    val cands = a.join(b,
+        col("lang") === col("lang_b") && col("p") === col("p_b")
+          && col("doc_a") < col("doc_b")
+          // size-ratio prune, implied by the final J >= tau filter
+          && col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .join(d.select(col("doc_id").as("doc_a"), col("hset").as("hset_a"),
+                     col("nset").as("n_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hset").as("hset_b"),
+                     col("nset").as("n_b")), "doc_b")
       .withColumn("inter",
         SetFunctions.sortedIntersectSize(col("hset_a"), col("hset_b")))
       .select(col("doc_a"), col("doc_b"),
