@@ -530,6 +530,9 @@ object Queries {
     "q_token_count"         -> (TextAnalysis.qTokenCount _),
     "q_fingerprint"         -> (TextAnalysis.qFingerprint _),
     "q_curate"              -> (TextAnalysis.qCurate _),
+    "q_collocations"        -> (TextAnalysis.qCollocations _),
+    "q_length_hist"         -> (TextAnalysis.qLengthHist _),
+    "q_dedup_cluster"       -> (Dedup.qDedupCluster _),
     "q_dedup_simhash"       -> (Dedup.qDedupSimhash _),
     "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
@@ -616,6 +619,56 @@ object Queries {
          |g AS (SELECT fp_bag, count(*) AS n_same_bag FROM d GROUP BY fp_bag)
          |SELECT d.doc_id, d.fp_exact, d.fp_bag, g.n_same_bag
          |FROM d JOIN g USING (fp_bag) ORDER BY d.doc_id""".stripMargin,
+    "q_collocations" ->
+      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS w FROM t),
+         |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |n1t AS (SELECT count(*)::DOUBLE AS n1 FROM uni),
+         |bg AS (SELECT unnest(list_transform(
+         |         generate_series(1, greatest(len(toks)-1, 0)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+         |bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+         |n2t AS (SELECT count(*)::DOUBLE AS n2 FROM bg),
+         |f AS (SELECT bigram, c_ab,
+         |        string_split(bigram, ' ')[1] AS w1,
+         |        string_split(bigram, ' ')[2] AS w2
+         |      FROM bc WHERE c_ab >= 5)
+         |SELECT f.bigram, f.c_ab,
+         |  ${rnd("ln((f.c_ab / n2t.n2) / ((u1.c / n1t.n1) * (u2.c / n1t.n1)))", 6)} AS pmi
+         |FROM f JOIN uc u1 ON u1.w = f.w1 JOIN uc u2 ON u2.w = f.w2, n1t, n2t
+         |ORDER BY pmi DESC, f.bigram ASC LIMIT 50""".stripMargin,
+    "q_length_hist" ->
+      s"""WITH t AS (SELECT least(len($TOKS) // 25, 12)::INT AS bucket FROM documents),
+         |h AS (SELECT bucket, count(*) AS n_docs FROM t GROUP BY bucket)
+         |SELECT bucket, n_docs,
+         |  ${rnd("n_docs / sum(n_docs) OVER ()", 6)} AS share,
+         |  ${rnd("sum(n_docs) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED " +
+                  "PRECEDING AND CURRENT ROW) / sum(n_docs) OVER ()", 6)} AS cum_share
+         |FROM h ORDER BY bucket""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
+         |        / len(list_distinct(a.tset || b.tset)) AS jac
+         |    FROM d a, d b
+         |    WHERE a.lang = b.lang AND a.doc_id < b.doc_id) p
+         |  WHERE jac >= 0.9),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.id),
+         |lab AS (SELECT id, min(anc) AS cluster FROM reach GROUP BY id),
+         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+         |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size,
+         |       (lab.id = lab.cluster) AS is_keeper
+         |FROM lab JOIN sz USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
     "q_sql_q3" -> Sql.q3Template(e => rnd(e, 2)),
     "q_sql_q5" -> Sql.q5Template(e => rnd(e, 2)),
     "q_dedup_embed" ->

@@ -38,17 +38,21 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     c
   }
 
+  // locals via freshName — see DotProduct: fixed names collide when two
+  // expressions share one codegen scope
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val Seq(n, m, i, j, c, xi, yj) =
+        Seq("n", "m", "i", "j", "c", "xi", "yj").map(ctx.freshName)
       s"""
-         |int n = $a.numElements(); int m = $b.numElements();
-         |int i = 0; int j = 0; int c = 0;
-         |while (i < n && j < m) {
-         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
-         |  if (xi == yj) { c++; i++; j++; }
-         |  else if (xi < yj) { i++; } else { j++; }
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

@@ -181,6 +181,77 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_dedup_cluster: connected components over the exact near-dup
+    * pairs ([[qSimJaccard]] edges) → cluster id (component-min doc_id),
+    * cluster size, and the keeper flag — the step a corpus dedup
+    * actually ships: near-dup PAIRS are not actionable until they are
+    * CLUSTERS with one survivor each (A~B, B~C must keep one of
+    * {A,B,C}, not two).
+    *
+    * Algorithm: iterative min-label propagation (the degenerate-simple
+    * member of the large-star/small-star family): every node starts
+    * labelled with itself; each round takes the min of its label and
+    * its neighbours' labels; converges in O(component diameter)
+    * rounds. Each round is one join + one partial-agg groupBy on the
+    * edge list — no driver data beyond the single scalar convergence
+    * check per round (the standard iterative-algorithm control flow;
+    * the labels themselves never leave the executors). Near-dup
+    * components are shallow in practice (dup clusters, not social
+    * graphs), so the round count is small; the 50-round cap is a
+    * safety net, not a tuning knob. Docs in no pair (singleton
+    * clusters) are not emitted — the universe is the pair graph.
+    * Oracle: DuckDB recursive-CTE transitive closure with min-label
+    * aggregation over the same pair query. */
+  def qDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round TWICE (directly and through nbr_min), so without
+    // lineage truncation the logical plan doubles per round —
+    // exponential analysis cost and a driver OOM by ~round 25. The
+    // checkpoint materializes each round and restarts the lineage, the
+    // standard requirement of iterative DataFrame algorithms (use a
+    // reliable checkpoint dir on a cluster). Pairs are checkpointed
+    // BEFORE the symmetric union so the jaccard verify stage runs
+    // once, not once per union branch.
+    val pairs = qSimJaccard(spark, dir).select("doc_a", "doc_b")
+      .localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    // lazy per-round checkpoints: the convergence aggregate right after
+    // each one materializes it, so every round costs ONE job, not a
+    // separate eager-checkpoint job plus the aggregate
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    // labels only ever DECREASE (min propagation), so the label sum
+    // strictly decreases iff any label changed — a 1-row aggregate per
+    // round instead of a (self-lineage-ambiguous) prev⋈next join
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      labels = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+                least(col("label"), coalesce(col("nbr_min"), col("label")))
+                  .as("label"))
+        .localCheckpoint(false)
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      rounds += 1
+    }
+    val sized = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sized, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster"),
+              col("cluster_size"),
+              (col("id") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_simhash: SimHash near-dup candidates — 64-bit simhash per
     * doc ([[graft.functions.SimHash64]]), banded into 4×16-bit keys
     * (a pair within Hamming distance 3 shares at least one intact

@@ -107,6 +107,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_collocations: bigram collocation mining by pointwise mutual
+    * information — PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over corpus
+    * unigram/bigram frequencies, min-support 5, top 50. The classic
+    * n-gram analytics the reference's transform feeds into. Shape at
+    * scale: two word-count shuffles with map-side partial aggregation
+    * (unigrams, bigrams), the two corpus totals broadcast as 1-row
+    * scalars (never a driver `.first()`), two key joins of the
+    * min-support-filtered bigram table against the unigram counts, and
+    * a `TakeOrderedAndProject` top-50 — no full sort. */
+  def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.docTokens(spark, dir).select(col("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(count(lit(1)).cast("double").as("n1"))
+    val bg = toks.select(explode(Text.ngramCol(col("toks"), 2)).as("bigram"))
+    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val n2 = bg.agg(count(lit(1)).cast("double").as("n2"))
+    bc.filter(col("c_ab") >= 5)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uc.select(col("w").as("w1"), col("c").as("c_1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c_2")), "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("bigram"), col("c_ab"),
+              round(log((col("c_ab") / col("n2"))
+                / ((col("c_1") / col("n1")) * (col("c_2") / col("n1")))), 6)
+                .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(50)
+  }
+
+  /** q_length_hist: corpus token-length histogram — 25-token buckets
+    * capped at bucket 12, doc counts, corpus share, and cumulative
+    * share (the length-distribution profile a curation run reads
+    * before choosing its token band). One groupBy on the bucket; the
+    * share/cumulative windows run over the ≤13-row histogram, not the
+    * corpus. */
+  def qLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.docTokens(spark, dir)
+      .select(least(floor(size(col("toks")) / 25), lit(12)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.select(col("bucket"), col("n_docs"),
+             round(col("n_docs") / sum(col("n_docs")).over(wAll), 6).as("share"),
+             round(sum(col("n_docs")).over(wCum)
+               / sum(col("n_docs")).over(wAll), 6).as("cum_share"))
+      .orderBy("bucket")
+  }
+
   /** q_fingerprint: content fingerprints — md5 of the normalized text
     * (order-sensitive) and md5 of the sorted distinct token set (bag
     * fingerprint), plus the bag-group size: set-identical docs share
