@@ -537,8 +537,10 @@ object Queries {
     "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
+    "q_sql_q1"              -> (Sql.qSqlQ1 _),
     "q_sql_q3"              -> (Sql.qSqlQ3 _),
     "q_sql_q5"              -> (Sql.qSqlQ5 _),
+    "q_sql_q10"             -> (Sql.qSqlQ10 _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -669,8 +671,10 @@ object Queries {
          |       (lab.id = lab.cluster) AS is_keeper
          |FROM lab JOIN sz USING (cluster)
          |ORDER BY doc_id""".stripMargin,
+    "q_sql_q1" -> Sql.q1Template(e => rnd(e, 2)),
     "q_sql_q3" -> Sql.q3Template(e => rnd(e, 2)),
     "q_sql_q5" -> Sql.q5Template(e => rnd(e, 2)),
+    "q_sql_q10" -> Sql.q10Template(e => rnd(e, 2)),
     "q_dedup_embed" ->
       s"""$NORMVEC
          |SELECT id_a, id_b, cos_sim FROM (

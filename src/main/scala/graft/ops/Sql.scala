@@ -45,7 +45,45 @@ object Sql {
        |  AND o_orderdate < TIMESTAMP '1997-01-01'
        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q1 shape: the pricing-summary scan-heavy aggregate (the
+    * canonical "is your scan+agg path fast" query). */
+  def q1Template(rnd: String => String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${rnd("sum(l_quantity)")} AS sum_qty,
+       |  ${rnd("sum(l_extendedprice)")} AS sum_base_price,
+       |  ${rnd("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+       |  ${rnd("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+       |  ${rnd("avg(l_quantity)")} AS avg_qty,
+       |  ${rnd("avg(l_extendedprice)")} AS avg_price,
+       |  ${rnd("avg(l_discount)")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue report — 4-table join,
+    * wide group-by, top 20 by revenue. */
+  def q10Template(rnd: String => String): String =
+    s"""SELECT c_custkey, c_name,
+       |  ${rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+       |  ${rnd("c_acctbal")} AS c_acctbal, n_name
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+       |  AND o_orderdate < TIMESTAMP '1995-07-01'
+       |  AND l_returnflag = 'R'
+       |  AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   private val sparkRound: String => String = e => s"round($e, 2)"
+
+  /** q_sql_q1: TPC-H Q1 via spark.sql. */
+  def qSqlQ1(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q1Template(sparkRound))
+  }
 
   /** q_sql_q3: TPC-H Q3 via spark.sql. */
   def qSqlQ3(spark: SparkSession, dir: String): DataFrame = {
@@ -57,5 +95,11 @@ object Sql {
   def qSqlQ5(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q5Template(sparkRound))
+  }
+
+  /** q_sql_q10: TPC-H Q10 via spark.sql. */
+  def qSqlQ10(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q10Template(sparkRound))
   }
 }

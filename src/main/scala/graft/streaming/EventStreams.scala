@@ -77,6 +77,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream INTERVAL join: each purchase joined to signups of
+    * the same user within the preceding `horizon` — the canonical
+    * Structured Streaming join shape. Both sides carry watermarks and
+    * the join condition bounds s_ts to [p_ts - horizon, p_ts], which
+    * is what lets Spark EVICT join state once the watermark passes the
+    * bound (an unbounded stream-stream equi-join would buffer both
+    * streams forever; the interval is the state contract, exactly like
+    * the dedup horizon). `LeftOuter` additionally emits an unmatched
+    * purchase with a null signup once its window is provably closed
+    * (watermark past p_ts + horizon slack) — never speculatively. */
+  def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame,
+                         watermark: String = "10 minutes",
+                         horizon: String = "1 hour",
+                         joinType: String = "inner"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val s = signups
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    p.join(s,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
+      .select("event_id", "user_id", "p_ts", "s_ts")
+  }
+
   /** Custom per-key state via `mapGroupsWithState` (the arbitrary-state
     * extension point, SURVEY.md §2.2): running per-user event count and
     * value total, updated each micro-batch. State lives in the state

@@ -242,6 +242,28 @@ class GoldenSpec extends AnyFunSuite {
     assert(Multimodal.pngPixelFeatures(headerOnly).isEmpty)
   }
 
+  test("count-min sketch: estimates bound exact token counts (mergeable sketch path)") {
+    val toks = Tables.docTokens(spark, TestSpark.sf0001)
+      .select(explode(col("toks")).as("w"))
+    val eps = 0.001
+    val bytes = toks
+      .agg(expr("count_min_sketch(w, 0.001d, 0.99d, 42)").as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = toks.count()
+    val exact = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc).limit(20).collect()
+    exact.foreach { r =>
+      val est = cms.estimateCount(r.getString(0))
+      // CMS never under-counts; over-count bounded by eps*N (w.h.p.)
+      assert(est >= r.getLong(1),
+             s"${r.getString(0)}: est $est < exact ${r.getLong(1)}")
+      assert(est <= r.getLong(1) + (eps * n).toLong + 1,
+             s"${r.getString(0)}: est $est vs exact ${r.getLong(1)} (N=$n)")
+    }
+  }
+
   test("SparkEntry.entry returns rows (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the optimizations the scale story depends on
+  * must be visible in the physical plan, not assumed — pushdown
+  * reaching the scan, column pruning, broadcast vs shuffle joins,
+  * top-k without a global sort, map-side partial aggregation. A
+  * regression here (a dropped hint, a codegen fallback reshaping a
+  * plan, an accidental wide schema) fails fast instead of silently
+  * costing a shuffle at scale. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q_filter_pred: compound predicate reaches the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    // at least one concrete pushed filter, not an empty list
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"), p)
+  }
+
+  test("q_scan_project: column pruning reaches ReadSchema") {
+    val p = plan("q_scan_project")
+    // projected columns present, untouched wide columns absent
+    assert(p.contains("l_orderkey"))
+    assert(!p.contains("l_comment") && !p.contains("l_shipinstruct"), p)
+  }
+
+  test("q_join_broadcast: dims broadcast, never sort-merge") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_scan: map-side partial aggregation before the shuffle") {
+    val p = plan("q_agg_scan")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q_knn: bounded top-k agg is two-phase ObjectHashAggregate, no window") {
+    val p = plan("q_knn")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("topkpairs"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+  }
+
+  test("q_ann_ivf: posting join broadcasts under budget, no sort-merge join") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the query path reads the materialized posting table, it never
+    // rebuilds the index (no margin dots => no graft_dot in the plan)
+    assert(!p.contains("graft_dot(vn#") || p.contains("Scan parquet"), p)
+  }
+
+  test("q_join_range: band table broadcast via nested loop, fact side never re-shuffled per band") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -146,6 +146,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join: matches within horizon, left-outer emits closed unmatched") {
+    val pms = MemoryStream[Ev](spark)
+    val sms = MemoryStream[Ev](spark)
+    val joined = EventStreams.purchaseSignupJoin(
+      pms.toDF(), sms.toDF(), watermark = "10 minutes", horizon = "1 hour",
+      joinType = "leftOuter")
+    withQuery(joined, "append", "t_ssjoin") { q =>
+      sms.addData(Seq(
+        Ev(100, ts("2024-01-01 09:00:00"), 1, "signup", 0.0),   // outside horizon
+        Ev(101, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),   // inside horizon
+        Ev(102, ts("2024-01-01 10:15:00"), 2, "signup", 0.0)))
+      pms.addData(Seq(
+        Ev(1, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0),
+        Ev(2, ts("2024-01-01 10:30:00"), 3, "purchase", 5.0)))  // no signup: unmatched
+      q.processAllAvailable()
+      // inner matches emit immediately: user 1's purchase matches ONLY
+      // the in-horizon signup (one row, s_ts = 10:00)
+      val m = spark.table("t_ssjoin").filter(col("event_id") === 1).collect()
+      assert(m.length == 1 && m.head.getAs[Timestamp]("s_ts") == ts("2024-01-01 10:00:00"))
+      // unmatched purchase not emitted until its window provably closes
+      assert(spark.table("t_ssjoin").filter(col("event_id") === 2).isEmpty)
+      // push BOTH watermarks far past 10:30 + horizon -> closes it
+      pms.addData(Seq(Ev(9, ts("2024-01-01 13:00:00"), 9, "purchase", 0.0)))
+      sms.addData(Seq(Ev(999, ts("2024-01-01 13:00:00"), 9, "signup", 0.0)))
+      q.processAllAvailable()
+      val un = spark.table("t_ssjoin").filter(col("event_id") === 2).collect()
+      assert(un.length == 1 && un.head.isNullAt(3), un.mkString(";"))
+    }
+  }
+
   test("streaming content-hash doc dedup: in-horizon dup dropped, evicted dup re-admitted") {
     val ms = MemoryStream[DocEv](spark)
     val dedup = EventStreams.dedupDocsByContent(ms.toDF(), watermark = "10 minutes")
