@@ -14,13 +14,13 @@ import graft.Tables
   * Encoders; partitioning preserved, no shuffle).
   *
   * PNG decode is REAL end-to-end (JDK-builtin `ImageIO` — header dims
-  * AND pixel-statistics features); WAV metadata is parsed for real but
-  * sample-level audio features, and features for opaque blobs, remain
-  * a clearly-marked STUB (deterministic pseudo-features from a SHA-256
-  * of the bytes — no audio codec in this environment), so the
-  * Spark-side contract — schema, batch shape, typed boundaries,
-  * determinism — is real and testable while the stub branch stays
-  * swappable.
+  * AND pixel-statistics features), and so is 16-bit PCM WAV (metadata
+  * chunk-walk AND amplitude-statistics features — PCM is uncompressed,
+  * no codec needed). Only compressed media and opaque blobs fall back
+  * to a clearly-marked STUB (deterministic pseudo-features from a
+  * SHA-256 of the bytes), so the Spark-side contract — schema, batch
+  * shape, typed boundaries, determinism — is real and testable while
+  * the stub branch stays swappable for e.g. a JNI codec.
   */
 object Multimodal {
 
@@ -68,6 +68,66 @@ object Multimodal {
     }
   }
 
+  /** REAL sample decode for 16-bit PCM WAV — PCM is uncompressed, so
+    * no codec is needed at all: walk to the "data" chunk and fold the
+    * little-endian i16 samples into amplitude statistics. 8-dim
+    * feature = [mean, rms, zeroCrossRate, min, max, durationSec,
+    * loudRatio(|a|>0.5), channels], amplitudes normalized to [-1, 1].
+    * Returns None for non-PCM / non-16-bit / missing-data-chunk bytes
+    * (the hash stub covers those). */
+  private[graft] def wavPcmFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    def tag(off: Int) = new String(bytes.slice(off, off + 4), "US-ASCII")
+    def u16(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = u32(off + 4)
+      tag(off) match {
+        case "fmt " => fmtOff = off
+        case "data" => dataOff = off + 8; dataLen = sz
+        case _ => ()
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    val audioFormat = u16(fmtOff + 8)
+    val channels = u16(fmtOff + 10)
+    val rate = u32(fmtOff + 12)
+    val bits = u16(fmtOff + 22)
+    if (audioFormat != 1 || bits != 16 || channels < 1 || rate <= 0) return None
+    val n = math.min(dataLen, (bytes.length - dataOff).toLong).toInt / 2
+    if (n <= 0) return None
+    var sum = 0.0; var sumSq = 0.0; var crossings = 0
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var loud = 0
+    var prev = 0.0; var first = true
+    var i = 0
+    while (i < n) {
+      val raw = ((bytes(dataOff + 2 * i) & 0xff) |
+                 (bytes(dataOff + 2 * i + 1) << 8)).toShort
+      val a = raw / 32768.0
+      sum += a; sumSq += a * a
+      if (a < mn) mn = a
+      if (a > mx) mx = a
+      if (math.abs(a) > 0.5) loud += 1
+      if (!first && prev * a < 0) crossings += 1
+      prev = a; first = false
+      i += 1
+    }
+    val dur = n.toDouble / channels / rate
+    Some(Array(
+      (sum / n).toFloat, math.sqrt(sumSq / n).toFloat,
+      (if (n > 1) crossings.toDouble / (n - 1) else 0.0).toFloat,
+      mn.toFloat, mx.toFloat, dur.toFloat,
+      (loud.toDouble / n).toFloat, channels.toFloat))
+  }
+
   /** REAL pixel decode for PNG via the JDK-builtin `javax.imageio`
     * reader (no external codec dependency): 8-dim feature =
     * [meanR, meanG, meanB, meanA, meanLuma, stdLuma, minLuma, maxLuma]
@@ -108,12 +168,13 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** Decode stage: PNG pixels are decoded for REAL (JDK `ImageIO` —
-    * mean-channel/luma-statistics feature vector); WAV headers are
-    * parsed for real (fmt channels/rate) but sample-level audio
-    * features remain a clearly-marked STUB (no audio codec in this
-    * environment) deriving deterministic pseudo-features from a
-    * SHA-256 of the bytes, as do opaque byte blobs. Swap the stub
-    * branch for a real codec (e.g. a JNI decoder) in production. */
+    * mean-channel/luma-statistics feature vector), and 16-bit PCM WAV
+    * samples are decoded for REAL too (PCM is uncompressed — no codec
+    * needed; amplitude statistics via [[wavPcmFeatures]]). Only
+    * compressed audio and opaque blobs remain a clearly-marked STUB
+    * deriving deterministic pseudo-features from a SHA-256 of the
+    * bytes. Swap the stub branch for a real codec (e.g. a JNI
+    * decoder) in production. */
   private def stubDecode(row: MediaRow): MediaFeatures = {
     val digest = MessageDigest.getInstance("SHA-256").digest(row.media)
     def b(i: Int): Int = digest(i) & 0xff
@@ -121,6 +182,7 @@ object Multimodal {
     val wav = if (png.isEmpty) wavMeta(row.media) else None
     val kind = if (png.isDefined) "png" else if (wav.isDefined) "wav" else "opaque"
     val pixels = if (png.isDefined) pngPixelFeatures(row.media) else None
+    val samples = if (wav.isDefined) wavPcmFeatures(row.media) else None
     // stub fallback for opaque bytes: pseudo-dims from the hash
     val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png).getOrElse(
       if (wav.isDefined) (0, 0)
@@ -134,7 +196,7 @@ object Multimodal {
       sample_rate = sr,
       channels = ch,
       n_bytes = row.media.length,
-      feat = pixels.map(_._3)
+      feat = pixels.map(_._3).orElse(samples)
         .getOrElse(Array.tabulate(8)(i => b(8 + i) / 255.0f)))
   }
 

@@ -184,11 +184,21 @@ object AsOfJoins {
   }
 }
 
-/** `spark.sql.extensions`-style session extension wiring the strategy
-  * (and graft's registry functions) into every session built with
+/** `spark.sql.extensions`-style session extension wiring the planner
+  * strategy AND the whole graft SQL-function surface
+  * ([[graft.functions.GraftFunctions]]) into every session built with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)`. */
+  * `.withExtensions(new GraftExtensions)` — a user gets the as-of plan
+  * node and `SELECT graft_dot(a, b)` etc. with no imports. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
+  }
 }

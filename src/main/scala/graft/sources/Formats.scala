@@ -50,11 +50,11 @@ object Formats {
     * `path` (bucket metadata lives in the catalog — plain
     * `spark.read.parquet` on the files would not see it). */
   def writeBucketed(df: DataFrame, name: String, path: String,
-                    nBuckets: Int, bucketCol: String): Unit =
+                    nBuckets: Int, cols: String*): Unit =
     df.write.mode("overwrite")
       .option("path", path)
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(nBuckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
       .format("parquet")
       .saveAsTable(name)
 

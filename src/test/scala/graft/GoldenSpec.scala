@@ -242,6 +242,38 @@ class GoldenSpec extends AnyFunSuite {
     assert(Multimodal.pngPixelFeatures(headerOnly).isEmpty)
   }
 
+  test("wavPcmFeatures: real amplitude statistics from crafted 16-bit PCM samples") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+                             ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // mono 8 kHz, samples [0.5, -0.5, 0.5, -0.5] (16384/-16384)
+    val samples = Seq(16384, -16384, 16384, -16384)
+    val data = samples.flatMap(le16).toArray
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    val f = Multimodal.wavPcmFeatures(wav).get
+    val expected = Seq(0.0, 0.5, 1.0, -0.5, 0.5, 4.0 / 8000, 0.0, 1.0)
+    f.toSeq.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-4, s"feat ${f.toSeq} vs $expected")
+    }
+    // end-to-end: the decode stage now reports real features for kind=wav
+    val rows = Multimodal.decodeFeatures(
+        Seq(Multimodal.MediaRow(11L, wav, "audio/wav")).toDS()).collect()
+    assert(rows.head.kind == "wav" && rows.head.channels == 1 &&
+           rows.head.sample_rate == 8000 &&
+           math.abs(rows.head.feat(1) - 0.5f) < 1e-4)
+    // non-PCM (compressed) audio still falls back to the stub
+    val nonPcm: Array[Byte] =
+      "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(85) ++ le16(2) ++ le32(44100) ++
+        le32(176400) ++ le16(4) ++ le16(16) ++
+        "data".getBytes ++ le32(4) ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.wavPcmFeatures(nonPcm).isEmpty)
+  }
+
   test("count-min sketch: estimates bound exact token counts (mergeable sketch path)") {
     val toks = Tables.docTokens(spark, TestSpark.sf0001)
       .select(explode(col("toks")).as("w"))
@@ -262,6 +294,27 @@ class GoldenSpec extends AnyFunSuite {
       assert(est <= r.getLong(1) + (eps * n).toLong + 1,
              s"${r.getString(0)}: est $est vs exact ${r.getLong(1)} (N=$n)")
     }
+  }
+
+  test("GraftFunctions.registerAll: whole function surface callable from plain SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d))")
+      .head.getDouble(0) == 11.0)
+    assert(spark.sql(
+      "SELECT graft_sorted_intersect_size(array(1L,2L,5L), array(2L,3L,5L))")
+      .head.getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT size(graft_shingle_hashes(array('a','b','c'), 2, -1))")
+      .head.getInt(0) == 2)
+    val topk = spark.sql(
+      """SELECT graft_topk(s, id, 2, false)
+        |FROM VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS t(s, id)""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
+    assert(spark.sql("SELECT graft_minhash_sig(array(5L, 9L))")
+      .head.getSeq[Long](0).length == Dedup.MinhashK)
+    assert(spark.sql("SELECT graft_simhash64(array('x','y'))").head.getLong(0) ==
+           spark.sql("SELECT graft_simhash64(array('x','y'))").head.getLong(0))
   }
 
   test("SparkEntry.entry returns rows (t1 smoke)") {

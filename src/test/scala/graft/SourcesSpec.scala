@@ -92,6 +92,34 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("bucketed ANN posting table: probe join shuffles only the probe side") {
+    // SCALING.md's "past the broadcast budget" branch: the posting
+    // table bucketed at rest on the join key means the repeated probe
+    // join re-shuffles ONLY the (small, per-query) probe stream, never
+    // the index
+    import graft.ops.Similarity
+    val dir = Files.createTempDirectory("graft_postings").toString
+    val postings = Similarity.annPostings(spark, TestSpark.sf0001)
+    Formats.writeBucketed(postings.select("tbl", "bucket", "vec_id", "vn"),
+                          "postings_b", s"$dir/postings", 8, "tbl", "bucket")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val home = Formats.readBucketed(spark, "postings_b")
+        .select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+      val probes = postings.select(
+        col("tbl"), col("vec_id").as("id_a"),
+        explode(transform(col("pm"), m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+      val j = probes.join(home, Seq("tbl", "bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+      val plan = j.queryExecution.executedPlan.toString
+      val nExchanges = "Exchange".r.findAllIn(plan).length
+      assert(nExchanges == 1, s"expected only the probe-side shuffle:\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
