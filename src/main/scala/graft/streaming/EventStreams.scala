@@ -11,6 +11,13 @@ case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Running per-user aggregate state. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** Open-session state for [[EventStreams.customSessions]]. */
+case class SessionState(start: Long, end: Long, n_events: Long)
+
+/** A closed session emitted by [[EventStreams.customSessions]]. */
+case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long)
+
 /** Structured Streaming forms of the event-time operators (SURVEY.md
   * §2.2 streaming-only rows). The batch queries in `ops.Events` use the
   * same `groupBy(window(...))` shapes; these add watermarks (bounded
@@ -103,6 +110,62 @@ object EventStreams {
         col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
       joinType)
       .select("event_id", "user_id", "p_ts", "s_ts")
+  }
+
+  /** Fully custom sessionization via `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT — the arbitrary-state API at full power, where
+    * `session_window` ([[sessionAgg]]) is the declarative shortcut:
+    * per-user open-session state extends while events arrive within
+    * `gap`; a session is EMITTED only when the watermark passes its
+    * end + gap (the timeout callback proves no in-order event can
+    * extend it), so output is append-correct and state is bounded by
+    * the number of open sessions. An event landing past the gap
+    * closes the open session in the same callback and starts a new
+    * one. */
+  def customSessions(events: Dataset[SEvent],
+                     watermark: String = "10 minutes",
+                     gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[SEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the session is provably closed
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(
+              uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n_events))
+          } else {
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                                          s.n_events + 1))
+                case Some(s) => // gap exceeded inside the batch: close it
+                  closed ::= ClosedSession(
+                    uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n_events)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 
   /** Custom per-key state via `mapGroupsWithState` (the arbitrary-state

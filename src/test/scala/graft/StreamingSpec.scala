@@ -146,6 +146,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState sessions: emitted only when provably closed by the watermark") {
+    import graft.streaming.ClosedSession
+    val ms = MemoryStream[Ev](spark)
+    val sessions = EventStreams.customSessions(
+      ms.toDS().map(r => graft.streaming.SEvent(
+        r.event_id, r.ts, r.user_id, r.event_type, r.value)),
+      watermark = "10 minutes", gapMinutes = 30)
+    withQuery(sessions.toDF(), "append", "t_custom_sessions") { q =>
+      // one session: 3 events within the 30-min gap
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 10:20:00"), 1, "click", 1.0)))
+      q.processAllAvailable()
+      // still open: watermark has not passed end + gap
+      assert(spark.table("t_custom_sessions").isEmpty)
+      // advance the watermark far past 10:20 + 30min
+      ms.addData(Seq(Ev(4, ts("2024-01-01 13:00:00"), 2, "click", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(5, ts("2024-01-01 13:30:00"), 2, "click", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("t_custom_sessions").as[ClosedSession].collect()
+      val s1 = rows.filter(_.user_id == 1L)
+      assert(s1.length == 1 && s1.head.n_events == 3 &&
+             s1.head.session_start == ts("2024-01-01 10:00:00") &&
+             s1.head.session_end == ts("2024-01-01 10:20:00"), rows.mkString(";"))
+    }
+  }
+
   test("stream-stream interval join: matches within horizon, left-outer emits closed unmatched") {
     val pms = MemoryStream[Ev](spark)
     val sms = MemoryStream[Ev](spark)
