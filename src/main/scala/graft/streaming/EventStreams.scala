@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Typed event row for the stateful operators. */
 case class SEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -168,6 +169,20 @@ object EventStreams {
       }
   }
 
+  /** The Spark 4 `transformWithState` form of [[runningUserTotals]] —
+    * the current-generation arbitrary-state API (StatefulProcessor +
+    * typed `ValueState` handles, RocksDB-backed state store, TTL-able,
+    * multiple state variables per key). Functionally identical output
+    * to the classic `mapGroupsWithState` twin; StreamingSpec asserts
+    * the parity. */
+  def runningUserTotalsTws(events: Dataset[SEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+                          TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom per-key state via `mapGroupsWithState` (the arbitrary-state
     * extension point, SURVEY.md §2.2): running per-user event count and
     * value total, updated each micro-batch. State lives in the state
@@ -188,5 +203,28 @@ object EventStreams {
           state.update(cur)
           cur
       }
+  }
+}
+
+/** StatefulProcessor for [[EventStreams.runningUserTotalsTws]]: one
+  * typed ValueState per user holding the running totals. Top-level
+  * class — the processor is serialized to executors. */
+class RunningTotalsProcessor extends StatefulProcessor[Long, SEvent, UserTotals] {
+  @transient private var totals: ValueState[UserTotals] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotals](
+      "totals", Encoders.product[UserTotals], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SEvent],
+                               timerValues: TimerValues): Iterator[UserTotals] = {
+    val prev =
+      if (totals.exists()) totals.get() else UserTotals(key, 0L, 0.0)
+    var n = prev.n_events
+    var tot = prev.total_value
+    rows.foreach { e => n += 1; tot += e.value }
+    val cur = UserTotals(key, n, tot)
+    totals.update(cur)
+    Iterator.single(cur)
   }
 }

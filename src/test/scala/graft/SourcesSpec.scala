@@ -142,4 +142,34 @@ class SourcesSpec extends AnyFunSuite {
       assert(u2.getLong(1) == 1 && u2.getDouble(2) == 1.0)
     } finally q.stop()
   }
+
+  test("transformWithState running totals == mapGroupsWithState semantics (RocksDB store)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EventStreams, SEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // the new API requires the RocksDB provider; scope it to this test
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[SEvent](spark)
+      val q = EventStreams.runningUserTotalsTws(ms.toDS())
+        .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+      def ev(id: Long, u: Long, v: Double) =
+        SEvent(id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "click", v)
+      try {
+        ms.addData(Seq(ev(1, 1, 10.0), ev(2, 1, 5.0), ev(3, 2, 1.0)))
+        q.processAllAvailable()
+        ms.addData(Seq(ev(4, 1, 2.5)))
+        q.processAllAvailable()
+        val last = spark.table("t_tws").filter(col("user_id") === 1)
+          .orderBy(col("n_events").desc).collect().head
+        assert(last.getLong(1) == 3 && last.getDouble(2) == 17.5)
+        val u2 = spark.table("t_tws").filter(col("user_id") === 2)
+          .orderBy(col("n_events").desc).collect().head
+        assert(u2.getLong(1) == 1 && u2.getDouble(2) == 1.0)
+      } finally q.stop()
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
 }
