@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** The public library facade: every LLM-pipeline operator over
+  * caller-supplied DataFrames — nothing here knows about the test
+  * corpus. A user of the reference plugin (or of any corpus pipeline)
+  * works against this object:
+  *
+  * {{{
+  * val docs: DataFrame   // (doc_id long, text string, lang string)
+  * val keepers = Graft.dedupExact(docs)
+  * val nearDups = Graft.nearDupPairs(docs)          // MinHash+LSH
+  * val clusters = Graft.dedupClusters(Graft.jaccardPairs(docs))
+  * val curated = Graft.curate(docs)
+  * val nbrs = Graft.knn(embeddings, k = 10)         // (vec_id, embedding)
+  * val aligned = Graft.asof(trades, quotes, "sym", "sym", "t", "qt")
+  * }}}
+  *
+  * Column contracts: document operators need `(doc_id, text)` (+
+  * `lang` where noted); embedding operators need
+  * `(vec_id long, embedding array<float|double>)`. Registered test
+  * queries (`Queries`/`SparkEntry`) are thin wrappers binding these
+  * same engines to the driver's parquet tables — the oracle coverage
+  * is coverage of THIS surface.
+  */
+object Graft {
+
+  /** Tokenized view of a docs DataFrame: adds `toks` (lowercased,
+    * trimmed, whitespace-split — `ml.feature.Tokenizer` semantics). */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+
+  // ---- dedup ----
+
+  /** Exact duplicate groups by sha256(text): (h, keeper, n_dups). */
+  def dedupExact(docs: DataFrame): DataFrame = Dedup.dedupExact(docs)
+
+  /** MinHash+LSH near-duplicate pairs with exact shingle-Jaccard ≥ tau
+    * verification: (doc_a, doc_b, jac). */
+  def nearDupPairs(docs: DataFrame, tau: Double = 0.8): DataFrame =
+    Dedup.nearDupPairs(tokenize(docs), tau)
+
+  /** Exact within-`lang` token-set Jaccard ≥ tau pairs via the
+    * prefix-filtered set-similarity join: (doc_a, doc_b, jac). */
+  def jaccardPairs(docs: DataFrame, tau: Double = 0.9): DataFrame =
+    Dedup.jaccardPairs(tokenize(docs), tau)
+
+  /** SimHash near-duplicate candidates within Hamming ≤ maxHamming:
+    * (doc_a, doc_b, hamming). */
+  def simhashDups(docs: DataFrame, maxHamming: Int = 8): DataFrame =
+    Dedup.simhashDups(tokenize(docs), maxHamming)
+
+  /** Connected components over ANY (doc_a, doc_b) pair DataFrame:
+    * (doc_id, cluster, cluster_size, is_keeper) — turns near-dup
+    * pairs from any of the pair operators into one-survivor
+    * clusters. */
+  def dedupClusters(pairs: DataFrame): DataFrame = Dedup.dedupClusters(pairs)
+
+  // ---- text analysis / curation ----
+
+  /** Stopword-overlap language ID (needs `lang` for the agreement
+    * column). */
+  def langId(docs: DataFrame): DataFrame = TextAnalysis.langId(tokenize(docs))
+
+  /** Length/TTR/stopword composite quality score per document. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityScore(tokenize(docs))
+
+  /** Whitespace/regex token and character counts per document. */
+  def tokenCounts(docs: DataFrame): DataFrame = TextAnalysis.tokenCounts(docs)
+
+  /** Content + sorted-bag fingerprints with bag-group sizes. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    TextAnalysis.fingerprints(tokenize(docs))
+
+  /** End-to-end curation: exact-dedup keepers × quality cut × token
+    * band, with `lang` carried (needs `lang`). */
+  def curate(docs: DataFrame): DataFrame =
+    TextAnalysis.curate(docs, tokenize(docs))
+
+  /** Corpus bigram collocations by PMI. */
+  def collocations(docs: DataFrame, minSupport: Int = 5,
+                   topN: Int = 50): DataFrame =
+    TextAnalysis.collocations(tokenize(docs), minSupport, topN)
+
+  /** Token-length histogram with share and cumulative share. */
+  def lengthHist(docs: DataFrame): DataFrame =
+    TextAnalysis.lengthHist(tokenize(docs))
+
+  // ---- embeddings ----
+
+  /** L2-normalized (vec_id, vn) view, persisted. */
+  def normalizeEmbeddings(embeddings: DataFrame): DataFrame =
+    Similarity.normalizeEmbeddings(embeddings)
+
+  /** Exact top-N most-similar pairs by cosine. */
+  def cosineTopK(embeddings: DataFrame, n: Int = 100): DataFrame =
+    Similarity.cosineTopK(embeddings, n)
+
+  /** Exact per-vector k nearest neighbours: (id_a, rn, id_b, cos_sim). */
+  def knn(embeddings: DataFrame, k: Int = 3): DataFrame =
+    Similarity.knn(embeddings, k)
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ minCos). */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame =
+    Similarity.embeddingNearDups(embeddings, minCos)
+
+  // ---- joins / session ----
+
+  /** Backward as-of join through the native plan node (Inner or
+    * LeftOuter): for each left row, the latest right row with equal
+    * key and right-ts ≤ left-ts. */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKeyCol: String, rightKeyCol: String,
+           leftTsCol: String, rightTsCol: String,
+           joinType: JoinType = Inner): DataFrame =
+    plans.AsOfJoins.asof(left, right, leftKeyCol, rightKeyCol,
+                         leftTsCol, rightTsCol, joinType)
+
+  /** Registers every graft SQL function on the session — or build the
+    * session with `.withExtensions(new plans.GraftExtensions)` to get
+    * functions AND the as-of planner strategy. Streaming operators
+    * (content-hash dedup, interval join, custom sessions) live in
+    * [[graft.streaming.EventStreams]]. */
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.GraftFunctions.registerAll(spark)
+}

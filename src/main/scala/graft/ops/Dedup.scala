@@ -21,12 +21,18 @@ import graft.functions.{SetFunctions, SimHashFunctions}
   */
 object Dedup {
 
-  /** q_dedup_exact: exact duplicate grouping by content hash. */
-  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Exact duplicate grouping by content hash over any
+    * (doc_id, text, ...) DataFrame — the library entry point
+    * ([[graft.Graft.dedupExact]]). */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
       .orderBy("h")
+
+  /** q_dedup_exact: [[dedupExact]] on the test corpus. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExact(Tables.documents(spark, dir))
 
   /** q_sim_jaccard: exact within-language pairwise token-set Jaccard
     * ≥ 0.9 — the exact counterpart (and verifier) of q_dedup_near —
@@ -54,10 +60,15 @@ object Dedup {
     * scale the vocabulary rank would come from zipWithIndex on the
     * sorted df table instead of a single-partition window.
     */
-  def qSimJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tau = 0.9
+  def qSimJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.docTokens(spark, dir))
+
+  /** [[qSimJaccard]]'s engine over any (doc_id, lang, toks) DataFrame —
+    * the library entry point ([[graft.Graft.jaccardPairs]]). */
+  def jaccardPairs(docToks: DataFrame, tau: Double = 0.9): DataFrame = {
+    val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
-    val d0 = Tables.docTokens(spark, dir)
+    val d0 = docToks
       .select(col("doc_id"), col("lang"),
               // sorted distinct token hashes in one pass (full 64 bits
               // — injectivity backs the oracle parity of the counts)
@@ -136,14 +147,19 @@ object Dedup {
     * (hash-permutation-dependent recall); ScalaTest asserts recall
     * properties against planted duplicates.
     */
-  def qDedupNear(spark: SparkSession, dir: String): DataFrame = {
-    val tau = 0.8
+  def qDedupNear(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.docTokens(spark, dir))
+
+  /** [[qDedupNear]]'s engine over any (doc_id, toks) DataFrame — the
+    * library entry point ([[graft.Graft.nearDupPairs]]). */
+  def nearDupPairs(docToks: DataFrame, tau: Double = 0.8): DataFrame = {
+    val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
     // Persisted: the shingle table feeds both self-join sides and both
     // verify joins — without it each consumer re-parses, re-hashes and
     // re-sorts every document (4× the dominant cost). At cluster scale
     // this is the signature table you'd materialize to storage.
-    val docs = Tables.docTokens(spark, dir)
+    val docs = docToks
       .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
@@ -202,7 +218,13 @@ object Dedup {
     * clusters) are not emitted — the universe is the pair graph.
     * Oracle: DuckDB recursive-CTE transitive closure with min-label
     * aggregation over the same pair query. */
-  def qDedupCluster(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupCluster(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(qSimJaccard(spark, dir))
+
+  /** [[qDedupCluster]]'s engine over ANY (doc_a, doc_b, ...) pair
+    * DataFrame — jaccard pairs, MinHash pairs, embedding pairs all
+    * work; the library entry point ([[graft.Graft.dedupClusters]]). */
+  def dedupClusters(pairDf: DataFrame): DataFrame = {
     // localCheckpoint (not persist): each round's plan references the
     // previous round TWICE (directly and through nbr_min), so without
     // lineage truncation the logical plan doubles per round —
@@ -210,9 +232,9 @@ object Dedup {
     // checkpoint materializes each round and restarts the lineage, the
     // standard requirement of iterative DataFrame algorithms (use a
     // reliable checkpoint dir on a cluster). Pairs are checkpointed
-    // BEFORE the symmetric union so the jaccard verify stage runs
-    // once, not once per union branch.
-    val pairs = qSimJaccard(spark, dir).select("doc_a", "doc_b")
+    // BEFORE the symmetric union so the verify stage of the feeding
+    // pair query runs once, not once per union branch.
+    val pairs = pairDf.select("doc_a", "doc_b")
       .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -260,9 +282,15 @@ object Dedup {
     * verified by exact Hamming ≤ 8. Oracle-exempt (JVM murmur3 not
     * reproducible in DuckDB); golden-tested on planted duplicates.
     */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashDups(Tables.docTokens(spark, dir))
+
+  /** [[qDedupSimhash]]'s engine over any (doc_id, toks) DataFrame —
+    * the library entry point ([[graft.Graft.simhashDups]]). */
+  def simhashDups(docToks: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val spark = docToks.sparkSession
     SimHashFunctions.register(spark)
-    val docs = Tables.docTokens(spark, dir)
+    val docs = docToks
       .select(col("doc_id"), SimHashFunctions.simhash64(col("toks")).as("sh"))
       .persist()  // feeds both sides of the band self-join
     val banded = docs
@@ -279,7 +307,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
               bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
 }

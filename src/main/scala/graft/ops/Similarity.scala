@@ -18,10 +18,12 @@ import graft.functions.{TopKFunctions, VectorFunctions}
   */
 object Similarity {
 
-  /** Normalized double vectors: (vec_id, vn) with |vn| = 1. */
-  private[graft] def normalized(spark: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    Tables.embeddings(spark, dir)
+  /** Normalized double vectors for any (vec_id, embedding) DataFrame:
+    * (vec_id, vn) with |vn| = 1 — the library entry point
+    * ([[graft.Graft.normalizeEmbeddings]]). */
+  def normalizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    embeddings
       .select(col("vec_id"),
               transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
@@ -29,21 +31,30 @@ object Similarity {
               transform(col("v"), x => x / col("nrm")).as("vn"))
       // both sides of every pair join read this — persist so the
       // cast+normalize runs once, not once per join side (at scale:
-      // the materialized normalized-embedding table)
+      // the materialized normalized-embedding table; Spark's cache
+      // manager dedupes identical plans, so repeated calls share)
       .persist()
   }
 
-  /** q_sim_cosine_topk: exact top-100 most-similar pairs (cosine). */
-  def qSimCosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val u = normalized(spark, dir)
+  private[graft] def normalized(spark: SparkSession, dir: String): DataFrame =
+    normalizeEmbeddings(Tables.embeddings(spark, dir))
+
+  /** Exact top-N most-similar pairs (cosine) over any
+    * (vec_id, embedding) DataFrame ([[graft.Graft.cosineTopK]]). */
+  def cosineTopK(embeddings: DataFrame, n: Int = 100): DataFrame = {
+    val u = normalizeEmbeddings(embeddings)
     val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
     val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
-      .limit(100)
+      .limit(n)
   }
+
+  /** q_sim_cosine_topk: [[cosineTopK]] on the test corpus. */
+  def qSimCosineTopk(spark: SparkSession, dir: String): DataFrame =
+    cosineTopK(Tables.embeddings(spark, dir))
 
   /** Bounded top-k cut per id_a on (cos_sim desc, id_b asc) — the
     * native [[graft.functions.TopKPairs]] aggregate
@@ -67,11 +78,13 @@ object Similarity {
       .orderBy("id_a", "rn")
   }
 
-  /** q_knn: per-vector k=3 nearest neighbours by cosine. Each unordered
-    * pair is scored ONCE (id_a < id_b, halves the dot products), then
-    * mirrored via explode into both directions for the per-vector cut. */
-  def qKnn(spark: SparkSession, dir: String): DataFrame = {
-    val u = normalized(spark, dir)
+  /** Per-vector exact k nearest neighbours by cosine over any
+    * (vec_id, embedding) DataFrame ([[graft.Graft.knn]]). Each
+    * unordered pair is scored ONCE (id_a < id_b, halves the dot
+    * products), then mirrored via explode into both directions for
+    * the per-vector cut. */
+  def knn(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val u = normalizeEmbeddings(embeddings)
     val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
     val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
     val pairs = a.join(b, col("id_a") < col("id_b"))
@@ -83,23 +96,33 @@ object Similarity {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
               col("p.cos_sim").as("cos_sim"))
-    topKCut(pairs, 3)
+    topKCut(pairs, k)
   }
 
-  /** q_dedup_embed: embedding-cosine near-duplicate pairs (cos ≥ 0.4 on
-    * this data — no planted dups, so the threshold sits at the top
-    * ~0.1% of the pair distribution). Same normalized-once + codegen
-    * dot discipline as the top-k query. */
-  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val u = normalized(spark, dir)
+  /** q_knn: [[knn]] (k = 3) on the test corpus. */
+  def qKnn(spark: SparkSession, dir: String): DataFrame =
+    knn(Tables.embeddings(spark, dir))
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ minCos) over any
+    * (vec_id, embedding) DataFrame ([[graft.Graft.embeddingNearDups]]).
+    * Same normalized-once + codegen dot discipline as the top-k
+    * query. */
+  def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val u = normalizeEmbeddings(embeddings)
     val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
     val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
               round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
+      .filter(col("cos_sim") >= minCos)
       .orderBy("id_a", "id_b")
   }
+
+  /** q_dedup_embed: [[embeddingNearDups]] on the test corpus (0.4 sits
+    * at the top ~0.1% of this data's pair distribution — no planted
+    * dups). */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(Tables.embeddings(spark, dir))
 
   /** Offline index-build analog: corpus size per data dir, computed
     * once per JVM and memoized. At cluster scale this is index metadata

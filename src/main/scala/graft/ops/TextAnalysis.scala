@@ -26,8 +26,13 @@ object TextAnalysis {
   /** q_lang_id: n-gram/stopword-overlap language identification.
     * Emits per-language scores, the argmax prediction ('und' when no
     * marker hits), and agreement with the labeled lang. */
-  def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.docTokens(spark, dir)
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.docTokens(spark, dir))
+
+  /** [[qLangId]]'s engine over any (doc_id, lang, toks) DataFrame —
+    * the library entry point ([[graft.Graft.langId]]). */
+  def langId(docToks: DataFrame): DataFrame = {
+    val d = docToks
       .withColumn("tset", array_distinct(col("toks")))
     val scored = markers.foldLeft(d) { case (df, (lang, words)) =>
       df.withColumn(s"s_$lang",
@@ -51,9 +56,14 @@ object TextAnalysis {
 
   /** q_quality_score: length / type-token-ratio / stopword-ratio
     * composite quality score per document. */
-  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.docTokens(spark, dir))
+
+  /** [[qQualityScore]]'s engine over any (doc_id, toks) DataFrame —
+    * the library entry point ([[graft.Graft.qualityScore]]). */
+  def qualityScore(docToks: DataFrame): DataFrame = {
     val stop = typedLit(markers.flatMap(_._2).distinct.sorted)
-    Tables.docTokens(spark, dir)
+    docToks
       .select(
         col("doc_id"),
         size(col("toks")).as("n_toks"),
@@ -77,7 +87,12 @@ object TextAnalysis {
   /** q_token_count: whitespace tokens vs BPE-ish regex tokens
     * ([a-z]+ | digit-runs | single non-space residue) vs chars. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    tokenCounts(Tables.documents(spark, dir))
+
+  /** [[qTokenCount]]'s engine over any (doc_id, text) DataFrame —
+    * the library entry point ([[graft.Graft.tokenCounts]]). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
@@ -94,14 +109,19 @@ object TextAnalysis {
     * for the keeper group, one narrow quality projection, one key join
     * (AQE picks the strategy); no driver state. The filter is on the
     * ROUNDED quality so the cut is reproducible across engines. */
-  def qCurate(spark: SparkSession, dir: String): DataFrame = {
-    val keepers = Tables.documents(spark, dir)
+  def qCurate(spark: SparkSession, dir: String): DataFrame =
+    curate(Tables.documents(spark, dir), Tables.docTokens(spark, dir))
+
+  /** [[qCurate]]'s engine over any (doc_id, text, lang) + tokenized
+    * DataFrames — the library entry point ([[graft.Graft.curate]]). */
+  def curate(docs: DataFrame, docToks: DataFrame): DataFrame = {
+    val keepers = docs
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    qQualityScore(spark, dir)
+    qualityScore(docToks)
       .join(keepers, "doc_id")
-      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
       .filter(col("quality") >= 0.70 && col("n_toks").between(20, 1000))
       .select("doc_id", "lang", "n_toks", "quality")
       .orderBy("doc_id")
@@ -116,15 +136,21 @@ object TextAnalysis {
     * scalars (never a driver `.first()`), two key joins of the
     * min-support-filtered bigram table against the unigram counts, and
     * a `TakeOrderedAndProject` top-50 — no full sort. */
-  def qCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.docTokens(spark, dir).select(col("toks"))
+  def qCollocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.docTokens(spark, dir))
+
+  /** [[qCollocations]]'s engine over any (toks) DataFrame — the
+    * library entry point ([[graft.Graft.collocations]]). */
+  def collocations(docToks: DataFrame, minSupport: Int = 5,
+                   topN: Int = 50): DataFrame = {
+    val toks = docToks.select(col("toks"))
     val uni = toks.select(explode(col("toks")).as("w"))
     val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
     val n1 = uni.agg(count(lit(1)).cast("double").as("n1"))
     val bg = toks.select(explode(Text.ngramCol(col("toks"), 2)).as("bigram"))
     val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
     val n2 = bg.agg(count(lit(1)).cast("double").as("n2"))
-    bc.filter(col("c_ab") >= 5)
+    bc.filter(col("c_ab") >= minSupport)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
       .join(uc.select(col("w").as("w1"), col("c").as("c_1")), "w1")
@@ -136,7 +162,7 @@ object TextAnalysis {
                 / ((col("c_1") / col("n1")) * (col("c_2") / col("n1")))), 6)
                 .as("pmi"))
       .orderBy(col("pmi").desc, col("bigram").asc)
-      .limit(50)
+      .limit(topN)
   }
 
   /** q_length_hist: corpus token-length histogram — 25-token buckets
@@ -145,9 +171,14 @@ object TextAnalysis {
     * before choosing its token band). One groupBy on the bucket; the
     * share/cumulative windows run over the ≤13-row histogram, not the
     * corpus. */
-  def qLengthHist(spark: SparkSession, dir: String): DataFrame = {
+  def qLengthHist(spark: SparkSession, dir: String): DataFrame =
+    lengthHist(Tables.docTokens(spark, dir))
+
+  /** [[qLengthHist]]'s engine over any (toks) DataFrame — the library
+    * entry point ([[graft.Graft.lengthHist]]). */
+  def lengthHist(docToks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = Tables.docTokens(spark, dir)
+    val h = docToks
       .select(least(floor(size(col("toks")) / 25), lit(12)).cast("int").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
     val wAll = Window.partitionBy()
@@ -164,8 +195,14 @@ object TextAnalysis {
     * (order-sensitive) and md5 of the sorted distinct token set (bag
     * fingerprint), plus the bag-group size: set-identical docs share
     * fp_bag, giving real duplicate groups on this data. */
-  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.docTokens(spark, dir)
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.docTokens(spark, dir))
+
+  /** [[qFingerprint]]'s engine over any (doc_id, text, toks)
+    * DataFrame — the library entry point
+    * ([[graft.Graft.fingerprints]]). */
+  def fingerprints(docToks: DataFrame): DataFrame = {
+    val d = docToks
       .select(
         col("doc_id"),
         md5(lower(trim(col("text")))).as("fp_exact"),

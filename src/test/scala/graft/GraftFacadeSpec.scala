@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public library facade driven on HAND-BUILT DataFrames — no test
+  * corpus, no parquet: what a user switching from the reference would
+  * actually write. */
+class GraftFacadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank zzzz", "en"),
+    (3L, "an entirely different document about spark query engines and storage", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today", "en"), // exact dup of 1
+    (5L, "der schnelle braune fuchs springt heute", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("dedupExact groups identical bodies") {
+    val g = Graft.dedupExact(docs).collect()
+    assert(g.length == 4) // docs 1+4 collapse
+    val dup = g.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keeper = min doc_id
+  }
+
+  test("nearDupPairs finds the one-token-changed copy") {
+    val pairs = Graft.nearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccardPairs + dedupClusters elect one keeper per component") {
+    val clusters = Graft.dedupClusters(Graft.jaccardPairs(docs, tau = 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // {1,2,4} form one cluster with keeper 1; doc 3 and 5 are singletons (absent)
+    assert(clusters.map(_._1).toSet == Set(1L, 2L, 4L))
+    assert(clusters.forall(_._2 == 1L) && clusters.forall(_._3 == 3L))
+    assert(clusters.filter(_._4).map(_._1).toSeq == Seq(1L))
+  }
+
+  test("dedupClusters on a raw pair list (any pair source)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val c = Graft.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(c(1L) == ((1L, 3L, true)) && c(2L) == ((1L, 3L, false)) &&
+           c(3L) == ((1L, 3L, false)))
+    assert(c(7L) == ((7L, 2L, true)) && c(8L) == ((7L, 2L, false)))
+  }
+
+  test("curate keeps quality keepers only (exact dup dropped)") {
+    val out = Graft.curate(docs).collect().map(_.getLong(0)).toSet
+    assert(!out.contains(4L)) // the non-keeper exact dup never survives
+  }
+
+  test("langId and qualityScore run on arbitrary docs") {
+    val lid = Graft.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(lid(1L) == "en" && lid(5L) == "de")
+    val q = Graft.qualityScore(docs).collect()
+    assert(q.length == 5 && q.forall(r => r.getDouble(5) > 0))
+  }
+
+  test("knn and cosineTopK run on a hand-built embedding table") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val nn = Graft.knn(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nn == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+    val top = Graft.cosineTopK(emb, n = 2).collect()
+    assert(top.length == 2)
+    assert(Set((top(0).getLong(0), top(0).getLong(1)),
+               (top(1).getLong(0), top(1).getLong(1))) == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("asof through the facade") {
+    val trades = Seq((1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:05")))
+      .toDF("trade_id", "uid", "t")
+    val quotes = Seq((100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.5))
+      .toDF("q_uid", "q_t", "px")
+    val out = Graft.asof(trades, quotes, "uid", "q_uid", "t", "q_t").collect()
+    assert(out.length == 1 && out.head.getDouble(5) == 1.5)
+  }
+
+  test("collocations and lengthHist run on arbitrary docs") {
+    assert(Graft.collocations(docs, minSupport = 2, topN = 10).collect()
+      .exists(_.getString(0) == "quick brown"))
+    val h = Graft.lengthHist(docs).collect()
+    assert(h.map(_.getLong(1)).sum == 5)
+  }
+}
