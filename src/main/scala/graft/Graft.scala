@@ -110,6 +110,13 @@ object Graft {
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame =
     Similarity.embeddingNearDups(embeddings, minCos)
 
+  /** APPROXIMATE per-vector k nearest neighbours (OR-amplified
+    * multi-probe LSH — the sub-quadratic scale path for [[knn]]);
+    * builds the index inline. For repeated querying, materialize the
+    * posting table once instead. */
+  def annNeighbors(embeddings: DataFrame, k: Int = 3): DataFrame =
+    Similarity.annNeighbors(embeddings, k)
+
   // ---- joins / session ----
 
   /** Backward as-of join through the native plan node (Inner or

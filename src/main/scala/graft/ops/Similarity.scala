@@ -183,10 +183,14 @@ object Similarity {
     * table) holding the bucket code, the directed probe masks, and the
     * normalized vector (the IVF posting-list layout — the inverted
     * list carries the vector). This is the OFFLINE index build. */
-  private def buildAnnIndex(spark: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    val base = normalized(spark, dir)
-    val n = corpusSize(spark, dir)
+  private def buildAnnIndex(spark: SparkSession, dir: String): DataFrame =
+    annIndex(normalized(spark, dir), corpusSize(spark, dir))
+
+  /** The index build over any normalized (vec_id, vn) DataFrame with
+    * corpus size n — shared by the dir-keyed materialized path and the
+    * facade's inline path ([[graft.Graft.annNeighbors]]). */
+  private[graft] def annIndex(base: DataFrame, n: Long): DataFrame = {
+    VectorFunctions.register(base.sparkSession)
     val h = math.max(3,
       math.round(math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt)
     val probeFlips = math.min(4, h) // probes per table = 1 + probeFlips
@@ -246,10 +250,12 @@ object Similarity {
   /** The scored LSH candidate stream feeding [[qAnnIvf]]'s top-k cut —
     * exposed separately so AnnRecall can profile the generation stage
     * against the aggregation stage. */
-  private[graft] def annCandidates(spark: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(spark)
-    val codes = annPostings(spark, dir)
-    val n = corpusSize(spark, dir)
+  private[graft] def annCandidates(spark: SparkSession, dir: String): DataFrame =
+    annCandidatesFrom(annPostings(spark, dir), corpusSize(spark, dir))
+
+  /** Scored LSH candidates from any posting table ([[annIndex]]). */
+  private[graft] def annCandidatesFrom(codes: DataFrame, n: Long): DataFrame = {
+    VectorFunctions.register(codes.sparkSession)
     val home = codes.select(col("tbl"), col("bucket"),
                             col("vec_id").as("id_b"), col("vn").as("vn_b"))
     val probes = codes.select(
@@ -266,5 +272,18 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
               VectorFunctions.dot(col("vn_a"), col("vn_b")).as("cos_sim"))
+  }
+
+  /** Approximate k nearest neighbours over any (vec_id, embedding)
+    * DataFrame — the facade path ([[graft.Graft.annNeighbors]]): the
+    * index is built inline (one sizing count() — the index-build
+    * step); for repeated querying of the same corpus, materialize the
+    * index instead (the registered q_ann_ivf path / a bucketed-at-rest
+    * posting table). Same recall characteristics as q_ann_ivf. */
+  def annNeighbors(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val n = embeddings.count()
+    val postings = annIndex(normalizeEmbeddings(embeddings), n)
+    topKCut(annCandidatesFrom(postings, n), k, distinct = true)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 }

@@ -77,6 +77,21 @@ class GraftFacadeSpec extends AnyFunSuite {
                (top(1).getLong(0), top(1).getLong(1))) == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("annNeighbors approximates knn on a hand-built embedding table") {
+    val rng = new scala.util.Random(7)
+    val emb = (1L to 120L).map(i => (i, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Graft.knn(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Graft.annNeighbors(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.size == exact.size) // every vector reports k rows
+    val recall = (exact & approx).size.toDouble / exact.size
+    // tiny corpus => few buckets per table => recall well above the
+    // sf0.1 operating point; 0.6 is a loose flake guard
+    assert(recall >= 0.6, s"recall@3 = $recall")
+  }
+
   test("asof through the facade") {
     val trades = Seq((1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:05")))
       .toDF("trade_id", "uid", "t")
