@@ -7,17 +7,20 @@ import graft.Tables
 import graft.functions.{SetFunctions, SimHashFunctions}
 
 /** Deduplication operators (SURVEY.md §2.2 + north-star LLM-pipeline
-  * surface): exact hash-grouping, blocked exact Jaccard, and
-  * MinHash+LSH banding for near-duplicate detection at scale.
+  * surface): exact hash-grouping, prefix-filtered exact Jaccard,
+  * MinHash+LSH banding, SimHash banding, and connected-component
+  * clustering for near-duplicate handling at scale.
   *
-  * Scale story: exact dedup is one hash-shuffle; the Jaccard query
-  * blocks by language AND prunes by the size-ratio bound
-  * (J(A,B) ≤ min/max ⇒ pairs failing |A|≥τ|B| can never reach τ — the
-  * prefilter provably never changes the result), so the quadratic term
-  * is per-block, not global; MinHash+LSH replaces the O(n²) entirely
-  * with a band-bucket shuffle — the 100 TB path. All three are pure
-  * expression pipelines: deterministic, no driver state, no RNG at
-  * execution time (hash-perm constants are baked at plan build).
+  * Scale story: exact dedup is one hash-shuffle; the exact Jaccard
+  * join is prefix-filtered (SSJoin/PPJoin — candidates from an
+  * inverted-index join on each set's rarest-token prefix, provably
+  * lossless, no O(n²) term) plus the size-ratio bound; MinHash+LSH
+  * replaces even the verify-side exactness with a band-bucket shuffle
+  * — the 100 TB recall path; clustering turns any pair list into
+  * one-survivor components with per-round lineage truncation. All
+  * pure expression pipelines except the (deliberately iterative)
+  * clustering: deterministic, no driver data, no RNG at execution
+  * time (hash-perm constants are baked at plan build).
   */
 object Dedup {
 
