@@ -234,14 +234,14 @@ object Dedup {
     // exponential analysis cost and a driver OOM by ~round 25. The
     // checkpoint materializes each round and restarts the lineage, the
     // standard requirement of iterative DataFrame algorithms (use a
-    // reliable checkpoint dir on a cluster). Pairs are checkpointed
-    // BEFORE the symmetric union so the verify stage of the feeding
-    // pair query runs once, not once per union branch.
-    val pairs = pairDf.select("doc_a", "doc_b")
-      .localCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+    // reliable checkpoint dir on a cluster). The symmetric edge list
+    // comes from ONE explode pass (not pairs ∪ swap), so the feeding
+    // pair query is evaluated exactly once, inside this checkpoint.
+    val edges = pairDf
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // lazy per-round checkpoints: the convergence aggregate right after
     // each one materializes it, so every round costs ONE job, not a
