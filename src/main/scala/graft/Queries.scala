@@ -685,18 +685,104 @@ object Queries {
   )
 
   // -------------------------------------------------------------------
+  // Corpus-curation surface: sampling/mixing, packing, decontamination,
+  // repetition hygiene, inverted index (ops.Curation)
+  // -------------------------------------------------------------------
+
+  val curation: Map[String, Q] = Map(
+    "q_sample_hash"       -> (Curation.qSampleHash _),
+    "q_sample_stratified" -> (Curation.qSampleStratified _),
+    "q_mix_weighted"      -> (Curation.qMixWeighted _),
+    "q_pack_chunks"       -> (Curation.qPackChunks _),
+    "q_decontaminate"     -> (Curation.qDecontaminate _),
+    "q_rep_filter"        -> (Curation.qRepFilter _),
+    "q_inverted_index"    -> (Curation.qInvertedIndex _),
+  )
+
+  val curationOracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '1999'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn::INT AS rn FROM r WHERE rn <= 10
+        |ORDER BY lang, rn""".stripMargin,
+    "q_mix_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, (substr(source, 4)::INT % 3)::INT AS tier,
+        |         substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
+        |  FROM documents),
+        |t AS (SELECT *, CASE tier WHEN 0 THEN 'cccc' WHEN 1 THEN '8000'
+        |                ELSE '1999' END AS thr FROM d)
+        |SELECT source, tier, count(*) AS n_total,
+        |       sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM t GROUP BY source, tier ORDER BY source""".stripMargin,
+    "q_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS n_toks FROM documents),
+         |o AS (SELECT doc_id, n_toks,
+         |  coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS tok_offset
+         |FROM t)
+         |SELECT doc_id, n_toks, tok_offset, (tok_offset // 2048)::BIGINT AS chunk
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         generate_series(1, greatest(len(toks)-3, 0)),
+         |         i -> array_to_string(toks[i:i+3], ' ')))) AS gn FROM t),
+         |evg AS (SELECT doc_id AS eval_id, gn FROM g WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, gn FROM g WHERE doc_id % 50 <> 0)
+         |SELECT tr.doc_id, count(DISTINCT tr.gn)::BIGINT AS n_hit_grams,
+         |       count(DISTINCT evg.eval_id)::BIGINT AS n_eval_docs
+         |FROM tr JOIN evg USING (gn)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q_rep_filter" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |        list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+         |          i -> array_to_string(toks[i:i+2], ' ')) AS g3 FROM t),
+         |m AS (SELECT doc_id, len(toks)::INT AS n_toks,
+         |  1.0 - len(list_distinct(toks))::DOUBLE / len(toks) AS dup_tok,
+         |  CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE 1.0 - len(list_distinct(g3))::DOUBLE / len(g3)
+         |  END AS dup_g3
+         |FROM g)
+         |SELECT doc_id, n_toks,
+         |  ${rnd("dup_tok", 6)} AS dup_tok_frac,
+         |  ${rnd("dup_g3", 6)} AS dup_3gram_frac,
+         |  (dup_tok > 0.6 OR dup_g3 > 0.2) AS flagged
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |d AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id),
+         |a AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+         |        array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+         |      FROM d GROUP BY term)
+         |SELECT term, df, cf, postings FROM a WHERE df >= 5
+         |ORDER BY term""".stripMargin,
+  )
+
+  // -------------------------------------------------------------------
   // Assembly
   // -------------------------------------------------------------------
 
   /** The full declared registry. */
   val all: Map[String, Q] =
     relational ++ aggregates ++ windows ++ scalars ++ events ++ text ++
-      dedupSim ++ extras
+      dedupSim ++ extras ++ curation
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
     * (golden-tested): q_agg_approx, q_dedup_near, q_dedup_simhash,
     * q_ann_ivf, q_multimodal_features. */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
-      eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle
+      eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++
+      curationOracle
 }

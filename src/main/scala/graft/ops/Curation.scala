@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+import graft.Tables
+
+/** Training-corpus curation operators beyond dedup/similarity: the
+  * selection, mixing, sharding and hygiene steps a large-scale
+  * LLM-data pipeline runs between "raw corpus" and "training shards".
+  * North-star surface (SURVEY.md §2.4 addendum); no reference
+  * counterpart exists — the reference ships a single n-gram transform
+  * (`/root/reference/src/main/java/co/cask/hydrator/plugin/
+  * NGramTransform.java:116-118`) and none of these.
+  *
+  * Scale design: sampling/mixing/repetition are pure narrow
+  * projections+filters (no shuffle at all); packing is a distributed
+  * two-level prefix sum (per-bucket windows run in parallel; only the
+  * per-bucket totals — one row per bucket — see a global window);
+  * decontamination shuffles on the n-gram join key with the eval side
+  * broadcast (eval sets are small by construction); the inverted index
+  * bounds its posting lists BEFORE any collect_list so no group ever
+  * materializes an unbounded array.
+  */
+object Curation {
+
+  /** Deterministic uniform sampling by content-independent hash:
+    * keep a row iff the first 4 hex chars of md5(doc_id) fall below
+    * `thrHex` (lexicographic compare on lowercase hex ≡ numeric
+    * compare on the 16-bit prefix — '1999' ≈ 10%). Same sample on
+    * every engine and every run — the property training-data splits
+    * need (resumable, auditable, no RNG state). Narrow filter: at
+    * 100 TB this is a full scan and nothing else; with the sample
+    * hash materialized at rest it becomes a pushed-down predicate.
+    */
+  def sampleHash(docs: DataFrame, thrHex: String = "1999"): DataFrame =
+    docs
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .filter(col("bucket") < lit(thrHex))
+      .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** q_sample_hash: [[sampleHash]] on the test corpus (~10%). */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    sampleHash(Tables.documents(spark, dir))
+
+  /** Deterministic stratified sampling: the first `n` docs per
+    * stratum (lang) in md5(doc_id) order — "equal-size per-language
+    * eval split" without an RNG. Per-stratum window; strata sort in
+    * parallel, and the rank filter cuts each to `n` rows.
+    */
+  def stratifiedSample(docs: DataFrame, n: Int = 10): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+              md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("h", "doc_id")))
+      .filter(col("rn") <= n)
+      .select("doc_id", "lang", "rn")
+      .orderBy("lang", "rn")
+
+  /** q_sample_stratified: [[stratifiedSample]] (10 per lang). */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir))
+
+  /** Weighted dataset mixing: each source is assigned a sampling
+    * tier (source number mod 3 → 80% / 50% / 10%) and rows are kept
+    * by the same deterministic md5-bucket rule as [[sampleHash]];
+    * emits the per-source audit summary (total vs kept). This is the
+    * mixture-weights step of corpus assembly (e.g. upweight curated
+    * sources, downweight crawl) as one narrow filter + one partial
+    * aggregate — at scale the kept rows stream straight to the
+    * training-shard writer and only the per-source counters shuffle.
+    */
+  def mixWeighted(docs: DataFrame): DataFrame = {
+    val tiered = docs
+      .withColumn("tier", substring(col("source"), 4, 8).cast("int") % 3)
+      .withColumn("thr",
+        when(col("tier") === 0, lit("cccc"))
+          .when(col("tier") === 1, lit("8000"))
+          .otherwise(lit("1999")))
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 4))
+    tiered
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("bucket") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** q_mix_weighted: [[mixWeighted]] on the test corpus. */
+  def qMixWeighted(spark: SparkSession, dir: String): DataFrame =
+    mixWeighted(Tables.documents(spark, dir))
+
+  /** Token-offset sharding ("packing"): concatenate the corpus in
+    * doc_id order and assign each document the training chunk where
+    * its first token lands (chunk = global token offset ÷ budget) —
+    * the document→context-window map of a GPT-style token stream.
+    *
+    * The global running sum is a DISTRIBUTED TWO-LEVEL PREFIX SUM,
+    * not a single global window (`Window.orderBy` with no partition
+    * collapses to one task — the classic scale-killer):
+    * docs are range-bucketed by doc_id (`bucket = doc_id div
+    * bucketSpan`, deterministic, no sampling); the within-bucket
+    * cumsum is a per-bucket window (parallel across buckets); bucket
+    * prefix totals are one row per bucket, so THEIR cumsum is a
+    * window over a bounded table, broadcast back. offset = bucket
+    * prefix + within-bucket cumsum.
+    */
+  def packChunks(docToks: DataFrame, budget: Long = 2048,
+                 bucketSpan: Long = 1000): DataFrame = {
+    val t = docToks.select(col("doc_id"),
+                           size(col("toks")).cast("long").as("n_toks"),
+                           (col("doc_id").divide(bucketSpan)).cast("long").as("bkt"))
+    val within = t.withColumn("cum_in",
+      coalesce(sum(col("n_toks")).over(
+        Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val prefix = t.groupBy("bkt").agg(sum(col("n_toks")).as("btot"))
+      .withColumn("boff",
+        coalesce(sum(col("btot")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bkt", "boff")
+    within.join(broadcast(prefix), "bkt")
+      .withColumn("tok_offset", col("boff") + col("cum_in"))
+      .select(col("doc_id"), col("n_toks"), col("tok_offset"),
+              expr(s"tok_offset div $budget").as("chunk"))
+      .orderBy("doc_id")
+  }
+
+  /** q_pack_chunks: [[packChunks]] with a 2048-token budget. */
+  def qPackChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunks(Tables.docTokens(spark, dir))
+
+  /** Benchmark decontamination: find training documents sharing any
+    * word n-gram with an evaluation split. Reports, per contaminated
+    * train doc, how many of its distinct n-grams hit the eval set and
+    * how many eval docs it collides with. The join key is the n-gram
+    * string; the eval side is broadcast (eval sets are thousands of
+    * docs, not billions), so at scale this is one broadcast-hash pass
+    * over the exploded train n-grams — no shuffle of the corpus.
+    * At rest you'd hash the n-grams (xxhash64) to shrink the key;
+    * kept as strings here for oracle parity.
+    */
+  def decontaminate(trainToks: DataFrame, evalToks: DataFrame,
+                    n: Int = 4): DataFrame = {
+    def grams(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs),
+                explode(array_distinct(Text.ngramCol(col("toks"), n))).as("gn"))
+    val tr = grams(trainToks, "doc_id")
+    val ev = grams(evalToks, "eval_id")
+    tr.join(broadcast(ev), "gn")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gn")).as("n_hit_grams"),
+           countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** q_decontaminate: eval split = doc_id % 50 == 0, train = the
+    * rest; 4-gram collisions. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.docTokens(spark, dir)
+    decontaminate(d.filter(col("doc_id") % 50 =!= 0),
+                  d.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Gopher-style repetition hygiene metrics per document: duplicate
+    * token fraction (1 − distinct/total tokens), duplicate 3-gram
+    * fraction, and the filter flag. Pure narrow projection — no
+    * shuffle, whole-stage-codegen'd, embarrassingly parallel at any
+    * scale.
+    */
+  def repetitionMetrics(docToks: DataFrame,
+                        tokThr: Double = 0.6,
+                        gramThr: Double = 0.2): DataFrame = {
+    val g3 = Text.ngramCol(col("toks"), 3)
+    val dupTok = lit(1.0) -
+      size(array_distinct(col("toks"))).cast("double") / size(col("toks"))
+    val dupG3 = when(size(g3) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3))
+    docToks.select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        round(dupTok, 6).as("dup_tok_frac"),
+        round(dupG3, 6).as("dup_3gram_frac"),
+        (dupTok > tokThr || dupG3 > gramThr).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** q_rep_filter: [[repetitionMetrics]] on the test corpus. */
+  def qRepFilter(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(Tables.docTokens(spark, dir))
+
+  /** Inverted index over the corpus: per term, document frequency,
+    * collection frequency, and the first `maxPostings` doc_ids
+    * (comma-joined — the driver's pandas compare can't sort raw array
+    * columns). The posting list is BOUNDED BEFORE collection: a
+    * per-term row_number keeps only the `maxPostings` smallest
+    * doc_ids, so `collect_list` never sees more than that — on a
+    * 100 TB corpus no executor ever holds a full posting list (df/cf
+    * still come from the unbounded partial aggregate, which is just
+    * counters).
+    */
+  def invertedIndex(docToks: DataFrame, minDf: Long = 5,
+                    maxPostings: Int = 20): DataFrame = {
+    val td = docToks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = td.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val postings = td
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy("doc_id")))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("term")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+    stats.join(postings, "term")
+      .filter(col("df") >= minDf)
+      .select("term", "df", "cf", "postings")
+      .orderBy("term")
+  }
+
+  /** q_inverted_index: [[invertedIndex]] on the test corpus. */
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.docTokens(spark, dir))
+}
