@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** The public library facade: every LLM-pipeline operator over
   * caller-supplied DataFrames — nothing here knows about the test
@@ -91,6 +91,45 @@ object Graft {
   /** Token-length histogram with share and cumulative share. */
   def lengthHist(docs: DataFrame): DataFrame =
     TextAnalysis.lengthHist(tokenize(docs))
+
+  // ---- corpus curation: selection, mixing, sharding, hygiene ----
+
+  /** Deterministic uniform sample: keep rows whose md5(doc_id) 4-hex
+    * prefix is below `thrHex` ('1999' ≈ 10%). Reproducible, no RNG. */
+  def sampleHash(docs: DataFrame, thrHex: String = "1999"): DataFrame =
+    Curation.sampleHash(docs, thrHex)
+
+  /** Deterministic stratified sample: first `n` docs per `lang` in
+    * md5(doc_id) order. */
+  def stratifiedSample(docs: DataFrame, n: Int = 10): DataFrame =
+    Curation.stratifiedSample(docs, n)
+
+  /** Per-source weighted mixing audit: (source, tier, n_total,
+    * n_kept) under the deterministic md5-bucket keep rule. */
+  def mixWeighted(docs: DataFrame): DataFrame = Curation.mixWeighted(docs)
+
+  /** Token-offset sharding into `budget`-token training chunks via a
+    * distributed two-level prefix sum: (doc_id, n_toks, tok_offset,
+    * chunk). */
+  def packChunks(docs: DataFrame, budget: Long = 2048,
+                 bucketSpan: Long = 1000): DataFrame =
+    Curation.packChunks(tokenize(docs), budget, bucketSpan)
+
+  /** Benchmark decontamination: train docs sharing any word `n`-gram
+    * with the eval split: (doc_id, n_hit_grams, n_eval_docs). */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 4): DataFrame =
+    Curation.decontaminate(tokenize(train), tokenize(eval), n)
+
+  /** Gopher-style repetition hygiene metrics + filter flag per doc. */
+  def repetitionMetrics(docs: DataFrame, tokThr: Double = 0.6,
+                        gramThr: Double = 0.2): DataFrame =
+    Curation.repetitionMetrics(tokenize(docs), tokThr, gramThr)
+
+  /** Inverted index: (term, df, cf, postings) with posting lists
+    * bounded to `maxPostings` before any collection. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 5,
+                    maxPostings: Int = 20): DataFrame =
+    Curation.invertedIndex(tokenize(docs), minDf, maxPostings)
 
   // ---- embeddings ----
 

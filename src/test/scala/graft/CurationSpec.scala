@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators through the public facade on hand-built data —
+  * semantics the DuckDB oracle can't pin: cross-bucket prefix-sum
+  * correctness in packChunks, posting-list bounding, deterministic
+  * sampling invariants, planted contamination/repetition. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("src1"))
+
+  test("packChunks: offsets are the exact global cumsum across buckets") {
+    // bucketSpan=2 forces doc_ids 0..5 into 3 range buckets, so the
+    // cross-bucket prefix join is exercised, not just one window
+    val docs = mkDocs(
+      0L -> "a b c",          // 3 toks, offset 0
+      1L -> "d e",            // 2, offset 3
+      2L -> "f g h i",        // 4, offset 5
+      3L -> "j",              // 1, offset 9
+      4L -> "k l m",          // 3, offset 10
+      5L -> "n o")            // 2, offset 13
+    val out = Graft.packChunks(docs, budget = 5, bucketSpan = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 0L, 0L), (1L, 2L, 3L, 0L), (2L, 4L, 5L, 1L),
+      (3L, 1L, 9L, 1L), (4L, 3L, 10L, 2L), (5L, 2L, 13L, 2L)))
+  }
+
+  test("packChunks: chunk boundaries respect the token budget") {
+    val rng = new scala.util.Random(3)
+    val docs = mkDocs((0L until 60L).map(i =>
+      i -> Seq.fill(1 + rng.nextInt(9))("w").mkString(" ")): _*)
+    val out = Graft.packChunks(docs, budget = 16, bucketSpan = 7).collect()
+    var cum = 0L
+    out.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) == cum, s"offset mismatch at doc ${r.getLong(0)}")
+      assert(r.getLong(3) == cum / 16)
+      cum += r.getLong(1)
+    }
+  }
+
+  test("decontaminate finds the planted 4-gram overlap and nothing else") {
+    val train = mkDocs(
+      1L -> "alpha beta gamma delta epsilon zeta",   // shares 4-grams with eval
+      2L -> "one two three four five six seven")     // clean
+    val eval = mkDocs(
+      100L -> "alpha beta gamma delta something else",
+      101L -> "beta gamma delta epsilon other words")
+    val hits = Graft.decontaminate(train, eval)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 hits: "alpha beta gamma delta" (eval 100) and
+    // "beta gamma delta epsilon" (eval 101) -> 2 grams, 2 eval docs
+    assert(hits == Map(1L -> ((2L, 2L))))
+  }
+
+  test("repetitionMetrics flags the spam doc, passes the clean one") {
+    val out = Graft.repetitionMetrics(mkDocs(
+        1L -> "spam spam spam spam spam spam spam spam",
+        2L -> "every token here is completely unique today"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L)._1 == 0.875 && out(1L)._2 > 0.8 && out(1L)._3)
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == 0.0 && !out(2L)._3)
+  }
+
+  test("sampleHash: deterministic, monotone in threshold, subset of corpus") {
+    val docs = mkDocs((0L until 200L).map(i => i -> s"doc $i"): _*)
+    val s10a = Graft.sampleHash(docs, "1999").collect().map(_.getLong(0)).toSet
+    val s10b = Graft.sampleHash(docs, "1999").collect().map(_.getLong(0)).toSet
+    val s50 = Graft.sampleHash(docs, "8000").collect().map(_.getLong(0)).toSet
+    assert(s10a == s10b)                      // rerun-identical
+    assert(s10a.subsetOf(s50))                // threshold-monotone
+    assert(s10a.nonEmpty && s50.size < 200)   // neither degenerate
+    assert(Graft.sampleHash(docs, "0000").collect().isEmpty)
+  }
+
+  test("stratifiedSample yields exactly n per stratum, deterministic") {
+    val docs = (0L until 90L).map(i => (i, s"text $i", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("src0"))
+    val out = Graft.stratifiedSample(docs, n = 7).collect()
+    assert(out.length == 21)
+    assert(out.groupBy(_.getString(1)).forall(_._2.length == 7))
+    val again = Graft.stratifiedSample(docs, n = 7).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("mixWeighted: kept counts bounded by totals, tier rule applied") {
+    val docs = (0L until 300L).map(i => (i, s"text $i", "en", s"src${i % 6}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Graft.mixWeighted(docs).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 6)
+    out.foreach { case (src, (tier, total, kept)) =>
+      assert(tier == src.drop(3).toInt % 3)
+      assert(kept <= total && total == 50)
+    }
+    // 80% tier keeps more than 10% tier on any non-tiny source (md5 is
+    // uniform; 50 draws at 80% vs 10% cannot invert order)
+    assert(out("src0")._3 > out("src2")._3)
+  }
+
+  test("invertedIndex: exact df/cf, postings bounded and sorted") {
+    val docs = mkDocs((0L until 30L).map(i =>
+      i -> (if (i % 2 == 0) "common rare" else "common only")): _*)
+    val out = Graft.invertedIndex(docs, minDf = 5, maxPostings = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out("common") == ((30L, 30L, "0,1,2,3")))   // bounded to 4
+    assert(out("rare") == ((15L, 15L, "0,2,4,6")))     // even docs only
+    assert(!out.contains("only") || out("only")._1 >= 5L)
+  }
+}
