@@ -245,9 +245,11 @@ object Dedup {
       .localCheckpoint()
     // lazy per-round checkpoints: the convergence aggregate right after
     // each one materializes it, so every round costs ONE job, not a
-    // separate eager-checkpoint job plus the aggregate
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // separate eager-checkpoint job plus the aggregate. Seed with
+    // min(id, min neighbour) — the first propagation round for free
+    // (one groupBy on the edge list, no join).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(false)
     // labels only ever DECREASE (min propagation), so the label sum
     // strictly decreases iff any label changed — a 1-row aggregate per
@@ -256,13 +258,22 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
+      // neighbour-min propagation ...
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      labels = labels
+      val prop = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
                 least(col("label"), coalesce(col("nbr_min"), col("label")))
                   .as("label"))
+      // ... then pointer jumping (label ← label(label)): path
+      // compression turns the O(diameter) round count into O(log d) —
+      // every label is a node id, so the self-join always resolves
+      labels = prop.as("x")
+        .join(prop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+              col("x.label") === col("j.jid"), "left")
+        .select(col("x.id").as("id"),
+                coalesce(col("j.jlabel"), col("x.label")).as("label"))
         .localCheckpoint(false)
       val s = labels.agg(sum(col("label"))).head().getLong(0)
       converged = s == prevSum
