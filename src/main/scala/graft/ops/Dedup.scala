@@ -62,6 +62,18 @@ object Dedup {
     * intersections, so the DuckDB string-set oracle is unchanged. At
     * scale the vocabulary rank would come from zipWithIndex on the
     * sorted df table instead of a single-partition window.
+    *
+    * Verify placement (r5): the sorted rank arrays ride THROUGH the
+    * prefix join (a prefix row is ~(1-τ)|X| per doc, so the exploded
+    * side is small) and each candidate occurrence is verified INLINE in
+    * the same codegen stage — merge-intersect, jaccard, filter — with
+    * only the ≥ τ survivors deduplicated. The r3 shape deduplicated the
+    * 10×-larger raw candidate stream first and then re-joined the
+    * arrays on twice (3 shuffles of candidate-scale data); verifying
+    * duplicate occurrences redundantly is pure co-located CPU (a ~|X|
+    * merge scan) and removes all of them. A same pair can collide on
+    * up to prefixLen tokens, so multiplicity is bounded by the prefix
+    * length, not the corpus.
     */
   def qSimJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.docTokens(spark, dir))
@@ -87,32 +99,31 @@ object Dedup {
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("rank"))).as("hset"))
       .withColumn("nset", size(col("hset")))
-      .persist() // feeds the prefix explode and both verify joins
+      .persist() // feeds both sides of the prefix self-join
     val prefixLen = col("nset") - ceil(col("nset") * tau).cast("int") + 1
-    val pre = d.select(col("doc_id"), col("lang"), col("nset"),
+    // the rank array rides along: the candidate join feeds the verify
+    // expression directly, no re-join for payloads
+    val pre = d.select(col("doc_id"), col("lang"), col("nset"), col("hset"),
                        explode(slice(col("hset"), lit(1), prefixLen)).as("p"))
     val a = pre.select(col("doc_id").as("doc_a"), col("lang"),
-                       col("nset").as("n_a"), col("p"))
+                       col("nset").as("n_a"), col("hset").as("hset_a"), col("p"))
     val b = pre.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-                       col("nset").as("n_b"), col("p").as("p_b"))
-    val cands = a.join(b,
+                       col("nset").as("n_b"), col("hset").as("hset_b"),
+                       col("p").as("p_b"))
+    a.join(b,
         col("lang") === col("lang_b") && col("p") === col("p_b")
           && col("doc_a") < col("doc_b")
           // size-ratio prune, implied by the final J >= tau filter
           && col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    cands
-      .join(d.select(col("doc_id").as("doc_a"), col("hset").as("hset_a"),
-                     col("nset").as("n_a")), "doc_a")
-      .join(d.select(col("doc_id").as("doc_b"), col("hset").as("hset_b"),
-                     col("nset").as("n_b")), "doc_b")
       .withColumn("inter",
         SetFunctions.sortedIntersectSize(col("hset_a"), col("hset_b")))
       .select(col("doc_a"), col("doc_b"),
               (col("inter").cast("double")
                 / (col("n_a") + col("n_b") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
+      // duplicate candidate occurrences carry identical jac — dedup the
+      // survivors (output-scale), not the candidate stream
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
   }
