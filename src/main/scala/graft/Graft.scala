@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Curation, Dedup, Similarity, TextAnalysis}
 
 /** The public library facade: every LLM-pipeline operator over
   * caller-supplied DataFrames — nothing here knows about the test
@@ -130,6 +130,32 @@ object Graft {
   def invertedIndex(docs: DataFrame, minDf: Long = 5,
                     maxPostings: Int = 20): DataFrame =
     Curation.invertedIndex(tokenize(docs), minDf, maxPostings)
+
+  /** Sketch decontamination: eval n-grams folded into a broadcast
+    * Bloom filter, corpus flagged in one narrow pass (no false
+    * negatives; per-probe false-positive rate `fpp`). */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 4,
+                         fpp: Double = 1e-6): DataFrame =
+    Curation.bloomDecontaminate(tokenize(train), tokenize(eval), n, fpp)
+
+  /** Per-doc Shannon entropy of the token distribution:
+    * (doc_id, n_toks, n_distinct, entropy, norm_entropy). */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    TextAnalysis.tokenEntropy(tokenize(docs))
+
+  /** Per-doc perplexity under the corpus's own unigram LM:
+    * (doc_id, n_toks, nll, ppl). */
+  def perplexity(docs: DataFrame): DataFrame =
+    TextAnalysis.perplexity(tokenize(docs))
+
+  /** PII detection + redaction over (id, text) rows: match counts per
+    * class and the masked text. */
+  def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)
+
+  /** Deterministic Lloyd's k-means over (vec_id, embedding):
+    * (vec_id, cluster, dist). */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
+    Clustering.kmeans(embeddings, k, iters)
 
   // ---- embeddings ----
 

@@ -58,6 +58,7 @@ object Queries {
     "q_union_distinct" -> (Relational.qUnionDistinct _),
     "q_intersect"      -> (Relational.qIntersect _),
     "q_except"         -> (Relational.qExcept _),
+    "q_join_skew"      -> (Relational.qJoinSkew _),
   )
 
   val relationalOracle: Map[String, String] = Map(
@@ -163,6 +164,14 @@ object Queries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
         |ORDER BY custkey""".stripMargin,
+    // the salted join is semantics-preserving, so its oracle is the
+    // PLAIN join — the whole point of the query
+    "q_join_skew" ->
+      s"""SELECT o_orderpriority,
+         |  ${rnd("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue,
+         |  count(*)::BIGINT AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
   // -------------------------------------------------------------------
@@ -541,6 +550,11 @@ object Queries {
     "q_sql_q3"              -> (Sql.qSqlQ3 _),
     "q_sql_q5"              -> (Sql.qSqlQ5 _),
     "q_sql_q10"             -> (Sql.qSqlQ10 _),
+    "q_sql_q18"             -> (Sql.qSqlQ18 _),
+    "q_token_entropy"       -> (TextAnalysis.qTokenEntropy _),
+    "q_perplexity"          -> (TextAnalysis.qPerplexity _),
+    "q_pii_redact"          -> (TextAnalysis.qPiiRedact _),
+    "q_kmeans"              -> (Clustering.qKmeans _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -675,6 +689,50 @@ object Queries {
     "q_sql_q3" -> Sql.q3Template(e => rnd(e, 2)),
     "q_sql_q5" -> Sql.q5Template(e => rnd(e, 2)),
     "q_sql_q10" -> Sql.q10Template(e => rnd(e, 2)),
+    "q_sql_q18" -> Sql.q18Template(e => rnd(e, 2)),
+    "q_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+         |h AS (SELECT doc_id, sum(c)::BIGINT AS n_toks,
+         |        count(*)::BIGINT AS n_distinct,
+         |        ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_toks, n_distinct,
+         |  ${rnd("h", 6)} AS entropy,
+         |  ${rnd("CASE WHEN n_distinct > 1 THEN h / ln(n_distinct) ELSE 0.0 END", 6)}
+         |    AS norm_entropy
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |lm AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+         |n AS (SELECT sum(c)::DOUBLE AS n FROM lm),
+         |s AS (SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+         |        -avg(ln(lm.c / n.n)) AS nll
+         |      FROM t JOIN lm USING (w), n GROUP BY t.doc_id)
+         |SELECT doc_id, n_toks, ${rnd("nll", 6)} AS nll,
+         |  ${rnd("exp(nll)", 6)} AS ppl
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" -> {
+      import TextAnalysis.{EmailRe, PhoneRe, IpRe}
+      s"""WITH b AS (SELECT c_custkey AS id,
+         |  'contact ' || c_name || ' mail ' ||
+         |  lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')) ||
+         |  '@example.com tel 555-' ||
+         |  lpad((c_custkey % 1000)::VARCHAR, 3, '0') || '-' ||
+         |  lpad(((c_custkey * 7) % 10000)::VARCHAR, 4, '0') ||
+         |  ' host 10.' || (c_nationkey % 256)::VARCHAR ||
+         |  '.0.' || (c_custkey % 256)::VARCHAR AS text
+         |FROM customer)
+         |SELECT id,
+         |  len(regexp_extract_all(text, '$EmailRe'))::INT AS n_emails,
+         |  len(regexp_extract_all(text, '$PhoneRe'))::INT AS n_phones,
+         |  len(regexp_extract_all(text, '$IpRe'))::INT AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '[EMAIL]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g'),
+         |    '$IpRe', '[IP]', 'g') AS redacted
+         |FROM b ORDER BY id""".stripMargin
+    },
     "q_dedup_embed" ->
       s"""$NORMVEC
          |SELECT id_a, id_b, cos_sim FROM (
@@ -697,6 +755,7 @@ object Queries {
     "q_decontaminate"     -> (Curation.qDecontaminate _),
     "q_rep_filter"        -> (Curation.qRepFilter _),
     "q_inverted_index"    -> (Curation.qInvertedIndex _),
+    "q_bloom_decontaminate" -> (Curation.qBloomDecontaminate _),
   )
 
   val curationOracle: Map[String, String] = Map(
@@ -780,7 +839,9 @@ object Queries {
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
     * (golden-tested): q_agg_approx, q_dedup_near, q_dedup_simhash,
-    * q_ann_ivf, q_multimodal_features. */
+    * q_ann_ivf, q_multimodal_features, q_kmeans (FP-order in the
+    * distributed centroid means), q_bloom_decontaminate (sketch-seed-
+    * dependent false positives). */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

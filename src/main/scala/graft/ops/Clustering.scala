@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Embedding-space clustering — the semantic-bucketing step of a
+  * training-data pipeline (domain discovery, cluster-balanced
+  * sampling, SemDeDup-style semantic dedup all start from a k-means
+  * partition of the embedding space).
+  *
+  * Deterministic Lloyd's iterations, DataFrame-first:
+  *
+  *  - init is the k lowest `vec_id` vectors (no RNG — the same corpus
+  *    always yields the same model; k-means++ would add seed state for
+  *    little gain at this k);
+  *  - the assign step is one narrow codegen projection: squared
+  *    distance ‖v‖² − 2·v·c + ‖c‖² against every centroid (the v·c
+  *    dot is the codegen [[graft.functions.DotProduct]]; ‖c‖² folds to
+  *    a literal), argmin via `array_min` over (d2, cid) structs —
+  *    lexicographic struct ordering gives the lowest-cid tiebreak
+  *    deterministically;
+  *  - the update step is posexplode → (cluster, dim) partial-agg mean:
+  *    k·d averaged cells come back to the driver as the next model —
+  *    centroids are MODEL state (k·d doubles, O(KB)), the same thing
+  *    MLlib's KMeans collects per iteration; corpus rows never leave
+  *    the executors;
+  *  - an empty cluster keeps its previous centroid (no resampling —
+  *    determinism again).
+  *
+  * Oracle-exempt: the update means sum floating point in partition
+  * order, so exact bit-parity with a serial engine is not defined —
+  * ClusteringSpec's goldens pin recovered structure (planted clusters
+  * recovered exactly, inertia monotone in iterations) instead.
+  */
+object Clustering {
+
+  /** q_kmeans: [[kmeans]] (k = 8, 5 iterations) on the test corpus. */
+  def qKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeans(Tables.embeddings(spark, dir))
+
+  /** Lloyd's k-means over any (vec_id, embedding) DataFrame — the
+    * library entry point ([[graft.Graft.kmeans]]). Returns one row per
+    * vector: (vec_id, cluster, dist) with dist the Euclidean distance
+    * to the final centroid. */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1)
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    val v = embeddings
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist() // read once per iteration + the final assign
+    // deterministic init: the k lowest vec_ids' vectors (k rows)
+    var centroids: IndexedSeq[Seq[Double]] = v
+      .orderBy("vec_id").limit(k)
+      .collect()
+      .map(_.getSeq[Double](1))
+      .toIndexedSeq
+    val dim = centroids.head.length
+    for (_ <- 1 to iters) {
+      val means = assign(v, centroids)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cluster", "d").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val c = new Array[Double](dim)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+          cid -> c.toSeq
+        }
+      // empty cluster -> previous centroid survives
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    assign(v, centroids)
+      .select(col("vec_id"), col("cluster"),
+              round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** One assign pass: (vec_id, v, cluster, d2) with the argmin
+    * centroid id and squared distance. */
+  private def assign(v: DataFrame,
+                     centroids: IndexedSeq[Seq[Double]]): DataFrame = {
+    val vv = VectorFunctions.dot(col("v"), col("v"))
+    val scored: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((vv - lit(2.0) * VectorFunctions.dot(col("v"), typedlit(c))
+               + lit(c2)).as("d2"),
+             lit(i).as("cid"))
+    }
+    v.withColumn("best", array_min(array(scored: _*)))
+      .select(col("vec_id"), col("v"),
+              col("best.cid").as("cluster"),
+              // clamp tiny negative FP residue so sqrt stays real
+              greatest(col("best.d2"), lit(0.0)).as("d2"))
+  }
+}

@@ -166,6 +166,56 @@ object Curation {
                   d.filter(col("doc_id") % 50 === 0))
   }
 
+  /** Sketch-based decontamination — the 100 TB form of
+    * [[decontaminate]]: the eval split's distinct n-grams are folded
+    * into a Bloom filter (one small-side job, the offline
+    * sketch-build), the sketch ships to every executor as a broadcast,
+    * and the corpus is flagged in ONE narrow pass — no join, no
+    * shuffle of the training side at all. The trade is one-sided
+    * error: a Bloom filter has NO false negatives (every truly
+    * contaminated doc is flagged — the guarantee decontamination
+    * needs) and a bounded false-positive rate `fpp` (a small
+    * overcautious extra drop). `fpp` is PER PROBE: a clean doc with g
+    * grams is falsely flagged with probability ≈ 1−(1−fpp)^g, so pick
+    * fpp ≪ 1/g — the 1e-6 default holds per-doc FP under 1e-4 for
+    * thousand-gram documents at ~29 bits per eval gram. Emits every
+    * train doc with its gram count, probe-hit count and flag; callers
+    * keep `!contaminated`.
+    *
+    * The probe is a deliberate scala UDF: a Bloom-filter membership
+    * test (murmur hashing against a broadcast bit array) is a sketch
+    * codec, not a Catalyst expression — same boundary as the
+    * multimodal decode ([[Multimodal]]). Oracle-exempt (hash-seed-
+    * dependent FPs); CurationSpec pins the no-false-negative guarantee
+    * against the exact [[decontaminate]] and bounds the FP count.
+    */
+  def bloomDecontaminate(trainToks: DataFrame, evalToks: DataFrame,
+                         n: Int = 4, fpp: Double = 1e-6,
+                         expectedGrams: Long = 1L << 20): DataFrame = {
+    val spark = trainToks.sparkSession
+    val evalGrams = evalToks
+      .select(explode(array_distinct(Text.ngramCol(col("toks"), n))).as("gn"))
+    val bf = evalGrams.stat.bloomFilter("gn", expectedGrams, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val hits = udf((grams: Seq[String]) =>
+      if (grams == null) 0 else grams.count(bc.value.mightContainString))
+    trainToks
+      .select(col("doc_id"),
+              array_distinct(Text.ngramCol(col("toks"), n)).as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+              hits(col("grams")).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q_bloom_decontaminate: same eval split as [[qDecontaminate]]
+    * (doc_id % 50 == 0), sketch path. */
+  def qBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.docTokens(spark, dir)
+    bloomDecontaminate(d.filter(col("doc_id") % 50 =!= 0),
+                       d.filter(col("doc_id") % 50 === 0))
+  }
+
   /** Gopher-style repetition hygiene metrics per document: duplicate
     * token fraction (1 − distinct/total tokens), duplicate 3-gram
     * fraction, and the filter flag. Pure narrow projection — no

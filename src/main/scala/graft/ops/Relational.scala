@@ -181,6 +181,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q_join_skew: the hot-key fact⋈fact join through
+    * [[Skew.saltedInnerJoin]] — lineitem joined to orders on the order
+    * key with an 8-way salt spreading each key over 8 reducers, then
+    * the revenue rollup by priority. The RESULT is provably identical
+    * to the unsalted join (the oracle is the plain SQL join — salting
+    * changes partitioning, never semantics), which is exactly the
+    * property that makes salting safe to apply under a skewed 100 TB
+    * key distribution. */
+  def qJoinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .as("rev"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    Skew.saltedInnerJoin(li, o, "o_orderkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q_sort_multi: multi-key sort, mixed direction, explicit null
     * ordering (a NULLIF-derived key supplies real nulls). */
   def qSortMulti(spark: SparkSession, dir: String): DataFrame =

@@ -77,6 +77,23 @@ object Sql {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q18 shape: large-volume-customer report — the IN-subquery
+    * with HAVING over an aggregate (decorrelated by Catalyst into a
+    * semi-join against the grouped lineitem), then a 3-table join and
+    * top-100. Exercises the subquery-rewrite path none of the other
+    * SQL queries touch. */
+  def q18Template(rnd: String => String): String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       |  ${rnd("o_totalprice")} AS o_totalprice,
+       |  ${rnd("sum(l_quantity)")} AS sum_qty
+       |FROM customer, orders, lineitem
+       |WHERE o_orderkey IN (
+       |    SELECT l_orderkey FROM lineitem
+       |    GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   private val sparkRound: String => String = e => s"round($e, 2)"
 
   /** q_sql_q1: TPC-H Q1 via spark.sql. */
@@ -101,5 +118,11 @@ object Sql {
   def qSqlQ10(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q10Template(sparkRound))
+  }
+
+  /** q_sql_q18: TPC-H Q18 via spark.sql. */
+  def qSqlQ18(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q18Template(sparkRound))
   }
 }

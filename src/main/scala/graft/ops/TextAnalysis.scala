@@ -191,6 +191,114 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** q_token_entropy: per-document Shannon entropy of the token
+    * distribution — the gibberish/repetition signal a quality pipeline
+    * reads next to [[repetitionMetrics]]: low entropy = few tokens
+    * dominate (boilerplate, keyword stuffing), entropy near ln(k) =
+    * uniform usage. Computed as H = ln n − (Σ c·ln c)/n over per-doc
+    * token counts — one explode + two partial-aggregate shuffles, no
+    * driver state; norm_entropy divides by ln(distinct) to land in
+    * [0, 1] regardless of doc length. */
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables.docTokens(spark, dir))
+
+  /** [[qTokenEntropy]]'s engine over any (doc_id, toks) DataFrame —
+    * the library entry point ([[graft.Graft.tokenEntropy]]). */
+  def tokenEntropy(docToks: DataFrame): DataFrame =
+    docToks
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_toks"),
+           count(lit(1)).as("n_distinct"),
+           (log(sum(col("c"))) -
+             sum(col("c") * log(col("c"))) / sum(col("c"))).as("h"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+              round(col("h"), 6).as("entropy"),
+              round(when(col("n_distinct") > 1,
+                         col("h") / log(col("n_distinct")))
+                      .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy("doc_id")
+
+  /** q_perplexity: per-document perplexity under the corpus's own
+    * unigram language model — the model-free analog of the LM-based
+    * quality filter (CCNet/Gopher style): P(w) = c(w)/N from corpus
+    * counts, NLL(doc) = −(1/|doc|)·Σ ln P(wᵢ), ppl = e^NLL. Documents
+    * made of rare tokens score high (surprising), repetitive
+    * common-token docs score low. Scale shape: one word-count shuffle
+    * with map-side combine for the LM, the corpus total N as a
+    * broadcast 1-row scalar (never a driver `.first()`), one key join
+    * of the exploded corpus against the LM (AQE picks broadcast when
+    * the vocabulary fits), one per-doc aggregate. */
+  def qPerplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexity(Tables.docTokens(spark, dir))
+
+  /** [[qPerplexity]]'s engine over any (doc_id, toks) DataFrame — the
+    * library entry point ([[graft.Graft.perplexity]]). */
+  def perplexity(docToks: DataFrame): DataFrame = {
+    val words = docToks.select(col("doc_id"), explode(col("toks")).as("w"))
+    val lm = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = lm.agg(sum(col("c")).cast("double").as("n"))
+    words
+      .join(lm, "w")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           (-avg(log(col("c") / col("n")))).as("nll"))
+      .select(col("doc_id"), col("n_toks"),
+              round(col("nll"), 6).as("nll"),
+              round(exp(col("nll")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** PII patterns shared by [[piiRedact]] and its DuckDB oracle — kept
+    * to the regex subset with identical semantics in Java regex and
+    * RE2 (char classes, bounded repeats, no lookaround). */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** q_pii_redact: PII detection + redaction. The test corpus is
+    * synthetic word salad with no PII, so the query first RENDERS a
+    * contact blob per customer from structured columns (name, a
+    * derived email, a phone, an IPv4) — the in-query-constructed-input
+    * pattern q_map_funcs uses — then runs the actual operator: count
+    * emails/phones/IPs and replace each class with a typed mask
+    * token. Pure narrow projection (regex scan per row, no shuffle,
+    * codegen'd `RegExpReplace`/`RegExpExtractAll`) — at 100 TB this is
+    * a full scan and nothing else, the shape PII scrubbing needs. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val blob = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"),
+              concat(
+                lit("contact "), col("c_name"),
+                lit(" mail "), lower(regexp_replace(col("c_name"), "[^a-zA-Z0-9]", "")),
+                lit("@example.com tel 555-"),
+                lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+                lit("-"),
+                lpad(pmod(col("c_custkey") * 7, lit(10000)).cast("string"), 4, "0"),
+                lit(" host 10."), pmod(col("c_nationkey"), lit(256)).cast("string"),
+                lit(".0."), pmod(col("c_custkey"), lit(256)).cast("string"))
+                .as("text"))
+    piiRedact(blob)
+  }
+
+  /** [[qPiiRedact]]'s engine over any (id, text) DataFrame — the
+    * library entry point ([[graft.Graft.piiRedact]]). */
+  def piiRedact(rows: DataFrame): DataFrame =
+    rows
+      .select(
+        col("id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]").as("redacted"))
+      .orderBy("id")
+
   /** q_fingerprint: content fingerprints — md5 of the normalized text
     * (order-sensitive) and md5 of the sorted distinct token set (bag
     * fingerprint), plus the bag-group size: set-identical docs share

@@ -62,4 +62,27 @@ object Formats {
     * only survives the catalog route). */
   def readBucketed(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Line-oriented text sink: one column rendered one row per line —
+    * the interchange format for tokenizer/training-shard handoff. */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  /** Line-oriented text source: (value string), one row per line.
+    * Schema is fixed by the format — nothing to infer, so (unlike
+    * CSV/JSON) the cold read costs no extra scan. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Whole-file binary source: (path, modificationTime, length,
+    * content binary) — the ingest route for media corpora
+    * ([[graft.ops.Multimodal]] consumes the `content` bytes).
+    * `pathGlobFilter` prunes by extension BEFORE any bytes are read,
+    * and the source never splits a file across partitions (a codec
+    * needs whole objects). */
+  def readBinary(spark: SparkSession, path: String,
+                 glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
 }

@@ -116,4 +116,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out("rare") == ((15L, 15L, "0,2,4,6")))     // even docs only
     assert(!out.contains("only") || out("only")._1 >= 5L)
   }
+
+  test("bloomDecontaminate: no false negatives vs the exact join") {
+    val train = mkDocs(
+      1L -> "alpha beta gamma delta epsilon zeta",    // contaminated
+      2L -> "one two three four five six seven",      // clean
+      3L -> "beta gamma delta epsilon trailing words") // contaminated
+    val eval = mkDocs(100L -> "alpha beta gamma delta epsilon other")
+    val exactHits = Graft.decontaminate(train, eval)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Graft.bloomDecontaminate(train, eval)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // every exact hit is flagged — the Bloom one-sided-error guarantee
+    assert(exactHits.forall(bloom(_)), s"false negative: $exactHits vs $bloom")
+    assert(bloom.size == 3) // every train doc reported
+  }
+
+  test("bloomDecontaminate: false-positive flags are rare at the sf0.001 corpus") {
+    val spark0 = spark
+    val d = Tables.docTokens(spark0, TestSpark.sf0001)
+    val eval = d.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    val train = d.filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+    val exact = ops.Curation.decontaminate(train, eval)
+      .collect().map(_.getLong(0)).toSet
+    val flagged = ops.Curation.bloomDecontaminate(train, eval)
+      .filter("contaminated").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged))
+    // with ~29 bits/gram the sketch adds (at most) a handful of FPs
+    assert((flagged -- exact).size <= math.max(2, exact.size / 10),
+      s"too many bloom false positives: ${(flagged -- exact).size}")
+  }
 }

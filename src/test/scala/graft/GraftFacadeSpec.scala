@@ -107,4 +107,40 @@ class GraftFacadeSpec extends AnyFunSuite {
     val h = Graft.lengthHist(docs).collect()
     assert(h.map(_.getLong(1)).sum == 5)
   }
+
+  test("piiRedact masks every class and counts hits") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+x@mail.example.org or 415-555-0137 from 192.168.0.1"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+    val out = Graft.piiRedact(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 ==
+      "reach me at [EMAIL] or [PHONE] from [IP]")
+    assert(out(2L) == ((0, 0, 0, "no pii here at all")))
+  }
+
+  test("tokenEntropy: uniform doc scores 1.0, repeated-token doc scores 0") {
+    val rows = Seq((1L, "a a b b", "en"), (2L, "w w w w", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Graft.tokenEntropy(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // H([a,a,b,b]) = ln2; normalized by ln(2 distinct) = 1.0
+    assert(math.abs(out(1L)._2 - math.log(2)) < 1e-6 && out(1L)._3 == 1.0)
+    assert(out(2L) == ((1L, 0.0, 0.0)))
+  }
+
+  test("perplexity: rare-token docs score above common-token docs") {
+    val rows = Seq(
+      (1L, "common common common common", "en"),
+      (2L, "common common common rareword", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Graft.perplexity(rows).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(2L) > out(1L))
+    // doc 1: P(common) = 7/8 -> ppl = 8/7
+    assert(math.abs(out(1L) - 8.0 / 7.0) < 1e-5)
+  }
 }

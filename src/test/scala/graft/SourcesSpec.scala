@@ -120,6 +120,31 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("text round-trip: one line per doc, order-insensitive content equal") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select(col("text"))
+    val dir = Files.createTempDirectory("graft_text").toString + "/docs"
+    Formats.writeText(docs, dir)
+    val back = Formats.readText(spark, dir)
+    assert(back.count() == docs.count())
+    // decimal sum: order-insensitive, duplicate-sensitive, no overflow
+    val h = (df: org.apache.spark.sql.DataFrame, c: String) =>
+      df.agg(sum(xxhash64(col(c)).cast("decimal(38,0)"))).collect().head.getDecimal(0)
+    assert(h(back, "value") == h(docs, "text"))
+  }
+
+  test("binaryFile source reads whole files with glob pruning") {
+    val dir = Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("b.wav"), Array[Byte](9, 8, 7))
+    val all = Formats.readBinary(spark, dir.toString)
+    assert(all.count() == 2)
+    val png = Formats.readBinary(spark, dir.toString, glob = "*.png").collect()
+    assert(png.length == 1)
+    val r = png.head
+    assert(r.getAs[Long]("length") == 4L)
+    assert(r.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
