@@ -54,6 +54,11 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The flat stopword list backing the quality composite (shared with
+    * the streaming curation pipeline). */
+  private[graft] val stopwords: Seq[String] =
+    markers.flatMap(_._2).distinct.sorted
+
   /** q_quality_score: length / type-token-ratio / stopword-ratio
     * composite quality score per document. */
   def qQualityScore(spark: SparkSession, dir: String): DataFrame =

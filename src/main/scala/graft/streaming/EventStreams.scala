@@ -85,6 +85,36 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming corpus curation — the incremental form of the batch
+    * [[graft.ops.TextAnalysis.curate]] pipeline for an unbounded crawl
+    * stream: content-hash dedup within the watermark horizon
+    * ([[dedupDocsByContent]]'s state contract), then the quality gate
+    * (length/TTR/stopword-free composite, same formula as the batch
+    * op) and the Gopher repetition gate — both PURE NARROW projections,
+    * so the only streaming state in the whole pipeline is the bounded
+    * seen-hash set. Rows emitted are curated documents ready for the
+    * shard writer; at 100 TB/day this runs as one stage after the
+    * dedup state store. Input needs (doc_id, text, ts). */
+  def curateStream(docs: DataFrame, watermark: String = "10 minutes",
+                   minQuality: Double = 0.5,
+                   maxDupTokFrac: Double = 0.6): DataFrame = {
+    val stop = typedlit(graft.ops.TextAnalysis.stopwords)
+    val nToks = size(col("toks"))
+    val ttr = size(array_distinct(col("toks"))).cast("double") / nToks
+    val stopRatio =
+      size(filter(col("toks"), t => array_contains(stop, t))).cast("double") / nToks
+    dedupDocsByContent(docs, watermark)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("n_toks", nToks)
+      // the batch quality composite, verbatim (TextAnalysis.qualityScore)
+      .withColumn("quality", round(least(nToks / 100.0, lit(1.0)) * 0.3
+        + ttr * 0.3 + (lit(1.0) - stopRatio) * 0.4, 6))
+      .withColumn("dup_tok_frac", round(lit(1.0) - ttr, 6))
+      .filter(col("quality") >= minQuality
+        && col("dup_tok_frac") <= maxDupTokFrac)
+      .select("doc_id", "ts", "n_toks", "quality", "dup_tok_frac")
+  }
+
   /** Stream-stream INTERVAL join: each purchase joined to signups of
     * the same user within the preceding `horizon` — the canonical
     * Structured Streaming join shape. Both sides carry watermarks and

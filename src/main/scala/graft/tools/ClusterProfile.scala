@@ -33,8 +33,9 @@ object ClusterProfile {
         .localCheckpoint()
     }
     println(s"  edges=${edges.count()} parts=${edges.rdd.getNumPartitions}")
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // mirrors Dedup.dedupClusters: min-seed + propagation + pointer jump
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
       .localCheckpoint(false)
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
@@ -43,11 +44,16 @@ object ClusterProfile {
       time(f"round_$rounds%02d") {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        labels = labels
+        val prop = labels
           .join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(col("id"),
                   least(col("label"), coalesce(col("nbr_min"), col("label")))
                     .as("label"))
+        labels = prop.as("x")
+          .join(prop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+                col("x.label") === col("j.jid"), "left")
+          .select(col("x.id").as("id"),
+                  coalesce(col("j.jlabel"), col("x.label")).as("label"))
           .localCheckpoint(false)
         val s = labels.agg(sum(col("label"))).head().getLong(0)
         converged = s == prevSum

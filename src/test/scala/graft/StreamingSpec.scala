@@ -232,4 +232,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(fox == Set(1L, 5L), s"got $fox")
     }
   }
+
+  test("streaming curation: dup dropped, junk filtered, good doc curated") {
+    val ms = MemoryStream[DocEv](spark)
+    val curated = EventStreams.curateStream(ms.toDF(),
+      watermark = "10 minutes", minQuality = 0.5, maxDupTokFrac = 0.5)
+    withQuery(curated, "append", "t_curate_stream") { q =>
+      ms.addData(Seq(
+        // good: varied tokens, dup_tok_frac 0
+        DocEv(1, "the quick brown fox jumps over a lazy dog today",
+              ts("2024-01-01 00:00:00")),
+        // exact content dup of 1 inside the horizon: dropped by state
+        DocEv(2, "the quick brown fox jumps over a lazy dog today",
+              ts("2024-01-01 00:00:10")),
+        // repetition junk: 1 distinct token of 8 -> dup_tok_frac 0.875
+        DocEv(3, "spam spam spam spam spam spam spam spam",
+              ts("2024-01-01 00:00:20"))))
+      q.processAllAvailable()
+      val out = spark.table("t_curate_stream")
+        .collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(1L), s"curated ids: $out")
+    }
+  }
 }
