@@ -152,6 +152,16 @@ object Graft {
     * class and the masked text. */
   def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)
 
+  /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
+    * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans). */
+  def sharedSpans(docs: DataFrame, w: Int = 20): DataFrame =
+    Dedup.sharedSpans(tokenize(docs), w)
+
+  /** Per-source corpus report: doc counts, language spread, token
+    * totals/means, mean quality (needs a `source` column). */
+  def domainStats(docs: DataFrame): DataFrame =
+    TextAnalysis.domainStats(tokenize(docs))
+
   /** Deterministic Lloyd's k-means over (vec_id, embedding):
     * (vec_id, cluster, dist). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =

@@ -555,6 +555,8 @@ object Queries {
     "q_perplexity"          -> (TextAnalysis.qPerplexity _),
     "q_pii_redact"          -> (TextAnalysis.qPiiRedact _),
     "q_kmeans"              -> (Clustering.qKmeans _),
+    "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
+    "q_dedup_span"          -> (Dedup.qDedupSpan _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -712,6 +714,35 @@ object Queries {
          |SELECT doc_id, n_toks, ${rnd("nll", 6)} AS nll,
          |  ${rnd("exp(nll)", 6)} AS ppl
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_dedup_span" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |        generate_series(1, greatest(len(toks)-19, 0)),
+         |        i -> array_to_string(toks[i:i+19], ' ')))) AS span FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*)::BIGINT AS n_shared_spans
+         |FROM s a JOIN s b ON a.span = b.span AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q_domain_stats" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      s"""WITH t AS (SELECT doc_id, source, lang, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks)::INT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
+         |FROM t),
+         |q AS (SELECT doc_id,
+         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
+         |FROM m)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  sum(len(toks))::BIGINT AS total_toks,
+         |  ${rnd("avg(len(toks))", 6)} AS avg_toks,
+         |  ${rnd("avg(quality)", 6)} AS avg_quality
+         |FROM t JOIN q USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_pii_redact" -> {
       import TextAnalysis.{EmailRe, PhoneRe, IpRe}
       s"""WITH b AS (SELECT c_custkey AS id,

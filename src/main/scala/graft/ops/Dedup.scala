@@ -299,6 +299,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q_dedup_span: exact shared-span detection — pairs of documents
+    * sharing at least one verbatim `w`-token window (the
+    * substring-level dedup signal of RefinedWeb/Lee-et-al-style exact
+    * dedup, at token granularity): doc pairs that are NOT near-dups
+    * globally can still share a long quoted/boilerplate run, and a
+    * curation pass wants those spans counted. Shape: one explode to
+    * distinct per-doc span hashes (xxhash64 of the joined window — the
+    * at-rest key form; full strings would shuffle 20× the bytes), one
+    * self-join on the span hash with doc_a < doc_b, one partial-agg
+    * count per pair. Span hash collisions (64-bit) are negligible;
+    * the DuckDB oracle joins on the exact STRINGS, so a hash collision
+    * would surface as a mismatch — the oracle doubles as the collision
+    * check. */
+  def qDedupSpan(spark: SparkSession, dir: String): DataFrame =
+    sharedSpans(Tables.docTokens(spark, dir))
+
+  /** [[qDedupSpan]]'s engine over any (doc_id, toks) DataFrame — the
+    * library entry point ([[graft.Graft.sharedSpans]]). */
+  def sharedSpans(docToks: DataFrame, w: Int = 20): DataFrame = {
+    val spans = docToks
+      .select(col("doc_id"),
+              explode(array_distinct(Text.ngramCol(col("toks"), w))).as("span"))
+      .select(col("doc_id"), xxhash64(col("span")).as("sh"))
+    val a = spans.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = spans.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q_dedup_simhash: SimHash near-dup candidates — 64-bit simhash per
     * doc ([[graft.functions.SimHash64]]), banded into 4×16-bit keys
     * (a pair within Hamming distance 3 shares at least one intact

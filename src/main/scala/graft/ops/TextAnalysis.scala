@@ -304,6 +304,31 @@ object TextAnalysis {
           IpRe, "[IP]").as("redacted"))
       .orderBy("id")
 
+  /** q_domain_stats: the per-source corpus report a curation run reads
+    * before setting mixture weights — doc counts, language spread,
+    * token totals and means, mean quality — one partial-agg shuffle on
+    * `source` joined with the (already aggregated) per-doc quality.
+    * At 100 TB this is the daily corpus dashboard: group cardinality
+    * is the source list, so shuffle volume is counters, not rows. */
+  def qDomainStats(spark: SparkSession, dir: String): DataFrame =
+    domainStats(Tables.docTokens(spark, dir))
+
+  /** [[qDomainStats]]'s engine over any (doc_id, source, lang, toks)
+    * DataFrame — the library entry point
+    * ([[graft.Graft.domainStats]]). */
+  def domainStats(docToks: DataFrame): DataFrame = {
+    val q = qualityScore(docToks).select(col("doc_id"), col("quality"))
+    docToks
+      .join(q, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("lang")).as("n_langs"),
+           sum(size(col("toks"))).as("total_toks"),
+           round(avg(size(col("toks"))), 6).as("avg_toks"),
+           round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy("source")
+  }
+
   /** q_fingerprint: content fingerprints — md5 of the normalized text
     * (order-sensitive) and md5 of the sorted distinct token set (bag
     * fingerprint), plus the bag-group size: set-identical docs share

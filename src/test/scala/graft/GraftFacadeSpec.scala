@@ -108,6 +108,30 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(h.map(_.getLong(1)).sum == 5)
   }
 
+  test("sharedSpans finds the verbatim window, ignores disjoint docs") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j k l"),      // shares the 10-token run with 2
+      (2L, "a b c d e f g h i j zz yy"),
+      (3L, "totally different words here entirely unrelated content now")
+    ).toDF("doc_id", "text")
+    val out = Graft.sharedSpans(d, w = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // windows of 10 over 12 tokens: docs 1,2 share exactly "a..j"
+    assert(out.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("domainStats aggregates per source") {
+    val d = Seq(
+      (1L, "one two three", "en", "srcA"),
+      (2L, "four five six seven", "en", "srcA"),
+      (3L, "acht neun", "de", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Graft.domainStats(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("srcA") == ((2L, 1L, 7L)))
+    assert(out("srcB") == ((1L, 1L, 2L)))
+  }
+
   test("piiRedact masks every class and counts hits") {
     val rows = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org or 415-555-0137 from 192.168.0.1"),
