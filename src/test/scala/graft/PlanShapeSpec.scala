@@ -66,4 +66,28 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_join_range")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_pii_redact: pure narrow scan — only the final order-by exchanges") {
+    val p = plan("q_pii_redact")
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_perplexity: the unigram LM joins broadcast, corpus side never sort-merges") {
+    val p = plan("q_perplexity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sql_q18: the IN-subquery decorrelates to a semi join, no subquery exec per row") {
+    val p = plan("q_sql_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("InSubqueryExec"), p)
+  }
+
+  test("q_token_entropy: two-level aggregation is partial+final, scan reads only (doc_id, text)") {
+    val p = plan("q_token_entropy")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }
