@@ -175,17 +175,28 @@ object Multimodal {
     * deriving deterministic pseudo-features from a SHA-256 of the
     * bytes. Swap the stub branch for a real codec (e.g. a JNI
     * decoder) in production. */
+  /** JPEG magic: FF D8 FF (SOI + first marker byte). JPEG is COMPRESSED
+    * but still JDK-decodable — `ImageIO` ships a JPEG reader — so it
+    * rides the same real pixel path as PNG. */
+  private[graft] def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
+
   private def stubDecode(row: MediaRow): MediaFeatures = {
     val digest = MessageDigest.getInstance("SHA-256").digest(row.media)
     def b(i: Int): Int = digest(i) & 0xff
     val png = pngDims(row.media)
-    val wav = if (png.isEmpty) wavMeta(row.media) else None
-    val kind = if (png.isDefined) "png" else if (wav.isDefined) "wav" else "opaque"
-    val pixels = if (png.isDefined) pngPixelFeatures(row.media) else None
+    val jpeg = png.isEmpty && isJpeg(row.media)
+    val wav = if (png.isEmpty && !jpeg) wavMeta(row.media) else None
+    val kind = if (png.isDefined) "png" else if (jpeg) "jpeg"
+               else if (wav.isDefined) "wav" else "opaque"
+    val pixels =
+      if (png.isDefined || jpeg) pngPixelFeatures(row.media) else None
     val samples = if (wav.isDefined) wavPcmFeatures(row.media) else None
     // stub fallback for opaque bytes: pseudo-dims from the hash
     val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png).getOrElse(
-      if (wav.isDefined) (0, 0)
+      // undecodable jpeg reports honest zero dims, like audio rows
+      if (wav.isDefined || jpeg) (0, 0)
       else (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
     val (ch, sr) = wav.getOrElse((0, 0))
     MediaFeatures(

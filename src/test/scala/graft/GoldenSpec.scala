@@ -242,6 +242,34 @@ class GoldenSpec extends AnyFunSuite {
     assert(Multimodal.pngPixelFeatures(headerOnly).isEmpty)
   }
 
+  test("jpeg rides the real ImageIO pixel path (lossy-tolerant statistics)") {
+    // uniform mid-gray: JPEG's DCT reproduces a flat field almost
+    // exactly, so wide tolerances still pin real decoding
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, 0xff808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val jpeg = baos.toByteArray
+    assert(Multimodal.isJpeg(jpeg))
+
+    val rows = Multimodal.decodeFeatures(
+        Seq(Multimodal.MediaRow(9L, jpeg, "image/jpeg")).toDS())
+      .collect().map(f => f.doc_id -> f).toMap
+    val f = rows(9L)
+    assert(f.kind == "jpeg" && f.width == 8 && f.height == 8)
+    val gray = 0x80 / 255.0
+    // meanR/G/B and meanLuma near gray, stdLuma near 0
+    Seq(0, 1, 2, 4).foreach(i =>
+      assert(math.abs(f.feat(i) - gray) < 0.02, s"feat ${f.feat.toSeq}"))
+    assert(f.feat(5) < 0.02, s"stdLuma ${f.feat(5)}")
+    // truncated jpeg bytes: still classified jpeg, honest zero dims
+    val broken = Multimodal.decodeFeatures(
+        Seq(Multimodal.MediaRow(10L, jpeg.take(6), "image/jpeg")).toDS())
+      .collect().head
+    assert(broken.kind == "jpeg" && broken.width == 0 && broken.height == 0)
+  }
+
   test("wavPcmFeatures: real amplitude statistics from crafted 16-bit PCM samples") {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
