@@ -187,6 +187,7 @@ object Queries {
     "q_agg_grouping_sets" -> (Aggregates.qAggGroupingSets _),
     "q_pivot"             -> (Aggregates.qPivot _),
     "q_percentiles"       -> (Aggregates.qPercentiles _),
+    "q_stats_moments"     -> (Aggregates.qStatsMoments _),
   )
 
   private def rollupSelect(groupClause: String): String =
@@ -230,6 +231,14 @@ object Queries {
          |  ${rnd("quantile_cont(l_extendedprice, 0.5)", 4)} AS median,
          |  ${rnd("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
          |  ${rnd("quantile_cont(l_quantity, 0.5)", 4)} AS median_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_moments" ->
+      s"""SELECT l_returnflag,
+         |  ${rnd("stddev_samp(l_quantity)", 4)} AS sd_qty,
+         |  ${rnd("var_samp(l_quantity)", 4)} AS var_qty,
+         |  ${rnd("stddev_samp(l_extendedprice)", 4)} AS sd_price,
+         |  ${rnd("corr(l_quantity, l_extendedprice)", 4)} AS corr_qty_price,
+         |  ${rnd("covar_samp(l_discount, l_tax)", 6)} AS covar_disc_tax
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" -> rollupSelect("ROLLUP (l_returnflag, l_linestatus)"),
     "q_agg_cube" -> rollupSelect("CUBE (l_returnflag, l_linestatus)"),
@@ -557,6 +566,7 @@ object Queries {
     "q_kmeans"              -> (Clustering.qKmeans _),
     "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
     "q_dedup_span"          -> (Dedup.qDedupSpan _),
+    "q_sql_scalar"          -> (Sql.qSqlScalar _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -692,6 +702,7 @@ object Queries {
     "q_sql_q5" -> Sql.q5Template(e => rnd(e, 2)),
     "q_sql_q10" -> Sql.q10Template(e => rnd(e, 2)),
     "q_sql_q18" -> Sql.q18Template(e => rnd(e, 2)),
+    "q_sql_scalar" -> Sql.qScalarTemplate(e => rnd(e, 2)),
     "q_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
          |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),

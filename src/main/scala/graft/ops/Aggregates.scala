@@ -102,6 +102,22 @@ object Aggregates {
         round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"))
       .orderBy("l_returnflag")
 
+  /** q_stats_moments: the statistical-aggregate family — sample
+    * stddev/variance, correlation, sample covariance per group. All
+    * single-pass mergeable moment aggregates (partial+final like any
+    * hash agg — shuffle volume is group cardinality); rounded to 4
+    * because the merge order perturbs the last ulps. */
+  def qStatsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
+      .orderBy("l_returnflag")
+
   /** q_agg_grouping_sets: explicit sets ((rf),(ls),()) — the general
     * form rollup/cube desugar to. */
   def qAggGroupingSets(spark: SparkSession, dir: String): DataFrame = {

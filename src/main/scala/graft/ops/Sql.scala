@@ -94,6 +94,16 @@ object Sql {
        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Scalar-subquery shape: orders above the global average price —
+    * exercises Catalyst's ScalarSubquery planning (one-row subquery
+    * broadcast into the filter), the remaining subquery form after
+    * Q18's IN. */
+  def qScalarTemplate(rnd: String => String): String =
+    s"""SELECT o_orderkey, o_custkey, ${rnd("o_totalprice")} AS o_totalprice
+       |FROM orders
+       |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 200""".stripMargin
+
   private val sparkRound: String => String = e => s"round($e, 2)"
 
   /** q_sql_q1: TPC-H Q1 via spark.sql. */
@@ -124,5 +134,11 @@ object Sql {
   def qSqlQ18(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q18Template(sparkRound))
+  }
+
+  /** q_sql_scalar: scalar-subquery filter via spark.sql. */
+  def qSqlScalar(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qScalarTemplate(sparkRound))
   }
 }
