@@ -188,6 +188,7 @@ object Queries {
     "q_pivot"             -> (Aggregates.qPivot _),
     "q_percentiles"       -> (Aggregates.qPercentiles _),
     "q_stats_moments"     -> (Aggregates.qStatsMoments _),
+    "q_percentiles_approx" -> (Aggregates.qPercentilesApprox _),
   )
 
   private def rollupSelect(groupClause: String): String =
@@ -256,6 +257,7 @@ object Queries {
     "q_window_frame_rows"  -> (Windows.qWindowFrameRows _),
     "q_window_frame_range" -> (Windows.qWindowFrameRange _),
     "q_window_topk"        -> (Windows.qWindowTopk _),
+    "q_window_dist"        -> (Windows.qWindowDist _),
   )
 
   val windowsOracle: Map[String, String] = Map(
@@ -305,6 +307,13 @@ object Queries {
         |      ORDER BY c_acctbal DESC, c_custkey ASC)::INT AS rn
         |  FROM customer) t
         |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q_window_dist" ->
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |  ${rnd("percent_rank() OVER (PARTITION BY o_orderstatus " +
+                  "ORDER BY o_totalprice ASC, o_orderkey ASC)", 6)} AS pct_rank,
+         |  ${rnd("cume_dist() OVER (PARTITION BY o_orderstatus " +
+                  "ORDER BY o_totalprice ASC, o_orderkey ASC)", 6)} AS cume
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 
   // -------------------------------------------------------------------
@@ -883,7 +892,9 @@ object Queries {
     * (golden-tested): q_agg_approx, q_dedup_near, q_dedup_simhash,
     * q_ann_ivf, q_multimodal_features, q_kmeans (FP-order in the
     * distributed centroid means), q_bloom_decontaminate (sketch-seed-
-    * dependent false positives). */
+    * dependent false positives), q_percentiles_approx (merge-order-
+    * dependent GK summaries, golden-bounded against the exact
+    * percentiles). */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

@@ -118,6 +118,21 @@ object Aggregates {
         round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"))
       .orderBy("l_returnflag")
 
+  /** q_percentiles_approx: the SKETCH twin of [[qPercentiles]] —
+    * `approx_percentile` (Greenwald-Khanna summaries: bounded-size
+    * mergeable partials, the 100 TB path where exact percentile's
+    * per-group sort is unaffordable). Oracle-exempt: the summary
+    * depends on merge order; the golden bounds it against the exact
+    * answer instead. */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("p25"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("median"),
+        round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
   /** q_agg_grouping_sets: explicit sets ((rf),(ls),()) — the general
     * form rollup/cube desugar to. */
   def qAggGroupingSets(spark: SparkSession, dir: String): DataFrame = {

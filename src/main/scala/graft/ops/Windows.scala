@@ -81,4 +81,18 @@ object Windows {
       .filter(col("rn") <= 3)
       .orderBy("c_nationkey", "rn")
   }
+
+  /** q_window_dist: the distribution window functions — percent_rank
+    * and cume_dist per status partition (the remaining members of the
+    * rank family after q_window_rank). Same scale shape as every
+    * window here: partitioned by a business key, never global. */
+  def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+              round(percent_rank().over(w), 6).as("pct_rank"),
+              round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
 }

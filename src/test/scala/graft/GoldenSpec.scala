@@ -26,6 +26,23 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("q_percentiles_approx: GK summaries within 1% of the exact percentiles") {
+    val approx = Queries.all("q_percentiles_approx")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // exact counterpart: p25/median/p90 of l_extendedprice per flag
+    val exact = Queries.all("q_percentiles")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    exact.foreach { case (flag, es) =>
+      approx(flag).zip(es).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("q_map_funcs: map round-trips keys and values") {
     val rows = Queries.all("q_map_funcs")(spark, TestSpark.sf0001).limit(20).collect()
     assert(rows.nonEmpty)
