@@ -4,11 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection}
+  And, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Filter => LFilter}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -151,14 +152,42 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule completing the custom node's Catalyst integration:
+  * the built-in `PushDownPredicates` cannot see through [[AsOfJoin]]
+  * (an unknown node is a pushdown barrier), so a filter written above
+  * the join would otherwise run AFTER the shuffle+merge and never
+  * reach the parquet scan. LEFT-side-only deterministic conjuncts are
+  * safe to push: each left row's match depends only on the right
+  * stream, so dropping left rows early cannot change any surviving
+  * row's result (this holds for Inner and LeftOuter alike). Right-side
+  * predicates are NOT pushed — filtering the right stream changes
+  * which row is "the latest prior" (e.g. a right-ts bound would
+  * rewrite history), the classic as-of pushdown trap. */
+object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ LFilter(cond, a: AsOfJoin) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = a.copy(left = LFilter(pushable.reduce(And), a.left))
+        rest.reduceOption(And).map(LFilter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Public entry points. */
 object AsOfJoins {
 
-  /** Idempotently registers the planner strategy on the session. */
+  /** Idempotently registers the planner strategy and the pushdown
+    * rule on the session. */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOfJoin
   }
 
   /** `left ASOF [LEFT] JOIN right ON left.keyCol = right.keyCol AND
@@ -193,6 +222,7 @@ object AsOfJoins {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -101,4 +101,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOfJoins.asof(l, l.toDF("k2", "t2"), "nope", "k2", "t", "t2")
     }
   }
+
+  test("left-only filters push below the as-of node and reach the scan") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
+    val joined = AsOfJoins.asof(purchases, signups,
+      "user_id", "su_user", "ts", "signup_ts")
+    val filtered = joined.filter(col("event_id") % 2 === 0)
+    // the optimized plan must hold the left-only filter BELOW AsOfJoin
+    val opt = filtered.queryExecution.optimizedPlan
+    val asOf = opt.collect { case a: graft.plans.AsOfJoin => a }
+    assert(asOf.nonEmpty, opt.toString)
+    assert(asOf.head.left.toString.contains("event_id"), // filter inside left child
+      s"filter not pushed:\n$opt")
+    // mixed predicate: right-side conjunct must STAY above (as-of
+    // semantics forbid right-stream filtering before the merge)
+    val mixed = joined.filter(col("event_id") % 2 === 0 &&
+      col("signup_ts").isNotNull)
+    val opt2 = mixed.queryExecution.optimizedPlan
+    val top2 = opt2.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+    assert(top2.exists(_.condition.toString.contains("signup_ts")), opt2.toString)
+    // and pushing must not change results
+    val pushed = filtered.select("event_id", "signup_ts").collect().toSet
+    val reference = joined.collect()
+      .filter(_.getLong(0) % 2 == 0)
+    assert(pushed.size == reference.length)
+  }
 }
