@@ -80,7 +80,21 @@ object Dedup {
 
   /** [[qSimJaccard]]'s engine over any (doc_id, lang, toks) DataFrame —
     * the library entry point ([[graft.Graft.jaccardPairs]]). */
-  def jaccardPairs(docToks: DataFrame, tau: Double = 0.9): DataFrame = {
+  def jaccardPairs(docToks: DataFrame, tau: Double = 0.9): DataFrame =
+    jaccardVerified(docToks, tau)
+      // duplicate candidate occurrences carry identical jac — dedup the
+      // survivors (output-scale), not the candidate stream
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The verified ≥ τ pair stream BEFORE presentation (unsorted,
+    * unrounded, a pair may appear once per shared prefix token).
+    * Consumers that are insensitive to duplicates — min-label
+    * propagation, EXISTS-style flags — read this directly and skip the
+    * output-only dedup/round/sort ([[dedupClusters]] feed). */
+  private[graft] def jaccardVerified(docToks: DataFrame,
+                                     tau: Double = 0.9): DataFrame = {
     val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
     val d0 = docToks
@@ -121,11 +135,6 @@ object Dedup {
               (col("inter").cast("double")
                 / (col("n_a") + col("n_b") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
-      // duplicate candidate occurrences carry identical jac — dedup the
-      // survivors (output-scale), not the candidate stream
-      .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // ---- MinHash + LSH (q_dedup_near, oracle-exempt) ----
@@ -233,7 +242,12 @@ object Dedup {
     * Oracle: DuckDB recursive-CTE transitive closure with min-label
     * aggregation over the same pair query. */
   def qDedupCluster(spark: SparkSession, dir: String): DataFrame =
-    dedupClusters(qSimJaccard(spark, dir))
+    // feed = verified pairs deduplicated (the dedup keeps the ITERATED
+    // edge list small) but WITHOUT qSimJaccard's round + total sort —
+    // presentation-only work the propagation never reads; the DuckDB
+    // recursive-CTE oracle's closure is identical either way
+    dedupClusters(jaccardVerified(Tables.docTokens(spark, dir))
+      .dropDuplicates("doc_a", "doc_b"))
 
   /** [[qDedupCluster]]'s engine over ANY (doc_a, doc_b, ...) pair
     * DataFrame — jaccard pairs, MinHash pairs, embedding pairs all
