@@ -59,9 +59,9 @@ object Dedup {
     *     |A∪B| = |A|+|B|-|A∩B|.
     *
     * Injective token→hash→rank mapping preserves distinct counts and
-    * intersections, so the DuckDB string-set oracle is unchanged. At
-    * scale the vocabulary rank would come from zipWithIndex on the
-    * sorted df table instead of a single-partition window.
+    * intersections, so the DuckDB string-set oracle is unchanged. The
+    * rank comes from a range-partitioned sort + zipWithIndex (parallel
+    * dense ranking), never a single-partition global window.
     *
     * Verify placement (r5): the sorted rank arrays ride THROUGH the
     * prefix join (a prefix row is ~(1-τ)|X| per doc, so the exploded
@@ -102,12 +102,25 @@ object Dedup {
               // sorted distinct token hashes in one pass (full 64 bits
               // — injectivity backs the oracle parity of the counts)
               SetFunctions.shingleHashes(col("toks"), 1, -1L).as("hs"))
-    // rarest-first vocabulary rank (df asc); ~|vocab| rows, broadcast
-    val vocab = d0.select(explode(col("hs")).as("h"))
+    // rarest-first vocabulary rank (df asc). NOT a global row_number
+    // window (that collapses the whole vocabulary through one task —
+    // the classic scale-killer on a 100 TB corpus's vocab): a range-
+    // partitioned sort + zipWithIndex assigns the identical dense rank
+    // fully in parallel (one lightweight partition-count pass). One of
+    // the two deliberate RDD touches in the codebase (the other is the
+    // multimodal codec boundary) — dense global indexing is a genuine
+    // per-partition-offset computation Catalyst has no operator for.
+    val vocabDf = d0.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-      .select(col("h"), row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("df", "h"))
-        .cast("long").as("rank"))
+    val vocab = spark.createDataFrame(
+      vocabDf.orderBy("df", "h").rdd
+        .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row(
+          r.getLong(0), i + 1L) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType))))
     val d = d0.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
       .join(broadcast(vocab), "h")
       .groupBy("doc_id", "lang")
