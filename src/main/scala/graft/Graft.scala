@@ -162,6 +162,12 @@ object Graft {
   def domainStats(docs: DataFrame): DataFrame =
     TextAnalysis.domainStats(tokenize(docs))
 
+  /** Skip-gram co-occurrence counts within a ±k window:
+    * (w1, w2, n_cooc) top-N — the embedding-training count table. */
+  def cooccurrence(docs: DataFrame, k: Int = 3, minCount: Long = 5,
+                   topN: Int = 100): DataFrame =
+    TextAnalysis.cooccurrence(tokenize(docs), k, minCount, topN)
+
   /** Deterministic Lloyd's k-means over (vec_id, embedding):
     * (vec_id, cluster, dist). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =

@@ -576,6 +576,8 @@ object Queries {
     "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
     "q_dedup_span"          -> (Dedup.qDedupSpan _),
     "q_sql_scalar"          -> (Sql.qSqlScalar _),
+    "q_sql_q6"              -> (Sql.qSqlQ6 _),
+    "q_cooccur"             -> (TextAnalysis.qCooccur _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -712,6 +714,16 @@ object Queries {
     "q_sql_q10" -> Sql.q10Template(e => rnd(e, 2)),
     "q_sql_q18" -> Sql.q18Template(e => rnd(e, 2)),
     "q_sql_scalar" -> Sql.qScalarTemplate(e => rnd(e, 2)),
+    "q_sql_q6" -> Sql.q6Template(e => rnd(e, 2)),
+    "q_cooccur" ->
+      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
+         |p AS (SELECT unnest(flatten(list_transform(
+         |        generate_series(1, greatest(len(toks)-1, 0)), i ->
+         |        list_transform(generate_series(i+1, least(i+3, len(toks))), j ->
+         |          {'w1': toks[i], 'w2': toks[j]})))) AS pr FROM t)
+         |SELECT pr.w1 AS w1, pr.w2 AS w2, count(*)::BIGINT AS n_cooc
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY n_cooc DESC, w1, w2 LIMIT 100""".stripMargin,
     "q_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
          |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),

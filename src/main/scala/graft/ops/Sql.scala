@@ -94,6 +94,18 @@ object Sql {
        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q6 shape: the forecasting-revenue-change query — a single
+    * selective scan+agg whose predicates must ALL reach the parquet
+    * reader (the canonical data-skipping benchmark). */
+  def q6Template(rnd: String => String): String =
+    s"""SELECT ${rnd("sum(l_extendedprice * l_discount)")} AS revenue,
+       |       count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.03 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
   /** Scalar-subquery shape: orders above the global average price —
     * exercises Catalyst's ScalarSubquery planning (one-row subquery
     * broadcast into the filter), the remaining subquery form after
@@ -140,5 +152,11 @@ object Sql {
   def qSqlScalar(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(qScalarTemplate(sparkRound))
+  }
+
+  /** q_sql_q6: TPC-H Q6 via spark.sql. */
+  def qSqlQ6(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q6Template(sparkRound))
   }
 }

@@ -304,6 +304,41 @@ object TextAnalysis {
           IpRe, "[IP]").as("redacted"))
       .orderBy("id")
 
+  /** q_cooccur: skip-gram co-occurrence counts — ordered token pairs
+    * within a ±`k` window, corpus-wide counts, min-support cut, top-N
+    * (the count table word2vec/GloVe-style embedding training reads).
+    * The pair generation is one narrow higher-order expression per doc
+    * (guarded against Spark's descending `sequence` on short rows, the
+    * same trap as [[Text.ngramCol]]); then one word-pair count shuffle
+    * with map-side combine and a `TakeOrderedAndProject` top-N. */
+  def qCooccur(spark: SparkSession, dir: String): DataFrame =
+    cooccurrence(Tables.docTokens(spark, dir))
+
+  /** [[qCooccur]]'s engine over any (toks) DataFrame — the library
+    * entry point ([[graft.Graft.cooccurrence]]). */
+  def cooccurrence(docToks: DataFrame, k: Int = 3, minCount: Long = 5,
+                   topN: Int = 100): DataFrame = {
+    val n = size(col("toks"))
+    val pairStruct = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType))))
+    val pairs = when(n < 2, array().cast(pairStruct)).otherwise(
+      flatten(transform(sequence(lit(1), n - 1), i =>
+        transform(sequence(i + 1, least(i + lit(k), n)), j =>
+          struct(element_at(col("toks"), i).as("w1"),
+                 element_at(col("toks"), j).as("w2"))))))
+    docToks
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+      .orderBy(col("n_cooc").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
+
   /** q_domain_stats: the per-source corpus report a curation run reads
     * before setting mixture weights — doc counts, language spread,
     * token totals and means, mean quality — one partial-agg shuffle on
