@@ -85,6 +85,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("InSubqueryExec"), p)
   }
 
+  test("q_sql_q6: every predicate reaches the parquet scan") {
+    val p = plan("q_sql_q6")
+    assert(p.contains("PushedFilters: ["), p)
+    // shipdate range, discount band and quantity bound all pushed
+    assert(p.contains("l_shipdate") && p.contains("l_discount")
+      && p.contains("l_quantity"), p)
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"), p)
+  }
+
   test("q_token_entropy: two-level aggregation is partial+final, scan reads only (doc_id, text)") {
     val p = plan("q_token_entropy")
     assert(p.contains("partial_"), p)
