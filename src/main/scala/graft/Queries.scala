@@ -409,6 +409,8 @@ object Queries {
     "q_stream_tumbling" -> (Events.qStreamTumbling _),
     "q_stream_sliding"  -> (Events.qStreamSliding _),
     "q_stream_session"  -> (Events.qStreamSession _),
+    "q_funnel"          -> (Events.qFunnel _),
+    "q_retention"       -> (Events.qRetention _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -435,6 +437,31 @@ object Queries {
          |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
          |       count(*) AS n_events
          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+    "q_funnel" ->
+      s"""WITH v AS (SELECT user_id, min($TS) AS t_view FROM events
+         |           WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min($TS) AS t_click FROM events e
+         |      JOIN v ON e.user_id = v.user_id AND $TS > v.t_view
+         |      WHERE event_type = 'click' GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min($TS) AS t_buy FROM events e
+         |      JOIN c ON e.user_id = c.user_id AND $TS > c.t_click
+         |      WHERE event_type = 'purchase' GROUP BY e.user_id)
+         |SELECT 1 AS stage, 'view' AS name, (SELECT count(*) FROM v) AS n_users
+         |UNION ALL
+         |SELECT 2, 'click', (SELECT count(*) FROM c)
+         |UNION ALL
+         |SELECT 3, 'purchase', (SELECT count(*) FROM p)
+         |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      s"""WITH ev AS (SELECT user_id, date_trunc('week', $TS) AS w FROM events),
+         |f AS (SELECT user_id, min(w) AS cohort FROM ev GROUP BY user_id),
+         |a AS (SELECT DISTINCT user_id, w FROM ev)
+         |SELECT f.cohort,
+         |  ((epoch(a.w) - epoch(f.cohort)) // 604800)::INT AS week_offset,
+         |  count(*) AS n_users
+         |FROM a JOIN f USING (user_id)
+         |GROUP BY f.cohort, week_offset
+         |ORDER BY f.cohort, week_offset""".stripMargin,
   )
 
   // -------------------------------------------------------------------

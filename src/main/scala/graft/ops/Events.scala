@@ -56,4 +56,53 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy("user_id", "session_start")
   }
+
+  /** q_funnel: ordered conversion funnel view → click → purchase —
+    * each stage counts users whose first qualifying event strictly
+    * follows their previous stage's first event (the product-analytics
+    * readout every event store ships). Three per-user min aggregates
+    * chained by key joins — shuffle volume is user-cardinality — and a
+    * 3-row union of global counts at the end. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+    v.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), lit("view").as("name"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage"), lit("click").as("name"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage"), lit("purchase").as("name"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** q_retention: weekly cohort retention — users bucketed by the week
+    * of their first event, counted per (cohort week, week offset) of
+    * later activity. Week arithmetic is integer epoch-seconds over
+    * week-truncated timestamps, exact on both engines. Two
+    * user-keyed aggregates + one join; the output is
+    * cohort-weeks × offsets, a bounded report. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val first = ev.groupBy("user_id").agg(min(col("w")).as("cohort"))
+    ev.distinct()
+      .join(first, "user_id")
+      .select(col("cohort"),
+              ((col("w").cast("long") - col("cohort").cast("long")) / 604800L)
+                .cast("int").as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      // DATE for cross-engine parity: DuckDB's date_trunc('week')
+      // yields DATE while Spark's yields TIMESTAMP — same instant,
+      // different physical type
+      .select(col("cohort").cast("date").as("cohort"),
+              col("week_offset"), col("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
 }
