@@ -102,6 +102,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed-at-rest children: native as-of plans with ZERO shuffles") {
+    import java.nio.file.Files
+    import graft.sources.Formats
+    val dir = Files.createTempDirectory("graft_asof_bucketed").toString
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"), col("ts").as("signup_ts"))
+    // the shuffle is paid ONCE at write time; both sides co-bucketed
+    // on the as-of key — the at-rest layout of a trade/quote store
+    Formats.writeBucketed(purchases, "asof_purchases_b",
+      s"$dir/purchases", 4, "user_id")
+    Formats.writeBucketed(signups, "asof_signups_b",
+      s"$dir/signups", 4, "su_user")
+    val joined = AsOfJoins.asof(
+      Formats.readBucketed(spark, "asof_purchases_b"),
+      Formats.readBucketed(spark, "asof_signups_b"),
+      "user_id", "su_user", "ts", "signup_ts")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // TreeNode strips the Exec suffix
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of must not shuffle either side:\n$plan")
+    // layout changes the plan, never the result
+    val viaScan = AsOfJoins.asof(purchases, signups,
+      "user_id", "su_user", "ts", "signup_ts")
+    assert(joined.count() == viaScan.count())
+  }
+
   test("left-only filters push below the as-of node and reach the scan") {
     val ev = Tables.events(spark, TestSpark.sf0001)
     val purchases = ev.filter(col("event_type") === "purchase")
