@@ -53,12 +53,14 @@ object Clustering {
       .select(col("vec_id"),
               transform(col("embedding"), x => x.cast("double")).as("v"))
       .persist() // read once per iteration + the final assign
-    // deterministic init: the k lowest vec_ids' vectors (k rows)
+    // deterministic init: the k lowest vec_ids' vectors (k rows; a
+    // corpus with n < k simply yields n clusters)
     var centroids: IndexedSeq[Seq[Double]] = v
       .orderBy("vec_id").limit(k)
       .collect()
       .map(_.getSeq[Double](1))
       .toIndexedSeq
+    require(centroids.nonEmpty, "kmeans: embeddings input is empty")
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
       val means = assign(v, centroids)

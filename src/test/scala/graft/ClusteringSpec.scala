@@ -54,6 +54,18 @@ class ClusteringSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("degenerate inputs: empty corpus rejected clearly, n < k yields n clusters") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] { Graft.kmeans(empty, k = 3) }
+    assert(e.getMessage.contains("empty"))
+    val two = Seq((1L, Seq.fill(4)(1f)), (2L, Seq.fill(4)(9f)))
+      .toDF("vec_id", "embedding")
+    val out = Graft.kmeans(two, k = 5, iters = 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getInt(1)).distinct.length == 2) // each its own cluster
+    assert(out.forall(_.getDouble(2) == 0.0))         // centroid == member
+  }
+
   test("every vector is assigned and clusters are within range") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val out = Graft.kmeans(emb, k = 8, iters = 2).collect()
