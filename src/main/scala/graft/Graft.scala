@@ -194,9 +194,12 @@ object Graft {
   /** APPROXIMATE per-vector k nearest neighbours (OR-amplified
     * multi-probe LSH — the sub-quadratic scale path for [[knn]]);
     * builds the index inline. For repeated querying, materialize the
-    * posting table once instead. */
-  def annNeighbors(embeddings: DataFrame, k: Int = 3): DataFrame =
-    Similarity.annNeighbors(embeddings, k)
+    * posting table once instead. `tables`/`probeFlips` are the
+    * recall/latency knobs: recall ≈ 1-(1-p)^tables, candidate volume
+    * ≈ tables·(probeFlips+1). */
+  def annNeighbors(embeddings: DataFrame, k: Int = 3,
+                   tables: Int = 4, probeFlips: Int = 4): DataFrame =
+    Similarity.annNeighbors(embeddings, k, tables, probeFlips)
 
   // ---- joins / session ----
 

@@ -188,14 +188,22 @@ object Similarity {
 
   /** The index build over any normalized (vec_id, vn) DataFrame with
     * corpus size n — shared by the dir-keyed materialized path and the
-    * facade's inline path ([[graft.Graft.annNeighbors]]). */
-  private[graft] def annIndex(base: DataFrame, n: Long): DataFrame = {
+    * facade's inline path ([[graft.Graft.annNeighbors]]). `tables` and
+    * `flips` are the recall/latency knobs: more OR-amplified tables
+    * multiply per-table miss rates away (recall 1-(1-p)^T) at
+    * proportional candidate cost; more single-bit probe flips widen
+    * each table's search at ~linear candidate cost. */
+  private[graft] def annIndex(base: DataFrame, n: Long,
+                              tables: Int = NumTables,
+                              flips: Int = DefaultProbeFlips): DataFrame = {
+    require(tables >= 1 && flips >= 0,
+      s"annIndex: need tables >= 1 and flips >= 0, got ($tables, $flips)")
     VectorFunctions.register(base.sparkSession)
     val h = math.max(3,
       math.round(math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt)
-    val probeFlips = math.min(4, h) // probes per table = 1 + probeFlips
+    val probeFlips = math.min(flips, h) // probes per table = 1 + probeFlips
     val rng = new scala.util.Random(42)
-    val planes = Array.fill(NumTables, h)(Array.fill(Dim)(rng.nextGaussian()))
+    val planes = Array.fill(tables, h)(Array.fill(Dim)(rng.nextGaussian()))
     val powArr = typedlit((0 until h).map(1 << _))
     // per table: signed margins -> (bucket code, directed probe masks)
     def margins(t: Int): Column =
@@ -215,9 +223,9 @@ object Similarity {
     }
     base
       .select(col("vec_id") +: col("vn") +:
-              (0 until NumTables).map(t => margins(t).as(s"m$t")): _*)
+              (0 until tables).map(t => margins(t).as(s"m$t")): _*)
       .select(col("vec_id"), col("vn"),
-              posexplode(array((0 until NumTables).map(t =>
+              posexplode(array((0 until tables).map(t =>
                 struct(bucketOf(col(s"m$t")).as("b"),
                        probeMasksOf(col(s"m$t")).as("pm"))): _*))
                 .as(Seq("tbl", "s")))
@@ -226,6 +234,7 @@ object Similarity {
   }
 
   private val NumTables = 4
+  private val DefaultProbeFlips = 4
   private val Dim = 64
 
   /** Materialized posting table per corpus dir, built once per JVM —
@@ -254,7 +263,8 @@ object Similarity {
     annCandidatesFrom(annPostings(spark, dir), corpusSize(spark, dir))
 
   /** Scored LSH candidates from any posting table ([[annIndex]]). */
-  private[graft] def annCandidatesFrom(codes: DataFrame, n: Long): DataFrame = {
+  private[graft] def annCandidatesFrom(codes: DataFrame, n: Long,
+                                       tables: Int = NumTables): DataFrame = {
     VectorFunctions.register(codes.sparkSession)
     val home = codes.select(col("tbl"), col("bucket"),
                             col("vec_id").as("id_b"), col("vn").as("vn_b"))
@@ -266,7 +276,7 @@ object Similarity {
     // codebook (probe side never shuffles); a corpus past the
     // threshold falls back to the (tbl, bucket) shuffle join — at rest
     // that side is the bucketed index table (sources.Formats bucketBy)
-    val homeBytes = n * NumTables * (Dim * 8 + 64L)
+    val homeBytes = n * tables * (Dim * 8 + 64L)
     val homeSide = if (homeBytes < (8L << 20)) broadcast(home) else home
     probes.join(homeSide, Seq("tbl", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
@@ -280,10 +290,13 @@ object Similarity {
     * step); for repeated querying of the same corpus, materialize the
     * index instead (the registered q_ann_ivf path / a bucketed-at-rest
     * posting table). Same recall characteristics as q_ann_ivf. */
-  def annNeighbors(embeddings: DataFrame, k: Int = 3): DataFrame = {
+  def annNeighbors(embeddings: DataFrame, k: Int = 3,
+                   tables: Int = NumTables,
+                   probeFlips: Int = DefaultProbeFlips): DataFrame = {
     val n = embeddings.count()
-    val postings = annIndex(normalizeEmbeddings(embeddings), n)
-    topKCut(annCandidatesFrom(postings, n), k, distinct = true)
+    val postings = annIndex(normalizeEmbeddings(embeddings), n,
+                            tables, probeFlips)
+    topKCut(annCandidatesFrom(postings, n, tables), k, distinct = true)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 }

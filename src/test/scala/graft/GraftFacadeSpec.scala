@@ -90,6 +90,14 @@ class GraftFacadeSpec extends AnyFunSuite {
     // tiny corpus => few buckets per table => recall well above the
     // sf0.1 operating point; 0.6 is a loose flake guard
     assert(recall >= 0.6, s"recall@3 = $recall")
+    // the recall/latency knobs: a single-table no-flip index still
+    // returns k rows per vector (lower recall is the documented trade)
+    val narrow = Graft.annNeighbors(emb, k = 3, tables = 1, probeFlips = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(narrow.nonEmpty && narrow.size <= approx.size + exact.size)
+    intercept[IllegalArgumentException] {
+      Graft.annNeighbors(emb, k = 3, tables = 0)
+    }
   }
 
   test("asof through the facade") {
