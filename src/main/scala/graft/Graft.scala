@@ -131,6 +131,12 @@ object Graft {
                     maxPostings: Int = 20): DataFrame =
     Curation.invertedIndex(tokenize(docs), minDf, maxPostings)
 
+  /** Context-window chunking: `size`-token windows advancing by
+    * `stride` per doc: (doc_id, chunk_idx, chunk, n_chunk_toks). */
+  def chunkDocs(docs: DataFrame, size: Int = 128,
+                stride: Int = 64): DataFrame =
+    Curation.chunkDocs(tokenize(docs), size, stride)
+
   /** Sketch decontamination: eval n-grams folded into a broadcast
     * Bloom filter, corpus flagged in one narrow pass (no false
     * negatives; per-probe false-positive rate `fpp`). */

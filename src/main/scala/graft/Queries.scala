@@ -846,6 +846,7 @@ object Queries {
     "q_rep_filter"        -> (Curation.qRepFilter _),
     "q_inverted_index"    -> (Curation.qInvertedIndex _),
     "q_bloom_decontaminate" -> (Curation.qBloomDecontaminate _),
+    "q_chunk_docs"        -> (Curation.qChunkDocs _),
   )
 
   val curationOracle: Map[String, String] = Map(
@@ -908,6 +909,18 @@ object Queries {
          |  ${rnd("dup_g3", 6)} AS dup_3gram_frac,
          |  (dup_tok > 0.6 OR dup_g3 > 0.2) AS flagged
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        CASE WHEN len(toks) <= 128 THEN 1
+         |             ELSE ceil((len(toks) - 128)::DOUBLE / 64)::INT + 1
+         |        END AS nc FROM t),
+         |x AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         |  array_to_string(toks[chunk_idx*64+1 : chunk_idx*64+128], ' ') AS chunk,
+         |  len(toks[chunk_idx*64+1 : chunk_idx*64+128])::INT AS n_chunk_toks
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |d AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id),

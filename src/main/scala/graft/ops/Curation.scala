@@ -276,4 +276,34 @@ object Curation {
   /** q_inverted_index: [[invertedIndex]] on the test corpus. */
   def qInvertedIndex(spark: SparkSession, dir: String): DataFrame =
     invertedIndex(Tables.docTokens(spark, dir))
+
+  /** Context-window chunking: each document split into `size`-token
+    * windows advancing by `stride` (overlapping when stride < size) —
+    * the chunker RAG indexing and fixed-context training both run.
+    * Every token is covered: the last window starts at the final
+    * stride step and may be short; a doc shorter than `size` yields
+    * one chunk. Pure narrow generator expression (sequence → slice →
+    * join, the [[Text.ngramCol]] family generalized to a stride) +
+    * posexplode — embarrassingly parallel, no shuffle before the
+    * output order. */
+  def chunkDocs(docToks: DataFrame, size: Int = 128,
+                stride: Int = 64): DataFrame = {
+    require(size >= 1 && stride >= 1, s"need size/stride >= 1, got ($size, $stride)")
+    val n = org.apache.spark.sql.functions.size(col("toks"))
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(ceil((n - size).cast("double") / stride).cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      ci => array_join(slice(col("toks"), ci * stride + 1, lit(size)), " "))
+    docToks
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+              col("chunk"),
+              org.apache.spark.sql.functions.size(split(col("chunk"), " "))
+                .as("n_chunk_toks"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q_chunk_docs: [[chunkDocs]] with a 128-token window, stride 64. */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.docTokens(spark, dir))
 }

@@ -117,6 +117,20 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains("only") || out("only")._1 >= 5L)
   }
 
+  test("chunkDocs: exact overlapping windows, full token coverage") {
+    val docs = mkDocs(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", // 10 toks, 4 chunks
+      2L -> "s1 s2 s3")                        // shorter than size: 1 chunk
+    val out = Graft.chunkDocs(docs, size = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t5 t6 t7 t8", 4),
+      (1L, 3, "t7 t8 t9 t10", 4),
+      (2L, 0, "s1 s2 s3", 3)))
+  }
+
   test("bloomDecontaminate: no false negatives vs the exact join") {
     val train = mkDocs(
       1L -> "alpha beta gamma delta epsilon zeta",    // contaminated
