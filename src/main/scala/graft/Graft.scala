@@ -207,6 +207,18 @@ object Graft {
                    tables: Int = 4, probeFlips: Int = 4): DataFrame =
     Similarity.annNeighbors(embeddings, k, tables, probeFlips)
 
+  // ---- event analytics ----
+
+  /** Ordered conversion funnel over any stage list: each stage counts
+    * users whose first qualifying event strictly follows the previous
+    * stage's; (stage, name, n_users). Input: (user_id, event_type, ts). */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
+    ops.Events.funnel(events, stages)
+
+  /** Weekly cohort retention: users per (first-event cohort week,
+    * activity-week offset). Input: (user_id, ts). */
+  def retention(events: DataFrame): DataFrame = ops.Events.retention(events)
+
   // ---- joins / session ----
 
   /** Backward as-of join through the native plan node (Inner or

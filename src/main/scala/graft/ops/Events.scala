@@ -57,38 +57,47 @@ object Events {
       .orderBy("user_id", "session_start")
   }
 
-  /** q_funnel: ordered conversion funnel view → click → purchase —
-    * each stage counts users whose first qualifying event strictly
-    * follows their previous stage's first event (the product-analytics
-    * readout every event store ships). Three per-user min aggregates
-    * chained by key joins — shuffle volume is user-cardinality — and a
-    * 3-row union of global counts at the end. */
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("t_click"))
-      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
-    v.agg(count(lit(1)).as("n_users")).select(lit(1).as("stage"), lit("view").as("name"), col("n_users"))
-      .unionAll(c.agg(count(lit(1)).as("n_users"))
-        .select(lit(2).as("stage"), lit("click").as("name"), col("n_users")))
-      .unionAll(p.agg(count(lit(1)).as("n_users"))
-        .select(lit(3).as("stage"), lit("purchase").as("name"), col("n_users")))
-      .orderBy("stage")
+  /** Ordered conversion funnel over ANY stage list — each stage counts
+    * users whose first qualifying event strictly follows their previous
+    * stage's first event (the product-analytics readout every event
+    * store ships). One per-user min aggregate per stage chained by key
+    * joins — shuffle volume is user-cardinality per stage — and a
+    * |stages|-row union of global counts at the end. The library entry
+    * point ([[graft.Graft.funnel]]); input needs
+    * (user_id, event_type, ts). */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    val ev = events.select("user_id", "event_type", "ts")
+    var prev: Option[DataFrame] = None
+    val perStage = stages.zipWithIndex.map { case (s, i) =>
+      val base = ev.filter(col("event_type") === s)
+      val cur = prev match {
+        case None => base.groupBy("user_id").agg(min(col("ts")).as("t"))
+        case Some(p) => base
+          .join(p.select(col("user_id"), col("t").as("t_prev")), "user_id")
+          .filter(col("ts") > col("t_prev"))
+          .groupBy("user_id").agg(min(col("ts")).as("t"))
+      }
+      prev = Some(cur)
+      cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(s).as("name"), col("n_users"))
+    }
+    perStage.reduce(_ unionAll _).orderBy("stage")
   }
 
-  /** q_retention: weekly cohort retention — users bucketed by the week
-    * of their first event, counted per (cohort week, week offset) of
-    * later activity. Week arithmetic is integer epoch-seconds over
-    * week-truncated timestamps, exact on both engines. Two
-    * user-keyed aggregates + one join; the output is
-    * cohort-weeks × offsets, a bounded report. */
-  def qRetention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** q_funnel: [[funnel]] over view → click → purchase. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+
+  /** Weekly cohort retention — users bucketed by the week of their
+    * first event, counted per (cohort week, week offset) of later
+    * activity. Week arithmetic is integer epoch-seconds over
+    * week-truncated timestamps, exact on both engines. Two user-keyed
+    * aggregates + one join; the output is cohort-weeks × offsets, a
+    * bounded report. The library entry point
+    * ([[graft.Graft.retention]]); input needs (user_id, ts). */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
     val first = ev.groupBy("user_id").agg(min(col("w")).as("cohort"))
     ev.distinct()
@@ -105,4 +114,8 @@ object Events {
               col("week_offset"), col("n_users"))
       .orderBy("cohort", "week_offset")
   }
+
+  /** q_retention: [[retention]] on the test events. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables.events(spark, dir))
 }

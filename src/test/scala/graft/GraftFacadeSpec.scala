@@ -140,6 +140,24 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(out("srcB") == ((1L, 1L, 2L)))
   }
 
+  test("funnel and retention on hand-built events") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "buy", t("2024-01-01 10:05:00")),   // converts
+      (2L, "view", t("2024-01-01 11:00:00")),  // views only
+      (3L, "buy", t("2024-01-01 09:00:00")),   // buy WITHOUT prior view
+      (2L, "view", t("2024-01-10 11:00:00"))   // week-1 activity for u2
+    ).toDF("user_id", "event_type", "ts")
+    val f = Graft.funnel(ev, Seq("view", "buy"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f == Map("view" -> 2L, "buy" -> 1L)) // u3's buy doesn't count
+    val r = Graft.retention(ev)
+      .collect().map(x => (x.getInt(1), x.getLong(2)))
+    // all 3 users active in their cohort week; u2 returns one week later
+    assert(r.toSet == Set((0, 3L), (1, 1L)))
+  }
+
   test("piiRedact masks every class and counts hits") {
     val rows = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org or 415-555-0137 from 192.168.0.1"),
