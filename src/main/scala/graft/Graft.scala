@@ -41,9 +41,19 @@ object Graft {
   def dedupExact(docs: DataFrame): DataFrame = Dedup.dedupExact(docs)
 
   /** MinHash+LSH near-duplicate pairs with exact shingle-Jaccard ≥ tau
-    * verification: (doc_a, doc_b, jac). */
-  def nearDupPairs(docs: DataFrame, tau: Double = 0.8): DataFrame =
-    Dedup.nearDupPairs(tokenize(docs), tau)
+    * verification: (doc_a, doc_b, jac). `bands` (a divisor of 48) is
+    * the recall/cost knob — more, shorter bands catch lower-similarity
+    * pairs at higher candidate volume. */
+  def nearDupPairs(docs: DataFrame, tau: Double = 0.8,
+                   bands: Int = 12): DataFrame =
+    Dedup.nearDupPairs(tokenize(docs), tau, bands)
+
+  /** Salted equi-join for hot-key fact⋈fact joins — result identical
+    * to the plain inner join, each hot key spread over `buckets`
+    * reducers. */
+  def saltedInnerJoin(skewed: DataFrame, other: DataFrame,
+                      key: String, buckets: Int): DataFrame =
+    ops.Skew.saltedInnerJoin(skewed, other, key, buckets)
 
   /** Exact within-`lang` token-set Jaccard ≥ tau pairs via the
     * prefix-filtered set-similarity join: (doc_a, doc_b, jac). */

@@ -187,8 +187,16 @@ object Dedup {
     nearDupPairs(Tables.docTokens(spark, dir))
 
   /** [[qDedupNear]]'s engine over any (doc_id, toks) DataFrame — the
-    * library entry point ([[graft.Graft.nearDupPairs]]). */
-  def nearDupPairs(docToks: DataFrame, tau: Double = 0.8): DataFrame = {
+    * library entry point ([[graft.Graft.nearDupPairs]]). `bands` is
+    * the recall/cost knob: the 48-permutation signature splits into
+    * `bands` bands of 48/bands rows — more bands (shorter bands) catch
+    * lower-similarity pairs at more candidate cost; candidate
+    * P(J) = 1-(1-J^(48/bands))^bands. Must divide 48. */
+  def nearDupPairs(docToks: DataFrame, tau: Double = 0.8,
+                   bands: Int = Bands): DataFrame = {
+    require(bands >= 1 && MinhashK % bands == 0,
+      s"nearDupPairs: bands must divide $MinhashK, got $bands")
+    val rowsPerBand = MinhashK / bands
     val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
     // Persisted: the shingle table feeds both self-join sides and both
@@ -206,11 +214,11 @@ object Dedup {
     val banded = docs
       .withColumn("sig", minhashSig(col("sh")))
       .select(col("doc_id"), col("sig"),
-              explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+              explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
               hash(col("band"),
-                   slice(col("sig"), col("band") * RowsPerBand + 1,
-                         lit(RowsPerBand))).as("bkey"))
+                   slice(col("sig"), col("band") * rowsPerBand + 1,
+                         lit(rowsPerBand))).as("bkey"))
       .persist()
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val bn = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),

@@ -37,27 +37,8 @@ object DedupProfile {
     time("full_cold") { Dedup.qDedupNear(spark, dir).count() }
     spark.catalog.clearCache()
     time("full_again") { Dedup.qDedupNear(spark, dir).count() }
-    spark.catalog.clearCache()
-    // jaccard prefix-join stages
-    val d0 = Tables.docTokens(spark, dir)
-      .select(col("doc_id"), col("lang"),
-              graft.functions.SetFunctions.shingleHashes(col("toks"), 1, -1L).as("hs"))
-    time("jac_hsets") { d0.count() }
-    val vocab = d0.select(explode(col("hs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .select(col("h"), row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("df", "h"))
-        .cast("long").as("rank"))
-    time("jac_vocab") { vocab.count() }
-    val d = d0.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
-      .join(broadcast(vocab), "h")
-      .groupBy("doc_id", "lang")
-      .agg(sort_array(collect_list(col("rank"))).as("hset"))
-      .withColumn("nset", size(col("hset")))
-    time("jac_reencode") { d.count() }
-    time("jac_full") { Dedup.qSimJaccard(spark, dir).count() }
-    spark.catalog.clearCache()
-    time("jac_full_again") { Dedup.qSimJaccard(spark, dir).count() }
+    // jaccard timings live in JaccardProfile, which drives the REAL
+    // code paths instead of a replica that can drift
     spark.stop()
   }
 }
