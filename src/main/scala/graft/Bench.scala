@@ -42,6 +42,19 @@ object Bench {
       spark.catalog.clearCache()
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
+    // second measurement of the slowest queries: a one-off spike from
+    // machine contention (the r4 q_knn=12.4s ghost) shows up as a
+    // large first/retimed gap, a real plan cost reproduces — readers
+    // of this JSON can tell the two apart without a re-run
+    val retimed = results.filter(_._3).sortBy(-_._2).take(3).map { case (name, _, _) =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(t => s"\"${t._1}\"").mkString("[", ",", "]")
@@ -55,7 +68,7 @@ object Bench {
     val subsetTotal = baselineSubset.flatMap(rmap.get).sum
     // cold_total = warm per-query total + the untimed warmup cost, the
     // apples-to-apples number against BASELINE.md's cold first query
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"cold_total":${total + warmupSec},"n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"cold_total":${total + warmupSec},"retimed_slowest":$retimedJson,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed}""")
     spark.stop()
   }
 }
