@@ -49,9 +49,11 @@ object Bench {
     val retimed = results.filter(_._3).sortBy(-_._2).take(3).map { case (name, _, _) =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      // -1 sentinel (same as the main loop): a re-run that fails fast
+      // must not read as a genuinely fast re-run
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -149,10 +149,14 @@ object Graft {
 
   /** Sketch decontamination: eval n-grams folded into a broadcast
     * Bloom filter, corpus flagged in one narrow pass (no false
-    * negatives; per-probe false-positive rate `fpp`). */
+    * negatives; per-probe false-positive rate `fpp`). By default the
+    * filter is sized from the eval split itself; pass `expectedGrams`
+    * to skip that count job when the caller already knows the bound. */
   def bloomDecontaminate(train: DataFrame, eval: DataFrame, n: Int = 4,
-                         fpp: Double = 1e-6): DataFrame =
-    Curation.bloomDecontaminate(tokenize(train), tokenize(eval), n, fpp)
+                         fpp: Double = 1e-6,
+                         expectedGrams: Long = 0L): DataFrame =
+    Curation.bloomDecontaminate(tokenize(train), tokenize(eval), n, fpp,
+                                expectedGrams)
 
   /** Per-doc Shannon entropy of the token distribution:
     * (doc_id, n_toks, n_distinct, entropy, norm_entropy). */

@@ -457,7 +457,7 @@ object Queries {
          |f AS (SELECT user_id, min(w) AS cohort FROM ev GROUP BY user_id),
          |a AS (SELECT DISTINCT user_id, w FROM ev)
          |SELECT f.cohort,
-         |  ((epoch(a.w) - epoch(f.cohort)) // 604800)::INT AS week_offset,
+         |  ((a.w::DATE - f.cohort::DATE) // 7)::INT AS week_offset,
          |  count(*) AS n_users
          |FROM a JOIN f USING (user_id)
          |GROUP BY f.cohort, week_offset

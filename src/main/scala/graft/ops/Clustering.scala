@@ -76,10 +76,17 @@ object Clustering {
       // empty cluster -> previous centroid survives
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
-    assign(v, centroids)
+    // materialize the final assignment (localCheckpoint cuts the
+    // lineage back to `v`) so the persisted projection can be released
+    // here — repeated facade calls (a k/iters tuning loop) must not
+    // accumulate cached DataFrames until LRU eviction
+    val out = assign(v, centroids)
       .select(col("vec_id"), col("cluster"),
               round(sqrt(col("d2")), 6).as("dist"))
       .orderBy("vec_id")
+      .localCheckpoint()
+    v.unpersist()
+    out
   }
 
   /** One assign pass: (vec_id, v, cluster, d2) with the argmin

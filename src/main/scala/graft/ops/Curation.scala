@@ -191,11 +191,26 @@ object Curation {
     */
   def bloomDecontaminate(trainToks: DataFrame, evalToks: DataFrame,
                          n: Int = 4, fpp: Double = 1e-6,
-                         expectedGrams: Long = 1L << 20): DataFrame = {
+                         expectedGrams: Long = 0L): DataFrame = {
     val spark = trainToks.sparkSession
     val evalGrams = evalToks
       .select(explode(array_distinct(Text.ngramCol(col("toks"), n))).as("gn"))
-    val bf = evalGrams.stat.bloomFilter("gn", expectedGrams, fpp)
+    // expectedGrams <= 0 → size the filter from the eval split itself
+    // (one extra small-side count job): a hardwired capacity silently
+    // saturates on a larger-than-expected eval set, blowing the fpp
+    // bound (the no-false-negative guarantee would survive, the
+    // "small overcautious extra drop" promise would not). The count is
+    // pre-dedup across docs, i.e. an upper bound on distinct grams —
+    // a slightly oversized filter, never an undersized one. The 2^16
+    // floor absorbs the double-hashing (Kirsch–Mitzenmacher) penalty,
+    // which makes tiny filters miss their nominal fpp by an additive
+    // O(1/m) term (measured: 5 false flags at nominal sizing on a
+    // 383-gram eval split, 0 with headroom); the floor costs a fixed
+    // ~230 KB and vanishes relative to nominal sizing at real eval
+    // scale.
+    val capacity = if (expectedGrams > 0) expectedGrams
+                   else math.max(1L << 16, evalGrams.count())
+    val bf = evalGrams.stat.bloomFilter("gn", capacity, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val hits = udf((grams: Seq[String]) =>
       if (grams == null) 0 else grams.count(bc.value.mightContainString))
@@ -292,14 +307,19 @@ object Curation {
     val n = org.apache.spark.sql.functions.size(col("toks"))
     val nChunks = when(n <= size, lit(1))
       .otherwise(ceil((n - size).cast("double") / stride).cast("int") + 1)
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      ci => array_join(slice(col("toks"), ci * stride + 1, lit(size)), " "))
+    // carry the sliced-array length alongside the joined string:
+    // size(split("", " ")) is 1 (split of "" yields [""]), so an empty
+    // doc's single empty chunk must take its token count from the
+    // slice itself, not from re-splitting the joined text
+    val chunks = transform(sequence(lit(0), nChunks - 1), { ci =>
+      val win = slice(col("toks"), ci * stride + 1, lit(size))
+      struct(array_join(win, " ").as("chunk"),
+             org.apache.spark.sql.functions.size(win).as("n"))
+    })
     docToks
-      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
-              col("chunk"),
-              org.apache.spark.sql.functions.size(split(col("chunk"), " "))
-                .as("n_chunk_toks"))
+              col("c.chunk").as("chunk"), col("c.n").as("n_chunk_toks"))
       .orderBy("doc_id", "chunk_idx")
   }
 

@@ -91,8 +91,11 @@ object Events {
 
   /** Weekly cohort retention — users bucketed by the week of their
     * first event, counted per (cohort week, week offset) of later
-    * activity. Week arithmetic is integer epoch-seconds over
-    * week-truncated timestamps, exact on both engines. Two user-keyed
+    * activity. Week arithmetic is whole-day `datediff` over DATE-cast
+    * week starts (÷7 of an exact day count), not epoch-seconds over
+    * timestamps — a spring-forward DST week is 601200 s, so epoch
+    * division would truncate to N−1 in any non-UTC session timezone;
+    * day counts are timezone-shape-independent. Two user-keyed
     * aggregates + one join; the output is cohort-weeks × offsets, a
     * bounded report. The library entry point
     * ([[graft.Graft.retention]]); input needs (user_id, ts). */
@@ -103,8 +106,8 @@ object Events {
     ev.distinct()
       .join(first, "user_id")
       .select(col("cohort"),
-              ((col("w").cast("long") - col("cohort").cast("long")) / 604800L)
-                .cast("int").as("week_offset"))
+              floor(datediff(col("w").cast("date"), col("cohort").cast("date"))
+                / 7).cast("int").as("week_offset"))
       .groupBy("cohort", "week_offset")
       .agg(count(lit(1)).as("n_users"))
       // DATE for cross-engine parity: DuckDB's date_trunc('week')
