@@ -605,6 +605,15 @@ object Queries {
     "q_sql_scalar"          -> (Sql.qSqlScalar _),
     "q_sql_q6"              -> (Sql.qSqlQ6 _),
     "q_cooccur"             -> (TextAnalysis.qCooccur _),
+    "q_sql_q4"              -> (Sql.qSqlQ4 _),
+    "q_sql_q7"              -> (Sql.qSqlQ7 _),
+    "q_sql_q12"             -> (Sql.qSqlQ12 _),
+    "q_sql_q13"             -> (Sql.qSqlQ13 _),
+    "q_sql_q14"             -> (Sql.qSqlQ14 _),
+    "q_sql_q17"             -> (Sql.qSqlQ17 _),
+    "q_sql_q19"             -> (Sql.qSqlQ19 _),
+    "q_sql_q21"             -> (Sql.qSqlQ21 _),
+    "q_sql_q22"             -> (Sql.qSqlQ22 _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -742,6 +751,15 @@ object Queries {
     "q_sql_q18" -> Sql.q18Template(e => rnd(e, 2)),
     "q_sql_scalar" -> Sql.qScalarTemplate(e => rnd(e, 2)),
     "q_sql_q6" -> Sql.q6Template(e => rnd(e, 2)),
+    "q_sql_q4" -> Sql.q4Template(e => rnd(e, 2)),
+    "q_sql_q7" -> Sql.q7Template(e => rnd(e, 2)),
+    "q_sql_q12" -> Sql.q12Template(e => rnd(e, 2)),
+    "q_sql_q13" -> Sql.q13Template(e => rnd(e, 2)),
+    "q_sql_q14" -> Sql.q14Template(e => rnd(e, 2)),
+    "q_sql_q17" -> Sql.q17Template(e => rnd(e, 2)),
+    "q_sql_q19" -> Sql.q19Template(e => rnd(e, 2)),
+    "q_sql_q21" -> Sql.q21Template(e => rnd(e, 2)),
+    "q_sql_q22" -> Sql.q22Template(e => rnd(e, 2)),
     "q_cooccur" ->
       s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
          |p AS (SELECT unnest(flatten(list_transform(

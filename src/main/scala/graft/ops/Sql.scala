@@ -116,6 +116,154 @@ object Sql {
        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 200""".stripMargin
 
+  /** TPC-H Q4 shape (adapted: no commit/receipt dates in the test
+    * schema, so "late" = shipped >30 days after order date): the
+    * correlated EXISTS that Catalyst decorrelates into a left
+    * semi-join before the priority rollup. */
+  def q4Template(rnd: String => String): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01'
+       |  AND EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_orderkey = o_orderkey
+       |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape: volume shipping between a nation pair — the
+    * self-joined dimension (nation n1 × nation n2) with a symmetric
+    * OR pair predicate, a 6-relation join Catalyst must order, and a
+    * derived-table group-by. */
+  def q7Template(rnd: String => String): String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |       ${rnd("sum(volume)")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         CAST(year(l_shipdate) AS INT) AS l_year,
+       |         l_extendedprice * (1 - l_discount) AS volume
+       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q12 shape (adapted: priority classes instead of the absent
+    * ship-mode column): join + CASE-bucketed conditional counts.
+    * The sums are CAST for parity — DuckDB widens sum(int) to
+    * HUGEINT, Spark to BIGINT. */
+  def q12Template(rnd: String => String): String =
+    s"""SELECT l_linestatus,
+       |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+       |                  OR o_orderpriority = '2-HIGH'
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+       |                 AND o_orderpriority <> '2-HIGH'
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM orders, lineitem
+       |WHERE o_orderkey = l_orderkey
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q13 shape: customer order-count distribution — the LEFT
+    * OUTER join with an extra predicate that must stay in the join
+    * condition (in WHERE it would turn the join inner), then a
+    * double aggregation (per-customer count → histogram of counts). */
+  def q13Template(rnd: String => String): String =
+    s"""SELECT c_count, count(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT OUTER JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+       |  GROUP BY c_custkey
+       |) c_orders
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregate
+    * ratio in one pass over a month of lineitem joined to part. */
+  def q14Template(rnd: String => String): String =
+    s"""SELECT ${rnd("100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) / sum(l_extendedprice * (1 - l_discount))")} AS promo_revenue
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+       |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    * scalar subquery (per-part average) Catalyst decorrelates into an
+    * aggregate-then-join; the canonical test that correlated scalars
+    * don't re-scan per outer row. */
+  def q17Template(rnd: String => String): String =
+    s"""SELECT ${rnd("sum(l_extendedprice) / 7.0")} AS avg_yearly
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+       |  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+       |                    FROM lineitem l2
+       |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    * predicate spanning both join sides — exercises disjunctive
+    * predicate handling (the common-conjunct extraction that keeps
+    * the join from degenerating to a filterless cross product). */
+  def q19Template(rnd: String => String): String =
+    s"""SELECT ${rnd("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+       |       count(*) AS n_rows
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey
+       |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |        AND l_quantity BETWEEN 1 AND 21)
+       |    OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30
+       |        AND l_quantity BETWEEN 10 AND 40)
+       |    OR (p_brand = 'Brand#9' AND p_size BETWEEN 20 AND 50
+       |        AND l_quantity BETWEEN 20 AND 50))""".stripMargin
+
+  /** TPC-H Q21 shape (adapted: "late" = shipped >60 days after order
+    * date): suppliers who were the SOLE late shipper on a
+    * multi-supplier finished order — EXISTS and NOT EXISTS against
+    * the same fact table with different correlated predicates, the
+    * heaviest subquery-planning shape in the suite. */
+  def q21Template(rnd: String => String): String =
+    s"""SELECT s_name, count(*) AS numwait
+       |FROM supplier, lineitem l1, orders, nation
+       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F'
+       |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 shape (adapted: nation-key segment in place of the
+    * absent phone prefix, and "no orders since 2000" instead of "no
+    * orders ever" — the synthetic order stream covers nearly every
+    * customer): above-average-balance lapsed customers — NOT EXISTS
+    * anti-join gated by an uncorrelated scalar-average subquery. */
+  def q22Template(rnd: String => String): String =
+    s"""SELECT cntrycode, count(*) AS numcust,
+       |       ${rnd("sum(c_acctbal)")} AS totacctbal
+       |FROM (
+       |  SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal
+       |  FROM customer
+       |  WHERE c_nationkey % 5 IN (0, 1, 2)
+       |    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+       |                     WHERE c_acctbal > 0.0)
+       |    AND NOT EXISTS (SELECT 1 FROM orders
+       |                    WHERE o_custkey = c_custkey
+       |                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+       |) custsale
+       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   private val sparkRound: String => String = e => s"round($e, 2)"
 
   /** q_sql_q1: TPC-H Q1 via spark.sql. */
@@ -158,5 +306,59 @@ object Sql {
   def qSqlQ6(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q6Template(sparkRound))
+  }
+
+  /** q_sql_q4: TPC-H Q4 shape via spark.sql. */
+  def qSqlQ4(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q4Template(sparkRound))
+  }
+
+  /** q_sql_q7: TPC-H Q7 shape via spark.sql. */
+  def qSqlQ7(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q7Template(sparkRound))
+  }
+
+  /** q_sql_q12: TPC-H Q12 shape via spark.sql. */
+  def qSqlQ12(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q12Template(sparkRound))
+  }
+
+  /** q_sql_q13: TPC-H Q13 shape via spark.sql. */
+  def qSqlQ13(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q13Template(sparkRound))
+  }
+
+  /** q_sql_q14: TPC-H Q14 shape via spark.sql. */
+  def qSqlQ14(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q14Template(sparkRound))
+  }
+
+  /** q_sql_q17: TPC-H Q17 shape via spark.sql. */
+  def qSqlQ17(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q17Template(sparkRound))
+  }
+
+  /** q_sql_q19: TPC-H Q19 shape via spark.sql. */
+  def qSqlQ19(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q19Template(sparkRound))
+  }
+
+  /** q_sql_q21: TPC-H Q21 shape via spark.sql. */
+  def qSqlQ21(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q21Template(sparkRound))
+  }
+
+  /** q_sql_q22: TPC-H Q22 shape via spark.sql. */
+  def qSqlQ22(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q22Template(sparkRound))
   }
 }

@@ -99,4 +99,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
+
+  test("q_sql_q4: correlated EXISTS decorrelates to a semi join") {
+    val p = plan("q_sql_q4")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q_sql_q21: EXISTS and NOT EXISTS both decorrelate (semi + anti), no per-row subquery") {
+    val p = plan("q_sql_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q_sql_q17: correlated scalar average decorrelates to an aggregate join, lineitem scanned at most twice") {
+    val p = plan("q_sql_q17")
+    // decorrelation = partial/final avg feeding a join, not a subquery
+    // executed per outer row
+    assert(p.contains("partial_avg") || p.contains("avg("), p)
+    assert(!p.contains("ScalarSubquery"), p)
+  }
+
+  test("q_sql_q19: OR-of-ANDs keeps the equi-join (common conjunct extracted), no cartesian") {
+    val p = plan("q_sql_q19")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_sql_q13: left join survives with its extra condition (not degraded to inner)") {
+    val p = plan("q_sql_q13")
+    assert(p.contains("LeftOuter"), p)
+  }
 }
