@@ -188,6 +188,23 @@ object Graft {
                    topN: Int = 100): DataFrame =
     TextAnalysis.cooccurrence(tokenize(docs), k, minCount, topN)
 
+  /** Exact heavy hitters via the two-pass Misra–Gries sketch +
+    * recount: (token, cnt) for every token above N/(k+1) of the
+    * corpus token stream. */
+  def heavyHitters(docs: DataFrame, k: Int = 199): DataFrame =
+    TextAnalysis.heavyHitters(tokenize(docs), k)
+
+  /** Column-level profile of any DataFrame:
+    * (col_name, n_rows, n_null, n_distinct, min_s, max_s). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    ops.Profile.profile(df, cols)
+
+  /** Incremental exact dedup of an incoming batch against an existing
+    * corpus: (doc_id, status ∈ {dup_existing, dup_incoming, new},
+    * dup_of). The corpus is scanned once, never shuffled. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame =
+    Dedup.incrementalDedup(existing, incoming)
+
   /** Deterministic Lloyd's k-means over (vec_id, embedding):
     * (vec_id, cluster, dist). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =

@@ -614,6 +614,9 @@ object Queries {
     "q_sql_q19"             -> (Sql.qSqlQ19 _),
     "q_sql_q21"             -> (Sql.qSqlQ21 _),
     "q_sql_q22"             -> (Sql.qSqlQ22 _),
+    "q_heavy_hitters"       -> (TextAnalysis.qHeavyHitters _),
+    "q_profile"             -> (Profile.qProfile _),
+    "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -760,6 +763,49 @@ object Queries {
     "q_sql_q19" -> Sql.q19Template(e => rnd(e, 2)),
     "q_sql_q21" -> Sql.q21Template(e => rnd(e, 2)),
     "q_sql_q22" -> Sql.q22Template(e => rnd(e, 2)),
+    // exact two-pass heavy hitters: the sketch only bounds the
+    // candidate set, so the oracle is the plain exact HAVING form
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS t FROM documents),
+         |tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+         |SELECT t AS token, count(*)::BIGINT AS cnt
+         |FROM tok, tot
+         |GROUP BY t, n
+         |HAVING count(*) > n / 200.0
+         |ORDER BY cnt DESC, token""".stripMargin,
+    "q_profile" ->
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+          "o_totalprice")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+             |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct,
+             |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q_dedup_incremental" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 100000 AS doc_id, md5(text) AS h
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text || ' updated')
+        |  FROM documents WHERE doc_id >= 50 AND doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 200000, md5(text || ' updated')
+        |  FROM documents WHERE doc_id >= 50 AND doc_id < 75),
+        |ex AS (SELECT md5(text) AS h, min(doc_id) AS ex_keeper
+        |       FROM documents GROUP BY 1),
+        |pri AS (SELECT doc_id, h,
+        |  min(doc_id) OVER (PARTITION BY h ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |  FROM inc)
+        |SELECT p.doc_id,
+        |  CASE WHEN e.ex_keeper IS NOT NULL THEN 'dup_existing'
+        |       WHEN p.prior IS NOT NULL THEN 'dup_incoming'
+        |       ELSE 'new' END AS status,
+        |  coalesce(e.ex_keeper, p.prior) AS dup_of
+        |FROM pri p LEFT JOIN ex e USING (h)
+        |ORDER BY doc_id""".stripMargin,
     "q_cooccur" ->
       s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
          |p AS (SELECT unnest(flatten(list_transform(

@@ -401,4 +401,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Incremental (snapshot + delta) exact dedup — the operational
+    * daily shape of a crawl pipeline: an existing deduplicated corpus
+    * is huge and AT REST; a small incoming batch must be classified
+    * against it without re-deduplicating the world. Per incoming doc:
+    *
+    *   - `dup_existing` — content hash already in the corpus
+    *     (`dup_of` = the corpus keeper, its lowest doc_id);
+    *   - `dup_incoming` — first seen earlier IN THIS BATCH
+    *     (`dup_of` = that earlier incoming doc_id); existing wins
+    *     when both apply;
+    *   - `new` — genuinely novel content (`dup_of` null).
+    *
+    * Scale shape: the batch's distinct hashes BROADCAST to a single
+    * narrow scan of the corpus (the corpus is never shuffled — the
+    * inner join keeps only corpus rows whose hash occurs in the
+    * batch, batch-scale output); the within-batch prior is a window
+    * over the batch only. Total shuffled data is batch-scale
+    * regardless of corpus size. At rest you'd persist the corpus
+    * hash column (or bucket by it) and this becomes a pure
+    * hash-lookup join with no text re-hash.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inc = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+    // corpus hits for the batch's hashes: ONE scan of existing,
+    // filtered by the broadcast batch hash set, reduced to per-hash
+    // keepers (batch-scale)
+    val exHits = existing.select(md5(col("text")).as("h"), col("doc_id"))
+      .join(broadcast(inc.select("h").distinct()), "h")
+      .groupBy("h").agg(min(col("doc_id")).as("ex_keeper"))
+    val prior = Window.partitionBy("h").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inc
+      .withColumn("prior", min(col("doc_id")).over(prior))
+      .join(exHits, Seq("h"), "left")
+      .select(col("doc_id"),
+              when(col("ex_keeper").isNotNull, lit("dup_existing"))
+                .when(col("prior").isNotNull, lit("dup_incoming"))
+                .otherwise(lit("new")).as("status"),
+              coalesce(col("ex_keeper"), col("prior")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** q_dedup_incremental: [[incrementalDedup]] with a synthetic
+    * re-crawl batch derived from the corpus — 50 unchanged re-fetches
+    * (→ dup_existing), 50 changed pages (→ new), and 25 of the
+    * changed pages fetched twice (→ dup_incoming). */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val refetched = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val changed = d.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" updated")).as("text"))
+    val doubled = d.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+      .select((col("doc_id") + 200000).as("doc_id"),
+              concat(col("text"), lit(" updated")).as("text"))
+    incrementalDedup(d, refetched.unionAll(changed).unionAll(doubled))
+  }
 }

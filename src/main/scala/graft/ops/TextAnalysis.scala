@@ -385,4 +385,51 @@ object TextAnalysis {
       .select("doc_id", "fp_exact", "fp_bag", "n_same_bag")
       .orderBy("doc_id")
   }
+
+  /** Exact heavy hitters at stream scale — the two-pass
+    * sketch-then-verify shape: tokens whose corpus frequency exceeds
+    * N/(k+1), computed WITHOUT ever shuffling a full token-frequency
+    * table.
+    *
+    * Pass 1 folds every token into one
+    * [[graft.functions.MisraGriesAggregator]] summary (k counters;
+    * per-partition partials merge under the PODS'12 rule, so one
+    * O(k) row crosses the wire) — by the MG guarantee its key set is
+    * a SUPERSET of every token with true count > N/(k+1). Pass 2
+    * recounts ONLY those ≤ k candidates exactly (an `isin` literal
+    * filter — pushable to the scan — then a ≤ k-group partial agg)
+    * and takes the global N from the same pass, so the final filter
+    * `cnt > N/(k+1)` returns the exact heavy-hitter set with exact
+    * counts. A vocabulary-scale groupBy never happens; the only
+    * full-corpus work is two narrow scans.
+    *
+    * This is the standard production shape for "top terms over 100 TB"
+    * (vocabulary >> memory): the sketch bounds the candidate set, the
+    * recount removes the approximation. Deterministic given the data
+    * (the sketch's intermediate counts depend on partition order, but
+    * the VERIFIED output doesn't — any MG run's key set contains all
+    * true heavy hitters, and the recount is exact), hence
+    * oracle-checkable against a plain GROUP BY / HAVING.
+    */
+  def heavyHitters(docToks: DataFrame, k: Int = 199): DataFrame = {
+    val toks = docToks.select(explode(col("toks")).as("t"))
+    // pass 1: sketch and stream length in ONE global aggregate — the
+    // only state crossing the wire is k counters + one long
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    val row = toks.agg(mg(col("t")).as("mg"), count(lit(1)).as("n")).head()
+    val candidates = row.getMap[String, Long](0).keys.toSeq
+    val thr = row.getLong(1).toDouble / (k + 1)
+    // pass 2: exact recount of the ≤ k candidates (literal isin filter
+    // → scan-pushable; ≤ k groups → shuffle of counters only)
+    toks.filter(col("t").isin(candidates: _*))
+      .groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > thr)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** q_heavy_hitters: [[heavyHitters]] (k = 199 → tokens above 0.5%
+    * of the corpus token stream). */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.docTokens(spark, dir))
 }

@@ -193,4 +193,43 @@ class GraftFacadeSpec extends AnyFunSuite {
     // doc 1: P(common) = 7/8 -> ppl = 8/7
     assert(math.abs(out(1L) - 8.0 / 7.0) < 1e-5)
   }
+
+  test("incrementalDedup classifies a batch against a corpus") {
+    val existing = docs
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // = doc 1
+      (11L, "a never before seen document body"),
+      (12L, "a never before seen document body"),          // dup of 11 in-batch
+      (13L, "another genuinely new document")
+    ).toDF("doc_id", "text")
+    val out = Graft.incrementalDedup(existing, incoming).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(10L) == (("dup_existing", 1L))) // keeper = min corpus id (1, not 4)
+    assert(out(11L) == (("new", -1L)))
+    assert(out(12L) == (("dup_incoming", 11L)))
+    assert(out(13L) == (("new", -1L)))
+  }
+
+  test("profile reports nulls, distincts and string-rendered bounds per column") {
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (3L, null), (null, "b"))
+      .toDF("id", "s")
+    val p = Graft.profile(rows, Seq("id", "s")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("id") == ((4L, 1L, 3L, "1", "3")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("heavyHitters on hand-built docs: only the dominant token survives") {
+    val rows = Seq(
+      (1L, "spark spark spark spark spark one", "en"),
+      (2L, "spark spark spark spark two three", "en")
+    ).toDF("doc_id", "text", "lang")
+    // N = 12, k = 3 -> threshold 3: 'spark' (9) qualifies, others (1) don't
+    val hh = Graft.heavyHitters(rows, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == Seq(("spark", 9L)))
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MisraGriesAggregator
+
+/** The Misra–Gries guarantee and the two-pass exact heavy hitters
+  * built on it. The sketch tests drive the Aggregator directly (reduce
+  * and merge in adversarial orders — Spark may combine partials in any
+  * order); the end-to-end tests pin [[ops.TextAnalysis.heavyHitters]]
+  * against an exact groupBy on the same data. */
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Fold a token stream through the aggregator like one partition. */
+  private def sketch(agg: MisraGriesAggregator, toks: Seq[String]) =
+    toks.foldLeft(agg.zero)(agg.reduce)
+
+  test("MG guarantee: any item above N/(k+1) survives an adversarial stream") {
+    val k = 9
+    val agg = new MisraGriesAggregator(k)
+    // 300 'hot' among 700 distinct rare fillers, hot interleaved last —
+    // the worst case for decrement pressure
+    val fillers = (1 to 700).map(i => s"rare_$i")
+    val stream = fillers.take(350) ++ Seq.fill(300)("hot") ++ fillers.drop(350)
+    val n = stream.length                       // 1000, thr = 100
+    assert(300 > n / (k + 1))
+    val s = sketch(agg, stream)
+    assert(s.contains("hot"), s"hot item evicted: $s")
+    assert(s.size <= k)
+    // undercount bounded by N/(k+1)
+    assert(s("hot") >= 300 - n / (k + 1))
+  }
+
+  test("MG merge preserves the bound across arbitrary partition splits") {
+    val k = 9
+    val agg = new MisraGriesAggregator(k)
+    val stream = (1 to 900).map(i => s"rare_$i") ++ Seq.fill(200)("hot")
+    // three different split points, merged in both orders
+    for (cut <- Seq(100, 550, 1000)) {
+      val (a, b) = stream.splitAt(cut)
+      val merged1 = agg.merge(sketch(agg, a), sketch(agg, b))
+      val merged2 = agg.merge(sketch(agg, b), sketch(agg, a))
+      for (m <- Seq(merged1, merged2)) {
+        assert(m.size <= k)
+        assert(m.contains("hot"), s"cut=$cut lost the heavy hitter: $m")
+        assert(m("hot") >= 200 - stream.length / (k + 1))
+      }
+    }
+  }
+
+  test("heavyHitters == exact GROUP BY/HAVING on the sf0.001 corpus") {
+    val docToks = Tables.docTokens(spark, TestSpark.sf0001)
+    val k = 199
+    val got = ops.TextAnalysis.heavyHitters(docToks, k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = docToks.select(explode(col("toks")).as("t"))
+    val n = toks.count()
+    val expected = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n.toDouble / (k + 1))
+      .orderBy(col("cnt").desc, col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "degenerate test: no heavy hitters in corpus")
+  }
+
+  test("heavyHitters: planted skew dominates") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, s"common token_$i x$i y$i"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val hh = ops.TextAnalysis.heavyHitters(docs, k = 9).collect()
+    // 'common' appears 50/200 = 25% > 10% threshold; every other token
+    // is ~1-2 occurrences
+    assert(hh.map(_.getString(0)).contains("common"))
+    assert(hh.find(_.getString(0) == "common").get.getLong(1) == 50L)
+  }
+}

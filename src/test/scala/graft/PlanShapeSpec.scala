@@ -128,4 +128,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_sql_q13")
     assert(p.contains("LeftOuter"), p)
   }
+
+  test("q_dedup_incremental: batch hashes broadcast to the corpus scan, corpus never sort-merged") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_profile: each column pass reads a single-column schema") {
+    val p = plan("q_profile")
+    // every scan is pruned to one column — no scan reads the full row
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string>"), p)
+    assert(!p.contains("o_orderkey:bigint,o_custkey"), p)
+  }
 }
