@@ -250,6 +250,12 @@ object Graft {
     * activity-week offset). Input: (user_id, ts). */
   def retention(events: DataFrame): DataFrame = ops.Events.retention(events)
 
+  /** Daily resample with gap filling + forward fill per user:
+    * (user_id, d, v, n, v_ff); missing days appear with n = 0 and the
+    * last observed value carried forward. */
+  def resampleDaily(events: DataFrame): DataFrame =
+    ops.Events.resampleDaily(events)
+
   // ---- joins / session ----
 
   /** Backward as-of join through the native plan node (Inner or

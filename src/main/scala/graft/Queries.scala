@@ -617,6 +617,9 @@ object Queries {
     "q_heavy_hitters"       -> (TextAnalysis.qHeavyHitters _),
     "q_profile"             -> (Profile.qProfile _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
+    "q_resample"            -> (Events.qResample _),
+    "q_unpivot"             -> (Aggregates.qUnpivot _),
+    "q_hll_users"           -> (Aggregates.qHllUsers _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -783,6 +786,28 @@ object Queries {
              |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
              |FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q_resample" ->
+      s"""WITH e AS (SELECT user_id, date_trunc('day', $TS) AS d,
+         |  ${rnd("sum(value)", 2)} AS v, count(*)::BIGINT AS n
+         |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         |b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM e GROUP BY 1),
+         |g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+         |      FROM b)
+         |SELECT g.user_id, g.d::DATE AS d, e.v, coalesce(e.n, 0) AS n,
+         |  last_value(e.v IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.d) AS v_ff
+         |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
+         |ORDER BY 1, 2""".stripMargin,
+    "q_unpivot" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       l_quantity AS value FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |       l_extendedprice FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       l_discount FROM li
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_dedup_incremental" ->
       """WITH inc AS (
         |  SELECT doc_id + 100000 AS doc_id, md5(text) AS h

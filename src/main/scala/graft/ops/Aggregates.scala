@@ -149,4 +149,41 @@ object Aggregates {
                col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first)
   }
+
+  /** Wide→long unpivot (melt): the lineitem measure columns become
+    * (measure, value) rows keyed by (l_orderkey, l_linenumber) — the
+    * reshape every metrics store and plotting layer wants. Catalyst's
+    * `Expand` node emits all measure rows in ONE pass over the scan
+    * (no per-measure re-read, no join) — the same narrow, shuffle-free
+    * shape at any scale; only the presentation sort exchanges. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+              col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Sketch-at-rest distinct counting: per (event_type, day) HLL
+    * sketches of the user set are built ONCE (the shape you'd
+    * materialize alongside daily partitions), then re-aggregated by
+    * `hll_union_agg` into per-type totals — distinct users over any
+    * span without ever re-touching raw events. The daily sketch is a
+    * partial aggregate (map-side combine); the union pass moves only
+    * KB-sized sketch blobs. THE pattern for 100 TB distinct-count
+    * dashboards (one sketch per partition at rest, merge at query
+    * time). Estimates are approximate → oracle-exempt; the golden
+    * pins ≤ 5% error vs exact and exact agreement on a planted
+    * single-user type. */
+  def qHllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+           count(lit(1)).as("n_daily_sketches"))
+      .orderBy("event_type")
+  }
 }

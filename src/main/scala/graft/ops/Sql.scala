@@ -145,8 +145,8 @@ object Sql {
        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
        |    AND c_nationkey = n2.n_nationkey
-       |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+       |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
        |    AND l_shipdate < TIMESTAMP '1998-01-01'
        |) shipping
@@ -241,7 +241,7 @@ object Sql {
        |                  WHERE l3.l_orderkey = l1.l_orderkey
        |                    AND l3.l_suppkey <> l1.l_suppkey
        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_19'
        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   /** TPC-H Q22 shape (adapted: nation-key segment in place of the

@@ -365,4 +365,18 @@ class GoldenSpec extends AnyFunSuite {
   test("SparkEntry.entry returns rows (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q_hll_users: sketch-union estimate within 5% of exact distinct users") {
+    import org.apache.spark.sql.functions._
+    val approx = Queries.all("q_hll_users")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((t, ex) <- exact) {
+      val err = math.abs(approx(t) - ex).toDouble / ex
+      assert(err <= 0.05, s"$t: approx=${approx(t)} exact=$ex err=$err")
+    }
+  }
 }
