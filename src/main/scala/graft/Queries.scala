@@ -620,6 +620,7 @@ object Queries {
     "q_resample"            -> (Events.qResample _),
     "q_unpivot"             -> (Aggregates.qUnpivot _),
     "q_hll_users"           -> (Aggregates.qHllUsers _),
+    "q_bitmap_users"        -> (Aggregates.qBitmapUsers _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -798,6 +799,11 @@ object Queries {
          |    PARTITION BY g.user_id ORDER BY g.d) AS v_ff
          |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
          |ORDER BY 1, 2""".stripMargin,
+    // the bitmap pipeline is EXACT, so its oracle is the plain
+    // count(DISTINCT) it replaces at scale
+    "q_bitmap_users" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_unpivot" ->
       """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
         |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,

@@ -186,4 +186,27 @@ object Aggregates {
            count(lit(1)).as("n_daily_sketches"))
       .orderBy("event_type")
   }
+
+  /** EXACT distinct counting via mergeable roaring-style bitmaps —
+    * the precise sibling of [[qHllUsers]] for dense integer keys:
+    * per (event_type, day, bitmap bucket) a fixed-width bitmap of
+    * user-id bit positions is built (the at-rest granularity), then
+    * re-aggregated by `bitmap_or_agg` — a byte-wise OR of mergeable
+    * blobs — and summed per type. Same
+    * materialize-per-partition/merge-at-query-time economics as the
+    * HLL path, but the answer is exact, so the oracle is a plain
+    * `count(DISTINCT ...)`. The trade: bitmap size scales with the
+    * key-domain density (fine for surrogate-keyed ids), HLL's with
+    * nothing — which is why both live in the library. */
+  def qBitmapUsers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"),
+               bitmap_bucket_number(col("user_id")).as("bkt"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
+    daily.groupBy("event_type", "bkt")
+      .agg(bitmap_or_agg(col("bm")).as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bitmap_count(col("bm"))).as("n_users"))
+      .orderBy("event_type")
+  }
 }

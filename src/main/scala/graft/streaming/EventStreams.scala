@@ -234,7 +234,43 @@ object EventStreams {
           cur
       }
   }
+
+  /** Streaming heavy hitters over an unbounded token stream — the
+    * incremental form of [[graft.ops.TextAnalysis.heavyHitters]]:
+    * tokens are hash-sharded into `buckets` state keys, each holding a
+    * k-counter Misra–Gries summary in `mapGroupsWithState`
+    * (state = `buckets` maps of ≤ k counters, FIXED size forever —
+    * the only admissible state contract for an unbounded vocabulary).
+    *
+    * The per-bucket guarantee composes to the global one: a token
+    * always lands in the same bucket, and its bucket's sub-stream
+    * length N_b ≤ N, so any token with global frequency f > N/(k+1)
+    * has f > N_b/(k+1) in its own bucket and survives that bucket's
+    * MG summary. Sharding therefore splits state and load `buckets`
+    * ways WITHOUT weakening the bound. Each trigger emits every
+    * bucket's current candidates (update mode); readers union the
+    * buckets and (as in the batch op) recount candidates exactly if
+    * they need exact figures.
+    */
+  def streamingHeavyHitters(toks: Dataset[String], k: Int = 50,
+                            buckets: Int = 32): Dataset[HHBucket] = {
+    import toks.sparkSession.implicits._
+    val mg = new graft.functions.MisraGriesAggregator(k)
+    toks
+      .groupByKey(t => math.floorMod(t.hashCode, buckets))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bucket: Int, batch: Iterator[String], state: GroupState[HHBucket]) =>
+          val prev = state.getOption.map(_.items).getOrElse(mg.zero)
+          val cur = HHBucket(bucket, batch.foldLeft(prev)(mg.reduce))
+          state.update(cur)
+          cur
+      }
+  }
 }
+
+/** One hash shard's current Misra–Gries candidates
+  * ([[EventStreams.streamingHeavyHitters]]). */
+case class HHBucket(bucket: Int, items: Map[String, Long])
 
 /** StatefulProcessor for [[EventStreams.runningUserTotalsTws]]: one
   * typed ValueState per user holding the running totals. Top-level

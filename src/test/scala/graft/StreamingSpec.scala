@@ -284,4 +284,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Seq(1L), s"curated ids: $out")
     }
   }
+
+  test("streaming heavy hitters: hot token survives across micro-batches, state stays bounded") {
+    val ms = MemoryStream[String](spark)
+    val k = 5
+    val hh = EventStreams.streamingHeavyHitters(ms.toDS(), k = k, buckets = 4)
+    withQuery(hh.toDF(), "update", "t_stream_hh") { q =>
+      // batch 1: 40 hot + 30 distinct fillers; batch 2: more fillers +
+      // more hot — the guarantee must hold over the CONCATENATED stream
+      ms.addData(Seq.fill(40)("hot") ++ (1 to 30).map(i => s"rare_$i"))
+      q.processAllAvailable()
+      ms.addData((31 to 60).map(i => s"rare_$i") ++ Seq.fill(20)("hot"))
+      q.processAllAvailable()
+      // latest state per bucket (update mode appends per trigger)
+      val latest = spark.table("t_stream_hh")
+        .groupBy("bucket").agg(last(col("items")).as("items"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getMap[String, Long](1)).toMap
+      // total stream N = 150, hot = 60 > N/(k+1) = 25 -> must survive
+      val hotCounts = latest.values.flatMap(_.get("hot"))
+      assert(hotCounts.nonEmpty, s"hot evicted: $latest")
+      // every bucket's summary respects the k-counter bound
+      assert(latest.values.forall(_.size <= k), latest)
+    }
+  }
 }
