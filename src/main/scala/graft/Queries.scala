@@ -621,6 +621,7 @@ object Queries {
     "q_unpivot"             -> (Aggregates.qUnpivot _),
     "q_hll_users"           -> (Aggregates.qHllUsers _),
     "q_bitmap_users"        -> (Aggregates.qBitmapUsers _),
+    "q_scd2"                -> (Events.qScd2 _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -799,6 +800,16 @@ object Queries {
          |    PARTITION BY g.user_id ORDER BY g.d) AS v_ff
          |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
          |ORDER BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      s"""SELECT user_id, event_id, $TS AS valid_from,
+         |  lead($TS) OVER (PARTITION BY user_id
+         |                  ORDER BY $TS, event_id) AS valid_to,
+         |  ${rnd("value", 2)} AS value,
+         |  (lead($TS) OVER (PARTITION BY user_id
+         |                   ORDER BY $TS, event_id) IS NULL) AS is_current
+         |FROM events
+         |WHERE event_type = 'purchase' AND user_id < 100
+         |ORDER BY user_id, valid_from, event_id""".stripMargin,
     // the bitmap pipeline is EXACT, so its oracle is the plain
     // count(DISTINCT) it replaces at scale
     "q_bitmap_users" ->

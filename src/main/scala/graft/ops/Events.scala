@@ -157,4 +157,32 @@ object Events {
     * per-key bounded at any scale). */
   def qResample(spark: SparkSession, dir: String): DataFrame =
     resampleDaily(Tables.events(spark, dir).filter(col("user_id") < 20))
+
+  /** SCD-type-2 dimension build: a change-event stream
+    * (key, ts, attribute...) becomes the slowly-changing-dimension
+    * table every warehouse keeps — one validity interval per change,
+    * `valid_to` = the next change's instant (null while current).
+    * One shuffle on the key, one window pass (`lead`); the interval
+    * table then serves point-in-time lookups via the native as-of
+    * join ([[graft.plans.AsOfJoin]]) or a BETWEEN range join.
+    * Determinism: same-instant changes are ordered by `event_id`
+    * (latest wins the interval end). */
+  def scd2(updates: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    updates
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+              col("ts").as("valid_from"), col("valid_to"),
+              round(col("value"), 2).as("value"),
+              col("valid_to").isNull.as("is_current"))
+      // event_id in the sort: same-instant changes stay totally ordered
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** q_scd2: [[scd2]] over the purchase stream of a bounded user set
+    * (each purchase updates the user's "last basket value"). */
+  def qScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") < 100))
 }

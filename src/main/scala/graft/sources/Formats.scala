@@ -85,4 +85,24 @@ object Formats {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(path)
+
+  /** Range-sorted parquet layout — the ZONE-MAP write: rows are
+    * range-partitioned on `sortCol` into `nFiles` disjoint key ranges
+    * and sorted within each file, so every parquet footer carries
+    * tight, NON-OVERLAPPING min/max stats on that column. A later
+    * range or point predicate on `sortCol` then skips whole files /
+    * row groups at the reader (parquet stats filtering) instead of
+    * scanning them — the at-rest layout for time-series and
+    * key-ranged scans at 100 TB, complementary to [[writeBucketed]]
+    * (equi-join locality) and [[writePartitioned]] (directory
+    * pruning on low-cardinality columns; range-sort handles the
+    * high-cardinality ones a directory-per-value layout can't).
+    * Costs one range shuffle at write time (sampled boundaries), like
+    * every cluster-by. SourcesSpec proves the layout property itself:
+    * per-file key ranges are disjoint and each file is sorted. */
+  def writeRangeSorted(df: DataFrame, path: String, nFiles: Int,
+                       sortCol: String): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
 }

@@ -235,6 +235,16 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: an unbounded event stream joined
+    * to a bounded dimension DataFrame. STATE-FREE — the static side is
+    * (re)read per micro-batch and broadcast when under the threshold;
+    * no watermark needed because nothing buffers. The everyday shape
+    * for attaching user/document attributes to a live stream; the
+    * batch-side twin is any `ops.Relational` dim join. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming heavy hitters over an unbounded token stream — the
     * incremental form of [[graft.ops.TextAnalysis.heavyHitters]]:
     * tokens are hash-sharded into `buckets` state keys, each holding a

@@ -145,6 +145,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4))
   }
 
+  test("range-sorted write: per-file key ranges disjoint, rows sorted within files") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_rangesort").toString + "/orders"
+    Formats.writeRangeSorted(Tables.orders(spark, TestSpark.sf0001), dir,
+                             nFiles = 4, sortCol = "o_orderkey")
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("o_orderkey"))
+    // zone-map property: file min/max ranges never overlap
+    val ranges = back.groupBy("f")
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, s"expected multiple files, got $ranges")
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _ => true
+    }, s"overlapping file ranges: ${ranges.toSeq}")
+    // within-file sortedness (test-scale collect; file row order is
+    // preserved by the reader)
+    val byFile = back.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq)
+    assert(byFile.values.forall(ks => ks == ks.sorted),
+           "rows not sorted within a file")
+    // row count preserved
+    assert(back.count() == Tables.orders(spark, TestSpark.sf0001).count())
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -285,6 +285,21 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment join attaches dim attributes, unmatched keys survive") {
+    val ms = MemoryStream[Ev](spark)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = EventStreams.enrichStream(ms.toDF(), dim)
+    withQuery(enriched, "append", "t_enrich") { q =>
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+        Ev(2, ts("2024-01-01 00:00:01"), 9L, "view", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table("t_enrich")
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+      assert(out == Map(1L -> "gold", 2L -> null))
+    }
+  }
+
   test("streaming heavy hitters: hot token survives across micro-batches, state stays bounded") {
     val ms = MemoryStream[String](spark)
     val k = 5
