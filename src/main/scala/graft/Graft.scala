@@ -205,6 +205,20 @@ object Graft {
   def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame =
     Dedup.incrementalDedup(existing, incoming)
 
+  /** Build the (shingles, bands) MinHash index of a corpus — the
+    * at-rest signature store incremental near-dup probes against. */
+  def buildNearDupIndex(docs: DataFrame): (DataFrame, DataFrame) =
+    Dedup.buildNearDupIndex(tokenize(docs))
+
+  /** Probe an incoming batch against a corpus near-dup index (from
+    * [[buildNearDupIndex]], typically materialized): (doc_id,
+    * corpus_id, jac ≥ tau). Corpus signatures are never recomputed;
+    * shuffle volume is batch-scale. */
+  def incrementalNearDup(corpusShingles: DataFrame, corpusBands: DataFrame,
+                         incoming: DataFrame, tau: Double = 0.8): DataFrame =
+    Dedup.incrementalNearDup(corpusShingles, corpusBands,
+                             tokenize(incoming), tau)
+
   /** Deterministic Lloyd's k-means over (vec_id, embedding):
     * (vec_id, cluster, dist). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =

@@ -622,6 +622,7 @@ object Queries {
     "q_hll_users"           -> (Aggregates.qHllUsers _),
     "q_bitmap_users"        -> (Aggregates.qBitmapUsers _),
     "q_scd2"                -> (Events.qScd2 _),
+    "q_dedup_incr_near"     -> (Dedup.qDedupIncrNear _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(

@@ -402,6 +402,122 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The (shingles, bands) tables of a MinHash band index over any
+    * (doc_id, toks) corpus — the AT-REST signature store of an
+    * incremental near-dup pipeline. Shingles and band keys live in
+    * separate tables so the probe join never drags the shingle arrays
+    * through the band rows (the r2 lesson: 12× array payload). At
+    * cluster scale both land in columnar storage bucketed by their
+    * join keys; [[nearDupIndex]] materializes them to parquet once
+    * per (JVM, corpus). */
+  private[graft] def buildNearDupIndex(docToks: DataFrame,
+                                       bands: Int = Bands): (DataFrame, DataFrame) = {
+    val spark = docToks.sparkSession
+    SetFunctions.register(spark, permA, permB, MersennePrime)
+    val rowsPerBand = MinhashK / bands
+    val sh = docToks
+      .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bandTab = sh
+      .withColumn("sig", minhashSig(col("sh")))
+      .select(col("doc_id"), col("sig"),
+              explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+              hash(col("band"),
+                   slice(col("sig"), col("band") * rowsPerBand + 1,
+                         lit(rowsPerBand))).as("bkey"))
+    (sh, bandTab)
+  }
+
+  private val nearDupIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Materialized [[buildNearDupIndex]] for a corpus dir (built once
+    * per JVM, the offline index-build step). */
+  private[graft] def nearDupIndex(spark: SparkSession,
+                                  dir: String): (DataFrame, DataFrame) = {
+    val base = nearDupIndexPaths.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_neardup_index").toString
+      val docs = Tables.docTokens(spark, d)
+        .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist()
+      val rowsPerBand = MinhashK / Bands
+      docs.write.mode("overwrite").parquet(s"$p/shingles.parquet")
+      docs.withColumn("sig", minhashSig(col("sh")))
+        .select(col("doc_id"), col("sig"),
+                explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+        .select(col("doc_id"), col("band"),
+                hash(col("band"),
+                     slice(col("sig"), col("band") * rowsPerBand + 1,
+                           lit(rowsPerBand))).as("bkey"))
+        .write.mode("overwrite").parquet(s"$p/bands.parquet")
+      docs.unpersist()
+      p
+    })
+    (spark.read.parquet(s"$base/shingles.parquet"),
+     spark.read.parquet(s"$base/bands.parquet"))
+  }
+
+  /** Incremental near-dup: an incoming (doc_id, toks) batch probed
+    * against a corpus's materialized band index — the near-dup analog
+    * of [[incrementalDedup]] and the operational form of
+    * [[nearDupPairs]] for a daily crawl: corpus signatures are
+    * computed ONCE at index-build time, never again.
+    *
+    * Scale shape: the batch's band keys (batch × bands rows)
+    * BROADCAST against one scan of the band table (candidates are
+    * batch-scale out); corpus shingles are then fetched for the
+    * matched corpus docs only (again a broadcast semi-bound), and the
+    * exact merge-scan Jaccard verifies each candidate. Nothing
+    * corpus-scale is ever shuffled or recomputed. Same probabilistic
+    * contract as [[nearDupPairs]] (banding recall), so golden-tested,
+    * not oracle-matched. Emits (doc_id, corpus_id, jac ≥ tau). */
+  def incrementalNearDup(corpusShingles: DataFrame, corpusBands: DataFrame,
+                         incoming: DataFrame, tau: Double = 0.8,
+                         bands: Int = Bands): DataFrame = {
+    val spark = incoming.sparkSession
+    val (incSh, incBands) = buildNearDupIndex(incoming, bands)
+    val incShP = incSh.persist()
+    val cands = corpusBands
+      .join(broadcast(incBands
+              .select(col("doc_id").as("inc_id"), col("band"), col("bkey"))),
+            Seq("band", "bkey"))
+      .select(col("inc_id"), col("doc_id").as("corpus_id"))
+      .dropDuplicates("inc_id", "corpus_id")
+    val corpusHit = corpusShingles
+      .join(broadcast(cands.select(col("corpus_id").as("doc_id")).distinct()),
+            "doc_id")
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+    val out = cands
+      .join(incShP.select(col("doc_id").as("inc_id"), col("sh").as("sh_i")), "inc_id")
+      .join(corpusHit, "corpus_id")
+      .withColumn("inter",
+        SetFunctions.sortedIntersectSize(col("sh_i"), col("sh_c")))
+      .select(col("inc_id").as("doc_id"), col("corpus_id"),
+              (col("inter").cast("double")
+                / (size(col("sh_i")) + size(col("sh_c")) - col("inter"))).as("jac"))
+      .filter(col("jac") >= tau)
+      .select(col("doc_id"), col("corpus_id"), round(col("jac"), 6).as("jac"))
+      .orderBy("doc_id", "corpus_id")
+    out
+  }
+
+  /** q_dedup_incr_near: [[incrementalNearDup]] with a synthetic
+    * re-crawl batch — docs 0-49 re-fetched with their last token
+    * dropped (high-Jaccard near-dups of their originals). Golden-
+    * exempt like [[qDedupNear]] (banding recall); DedupSpec pins
+    * recall of the planted mods and exactness of the verify stage. */
+  def qDedupIncrNear(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, bandTab) = nearDupIndex(spark, dir)
+    val incoming = Tables.docTokens(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks"))
+    incrementalNearDup(sh, bandTab, incoming)
+  }
+
   /** Incremental (snapshot + delta) exact dedup — the operational
     * daily shape of a crawl pipeline: an existing deduplicated corpus
     * is huge and AT REST; a small incoming batch must be classified

@@ -366,6 +366,30 @@ class GoldenSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("incremental near-dup: truncated re-crawls recall their originals, verify stage exact") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.all("q_dedup_incr_near")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    // precision: the verify stage is exact, so every reported jac >= tau
+    assert(out.forall(_._3 >= 0.8), out.filter(_._3 < 0.8).toSeq)
+    // recall: every incoming doc whose TRUE shingle-jaccard vs its
+    // original clears tau with margin must be matched to it (banding
+    // P(miss | J >= 0.85) < 1e-4 at 12x4)
+    val docs = Tables.docTokens(spark, TestSpark.sf0001)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), size(col("toks")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val matched = out.map(p => (p._1, p._2)).toSet
+    for ((id, n) <- docs if n >= 3) {
+      // dropping the last token: shingles (n-2) -> (n-3), J = (n-3)/(n-2)
+      val trueJ = (n - 3).toDouble / (n - 2)
+      if (trueJ >= 0.85)
+        assert(matched.contains((id + 100000, id)),
+               s"planted near-dup $id (J=$trueJ) not recalled")
+    }
+  }
+
   test("q_hll_users: sketch-union estimate within 5% of exact distinct users") {
     import org.apache.spark.sql.functions._
     val approx = Queries.all("q_hll_users")(spark, TestSpark.sf0001)
