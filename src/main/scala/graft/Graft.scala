@@ -210,6 +210,13 @@ object Graft {
   def buildNearDupIndex(docs: DataFrame): (DataFrame, DataFrame) =
     Dedup.buildNearDupIndex(tokenize(docs))
 
+  /** Semantic decontamination: corpus vectors whose cosine against any
+    * probe (eval) vector clears minCos — (vec_id, n_probe_hits,
+    * max_cos). Probes broadcast; the corpus never shuffles. */
+  def semanticMatches(corpus: DataFrame, probes: DataFrame,
+                      minCos: Double = 0.4): DataFrame =
+    ops.Similarity.semanticMatches(corpus, probes, minCos)
+
   /** Probe an incoming batch against a corpus near-dup index (from
     * [[buildNearDupIndex]], typically materialized): (doc_id,
     * corpus_id, jac ≥ tau). Corpus signatures are never recomputed;

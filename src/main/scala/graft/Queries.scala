@@ -623,6 +623,7 @@ object Queries {
     "q_bitmap_users"        -> (Aggregates.qBitmapUsers _),
     "q_scd2"                -> (Events.qScd2 _),
     "q_dedup_incr_near"     -> (Dedup.qDedupIncrNear _),
+    "q_semantic_decontaminate" -> (Similarity.qSemanticDecontaminate _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -801,6 +802,18 @@ object Queries {
          |    PARTITION BY g.user_id ORDER BY g.d) AS v_ff
          |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
          |ORDER BY 1, 2""".stripMargin,
+    "q_semantic_decontaminate" ->
+      s"""$NORMVEC,
+         |c AS (SELECT vec_id, vn FROM u WHERE vec_id % 50 <> 0),
+         |p AS (SELECT vec_id, vn FROM u WHERE vec_id % 50 = 0),
+         |hits AS (
+         |  SELECT c.vec_id,
+         |    ${rnd("list_sum(list_transform(generate_series(1, 64), i -> c.vn[i] * p.vn[i]))", 6)} AS cos
+         |  FROM c, p)
+         |SELECT vec_id, count(*) AS n_probe_hits,
+         |  ${rnd("max(cos)", 6)} AS max_cos
+         |FROM hits WHERE cos >= 0.4
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_scd2" ->
       s"""SELECT user_id, event_id, $TS AS valid_from,
          |  lead($TS) OVER (PARTITION BY user_id

@@ -103,6 +103,41 @@ object Similarity {
   def qKnn(spark: SparkSession, dir: String): DataFrame =
     knn(Tables.embeddings(spark, dir))
 
+  /** Semantic (embedding-space) decontamination: every corpus vector
+    * whose cosine against ANY probe-set vector clears `minCos` — the
+    * "is this training doc a paraphrase of an eval doc" test that
+    * n-gram decontamination ([[Curation.decontaminate]]) misses by
+    * construction. The probe set (an eval split — small) BROADCASTS
+    * against one narrow scan of the corpus: |corpus| × |probes|
+    * codegen dot products, no shuffle of the corpus, aggregated to
+    * one row per contaminated corpus vector. The brute-force probe is
+    * the exactness baseline (oracle-checkable); swap the corpus scan
+    * for the ANN posting probe when |probes| grows. */
+  def semanticMatches(corpus: DataFrame, probes: DataFrame,
+                      minCos: Double = 0.4): DataFrame = {
+    val c = normalizeEmbeddings(corpus)
+    val p = normalizeEmbeddings(probes)
+    c.select(col("vec_id"), col("vn"))
+      .join(broadcast(p.select(col("vec_id").as("probe_id"),
+                               col("vn").as("vn_p"))),
+            col("vec_id") =!= col("probe_id"))
+      .select(col("vec_id"), col("probe_id"),
+              round(VectorFunctions.dot(col("vn"), col("vn_p")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_probe_hits"),
+           round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** q_semantic_decontaminate: [[semanticMatches]] with probe set
+    * vec_id % 50 == 0 against the rest of the corpus. */
+  def qSemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    semanticMatches(e.filter(col("vec_id") % 50 =!= 0),
+                    e.filter(col("vec_id") % 50 === 0))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ minCos) over any
     * (vec_id, embedding) DataFrame ([[graft.Graft.embeddingNearDups]]).
     * Same normalized-once + codegen dot discipline as the top-k
