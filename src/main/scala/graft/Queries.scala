@@ -624,6 +624,7 @@ object Queries {
     "q_scd2"                -> (Events.qScd2 _),
     "q_dedup_incr_near"     -> (Dedup.qDedupIncrNear _),
     "q_semantic_decontaminate" -> (Similarity.qSemanticDecontaminate _),
+    "q_sql_recursive"       -> (Sql.qSqlRecursive _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -802,6 +803,7 @@ object Queries {
          |    PARTITION BY g.user_id ORDER BY g.d) AS v_ff
          |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
          |ORDER BY 1, 2""".stripMargin,
+    "q_sql_recursive" -> Sql.qRecursiveTemplate(e => rnd(e, 2)),
     "q_semantic_decontaminate" ->
       s"""$NORMVEC,
          |c AS (SELECT vec_id, vn FROM u WHERE vec_id % 50 <> 0),

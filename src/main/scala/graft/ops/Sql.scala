@@ -264,6 +264,22 @@ object Sql {
        |) custsale
        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  /** Recursive CTE shape (Spark 4's `WITH RECURSIVE` → UnionLoop
+    * plan): a doubling chain seeded from the part table with a JOIN in
+    * the recursive step — the iterative-closure form (BOM explosion,
+    * org charts, graph reachability) that previously forced a
+    * driver-side loop; depth-bounded, deterministic, identical text on
+    * DuckDB. */
+  def qRecursiveTemplate(rnd: String => String): String =
+    s"""WITH RECURSIVE chain(k, depth) AS (
+       |  SELECT p_partkey, 0 AS depth FROM part WHERE p_partkey <= 3
+       |  UNION ALL
+       |  SELECT p.p_partkey, c.depth + 1 FROM chain c
+       |  JOIN part p ON p.p_partkey = c.k * 2
+       |  WHERE c.depth < 10)
+       |SELECT k, min(depth) AS depth, count(*) AS n_paths
+       |FROM chain GROUP BY k ORDER BY k""".stripMargin
+
   private val sparkRound: String => String = e => s"round($e, 2)"
 
   /** q_sql_q1: TPC-H Q1 via spark.sql. */
@@ -360,5 +376,11 @@ object Sql {
   def qSqlQ22(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q22Template(sparkRound))
+  }
+
+  /** q_sql_recursive: recursive-CTE chain via spark.sql. */
+  def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(qRecursiveTemplate(sparkRound))
   }
 }
