@@ -411,6 +411,7 @@ object Queries {
     "q_stream_session"  -> (Events.qStreamSession _),
     "q_funnel"          -> (Events.qFunnel _),
     "q_retention"       -> (Events.qRetention _),
+    "q_funnel_within"   -> (Events.qFunnelWithin _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -445,6 +446,23 @@ object Queries {
          |      WHERE event_type = 'click' GROUP BY e.user_id),
          |p AS (SELECT e.user_id, min($TS) AS t_buy FROM events e
          |      JOIN c ON e.user_id = c.user_id AND $TS > c.t_click
+         |      WHERE event_type = 'purchase' GROUP BY e.user_id)
+         |SELECT 1 AS stage, 'view' AS name, (SELECT count(*) FROM v) AS n_users
+         |UNION ALL
+         |SELECT 2, 'click', (SELECT count(*) FROM c)
+         |UNION ALL
+         |SELECT 3, 'purchase', (SELECT count(*) FROM p)
+         |ORDER BY stage""".stripMargin,
+    "q_funnel_within" ->
+      s"""WITH v AS (SELECT user_id, min($TS) AS t_view FROM events
+         |           WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min($TS) AS t_click FROM events e
+         |      JOIN v ON e.user_id = v.user_id AND $TS > v.t_view
+         |        AND $TS <= v.t_view + INTERVAL 1 HOUR
+         |      WHERE event_type = 'click' GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min($TS) AS t_buy FROM events e
+         |      JOIN c ON e.user_id = c.user_id AND $TS > c.t_click
+         |        AND $TS <= c.t_click + INTERVAL 1 HOUR
          |      WHERE event_type = 'purchase' GROUP BY e.user_id)
          |SELECT 1 AS stage, 'view' AS name, (SELECT count(*) FROM v) AS n_users
          |UNION ALL

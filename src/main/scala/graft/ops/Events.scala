@@ -65,7 +65,17 @@ object Events {
     * |stages|-row union of global counts at the end. The library entry
     * point ([[graft.Graft.funnel]]); input needs
     * (user_id, event_type, ts). */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
+    funnelWithin(events, stages, horizon = None)
+
+  /** [[funnel]] with an optional per-step conversion horizon: when
+    * `horizon` is set, each stage only counts qualifying events within
+    * that interval AFTER the previous stage's first event — "converted
+    * within the hour", the time-bounded readout product analytics
+    * actually reports. Same shuffle shape as the unbounded form (the
+    * horizon is one more predicate on the per-stage join). */
+  def funnelWithin(events: DataFrame, stages: Seq[String],
+                   horizon: Option[String]): DataFrame = {
     require(stages.nonEmpty, "funnel: need at least one stage")
     val ev = events.select("user_id", "event_type", "ts")
     var prev: Option[DataFrame] = None
@@ -75,7 +85,9 @@ object Events {
         case None => base.groupBy("user_id").agg(min(col("ts")).as("t"))
         case Some(p) => base
           .join(p.select(col("user_id"), col("t").as("t_prev")), "user_id")
-          .filter(col("ts") > col("t_prev"))
+          .filter(col("ts") > col("t_prev") && horizon.map(h =>
+              col("ts") <= col("t_prev") + expr(s"INTERVAL $h"))
+            .getOrElse(lit(true)))
           .groupBy("user_id").agg(min(col("ts")).as("t"))
       }
       prev = Some(cur)
@@ -88,6 +100,12 @@ object Events {
   /** q_funnel: [[funnel]] over view → click → purchase. */
   def qFunnel(spark: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(spark, dir), Seq("view", "click", "purchase"))
+
+  /** q_funnel_within: the same funnel with a 1-hour per-step
+    * conversion horizon. */
+  def qFunnelWithin(spark: SparkSession, dir: String): DataFrame =
+    funnelWithin(Tables.events(spark, dir), Seq("view", "click", "purchase"),
+                 horizon = Some("1 HOUR"))
 
   /** Weekly cohort retention — users bucketed by the week of their
     * first event, counted per (cohort week, week offset) of later
