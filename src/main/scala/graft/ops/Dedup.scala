@@ -283,11 +283,20 @@ object Dedup {
     // reliable checkpoint dir on a cluster). The symmetric edge list
     // comes from ONE explode pass (not pairs ∪ swap), so the feeding
     // pair query is evaluated exactly once, inside this checkpoint.
+    // Explicit repartition on src before the checkpoint: AQE right-
+    // sizes the FEEDING query's last shuffle for its own output volume
+    // (often 1 partition for a small pair list), and the checkpoint
+    // would freeze that width for EVERY round of the loop — serializing
+    // the iteration on one task. The iterative joins/groupBys all key
+    // on src/id, so hash-distributing on src here is also the layout
+    // each round wants.
+    val nParts = pairDf.sparkSession.sparkContext.defaultParallelism
     val edges = pairDf
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(nParts, col("src"))
       .localCheckpoint()
     // lazy per-round checkpoints: the convergence aggregate right after
     // each one materializes it, so every round costs ONE job, not a

@@ -30,6 +30,9 @@ object ClusterProfile {
           struct(col("doc_a").as("src"), col("doc_b").as("dst")),
           struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // mirrors dedupClusters: AQE would freeze a 1-partition layout
+        // into every round
+        .repartition(spark.sparkContext.defaultParallelism, col("src"))
         .localCheckpoint()
     }
     println(s"  edges=${edges.count()} parts=${edges.rdd.getNumPartitions}")
