@@ -105,4 +105,54 @@ object Formats {
     df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Bit-spread of a 16-bit value to even bit positions (the Morton
+    * half-interleave) — pure codegen-able Column arithmetic. */
+  private def spread16(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton (Z-curve) code of two 16-bit quantized values. */
+  private[graft] def mortonCode(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Z-ordered parquet layout — the MULTI-column generalization of
+    * [[writeRangeSorted]]: both columns are min/max-quantized to 16
+    * bits (one tiny bounds aggregate), bit-interleaved into a Morton
+    * code, and the data is range-partitioned + sorted on that code.
+    * The Z-curve's locality makes every file cover a small RECTANGLE
+    * of the (a, b) domain, so each file's footer min/max is tight on
+    * BOTH columns and a selective predicate on EITHER column skips
+    * most files — where a 1-D sort gives tight stats on the sort
+    * column only (the second column spans the full domain in every
+    * file). This is the OPTIMIZE ZORDER layout of the lakehouse
+    * engines, built from two shuffle-free projections plus the same
+    * one range shuffle any cluster-by pays; SourcesSpec proves the
+    * bounded-rectangle property against the 1-D layout on a grid. */
+  def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
+                    colA: String, colB: String): Unit = {
+    val b = df.agg(min(col(colA)).cast("double").as("amin"),
+                   max(col(colA)).cast("double").as("amax"),
+                   min(col(colB)).cast("double").as("bmin"),
+                   max(col(colB)).cast("double").as("bmax")).head()
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L),
+                 floor((c.cast("double") - lit(lo)) * 65535.0 / (hi - lo))
+                   .cast("long"))
+    val z = mortonCode(quant(col(colA), b.getDouble(0), b.getDouble(1)),
+                       quant(col(colB), b.getDouble(2), b.getDouble(3)))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

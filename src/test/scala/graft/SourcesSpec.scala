@@ -171,6 +171,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == Tables.orders(spark, TestSpark.sf0001).count())
   }
 
+  test("z-ordered write: per-file bounding boxes tight on BOTH dims, point predicate skips most files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 64x64 grid: the adversarial case for 1-D sorting (the second
+    // dim spans the whole domain in every file)
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val zDir = Files.createTempDirectory("graft_zorder").toString + "/z"
+    val lDir = Files.createTempDirectory("graft_zorder").toString + "/lin"
+    Formats.writeZOrdered(grid, zDir, nFiles = 16, colA = "a", colB = "b")
+    Formats.writeRangeSorted(grid, lDir, nFiles = 16, sortCol = "a")
+    def fileBoxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("alo"), max("a").as("ahi"),
+           min("b").as("blo"), max("b").as("bhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val zBoxes = fileBoxes(zDir)
+    val lBoxes = fileBoxes(lDir)
+    assert(zBoxes.length >= 8 && lBoxes.length >= 8)
+    // 1-D layout: b spans (nearly) the whole domain in every file;
+    // z-order: the mean b-span collapses to a fraction of it
+    def meanBSpan(bx: Array[(Long, Long, Long, Long)]) =
+      bx.map { case (_, _, blo, bhi) => (bhi - blo).toDouble }.sum / bx.length
+    assert(meanBSpan(lBoxes) > 55.0, s"1-D layout unexpectedly tight: ${lBoxes.toSeq}")
+    assert(meanBSpan(zBoxes) < 0.5 * meanBSpan(lBoxes),
+           s"z mean b-span ${meanBSpan(zBoxes)} vs 1-D ${meanBSpan(lBoxes)}")
+    // a point predicate on b consults footer stats: in the 1-D layout
+    // every file matches; z-order skips more than half
+    val b0 = 37L
+    val zHit = zBoxes.count { case (_, _, blo, bhi) => blo <= b0 && b0 <= bhi }
+    val lHit = lBoxes.count { case (_, _, blo, bhi) => blo <= b0 && b0 <= bhi }
+    assert(lHit == lBoxes.length)
+    assert(zHit <= zBoxes.length / 2, s"z-order hit $zHit of ${zBoxes.length} files")
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
