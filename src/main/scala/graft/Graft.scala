@@ -210,6 +210,17 @@ object Graft {
   def buildNearDupIndex(docs: DataFrame): (DataFrame, DataFrame) =
     Dedup.buildNearDupIndex(tokenize(docs))
 
+  /** Corpus snapshot diff: per doc_id, added / removed / changed /
+    * unchanged between two (doc_id, text) snapshots. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    Dedup.corpusDiff(oldSnap, newSnap)
+
+  /** Per-language quality z-scores over (doc_id, text, lang):
+    * (doc_id, lang, quality, quality_z) — threshold the standardized
+    * score, not the absolute composite. */
+  def qualityZ(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityZ(tokenize(docs))
+
   /** Semantic decontamination: corpus vectors whose cosine against any
     * probe (eval) vector clears minCos — (vec_id, n_probe_hits,
     * max_cos). Probes broadcast; the corpus never shuffles. */

@@ -643,6 +643,8 @@ object Queries {
     "q_dedup_incr_near"     -> (Dedup.qDedupIncrNear _),
     "q_semantic_decontaminate" -> (Similarity.qSemanticDecontaminate _),
     "q_sql_recursive"       -> (Sql.qSqlRecursive _),
+    "q_corpus_diff"         -> (Dedup.qCorpusDiff _),
+    "q_quality_z"           -> (TextAnalysis.qQualityZ _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -822,6 +824,42 @@ object Queries {
          |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
          |ORDER BY 1, 2""".stripMargin,
     "q_sql_recursive" -> Sql.qRecursiveTemplate(e => rnd(e, 2)),
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        |v2x AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20),
+        |v2 AS (SELECT doc_id, md5(text) AS h_new FROM v2x)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN h_old = h_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quality_z" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id, lang,
+         |  len(toks)::INT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
+         |FROM t),
+         |q AS (SELECT doc_id, lang,
+         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
+         |FROM m),
+         |z AS (SELECT doc_id, lang, quality,
+         |  avg(quality) OVER (PARTITION BY lang) AS mu,
+         |  stddev(quality) OVER (PARTITION BY lang) AS sd
+         |FROM q)
+         |SELECT doc_id, lang, quality,
+         |  ${rnd("CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0 ELSE (quality - mu) / sd END", 6)} AS quality_z
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
     "q_semantic_decontaminate" ->
       s"""$NORMVEC,
          |c AS (SELECT vec_id, vn FROM u WHERE vec_id % 50 <> 0),

@@ -513,6 +513,39 @@ object Dedup {
     out
   }
 
+  /** Corpus snapshot diff — the change report between two crawl
+    * versions: per doc_id, `added` (only in the new snapshot),
+    * `removed` (only in the old), `changed` (both, different content
+    * hash), or `unchanged`. One full-outer hash join on doc_id; at
+    * rest both snapshots would be bucketed by doc_id making the diff
+    * shuffle-free. The audit step every versioned corpus store runs
+    * before promoting a snapshot. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+              when(col("h_old").isNull, lit("added"))
+                .when(col("h_new").isNull, lit("removed"))
+                .when(col("h_old") === col("h_new"), lit("unchanged"))
+                .otherwise(lit("changed")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** q_corpus_diff: [[corpusDiff]] against a synthetic v2 snapshot —
+    * docs ending in 7 dropped, docs ending in 3 rewritten, a block of
+    * new ids appended. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    val v2 = v1.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+              when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+                .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    corpusDiff(v1, v2)
+  }
+
   /** q_dedup_incr_near: [[incrementalNearDup]] with a synthetic
     * re-crawl batch — docs 0-49 re-fetched with their last token
     * dropped (high-Jaccard near-dups of their originals). Golden-

@@ -89,6 +89,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language quality calibration: z-score of the quality
+    * composite WITHIN each language — absolute quality cuts
+    * systematically bias against languages whose surface statistics
+    * (stopword density, token length) differ, so real curation
+    * thresholds the per-language standardized score instead. Same
+    * narrow quality projection, plus one per-lang window pass (avg +
+    * sample stddev over the unbounded frame); a degenerate
+    * single-doc/constant language yields z = 0, not a NaN. */
+  def qualityZ(docToks: DataFrame): DataFrame = {
+    val stop = typedLit(markers.flatMap(_._2).distinct.sorted)
+    val q = docToks
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_toks"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("ttr"),
+        (size(filter(col("toks"), t => array_contains(stop, t))).cast("double")
+          / size(col("toks"))).as("stop_ratio"))
+      .select(col("doc_id"), col("lang"),
+        round(least(col("n_toks") / 100.0, lit(1.0)) * 0.3
+              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.4, 6)
+          .as("quality"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    q.withColumn("mu", avg(col("quality")).over(w))
+      .withColumn("sd", stddev(col("quality")).over(w))
+      .select(col("doc_id"), col("lang"), col("quality"),
+              round(when(col("sd").isNull || col("sd") === 0.0, lit(0.0))
+                      .otherwise((col("quality") - col("mu")) / col("sd")), 6)
+                .as("quality_z"))
+      .orderBy("doc_id")
+  }
+
+  /** q_quality_z: [[qualityZ]] on the test corpus. */
+  def qQualityZ(spark: SparkSession, dir: String): DataFrame =
+    qualityZ(Tables.docTokens(spark, dir))
+
   /** q_token_count: whitespace tokens vs BPE-ish regex tokens
     * ([a-z]+ | digit-runs | single non-space residue) vs chars. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
