@@ -194,6 +194,13 @@ object Graft {
   def heavyHitters(docs: DataFrame, k: Int = 199): DataFrame =
     TextAnalysis.heavyHitters(tokenize(docs), k)
 
+  /** Per-group exact heavy hitters (top terms per language/domain):
+    * (group, token, cnt) above each group's N_g/(k+1). Fully
+    * distributed — even the candidate set never touches the driver. */
+  def heavyHittersByGroup(docs: DataFrame, groupCol: String = "lang",
+                          k: Int = 99): DataFrame =
+    TextAnalysis.heavyHittersByGroup(tokenize(docs), groupCol, k)
+
   /** Column-level profile of any DataFrame:
     * (col_name, n_rows, n_null, n_distinct, min_s, max_s). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =

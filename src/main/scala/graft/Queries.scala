@@ -645,6 +645,7 @@ object Queries {
     "q_sql_recursive"       -> (Sql.qSqlRecursive _),
     "q_corpus_diff"         -> (Dedup.qCorpusDiff _),
     "q_quality_z"           -> (TextAnalysis.qQualityZ _),
+    "q_heavy_hitters_by_lang" -> (TextAnalysis.qHeavyHittersByLang _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -793,6 +794,14 @@ object Queries {
     "q_sql_q22" -> Sql.q22Template(e => rnd(e, 2)),
     // exact two-pass heavy hitters: the sketch only bounds the
     // candidate set, so the oracle is the plain exact HAVING form
+    "q_heavy_hitters_by_lang" ->
+      s"""WITH tok AS (SELECT lang AS g, unnest($TOKS) AS t FROM documents),
+         |tot AS (SELECT g, count(*)::DOUBLE AS n FROM tok GROUP BY g)
+         |SELECT tok.g AS lang, t AS token, count(*)::BIGINT AS cnt
+         |FROM tok JOIN tot USING (g)
+         |GROUP BY tok.g, t, n
+         |HAVING count(*) > n / 100.0
+         |ORDER BY lang, cnt DESC, token""".stripMargin,
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($TOKS) AS t FROM documents),
          |tot AS (SELECT count(*)::DOUBLE AS n FROM tok)

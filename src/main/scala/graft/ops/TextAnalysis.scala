@@ -467,4 +467,36 @@ object TextAnalysis {
     * of the corpus token stream). */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHitters(Tables.docTokens(spark, dir))
+
+  /** PER-GROUP exact heavy hitters ("top terms per language/domain"):
+    * the grouped form of [[heavyHitters]], fully distributed — the
+    * driver never touches even the candidate set. Pass 1 is one
+    * groupBy building a Misra–Gries summary + stream length PER
+    * GROUP (state: k counters per group, the per-group analog of the
+    * global guarantee — each group's sub-stream has its own
+    * N_g/(k+1) bound). The candidate (group, token) pairs are the
+    * exploded sketch keys — ≤ k·|groups| rows, broadcast into the
+    * recount join — and the exact per-candidate recount + HAVING
+    * filter yields the exact per-group heavy-hitter sets. No
+    * vocabulary-scale shuffle; both corpus passes are narrow. */
+  def heavyHittersByGroup(docToks: DataFrame, groupCol: String = "lang",
+                          k: Int = 99): DataFrame = {
+    val toks = docToks.select(col(groupCol).as("g"), explode(col("toks")).as("t"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    val sketches = toks.groupBy("g")
+      .agg(mg(col("t")).as("mg"), count(lit(1)).as("n"))
+    val cands = sketches
+      .select(col("g"), col("n"), explode(map_keys(col("mg"))).as("t"))
+    toks.join(broadcast(cands), Seq("g", "t"))
+      .groupBy("g", "t", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("n") / (k + 1))
+      .select(col("g").as(groupCol), col("t").as("token"), col("cnt"))
+      .orderBy(col(groupCol), col("cnt").desc, col("token"))
+  }
+
+  /** q_heavy_hitters_by_lang: [[heavyHittersByGroup]] per language
+    * (k = 99 → tokens above 1% of each language's token stream). */
+  def qHeavyHittersByLang(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersByGroup(Tables.docTokens(spark, dir))
 }

@@ -65,6 +65,24 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got.nonEmpty, "degenerate test: no heavy hitters in corpus")
   }
 
+  test("heavyHittersByGroup == exact per-group GROUP BY/HAVING on sf0.001") {
+    val docToks = Tables.docTokens(spark, TestSpark.sf0001)
+    val k = 99
+    val got = ops.TextAnalysis.heavyHittersByGroup(docToks, "lang", k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val toks = docToks.select(col("lang").as("g"), explode(col("toks")).as("t"))
+    val tot = toks.groupBy("g").agg(count(lit(1)).as("n"))
+    val expected = toks.groupBy("g", "t").agg(count(lit(1)).as("cnt"))
+      .join(tot, "g")
+      .filter(col("cnt") > col("n") / (k + 1))
+      .orderBy(col("g"), col("cnt").desc, col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty)
+    // more than one group actually represented
+    assert(got.map(_._1).distinct.length > 1)
+  }
+
   test("heavyHitters: planted skew dominates") {
     val spark0 = spark
     import spark0.implicits._
