@@ -135,6 +135,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_heavy_hitters_by_lang: candidate recount joins broadcast, never sort-merge") {
+    val p = plan("q_heavy_hitters_by_lang")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_quality_z: one narrow projection + one per-lang window, no join") {
+    val p = plan("q_quality_z")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q_profile: each column pass reads a single-column schema") {
     val p = plan("q_profile")
     // every scan is pruned to one column — no scan reads the full row
