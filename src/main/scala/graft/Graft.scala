@@ -222,6 +222,23 @@ object Graft {
   def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
     Dedup.corpusDiff(oldSnap, newSnap)
 
+  /** CDC apply: fold a (doc_id, op ∈ {U,D}, text, seq) change batch
+    * into a snapshot, last change per key wins — the MERGE/commit
+    * step of a versioned corpus store. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame): DataFrame =
+    Dedup.applyChanges(snapshot, changes)
+
+  /** Attach observed metrics to a plan — collected DURING the next
+    * action on it, costing ZERO extra jobs or scans (`df.observe`).
+    * The pipeline-telemetry contract at scale: rows kept, null rates,
+    * mean quality etc. ride along with the write instead of
+    * re-scanning 100 TB to count them. Read the values from the
+    * `Observation` after the action completes. */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation,
+               metric: org.apache.spark.sql.Column,
+               more: org.apache.spark.sql.Column*): DataFrame =
+    df.observe(obs, metric, more: _*)
+
   /** Per-language quality z-scores over (doc_id, text, lang):
     * (doc_id, lang, quality, quality_z) — threshold the standardized
     * score, not the absolute composite. */

@@ -646,6 +646,7 @@ object Queries {
     "q_corpus_diff"         -> (Dedup.qCorpusDiff _),
     "q_quality_z"           -> (TextAnalysis.qQualityZ _),
     "q_heavy_hitters_by_lang" -> (TextAnalysis.qHeavyHittersByLang _),
+    "q_upsert"              -> (Dedup.qUpsert _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -833,6 +834,27 @@ object Queries {
          |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
          |ORDER BY 1, 2""".stripMargin,
     "q_sql_recursive" -> Sql.qRecursiveTemplate(e => rnd(e, 2)),
+    "q_upsert" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 'D' AS op, NULL::VARCHAR AS text, 1::BIGINT AS seq
+        |  FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id, 'U', text || ' stale', 1 FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 'U', text || ' v2', 2 FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'U', text, 1 FROM documents WHERE doc_id < 20),
+        |last AS (
+        |  SELECT doc_id, op, text AS new_text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |nxt AS (
+        |  SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+        |    CASE WHEN l.op = 'U' THEN l.new_text ELSE s.text END AS text,
+        |    l.op AS op
+        |  FROM documents s FULL OUTER JOIN last l ON s.doc_id = l.doc_id
+        |  WHERE l.op IS NULL OR l.op = 'U')
+        |SELECT doc_id, md5(text) AS h FROM nxt ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h_old FROM documents),
         |v2x AS (

@@ -532,6 +532,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CDC apply (MERGE-style upsert): fold a change batch
+    * (doc_id, op ∈ {U, D}, text, seq) into a snapshot — the
+    * copy-on-write commit step of every lakehouse table format.
+    * LAST change per key wins (max seq — a window over the
+    * batch-scale change set only); `U` inserts or replaces, `D`
+    * deletes. One full-outer join keyed on doc_id; with the snapshot
+    * bucketed by doc_id at rest the rewrite is shuffle-free and
+    * touches only the joined partitions. Returns the next snapshot. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val last = changes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("op"), col("text").as("new_text"))
+    snapshot.select(col("doc_id"), col("text"))
+      .join(last, Seq("doc_id"), "full_outer")
+      // a D on an absent key is a no-op; a U always lands
+      .filter(col("op").isNull || col("op") === "U")
+      .select(col("doc_id"),
+              when(col("op") === "U", col("new_text")).otherwise(col("text"))
+                .as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** q_upsert: [[applyChanges]] with a synthetic CDC batch — deletes
+    * (ids ending in 7), updates with a CONFLICTING earlier change
+    * (ids ending in 3: seq 1 writes a stale body, seq 2 the final
+    * one — last-wins must hold), and fresh inserts. Emits (doc_id,
+    * content hash) of the next snapshot so the dump stays compact. */
+  def qUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    val dels = v1.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), lit("D").as("op"), lit(null).cast("string").as("text"),
+              lit(1L).as("seq"))
+    val stale = v1.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), lit("U").as("op"),
+              concat(col("text"), lit(" stale")).as("text"), lit(1L).as("seq"))
+    val fresh = v1.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), lit("U").as("op"),
+              concat(col("text"), lit(" v2")).as("text"), lit(2L).as("seq"))
+    val ins = v1.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"), lit("U").as("op"),
+              col("text"), lit(1L).as("seq"))
+    applyChanges(v1, dels.unionAll(stale).unionAll(fresh).unionAll(ins))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .orderBy("doc_id")
+  }
+
   /** q_corpus_diff: [[corpusDiff]] against a synthetic v2 snapshot —
     * docs ending in 7 dropped, docs ending in 3 rewritten, a block of
     * new ids appended. */

@@ -22,6 +22,20 @@ object Formats {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Audited JSON ingest: malformed lines do NOT poison the read and
+    * are not silently dropped — they land whole in `_corrupt_record`
+    * (PERMISSIVE mode) for a quarantine sink, the only acceptable
+    * contract for a 100 TB crawl drop where some corruption is
+    * certain and a FAILFAST abort after 90 TB is not an option.
+    * Callers split on `_corrupt_record IS NULL`. */
+  def readJsonAudited(spark: SparkSession, path: String,
+                      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** ORC round-trip (native Spark source — same pushdown/pruning
     * machinery as parquet: predicate pushdown into ORC stripe/row-group
     * indexes, column projection into the reader). */

@@ -171,6 +171,45 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == Tables.orders(spark, TestSpark.sf0001).count())
   }
 
+  test("audited JSON ingest: malformed lines quarantined, good rows parse, failfast aborts") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_badjson")
+    java.nio.file.Files.write(dir.resolve("part.json"),
+      ("""{"id": 1, "s": "ok"}""" + "\n" +
+       """{"id": 2, "s": "also ok"}""" + "\n" +
+       """{"id": 3, "s": BROKEN""" + "\n").getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+                                StructField("s", StringType)))
+    // cache: Spark disallows queries that reference ONLY the corrupt
+    // column on a raw file scan (the documented split pattern)
+    val audited = Formats.readJsonAudited(spark, dir.toString, schema).cache()
+    val good = audited.filter("_corrupt_record IS NULL")
+    val bad = audited.filter("_corrupt_record IS NOT NULL")
+    assert(good.count() == 2 && bad.count() == 1)
+    assert(bad.collect().head.getAs[String]("_corrupt_record").contains("BROKEN"))
+    // the strict twin: FAILFAST aborts the read instead
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .json(dir.toString).count()
+    }
+  }
+
+  test("observed metrics ride the action: no second scan to count kept rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("curate_stats")
+    val docs = Seq((1L, 0.9), (2L, 0.2), (3L, 0.7)).toDF("doc_id", "q")
+    val kept = Graft.observed(docs, obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("rows_kept"),
+        avg(col("q")).as("mean_q"))
+      .filter(col("q") >= 0.5)
+    assert(kept.count() == 2)
+    val m = obs.get
+    assert(m("rows_in") == 3L && m("rows_kept") == 2L)
+    assert(math.abs(m("mean_q").asInstanceOf[Double] - 0.6) < 1e-9)
+  }
+
   test("z-ordered write: per-file bounding boxes tight on BOTH dims, point predicate skips most files") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
