@@ -182,23 +182,71 @@ object Multimodal {
     bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
       bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
 
+  /** Real container parse for MP4 (ISO BMFF): boxes are
+    * [u32 size][4cc type]; requires a leading `ftyp`, walks the
+    * top-level list to `moov`, then `moov`'s children for `mvhd`
+    * (version 0: timescale at +20, duration at +24 — giving duration
+    * in seconds) and the `trak` count. A box walk needs no codec —
+    * the same contract as the PNG/WAV header parses; FRAME decode
+    * would need one and stays behind the stub. Returns
+    * (durationSec, nTracks, timescale); None for non-MP4 bytes. */
+  private[graft] def mp4Meta(bytes: Array[Byte]): Option[(Float, Int, Int)] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def tag(off: Int) = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
+    if (bytes.length < 16 || tag(0) != "ftyp") return None
+    var off = 0
+    var moovOff = -1; var moovEnd = -1
+    while (off + 8 <= bytes.length && moovOff < 0) {
+      val sz = u32(off).toInt
+      if (sz < 8) return None
+      if (tag(off) == "moov") { moovOff = off; moovEnd = off + sz }
+      off += sz
+    }
+    if (moovOff < 0) return None
+    var o = moovOff + 8
+    var timescale = 0; var duration = 0L; var tracks = 0
+    while (o + 8 <= moovEnd && o + 8 <= bytes.length) {
+      val sz = u32(o).toInt
+      if (sz < 8) return None
+      tag(o) match {
+        case "mvhd" if (bytes(o + 8) & 0xff) == 0 && o + 28 <= bytes.length =>
+          timescale = u32(o + 20).toInt
+          duration = u32(o + 24)
+        case "trak" => tracks += 1
+        case _ => ()
+      }
+      o += sz
+    }
+    if (timescale > 0) Some((duration.toFloat / timescale, tracks, timescale))
+    else None
+  }
+
   private def stubDecode(row: MediaRow): MediaFeatures = {
     val digest = MessageDigest.getInstance("SHA-256").digest(row.media)
     def b(i: Int): Int = digest(i) & 0xff
     val png = pngDims(row.media)
     val jpeg = png.isEmpty && isJpeg(row.media)
     val wav = if (png.isEmpty && !jpeg) wavMeta(row.media) else None
+    val mp4 = if (png.isEmpty && !jpeg && wav.isEmpty) mp4Meta(row.media) else None
     val kind = if (png.isDefined) "png" else if (jpeg) "jpeg"
-               else if (wav.isDefined) "wav" else "opaque"
+               else if (wav.isDefined) "wav"
+               else if (mp4.isDefined) "mp4" else "opaque"
     val pixels =
       if (png.isDefined || jpeg) pngPixelFeatures(row.media) else None
     val samples = if (wav.isDefined) wavPcmFeatures(row.media) else None
     // stub fallback for opaque bytes: pseudo-dims from the hash
     val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png).getOrElse(
-      // undecodable jpeg reports honest zero dims, like audio rows
-      if (wav.isDefined || jpeg) (0, 0)
+      // undecodable jpeg/audio/video rows report honest zero dims
+      if (wav.isDefined || mp4.isDefined || jpeg) (0, 0)
       else (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
-    val (ch, sr) = wav.getOrElse((0, 0))
+    // mp4: tracks/timescale reuse the audio metadata slots (documented
+    // in the case class — a track count is channel-like, the movie
+    // timescale rate-like); duration rides in feat(0), frame-level
+    // features stay behind the stub (frame decode needs a codec)
+    val (ch, sr) = wav.orElse(mp4.map(m => (m._2, m._3))).getOrElse((0, 0))
+    val stubFeat = Array.tabulate(8)(i => b(8 + i) / 255.0f)
     MediaFeatures(
       doc_id = row.doc_id,
       kind = kind,
@@ -208,7 +256,8 @@ object Multimodal {
       channels = ch,
       n_bytes = row.media.length,
       feat = pixels.map(_._3).orElse(samples)
-        .getOrElse(Array.tabulate(8)(i => b(8 + i) / 255.0f)))
+        .orElse(mp4.map(m => stubFeat.updated(0, m._1)))
+        .getOrElse(stubFeat))
   }
 
   /** Batched per-partition feature extraction. `batchSize` mirrors the

@@ -179,6 +179,27 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("mp4Meta: duration/tracks/timescale from a crafted ISO-BMFF box walk") {
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tag.getBytes("US-ASCII") ++ payload
+    // mvhd v0: version+flags, ctime, mtime, timescale=1000, duration=5000
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000))
+    val moov = box("moov", mvhd ++ box("trak", Array.empty) ++ box("trak", Array.empty))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0)) ++ moov
+    assert(Multimodal.mp4Meta(mp4).contains((5.0f, 2, 1000)))
+    assert(Multimodal.mp4Meta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(mp4.take(10)).isEmpty)
+    // end-to-end: the decode stage classifies and carries the metadata
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(1L, mp4, "video/mp4")).toDS()).collect().head
+    assert(out.kind == "mp4" && out.channels == 2 && out.sample_rate == 1000)
+    assert(math.abs(out.feat(0) - 5.0f) < 1e-6)
+  }
+
   test("pngDims: real IHDR width/height from crafted PNG header bytes") {
     // 8-byte signature + IHDR chunk (len=13, tag, w=640, h=480, ...)
     def be32(v: Int): Array[Byte] =
