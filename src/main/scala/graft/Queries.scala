@@ -647,6 +647,8 @@ object Queries {
     "q_quality_z"           -> (TextAnalysis.qQualityZ _),
     "q_heavy_hitters_by_lang" -> (TextAnalysis.qHeavyHittersByLang _),
     "q_upsert"              -> (Dedup.qUpsert _),
+    "q_sql_q8"              -> (Sql.qSqlQ8 _),
+    "q_sql_q15"             -> (Sql.qSqlQ15 _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -834,6 +836,8 @@ object Queries {
          |FROM g LEFT JOIN e ON g.user_id = e.user_id AND g.d = e.d
          |ORDER BY 1, 2""".stripMargin,
     "q_sql_recursive" -> Sql.qRecursiveTemplate(e => rnd(e, 2)),
+    "q_sql_q8" -> Sql.q8Template(e => rnd(e, 2)),
+    "q_sql_q15" -> Sql.q15Template(e => rnd(e, 2)),
     "q_upsert" ->
       """WITH ch AS (
         |  SELECT doc_id, 'D' AS op, NULL::VARCHAR AS text, 1::BIGINT AS seq

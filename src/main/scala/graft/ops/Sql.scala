@@ -264,6 +264,45 @@ object Sql {
        |) custsale
        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q8 shape: national market share — the widest join in the
+    * suite (8 relations, nation joined TWICE for supplier vs customer
+    * geography) with a CASE-conditional share ratio per year. */
+  def q8Template(rnd: String => String): String =
+    s"""SELECT o_year,
+       |  ${rnd("sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END) / sum(volume)")} AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |         l_extendedprice * (1 - l_discount) AS volume,
+       |         n2.n_name AS nation
+       |  FROM part, supplier, lineitem, orders, customer, nation n1,
+       |       nation n2, region
+       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01'
+       |    AND p_type = 'PROMO'
+       |) all_nations
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier — an aggregate revenue view whose
+    * MAX gates the outer query through an uncorrelated scalar
+    * subquery over the SAME view (evaluated once, not per row). */
+  def q15Template(rnd: String => String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, ${rnd("total_revenue")} AS total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** Recursive CTE shape (Spark 4's `WITH RECURSIVE` → UnionLoop
     * plan): a doubling chain seeded from the part table with a JOIN in
     * the recursive step — the iterative-closure form (BOM explosion,
@@ -382,5 +421,17 @@ object Sql {
   def qSqlRecursive(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(qRecursiveTemplate(sparkRound))
+  }
+
+  /** q_sql_q8: TPC-H Q8 shape via spark.sql. */
+  def qSqlQ8(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q8Template(sparkRound))
+  }
+
+  /** q_sql_q15: TPC-H Q15 shape via spark.sql. */
+  def qSqlQ15(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q15Template(sparkRound))
   }
 }
