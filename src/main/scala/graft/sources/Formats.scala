@@ -152,10 +152,13 @@ object Formats {
     * bounded-rectangle property against the 1-D layout on a grid. */
   def writeZOrdered(df: DataFrame, path: String, nFiles: Int,
                     colA: String, colB: String): Unit = {
-    val b = df.agg(min(col(colA)).cast("double").as("amin"),
-                   max(col(colA)).cast("double").as("amax"),
-                   min(col(colB)).cast("double").as("bmin"),
-                   max(col(colB)).cast("double").as("bmax")).head()
+    // coalesce(0.0): an empty input degenerates to an empty write
+    // instead of a null-unboxing error on the bounds row
+    val b = df.agg(coalesce(min(col(colA)).cast("double"), lit(0.0)).as("amin"),
+                   coalesce(max(col(colA)).cast("double"), lit(0.0)).as("amax"),
+                   coalesce(min(col(colB)).cast("double"), lit(0.0)).as("bmin"),
+                   coalesce(max(col(colB)).cast("double"), lit(0.0)).as("bmax"))
+      .head()
     def quant(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else least(lit(65535L),
