@@ -296,9 +296,6 @@ object Graft {
 
   // ---- event analytics ----
 
-  /** Ordered conversion funnel over any stage list: each stage counts
-    * users whose first qualifying event strictly follows the previous
-    * stage's; (stage, name, n_users). Input: (user_id, event_type, ts). */
   /** [[funnel]] with a per-step conversion horizon (e.g. "1 HOUR"):
     * each stage counts only conversions within that interval of the
     * previous stage's first event. */
@@ -306,6 +303,9 @@ object Graft {
                    horizon: String): DataFrame =
     ops.Events.funnelWithin(events, stages, Some(horizon))
 
+  /** Ordered conversion funnel over any stage list: each stage counts
+    * users whose first qualifying event strictly follows the previous
+    * stage's; (stage, name, n_users). Input: (user_id, event_type, ts). */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
     ops.Events.funnel(events, stages)
 

@@ -445,6 +445,9 @@ object Dedup {
     * per JVM, the offline index-build step). */
   private[graft] def nearDupIndex(spark: SparkSession,
                                   dir: String): (DataFrame, DataFrame) = {
+    // the index build resolves graft_* temp functions — register them
+    // up front so a fresh session's FIRST dedup call doesn't throw
+    SetFunctions.register(spark, permA, permB, MersennePrime)
     val base = nearDupIndexPaths.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_neardup_index").toString
@@ -510,6 +513,11 @@ object Dedup {
       .filter(col("jac") >= tau)
       .select(col("doc_id"), col("corpus_id"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_id", "corpus_id")
+      // materialize (lineage cut) so the batch-shingle cache can be
+      // released here — repeated probe calls must not accumulate
+      // cached DataFrames until LRU eviction
+      .localCheckpoint()
+    incShP.unpersist()
     out
   }
 
@@ -542,9 +550,13 @@ object Dedup {
     * touches only the joined partitions. Returns the next snapshot. */
   def applyChanges(snapshot: DataFrame, changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // deterministic tie-break for equal seq on the same key: deletes
+    // win over upserts, then lexicographic text — two runs over the
+    // same batch always pick the same change
     val last = changes
       .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("seq").desc)))
+        Window.partitionBy("doc_id")
+          .orderBy(col("seq").desc, col("op").asc, col("text").asc_nulls_first)))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("op"), col("text").as("new_text"))
     snapshot.select(col("doc_id"), col("text"))

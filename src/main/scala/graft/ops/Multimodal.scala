@@ -183,7 +183,11 @@ object Multimodal {
       bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
 
   /** Real container parse for MP4 (ISO BMFF): boxes are
-    * [u32 size][4cc type]; requires a leading `ftyp`, walks the
+    * [u32 size][4cc type], with size==1 meaning a 64-bit largesize
+    * follows the 4cc (common for big `mdat`) and size==0 meaning
+    * box-to-EOF — both handled at the top level; `moov` children are
+    * assumed plain-u32 (always true in practice for mvhd/trak).
+    * Requires a leading `ftyp`, walks the
     * top-level list to `moov`, then `moov`'s children for `mvhd`
     * (version 0: timescale at +20, duration at +24 — giving duration
     * in seconds) and the `trak` count. A box walk needs no codec —
@@ -196,16 +200,29 @@ object Multimodal {
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
     def tag(off: Int) = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
     if (bytes.length < 16 || tag(0) != "ftyp") return None
-    var off = 0
+    // top-level box size: 1 → 64-bit largesize follows the 4cc (common
+    // for big mdat); 0 → box extends to EOF; else the plain u32
+    def boxSize(off: Int): Long = u32(off) match {
+      case 1L =>
+        if (off + 16 > bytes.length) -1L
+        else (u32(off + 8) << 32) | u32(off + 12)
+      case 0L => (bytes.length - off).toLong
+      case sz => sz
+    }
+    var off = 0L
     var moovOff = -1; var moovEnd = -1
     while (off + 8 <= bytes.length && moovOff < 0) {
-      val sz = u32(off).toInt
+      val sz = boxSize(off.toInt)
       if (sz < 8) return None
-      if (tag(off) == "moov") { moovOff = off; moovEnd = off + sz }
+      if (tag(off.toInt) == "moov") {
+        moovOff = off.toInt
+        moovEnd = math.min(off + sz, bytes.length.toLong).toInt
+      }
       off += sz
     }
     if (moovOff < 0) return None
-    var o = moovOff + 8
+    // children start after the (extended, if largesize) moov header
+    var o = moovOff + (if (u32(moovOff) == 1L) 16 else 8)
     var timescale = 0; var duration = 0L; var tracks = 0
     while (o + 8 <= moovEnd && o + 8 <= bytes.length) {
       val sz = u32(o).toInt
