@@ -172,6 +172,11 @@ object Graft {
     * class and the masked text. */
   def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)
 
+  /** Raw-HTML main-content extraction over (doc_id, html) rows:
+    * boilerplate-block drop, tag strip, entity decode, whitespace
+    * normalize → (doc_id, title, content, n_chars, n_words). */
+  def htmlExtract(rows: DataFrame): DataFrame = ops.Html.htmlExtract(rows)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans). */
   def sharedSpans(docs: DataFrame, w: Int = 20): DataFrame =

@@ -649,6 +649,7 @@ object Queries {
     "q_upsert"              -> (Dedup.qUpsert _),
     "q_sql_q8"              -> (Sql.qSqlQ8 _),
     "q_sql_q15"             -> (Sql.qSqlQ15 _),
+    "q_html_extract"        -> (Html.qHtmlExtract _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -662,6 +663,7 @@ object Queries {
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val extrasOracle: Map[String, String] = Map(
+    "q_html_extract" -> Html.oracleSql,
     "q_lang_id" -> {
       val scores = langLists.map { case (l, ws) =>
         s"len(list_intersect(tset, ${sqlList(ws)}))::INT AS s_$l" }.mkString(",\n  ")
