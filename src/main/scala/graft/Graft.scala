@@ -178,9 +178,12 @@ object Graft {
   def htmlExtract(rows: DataFrame): DataFrame = ops.Html.htmlExtract(rows)
 
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
-    * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans). */
-  def sharedSpans(docs: DataFrame, w: Int = 20): DataFrame =
-    Dedup.sharedSpans(tokenize(docs), w)
+    * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
+    * Spans appearing in more than `maxDf` docs are dropped as
+    * boilerplate — the hot-key bound that keeps the span self-join
+    * from an m² blowup on one key. */
+  def sharedSpans(docs: DataFrame, w: Int = 20, maxDf: Int = 128): DataFrame =
+    Dedup.sharedSpans(tokenize(docs), w, maxDf)
 
   /** Per-source corpus report: doc counts, language spread, token
     * totals/means, mean quality (needs a `source` column). */

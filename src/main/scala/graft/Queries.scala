@@ -992,10 +992,13 @@ object Queries {
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |s AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |        generate_series(1, greatest(len(toks)-19, 0)),
-         |        i -> array_to_string(toks[i:i+19], ' ')))) AS span FROM t)
+         |        i -> array_to_string(toks[i:i+19], ' ')))) AS span FROM t),
+         |f AS (SELECT doc_id, span FROM (
+         |        SELECT doc_id, span, count(*) OVER (PARTITION BY span) AS df
+         |        FROM s) WHERE df <= 128)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       count(*)::BIGINT AS n_shared_spans
-         |FROM s a JOIN s b ON a.span = b.span AND a.doc_id < b.doc_id
+         |FROM f a JOIN f b ON a.span = b.span AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "q_domain_stats" -> {
       val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)

@@ -270,6 +270,11 @@ object Dedup {
     dedupClusters(jaccardVerified(Tables.docTokens(spark, dir))
       .dropDuplicates("doc_a", "doc_b"))
 
+  /** Round count of the last [[dedupClusters]] run — observability for
+    * the O(log d) pointer-jumping claim (pinned by the long-chain
+    * fixture in GraftFacadeSpec; at scale this is a job metric). */
+  @volatile private[graft] var lastPropagationRounds: Int = 0
+
   /** [[qDedupCluster]]'s engine over ANY (doc_a, doc_b, ...) pair
     * DataFrame — jaccard pairs, MinHash pairs, embedding pairs all
     * work; the library entry point ([[graft.Graft.dedupClusters]]). */
@@ -335,6 +340,7 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
+    lastPropagationRounds = rounds
     val sized = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sized, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster"),
@@ -360,12 +366,28 @@ object Dedup {
     sharedSpans(Tables.docTokens(spark, dir))
 
   /** [[qDedupSpan]]'s engine over any (doc_id, toks) DataFrame — the
-    * library entry point ([[graft.Graft.sharedSpans]]). */
-  def sharedSpans(docToks: DataFrame, w: Int = 20): DataFrame = {
+    * library entry point ([[graft.Graft.sharedSpans]]).
+    *
+    * Hot-key guard: a span shared by m docs contributes m·(m-1)/2
+    * pairs to the self-join — one boilerplate run (site chrome, legal
+    * text) in a 100 TB corpus would put an m² blowup on a single
+    * shuffle key. Spans with document frequency > `maxDf` are dropped
+    * BEFORE the join (they are boilerplate by definition and their
+    * pairs carry no dedup signal — the invertedIndex posting-cap
+    * rationale, Curation.scala). The df count rides the same
+    * hash-partition-by-span the join needs, and is linear per key, so
+    * the guard itself cannot blow up. The bound is part of the
+    * operator's declared semantics: the DuckDB oracle applies the
+    * SAME df filter. */
+  def sharedSpans(docToks: DataFrame, w: Int = 20, maxDf: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spans = docToks
       .select(col("doc_id"),
               explode(array_distinct(Text.ngramCol(col("toks"), w))).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
     val a = spans.select(col("doc_id").as("doc_a"), col("sh"))
     val b = spans.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, col("sh") === col("sh_b") && col("doc_a") < col("doc_b"))
@@ -439,16 +461,7 @@ object Dedup {
   }
 
   private val nearDupIndexPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
-
-  /** Materialized [[buildNearDupIndex]] for a corpus dir (built once
-    * per JVM, the offline index-build step). */
-  private[graft] def nearDupIndex(spark: SparkSession,
-                                  dir: String): (DataFrame, DataFrame) = {
-    // the index build resolves graft_* temp functions — register them
-    // up front so a fresh session's FIRST dedup call doesn't throw
-    SetFunctions.register(spark, permA, permB, MersennePrime)
-    val base = nearDupIndexPaths.computeIfAbsent(dir, { d =>
+    new IndexCache[String]("documents", { (spark, d) =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_neardup_index").toString
       val docs = Tables.docTokens(spark, d)
@@ -468,9 +481,20 @@ object Dedup {
       docs.unpersist()
       p
     })
+
+  /** Materialized [[buildNearDupIndex]] for a corpus dir (the offline
+    * index-build step; content-keyed — rebuilt iff the backing table
+    * changed, see [[IndexCache]]). */
+  private[graft] def nearDupIndex(spark: SparkSession,
+                                  dir: String): (DataFrame, DataFrame) = {
+    // the index build resolves graft_* temp functions — register them
+    // up front so a fresh session's FIRST dedup call doesn't throw
+    SetFunctions.register(spark, permA, permB, MersennePrime)
+    val base = nearDupIndexPaths.get(spark, dir)
     (spark.read.parquet(s"$base/shingles.parquet"),
      spark.read.parquet(s"$base/bands.parquet"))
   }
+  private[graft] def nearDupIndexEntryCount: Int = nearDupIndexPaths.entryCount
 
   /** Incremental near-dup: an incoming (doc_id, toks) batch probed
     * against a corpus's materialized band index — the near-dup analog

@@ -29,11 +29,11 @@ object Similarity {
       .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
       .select(col("vec_id"),
               transform(col("v"), x => x / col("nrm")).as("vn"))
-      // both sides of every pair join read this — persist so the
-      // cast+normalize runs once, not once per join side (at scale:
-      // the materialized normalized-embedding table; Spark's cache
-      // manager dedupes identical plans, so repeated calls share)
-      .persist()
+    // NOT persisted: the normalize is a Project BELOW the pair join,
+    // so it already runs O(n) per side (never per pair) — a cache
+    // would only save one extra narrow parquet scan, while leaking a
+    // cache entry per distinct input in a tuning loop (the lifecycle
+    // class the r5/r6 advisors flagged on kmeans/incrementalNearDup).
   }
 
   private[graft] def normalized(spark: SparkSession, dir: String): DataFrame =
@@ -165,10 +165,10 @@ object Similarity {
     * a per-query job — r2's version re-ran the sizing `count()` scan on
     * every invocation. */
   private val corpusSizes =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    new IndexCache[java.lang.Long]("embeddings",
+      (s, d) => Tables.embeddings(s, d).count())
   private[graft] def corpusSize(spark: SparkSession, dir: String): Long =
-    corpusSizes.computeIfAbsent(
-      dir, d => Tables.embeddings(spark, d).count())
+    corpusSizes.get(spark, dir)
 
   /** q_ann_ivf: approximate nearest neighbour via OR-amplified
     * hyperplane LSH — the sub-quadratic scale path for [[qKnn]].
@@ -280,16 +280,15 @@ object Similarity {
     * (bucketed by (tbl, bucket) at rest); here it is a temp parquet
     * dir keyed by corpus. */
   private val indexPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
-  private[graft] def annPostings(spark: SparkSession, dir: String): DataFrame = {
-    val path = indexPaths.computeIfAbsent(dir, { d =>
+    new IndexCache[String]("embeddings", { (s, d) =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_ann_index").toString + "/postings.parquet"
-      buildAnnIndex(spark, d).write.mode("overwrite").parquet(p)
+      buildAnnIndex(s, d).write.mode("overwrite").parquet(p)
       p
     })
-    spark.read.parquet(path)
-  }
+  private[graft] def annPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(indexPaths.get(spark, dir))
+  private[graft] def annIndexEntryCount: Int = indexPaths.entryCount
 
   /** The scored LSH candidate stream feeding [[qAnnIvf]]'s top-k cut —
     * exposed separately so AnnRecall can profile the generation stage

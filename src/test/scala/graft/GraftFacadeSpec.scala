@@ -95,9 +95,37 @@ class GraftFacadeSpec extends AnyFunSuite {
     val narrow = Graft.annNeighbors(emb, k = 3, tables = 1, probeFlips = 0)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(narrow.nonEmpty && narrow.size <= approx.size + exact.size)
+    // OR-amplification property: recall is monotone in the table count
+    // (per-table miss rates multiply away: 1-(1-p)^T). Deterministic
+    // planes (seeded rng), so these are fixed values, not a flake.
+    val recallAt = (t: Int) => {
+      val got = Graft.annNeighbors(emb, k = 3, tables = t, probeFlips = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val recalls = Seq(1, 2, 4).map(recallAt)
+    assert(recalls == recalls.sorted,
+      s"recall not monotone in tables: ${Seq(1, 2, 4).zip(recalls)}")
     intercept[IllegalArgumentException] {
       Graft.annNeighbors(emb, k = 3, tables = 0)
     }
+  }
+
+  test("dedupClusters: 200-node path graph converges in O(log d) rounds via pointer jumping") {
+    import graft.ops.Dedup
+    // worst case for plain min-propagation: a pure chain, diameter 199
+    // — without pointer jumping it needs ~100 rounds and would hit the
+    // 50-round cap; with label(label) compression it needs ~log2(200)
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c = Graft.dedupClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(c.length == 200)
+    assert(c.forall(_._2 == 1L), "single component labeled by min id")
+    assert(c.forall(_._3 == 200L))
+    assert(c.count(_._4) == 1 && c.find(_._4).get._1 == 1L)
+    assert(Dedup.lastPropagationRounds <= 10,
+      s"pointer jumping should close a 199-edge chain in ~8 rounds, " +
+        s"took ${Dedup.lastPropagationRounds}")
   }
 
   test("asof through the facade") {
@@ -231,5 +259,49 @@ class GraftFacadeSpec extends AnyFunSuite {
     val hh = Graft.heavyHitters(rows, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(hh.toSeq == Seq(("spark", 9L)))
+  }
+
+  test("index caches: mutating the corpus under the same path rebuilds, entry count stays flat") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.ops.Dedup
+    val tmp = Files.createTempDirectory("graft_idx_lifecycle").toString
+    Files.copy(Paths.get(TestSpark.sf0001, "documents.parquet"),
+               Paths.get(tmp, "documents.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    val before = Dedup.nearDupIndexEntryCount
+    val (sh1, _) = Dedup.nearDupIndex(spark, tmp)
+    val full = sh1.count()
+    // 20-call tuning loop on an unchanged corpus: no rebuild, no growth
+    (1 to 20).foreach(_ => Dedup.nearDupIndex(spark, tmp))
+    assert(Dedup.nearDupIndexEntryCount == before + 1)
+    // mutate the corpus in place: halve it and rewrite the same file
+    val half = spark.read.parquet(s"$tmp/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+    val stage = Files.createTempDirectory("graft_idx_stage").toString
+    half.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, Paths.get(tmp, "documents.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    // re-query: fresh index over the mutated corpus, still one entry
+    val (sh2, _) = Dedup.nearDupIndex(spark, tmp)
+    assert(sh2.count() < full)
+    assert(Dedup.nearDupIndexEntryCount == before + 1)
+  }
+
+  test("pair-query tuning loop over distinct inputs leaves no cached plans behind") {
+    val base = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0.9f, 0.1f)),
+      (5L, Array(0f, 0f, 1f)), (6L, Array(0.1f, 0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    (1 to 20).foreach { i =>
+      // a DIFFERENT input each iteration — the shape that used to
+      // accumulate one cache entry per call until LRU eviction
+      Graft.cosineTopK(base.filter(col("vec_id") <= lit(6 - (i % 2))), n = 5)
+        .collect()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted0)
   }
 }

@@ -21,4 +21,22 @@ class SkewSpec extends AnyFunSuite {
       .collect().head.toSeq
     assert(salted == plain)
   }
+
+  test("sharedSpans df-bound kills the boilerplate-span m² blowup, keeps real dups") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // 1000 docs all carrying the same 20-token boilerplate run (a nav/
+    // legal footer), plus two docs sharing a RARE 20-token span
+    val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
+    val rare = (1 to 20).map(i => s"rare$i").mkString(" ")
+    val docs = (1L to 1000L).map(i => (i, s"$boiler unique${i}a unique${i}b")) ++
+      Seq((2001L, s"$rare tail1"), (2002L, s"$rare tail2"))
+    val toks = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val pairs = Dedup.sharedSpans(toks, w = 20, maxDf = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // unbounded, the boilerplate span alone would emit 1000·999/2 =
+    // 499 500 pairs on ONE shuffle key; the df-bound drops it entirely
+    assert(pairs.toSeq == Seq((2001L, 2002L)))
+  }
 }
