@@ -172,6 +172,20 @@ object Graft {
     * class and the masked text. */
   def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)
 
+  /** Per-doc whitespace vs greedy-merge BPE token counts over
+    * tokenized docs — the context-window budget in the tokens the
+    * model actually sees ([[graft.functions.Bpe]]); pair with
+    * `packChunks(..., tokenCount = Bpe.bpeCount(col("toks")))` to
+    * budget packing in BPE space. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame = {
+    val toks = tokenize(docs)
+    functions.Bpe.register(toks.sparkSession)
+    toks.select(col("doc_id"),
+                org.apache.spark.sql.functions.size(col("toks")).as("n_ws"),
+                functions.Bpe.bpeCount(col("toks")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** Raw-HTML main-content extraction over (doc_id, html) rows:
     * boilerplate-block drop, tag strip, entity decode, whitespace
     * normalize → (doc_id, title, content, n_chars, n_words). */

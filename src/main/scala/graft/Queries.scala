@@ -650,6 +650,7 @@ object Queries {
     "q_sql_q8"              -> (Sql.qSqlQ8 _),
     "q_sql_q15"             -> (Sql.qSqlQ15 _),
     "q_html_extract"        -> (Html.qHtmlExtract _),
+    "q_token_bpe"           -> (TextAnalysis.qTokenBpe _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -1164,7 +1165,8 @@ object Queries {
     * distributed centroid means), q_bloom_decontaminate (sketch-seed-
     * dependent false positives), q_percentiles_approx (merge-order-
     * dependent GK summaries, golden-bounded against the exact
-    * percentiles). */
+    * percentiles), q_token_bpe (DuckDB has no BPE; golden-checked
+    * against an independent single-node reference in BpeSpec). */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

@@ -109,9 +109,13 @@ object Curation {
     * prefix + within-bucket cumsum.
     */
   def packChunks(docToks: DataFrame, budget: Long = 2048,
-                 bucketSpan: Long = 1000): DataFrame = {
+                 bucketSpan: Long = 1000,
+                 tokenCount: Column = size(col("toks"))): DataFrame = {
+    // `tokenCount` is the budget's unit: whitespace tokens by default,
+    // or a tokenizer-aware counter (e.g. functions.Bpe.bpeCount) so
+    // windows are budgeted in the tokens the model will actually see
     val t = docToks.select(col("doc_id"),
-                           size(col("toks")).cast("long").as("n_toks"),
+                           tokenCount.cast("long").as("n_toks"),
                            (col("doc_id").divide(bucketSpan)).cast("long").as("bkt"))
     val within = t.withColumn("cum_in",
       coalesce(sum(col("n_toks")).over(

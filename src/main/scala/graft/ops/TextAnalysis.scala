@@ -129,6 +129,23 @@ object TextAnalysis {
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(spark, dir))
 
+  /** q_token_bpe: whitespace vs true greedy-merge BPE token counts
+    * per document ([[graft.functions.Bpe]]) — what a context-window
+    * budget actually costs in subword tokens. (doc_id, n_ws, n_bpe,
+    * bpe_ratio). Narrow per-row scan, broadcast merge table, no
+    * shuffle. Oracle-exempt (DuckDB has no BPE); golden-checked in
+    * BpeSpec against an independent single-node reference. */
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Bpe.register(spark)
+    Tables.docTokens(spark, dir)
+      .select(col("doc_id"),
+              size(col("toks")).as("n_ws"),
+              graft.functions.Bpe.bpeCount(col("toks")).as("n_bpe"))
+      .withColumn("bpe_ratio",
+        round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1)), 6))
+      .orderBy("doc_id")
+  }
+
   /** [[qTokenCount]]'s engine over any (doc_id, text) DataFrame —
     * the library entry point ([[graft.Graft.tokenCounts]]). */
   def tokenCounts(docs: DataFrame): DataFrame =
