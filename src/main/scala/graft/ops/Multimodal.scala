@@ -13,14 +13,17 @@ import graft.Tables
   * (Iterator-of-batches in, Iterator-of-rows out; explicit schema via
   * Encoders; partitioning preserved, no shuffle).
   *
-  * PNG decode is REAL end-to-end (JDK-builtin `ImageIO` — header dims
-  * AND pixel-statistics features), and so is 16-bit PCM WAV (metadata
-  * chunk-walk AND amplitude-statistics features — PCM is uncompressed,
-  * no codec needed). Only compressed media and opaque blobs fall back
-  * to a clearly-marked STUB (deterministic pseudo-features from a
-  * SHA-256 of the bytes), so the Spark-side contract — schema, batch
-  * shape, typed boundaries, determinism — is real and testable while
-  * the stub branch stays swappable for e.g. a JNI codec.
+  * PNG and JPEG decode are REAL end-to-end (JDK-builtin `ImageIO` —
+  * header dims AND pixel-statistics features), as are 16-bit PCM WAV
+  * (chunk-walk metadata AND amplitude statistics — PCM needs no
+  * codec), MP4 container metadata (ISO-BMFF box walk), and
+  * MJPEG-in-MP4 video (per-keyframe `ImageIO` decode → real luma
+  * statistics, [[mjpegFrames]]). Only genuinely compressed codecs
+  * (H.264 frames, MP3 audio) and opaque blobs fall back to a
+  * clearly-marked STUB (deterministic pseudo-features from a SHA-256
+  * of the bytes), so the Spark-side contract — schema, batch shape,
+  * typed boundaries, determinism — is real and testable while the
+  * stub branch stays swappable for e.g. a JNI codec.
   */
 object Multimodal {
 
@@ -240,6 +243,73 @@ object Multimodal {
     else None
   }
 
+  /** REAL frame decode for MJPEG-in-MP4: walks the top-level boxes
+    * (largesize-aware, same contract as [[mp4Meta]]) to the `mdat`
+    * payload(s), slices JPEG frames on their SOI/EOI markers — safe
+    * framing because JPEG byte-stuffs FF in entropy data as FF 00, so
+    * FF D9 only occurs as a true end-of-image — decodes each frame via
+    * the JDK `ImageIO` JPEG reader, and aggregates per-frame Rec.601
+    * mean-luma statistics. Returns (frameW, frameH,
+    * [nFrames, avgLuma, stdLuma, minLuma, maxLuma, firstLuma,
+    * lastLuma]); None when no decodable frame exists (genuinely
+    * compressed codecs — H.264 etc. — stay behind the hash stub,
+    * documented). */
+  private[graft] def mjpegFrames(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def tag(off: Int) = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
+    if (bytes.length < 16 || tag(0) != "ftyp") return None
+    var off = 0L
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (off + 8 <= bytes.length) {
+      val (hdr, sz) = u32(off.toInt) match {
+        case 1L =>
+          if (off + 16 > bytes.length) (16, -1L)
+          else (16, (u32(off.toInt + 8) << 32) | u32(off.toInt + 12))
+        case 0L => (8, bytes.length - off)
+        case s => (8, s)
+      }
+      if (sz < hdr) return None
+      if (tag(off.toInt) == "mdat")
+        ranges += (((off + hdr).toInt,
+                    math.min(off + sz, bytes.length.toLong).toInt))
+      off += sz
+    }
+    val lumas = scala.collection.mutable.ArrayBuffer.empty[Float]
+    var w = 0; var h = 0
+    ranges.foreach { case (s, e) =>
+      var i = s
+      while (i + 3 <= e) {
+        if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+            bytes(i + 2) == 0xFF.toByte) {
+          var j = i + 2; var end = -1
+          while (end < 0 && j + 2 <= e) {
+            if (bytes(j) == 0xFF.toByte && bytes(j + 1) == 0xD9.toByte)
+              end = j + 2
+            j += 1
+          }
+          if (end > 0) {
+            pngPixelFeatures(java.util.Arrays.copyOfRange(bytes, i, end))
+              .foreach { case (fw, fh, f) =>
+                if (w == 0) { w = fw; h = fh }
+                lumas += f(4) // meanLuma slot of the pixel feature
+              }
+            i = end
+          } else i = e
+        } else i += 1
+      }
+    }
+    if (lumas.isEmpty) None
+    else {
+      val n = lumas.length
+      val mean = lumas.sum / n
+      val std = math.sqrt(lumas.map(l => (l - mean) * (l - mean)).sum / n)
+      Some((w, h, Array(n.toFloat, mean, std.toFloat,
+                        lumas.min, lumas.max, lumas.head, lumas.last)))
+    }
+  }
+
   private def stubDecode(row: MediaRow): MediaFeatures = {
     val digest = MessageDigest.getInstance("SHA-256").digest(row.media)
     def b(i: Int): Int = digest(i) & 0xff
@@ -253,8 +323,12 @@ object Multimodal {
     val pixels =
       if (png.isDefined || jpeg) pngPixelFeatures(row.media) else None
     val samples = if (wav.isDefined) wavPcmFeatures(row.media) else None
+    // video: MJPEG frames decode for real (ImageIO per keyframe);
+    // genuinely compressed codecs fall through to the metadata path
+    val frames = if (mp4.isDefined) mjpegFrames(row.media) else None
     // stub fallback for opaque bytes: pseudo-dims from the hash
-    val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png).getOrElse(
+    val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png)
+      .orElse(frames.map(f => (f._1, f._2))).getOrElse(
       // undecodable jpeg/audio/video rows report honest zero dims
       if (wav.isDefined || mp4.isDefined || jpeg) (0, 0)
       else (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
@@ -273,6 +347,9 @@ object Multimodal {
       channels = ch,
       n_bytes = row.media.length,
       feat = pixels.map(_._3).orElse(samples)
+        // mp4 with decodable MJPEG frames: [duration, nFrames, avgLuma,
+        // stdLuma, minLuma, maxLuma, firstLuma, lastLuma] — all real
+        .orElse(frames.map { case (_, _, f) => mp4.get._1 +: f })
         .orElse(mp4.map(m => stubFeat.updated(0, m._1)))
         .getOrElse(stubFeat))
   }

@@ -202,6 +202,44 @@ class GoldenSpec extends AnyFunSuite {
     assert(math.abs(out.feat(0) - 5.0f) < 1e-6)
   }
 
+  test("mjpeg-in-mp4: REAL per-frame luma features, not hash pseudo-features") {
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tag.getBytes("US-ASCII") ++ payload
+    def jpegFrame(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // 3 MJPEG keyframes: black, mid-gray, white
+    val mdat = box("mdat",
+      jpegFrame(0x000000) ++ jpegFrame(0x808080) ++ jpegFrame(0xFFFFFF))
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(3000))
+    val moov = box("moov", mvhd ++ box("trak", Array.empty))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0)) ++ moov ++ mdat
+    val spark0 = spark
+    import spark0.implicits._
+    val out = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(9L, mp4, "video/mp4")).toDS()).collect().head
+    assert(out.kind == "mp4")
+    assert(out.width == 8 && out.height == 8) // real frame dims
+    val f = out.feat
+    assert(math.abs(f(0) - 3.0f) < 1e-6, "duration 3000/1000 s")
+    assert(f(1) == 3.0f, "three decoded frames")
+    // luma statistics must reflect the actual pixel content (JPEG is
+    // lossy — wide-but-real tolerances): black ≈ 0, white ≈ 1, the
+    // gray frame in between, monotone first→last
+    assert(f(6) < 0.1f, s"first-frame luma ${f(6)} should be ~black")
+    assert(f(7) > 0.9f, s"last-frame luma ${f(7)} should be ~white")
+    assert(f(2) > 0.3f && f(2) < 0.7f, s"avg luma ${f(2)}")
+    assert(f(4) == f(6) && f(5) == f(7), "min/max == black/white frames")
+    assert(f(3) > 0.1f, "luma std spans the black-to-white range")
+  }
+
   test("pngDims: real IHDR width/height from crafted PNG header bytes") {
     // 8-byte signature + IHDR chunk (len=13, tag, w=640, h=480, ...)
     def be32(v: Int): Array[Byte] =
