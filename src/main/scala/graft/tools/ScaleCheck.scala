@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The 10× scaling proof-run: times a curated query subset at a base
+  * dir and a `ScaleGen`-erated 10× dir and reports each query's
+  * measured scaling exponent  e = log(t_big/t_base) / log(10)
+  * against its DECLARED complexity, plus the q_dedup_cluster round
+  * counts (must stay flat — O(log d)) —
+  * `sbt "runMain graft.tools.ScaleCheck [baseDir] [bigDir]"`.
+  *
+  * Reading the exponents: e ≈ 1 is linear scaling, e ≈ 2 quadratic;
+  * local[32] wall time includes fixed per-job latency, so small base
+  * times bias e DOWN at this scale — the check is an upper bound
+  * (e must not exceed the declared exponent + tolerance), not a
+  * curve fit. */
+object ScaleCheck {
+  // (query, declared exponent): 1.0 = linear scan/shuffle shapes;
+  // n log n sorts still measure ≈1 at 10×; 2.0 = by-spec exact pair
+  // scans (their scale path is q_ann_ivf / banding, measured here too)
+  val Subset: Seq[(String, Double)] = Seq(
+    "q_agg_scan" -> 1.0,
+    "q_join_inner" -> 1.0,
+    "q_window_rank" -> 1.0,
+    "q_sort_multi" -> 1.0,
+    "q_ngram_count" -> 1.0,
+    "q_html_extract" -> 1.0,
+    "q_token_bpe" -> 1.0,
+    "q_heavy_hitters" -> 1.0,
+    "q_pack_chunks" -> 1.0,
+    "q_dedup_exact" -> 1.0,
+    "q_dedup_near" -> 1.0,
+    "q_dedup_span" -> 1.0,
+    "q_sim_jaccard" -> 1.0,
+    "q_dedup_cluster" -> 1.0,
+    "q_ann_ivf" -> 1.0,
+    "q_stream_session" -> 1.0,
+    "q_sql_q1" -> 1.0,
+    "q_sql_q21" -> 1.0,
+    "q_sim_cosine_topk" -> 2.0,
+  )
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = if (args.length > 1) args(1) else "/root/repo/tmpdata/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, dir: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = graft.Queries.all(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // one warmup absorbs session/codegen startup
+    time("q_agg_scan", base)
+
+    println(f"${"query"}%-22s ${"t_base"}%8s ${"t_10x"}%8s ${"rows_b"}%9s ${"rows_10x"}%9s ${"exp"}%6s decl")
+    Subset.foreach { case (name, decl) =>
+      val (tb, nb) = time(name, base)
+      val roundsB = graft.ops.Dedup.lastPropagationRounds
+      val (tx, nx) = time(name, big)
+      val roundsX = graft.ops.Dedup.lastPropagationRounds
+      val e = math.log(tx / tb) / math.log(10.0)
+      val extra = if (name == "q_dedup_cluster")
+        s"  rounds $roundsB -> $roundsX" else ""
+      println(f"$name%-22s $tb%8.2f $tx%8.2f $nb%9d $nx%9d $e%6.2f $decl%4.1f$extra")
+    }
+    spark.stop()
+  }
+}

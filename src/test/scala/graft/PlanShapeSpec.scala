@@ -23,6 +23,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.matches("(?s).*PushedFilters: \\[\\].*"), p)
   }
 
+  test("q_html_extract: one narrow codegen'd scan — no shuffle before the output order") {
+    val p = plan("q_html_extract")
+    // the whole strip/decode/normalize chain is projection-only: the
+    // ONLY exchange allowed is the final total-order sort's range
+    // partitioning — never a hash shuffle (no join/agg in the plan),
+    // and the scan is a single batched parquet read
+    assert(p.contains("FileScan parquet"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
   test("q_scan_project: column pruning reaches ReadSchema") {
     val p = plan("q_scan_project")
     // projected columns present, untouched wide columns absent
