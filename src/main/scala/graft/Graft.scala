@@ -172,6 +172,14 @@ object Graft {
     * class and the masked text. */
   def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)
 
+  /** Model-based quality scoring: fastText-style hashed linear
+    * classifier inference over unigram+bigram features —
+    * (doc_id, n_feats, score, keep). The weight table is a
+    * deterministic index function (swap for trained weights in
+    * production; the inference mechanics are identical). */
+  def modelQuality(docs: DataFrame): DataFrame =
+    TextAnalysis.modelQuality(tokenize(docs))
+
   /** Per-doc whitespace vs greedy-merge BPE token counts over
     * tokenized docs — the context-window budget in the tokens the
     * model actually sees ([[graft.functions.Bpe]]); pair with

@@ -651,6 +651,7 @@ object Queries {
     "q_sql_q15"             -> (Sql.qSqlQ15 _),
     "q_html_extract"        -> (Html.qHtmlExtract _),
     "q_token_bpe"           -> (TextAnalysis.qTokenBpe _),
+    "q_quality_model"       -> (TextAnalysis.qQualityModel _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -665,6 +666,20 @@ object Queries {
 
   val extrasOracle: Map[String, String] = Map(
     "q_html_extract" -> Html.oracleSql,
+    "q_quality_model" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |f AS (SELECT doc_id, list_concat(toks,
+         |        list_transform(generate_series(1, len(toks) - 1),
+         |                       i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
+         |s AS (SELECT doc_id, len(feats)::INT AS n_feats,
+         |        coalesce(list_sum(list_transform(feats, x ->
+         |          ((('0x' || substr(md5(x), 1, 8))::BIGINT % 1024)
+         |            * 2654435761) % 2001 - 1000)), 0)::BIGINT AS w_milli
+         |      FROM f)
+         |SELECT doc_id, n_feats,
+         |  ${rnd("w_milli / (1000.0 * greatest(n_feats, 1))", 6)} AS score,
+         |  w_milli > 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> {
       val scores = langLists.map { case (l, ws) =>
         s"len(list_intersect(tset, ${sqlList(ws)}))::INT AS s_$l" }.mkString(",\n  ")

@@ -129,6 +129,47 @@ object TextAnalysis {
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(spark, dir))
 
+  /** q_quality_model: MODEL-BASED quality scoring — the fastText-style
+    * linear-classifier inference pass production pipelines run next to
+    * the hand-built composite ([[qualityScore]]): hashed bag of
+    * unigram + bigram features, one weight lookup per feature, mean
+    * activation as the score, sign as the keep/drop label. The weight
+    * table is a deterministic function of the feature index (the
+    * shipped-model-artifact pattern: in production the same expression
+    * reads a trained weight array broadcast from the model file; the
+    * inference MECHANICS — feature hashing, bigram composition, mean
+    * pooling, thresholding — are identical and are what this operator
+    * tests). All arithmetic is INTEGER until the final division
+    * (weights in milli-units, exact sums in any order), so the DuckDB
+    * oracle matches bit-for-bit despite fold-order differences.
+    * Narrow per-row expression pipeline: one scan, no shuffle, no UDF
+    * — at 100 TB this is the cheapest possible inference shape. */
+  def qQualityModel(spark: SparkSession, dir: String): DataFrame =
+    modelQuality(Tables.docTokens(spark, dir))
+
+  /** [[qQualityModel]]'s engine over any (doc_id, toks) DataFrame —
+    * the library entry point ([[graft.Graft.modelQuality]]). */
+  def modelQuality(docToks: DataFrame, dim: Int = 1024): DataFrame = {
+    // feature index: first 8 md5 hex digits (engine-portable, unlike
+    // murmur) mod table size; weight: Knuth multiplicative mix of the
+    // index into [-1000, 1000] milli-units
+    def weight(t: Column): Column =
+      pmod(pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+                lit(dim.toLong)) * lit(2654435761L), lit(2001L)) - lit(1000L)
+    docToks
+      .select(col("doc_id"),
+              concat(col("toks"), Text.ngramCol(col("toks"), 2)).as("feats"))
+      .select(col("doc_id"),
+              size(col("feats")).as("n_feats"),
+              aggregate(col("feats"), lit(0L),
+                        (acc, t) => acc + weight(t)).as("w_milli"))
+      .select(col("doc_id"), col("n_feats"),
+              round(col("w_milli") /
+                (lit(1000.0) * greatest(col("n_feats"), lit(1))), 6).as("score"),
+              (col("w_milli") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q_token_bpe: whitespace vs true greedy-merge BPE token counts
     * per document ([[graft.functions.Bpe]]) — what a context-window
     * budget actually costs in subword tokens. (doc_id, n_ws, n_bpe,
