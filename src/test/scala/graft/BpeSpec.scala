@@ -77,6 +77,23 @@ class BpeSpec extends AnyFunSuite {
     assert(sizes.head == words.map(_.length).sum)
   }
 
+  test("lossless partition: subword concatenation reproduces every word") {
+    // merges only concatenate adjacent symbols, so for ANY input —
+    // in-vocab, out-of-vocab, unicode, punctuation — the encoded
+    // symbols must partition the word exactly
+    val rng = new scala.util.Random(11)
+    val alphabets = Seq("abcdefghijklmnopqrstuvwxyz", "aeiou", "ab",
+                        "xq0189!-", "αβγδ")
+    for (_ <- 1 to 500) {
+      val alpha = alphabets(rng.nextInt(alphabets.size))
+      val w = Seq.fill(1 + rng.nextInt(24))(
+        alpha(rng.nextInt(alpha.length))).mkString
+      val enc = Bpe.encodeWord(w)
+      assert(enc.mkString == w, s"'$w' -> $enc")
+      assert(enc.forall(_.nonEmpty))
+    }
+  }
+
   test("bounds: n_ws <= n_bpe <= n_chars per doc") {
     TextAnalysis.qTokenBpe(spark, TestSpark.sf0001).collect().foreach { r =>
       assert(r.getInt(1) <= r.getInt(2), s"doc ${r.getLong(0)}: ws > bpe")
