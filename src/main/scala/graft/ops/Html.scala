@@ -63,7 +63,14 @@ object Html {
   /** Main-content extraction over any (doc_id, html) DataFrame — the
     * library entry point ([[graft.Graft.htmlExtract]]). Returns
     * (doc_id, title, content, n_chars, n_words), ordered. */
-  def htmlExtract(rows: DataFrame): DataFrame = {
+  def htmlExtract(rows: DataFrame): DataFrame =
+    htmlExtractCols(rows).orderBy("doc_id")
+
+  /** [[htmlExtract]] minus the total order — the projection-only form
+    * (pure narrow, stateless), directly usable on a STREAMING
+    * DataFrame: crawl ingest is a stream in production, and a markup
+    * strip has no reason to force a sort. */
+  def htmlExtractCols(rows: DataFrame): DataFrame = {
     val content = contentCol(col("html"))
     rows
       .select(col("doc_id"),
@@ -72,7 +79,6 @@ object Html {
       .select(col("doc_id"), col("title"), col("content"),
               length(col("content")).as("n_chars"),
               size(split(col("content"), " ")).as("n_words"))
-      .orderBy("doc_id")
   }
 
   /** The whole strip/decode/normalize chain as one expression. */

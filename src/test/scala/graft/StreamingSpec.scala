@@ -323,4 +323,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest.values.forall(_.size <= k), latest)
     }
   }
+
+  test("html extraction on a crawl stream: stream == batch (stateless projection)") {
+    import graft.ops.Html
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select(col("doc_id"), Html.renderHtml.as("html"))
+    val batch = Html.htmlExtract(docs).collect().map(_.toString).toSeq
+    case class H(doc_id: Long, html: String)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)](spark)
+    val extracted = Html.htmlExtractCols(
+      ms.toDF().toDF("doc_id", "html"))
+    withQuery(extracted, "append", "t_html") { q =>
+      ms.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("t_html").orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+      assert(got == batch)
+    }
+  }
 }
