@@ -199,6 +199,12 @@ object Graft {
     * normalize → (doc_id, title, content, n_chars, n_words). */
   def htmlExtract(rows: DataFrame): DataFrame = ops.Html.htmlExtract(rows)
 
+  /** URL canonicalization over (doc_id, url) rows: lowercase
+    * scheme+host, strip www/default ports/fragments/utm params/dot
+    * segments/index leaf → (doc_id, url, canon, domain, n_params). */
+  def canonicalizeUrls(rows: DataFrame): DataFrame =
+    ops.Url.canonicalizeUrls(rows)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -652,6 +652,7 @@ object Queries {
     "q_html_extract"        -> (Html.qHtmlExtract _),
     "q_token_bpe"           -> (TextAnalysis.qTokenBpe _),
     "q_quality_model"       -> (TextAnalysis.qQualityModel _),
+    "q_url_canon"           -> (Url.qUrlCanon _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -666,6 +667,7 @@ object Queries {
 
   val extrasOracle: Map[String, String] = Map(
     "q_html_extract" -> Html.oracleSql,
+    "q_url_canon" -> Url.oracleSql,
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |f AS (SELECT doc_id, list_concat(toks,

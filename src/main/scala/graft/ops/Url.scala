@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** URL canonicalization — the crawl-pipeline step between "raw crawl
+  * record" and every URL-keyed operation (URL dedup, domain
+  * aggregation, frontier management): lowercase scheme+host, strip
+  * `www.`, default ports, fragments, tracking (`utm_*`) parameters,
+  * dot path segments and the directory-index leaf, and expose the
+  * registrable domain and query-parameter count.
+  *
+  * Same engineering contract as [[Html]]: a pure narrow expression
+  * chain (codegen'd regex/replace, no UDF, no shuffle — a full scan
+  * and nothing else at 100 TB), with every pattern inside the
+  * Java-regex ∩ RE2 common subset and NO replacement backreferences
+  * (Spark spells them `$1`, RE2 `\1` — the one syntax split that
+  * could silently diverge the two sides), so the DuckDB oracle is
+  * generated from the same constants and cannot drift.
+  *
+  * Scope: syntactic canonicalization only — no IDN/punycode, no
+  * percent-encoding normalization, no scheme-relative resolution;
+  * dot-segment collapse applies two fixed passes (identical both
+  * sides), enough for any sane crawl URL depth of `..` nesting.
+  */
+object Url {
+
+  /** Ordered rewrite steps applied to the part AFTER `scheme://host`.
+    * (pattern-or-literal, replacement, isRegex). */
+  private[graft] val RestSteps: Seq[(String, String, Boolean)] = Seq(
+    // dot segments: /a/../ -> / and /./ -> / (two passes each — a
+    // fixed, engine-identical approximation of RFC 3986 remove_dot_segments)
+    ("/[^/?#]+/\\.\\./", "/", true),
+    ("/[^/?#]+/\\.\\./", "/", true),
+    ("/./", "/", false),
+    ("/./", "/", false),
+    // tracking params: interior &utm_..., then leading ?utm_...&,
+    // then a ?utm_... tail
+    ("&utm_[^&#]*", "", true),
+    ("\\?utm_[^&#]*&", "?", true),
+    ("\\?utm_[^&#]*$", "", true),
+    // directory-index leaf, with and without a query
+    ("/index.html?", "?", false),
+    ("/index\\.html$", "", true))
+
+  /** Host cleanup after lowercasing. */
+  private[graft] val HostSteps: Seq[(String, String)] = Seq(
+    ("^www\\.", ""), (":443$", ""), (":80$", ""))
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val RestRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+
+  /** Canonicalize any (doc_id, url) DataFrame →
+    * (doc_id, url, canon, domain, n_params), ordered — the library
+    * entry point ([[graft.Graft.canonicalizeUrls]]). */
+  def canonicalizeUrls(rows: DataFrame): DataFrame =
+    canonicalizeUrlCols(rows).orderBy("doc_id")
+
+  /** Projection-only form (streaming-safe, like
+    * [[Html.htmlExtractCols]]). */
+  def canonicalizeUrlCols(rows: DataFrame): DataFrame = {
+    val url = col("url")
+    // fragment off first — it is never part of the resource identity
+    val defragged = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(defragged, SchemeRe, 1))
+    val host = HostSteps.foldLeft(
+      lower(regexp_extract(defragged, HostRe, 1))) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val rest = RestSteps.foldLeft(
+      regexp_extract(defragged, RestRe, 1)) {
+      case (c, (p, r, isRe)) =>
+        if (isRe) regexp_replace(c, p, r) else replace(c, lit(p), lit(r))
+    }
+    val canon = concat(scheme, lit("://"), host, rest)
+    val query = regexp_extract(canon, "\\?(.*)$", 1)
+    rows.select(col("doc_id"), url.as("url"), canon.as("canon"),
+                host.as("domain"),
+                when(query === "", 0)
+                  .otherwise(size(split(query, "&"))).as("n_params"))
+  }
+
+  // ------------------------------------------------------------------
+  // q_url_canon: the corpus has no URL column, so the query RENDERS a
+  // deterministic messy URL per document from structured columns (the
+  // q_pii_redact / q_html_extract constructed-input pattern), then
+  // canonicalizes it. The fixture exercises every rule: uppercase
+  // scheme+host, www, default port, .. and . segments, utm params at
+  // head/interior, an index.html leaf, and a fragment.
+  // ------------------------------------------------------------------
+
+  private[graft] val U1 = "HTTPS://WWW.Example-" // + source
+  private[graft] val U2 = ".COM:443/Docs/" // + lang
+  private[graft] val U3 = "/../" // + lang
+  private[graft] val U4 = "/./page-" // + doc_id
+  private[graft] val U5 =
+    "/index.html?utm_source=feed&id=" // + doc_id
+  private[graft] val U6 = "&utm_campaign=spring&ref=abc#section-2"
+
+  private[graft] def renderUrl: Column =
+    concat(lit(U1), col("source"), lit(U2), col("lang"), lit(U3),
+           col("lang"), lit(U4), col("doc_id").cast("string"), lit(U5),
+           col("doc_id").cast("string"), lit(U6))
+
+  /** q_url_canon: render + canonicalize over the documents table. */
+  def qUrlCanon(spark: SparkSession, dir: String): DataFrame =
+    canonicalizeUrls(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), renderUrl.as("url")))
+
+  // DuckDB oracle from the SAME constants.
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private[graft] def oracleSql: String = {
+    val fixture =
+      s"${sqlLit(U1)} || source || ${sqlLit(U2)} || lang || ${sqlLit(U3)} || " +
+        s"lang || ${sqlLit(U4)} || doc_id::VARCHAR || ${sqlLit(U5)} || " +
+        s"doc_id::VARCHAR || ${sqlLit(U6)}"
+    val defragged = s"regexp_replace(url, '#.*$$', '', 'g')"
+    val host = HostSteps.foldLeft(
+      s"lower(regexp_extract(d, ${sqlLit(HostRe)}, 1))") {
+      case (acc, (p, r)) =>
+        s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+    }
+    val rest = RestSteps.foldLeft(
+      s"regexp_extract(d, ${sqlLit(RestRe)}, 1)") {
+      case (acc, (p, r, isRe)) =>
+        if (isRe) s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+        else s"replace($acc, ${sqlLit(p)}, ${sqlLit(r)})"
+    }
+    s"""WITH h AS (SELECT doc_id, $fixture AS url FROM documents),
+       |d0 AS (SELECT doc_id, url, $defragged AS d FROM h),
+       |c AS (SELECT doc_id, url,
+       |        lower(regexp_extract(d, ${sqlLit(SchemeRe)}, 1)) || '://' ||
+       |          $host || $rest AS canon,
+       |        $host AS domain
+       |      FROM d0),
+       |q AS (SELECT doc_id, url, canon, domain,
+       |        regexp_extract(canon, '\\?(.*)$$', 1) AS query FROM c)
+       |SELECT doc_id, url, canon, domain,
+       |  CASE WHEN query = '' THEN 0
+       |       ELSE len(string_split(query, '&')) END::INT AS n_params
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+}
