@@ -665,18 +665,26 @@ object Queries {
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB twins of [[ops.TextAnalysis.modelQualityCols]]'s feature
+    * build (unigrams + space-joined bigrams) and integer milli-unit
+    * weight sum — shared by q_quality_model and q_curate_web. */
+  private def bigramFeatsSql(toks: String): String =
+    s"""list_concat($toks, list_transform(
+       |        generate_series(1, len($toks) - 1),
+       |        i -> $toks[i] || ' ' || $toks[i+1]))""".stripMargin
+  private def wMilliSql(feats: String): String =
+    s"""coalesce(list_sum(list_transform($feats, x ->
+       |          ((('0x' || substr(md5(x), 1, 8))::BIGINT % 1024)
+       |            * 2654435761) % 2001 - 1000)), 0)::BIGINT""".stripMargin
+
   val extrasOracle: Map[String, String] = Map(
     "q_html_extract" -> Html.oracleSql,
     "q_url_canon" -> Url.oracleSql,
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         |f AS (SELECT doc_id, list_concat(toks,
-         |        list_transform(generate_series(1, len(toks) - 1),
-         |                       i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
+         |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),
          |s AS (SELECT doc_id, len(feats)::INT AS n_feats,
-         |        coalesce(list_sum(list_transform(feats, x ->
-         |          ((('0x' || substr(md5(x), 1, 8))::BIGINT % 1024)
-         |            * 2654435761) % 2001 - 1000)), 0)::BIGINT AS w_milli
+         |        ${wMilliSql("feats")} AS w_milli
          |      FROM f)
          |SELECT doc_id, n_feats,
          |  ${rnd("w_milli / (1000.0 * greatest(n_feats, 1))", 6)} AS score,
@@ -1083,9 +1091,22 @@ object Queries {
     "q_inverted_index"    -> (Curation.qInvertedIndex _),
     "q_bloom_decontaminate" -> (Curation.qBloomDecontaminate _),
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
+    "q_curate_web"        -> (Curation.qCurateWeb _),
   )
 
   val curationOracle: Map[String, String] = Map(
+    "q_curate_web" ->
+      s"""WITH h AS (SELECT doc_id, ${Html.plainPageSql} AS html FROM documents),
+         |e AS (SELECT doc_id, ${Html.contentSqlExpr("html")} AS content FROM h),
+         |t AS (SELECT doc_id, string_split(content, ' ') AS toks FROM e),
+         |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),
+         |s AS (SELECT doc_id, len(feats)::INT AS n_feats,
+         |        ${wMilliSql("feats")} AS w_milli FROM f),
+         |k AS (SELECT min(doc_id) AS doc_id FROM e GROUP BY md5(content))
+         |SELECT doc_id, n_feats,
+         |  ${rnd("w_milli / (1000.0 * greatest(n_feats, 1))", 6)} AS score
+         |FROM s JOIN k USING (doc_id) WHERE w_milli > 0
+         |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, source, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
         |FROM documents

@@ -110,8 +110,16 @@ object Bpe {
     spark.udf.register("graft_bpe_count",
       udf((toks: Seq[String]) =>
         if (toks == null) 0 else countTokens(toks, bc.value)))
+    // the subword sequence itself — what a training-shard writer
+    // actually emits (ids are a dictionary-encode away)
+    spark.udf.register("graft_bpe_tokens",
+      udf((toks: Seq[String]) =>
+        if (toks == null) Seq.empty[String]
+        else toks.iterator.filter(_.nonEmpty)
+          .flatMap(w => encodeWord(w, bc.value)).toSeq))
   }
 
-  /** Column form of the registered UDF. */
+  /** Column form of the registered UDFs. */
   def bpeCount(toks: Column): Column = call_function("graft_bpe_count", toks)
+  def bpeTokens(toks: Column): Column = call_function("graft_bpe_tokens", toks)
 }

@@ -330,4 +330,31 @@ object Curation {
   /** q_chunk_docs: [[chunkDocs]] with a 128-token window, stride 64. */
   def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables.docTokens(spark, dir))
+
+  /** q_curate_web: the end-to-end WEB curation pipeline — what a crawl
+    * actually runs, composed from this library's own stages: raw HTML
+    * in ([[Html.htmlExtractCols]] markup strip), model-based quality
+    * gate ([[TextAnalysis.modelQuality]] hashed-linear inference),
+    * exact dedup to content-hash keepers, curated docs out. Shape at
+    * scale: two narrow projection scans (extract, score) + ONE hash
+    * shuffle (the dedup group) + one key join — no stage adds a
+    * shuffle the standalone operators don't already have. Oracle:
+    * the same composition in DuckDB, generated from the same
+    * constants. */
+  def qCurateWeb(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(spark, dir)
+      .select(col("doc_id"), Html.renderPlainPage.as("html"))
+    val extracted = Html.htmlExtractCols(pages)
+      .select(col("doc_id"), col("content"))
+    val scored = TextAnalysis.modelQualityCols(
+      extracted.select(col("doc_id"), split(col("content"), " ").as("toks")))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("n_feats"), col("score"))
+    val keepers = extracted
+      .groupBy(md5(col("content")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    scored.join(keepers, "doc_id")
+      .orderBy("doc_id")
+  }
 }

@@ -130,6 +130,20 @@ object Html {
     concat(lit(F1), col("source"), lit(" / "), col("lang"), lit(F2),
            col("doc_id").cast("string"), lit(F3), col("text"), lit(F4))
 
+  // Minimal wrapper for the q_curate_web composition: no doc-unique
+  // markup inside the content (the corpus's planted duplicate
+  // structure must survive extraction so the dedup stage has work).
+  private[graft] val W1 =
+    "<html><head><title>t</title></head><body><nav>chrome &amp; nav</nav><p>"
+  private[graft] val W2 = "</p><footer>foot</footer></body></html>"
+
+  /** Render the minimal page (text-only content). */
+  private[graft] def renderPlainPage: Column =
+    concat(lit(W1), col("text"), lit(W2))
+
+  private[graft] def plainPageSql: String =
+    s"${sqlLit(W1)} || text || ${sqlLit(W2)}"
+
   /** q_html_extract: render + extract over the documents table. */
   def qHtmlExtract(spark: SparkSession, dir: String): DataFrame =
     htmlExtract(
@@ -143,18 +157,25 @@ object Html {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private[graft] def oracleSql: String = {
-    val fixture =
-      s"${sqlLit(F1)} || source || ' / ' || lang || ${sqlLit(F2)} || " +
-        s"doc_id::VARCHAR || ${sqlLit(F3)} || text || ${sqlLit(F4)}"
-    val deblocked = BlockDrops.foldLeft("html") { (acc, re) =>
+  /** The strip/decode/normalize chain as DuckDB SQL over `src` — the
+    * oracle twin of [[contentCol]], reused by every oracle that embeds
+    * the extraction (q_html_extract, q_curate_web). */
+  private[graft] def contentSqlExpr(src: String): String = {
+    val deblocked = BlockDrops.foldLeft(src) { (acc, re) =>
       s"regexp_replace($acc, ${sqlLit(re)}, ' ', 'g')"
     }
     val untagged = s"regexp_replace($deblocked, ${sqlLit(TagRe)}, ' ', 'g')"
     val decoded = Entities.foldLeft(untagged) { case (acc, (e, v)) =>
       s"replace($acc, ${sqlLit(e)}, ${sqlLit(v)})"
     }
-    val content = s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  private[graft] def oracleSql: String = {
+    val fixture =
+      s"${sqlLit(F1)} || source || ' / ' || lang || ${sqlLit(F2)} || " +
+        s"doc_id::VARCHAR || ${sqlLit(F3)} || text || ${sqlLit(F4)}"
+    val content = contentSqlExpr("html")
     val title =
       s"trim(regexp_replace(regexp_extract(html, ${sqlLit(TitleRe)}, 1), '\\s+', ' ', 'g'))"
     s"""WITH h AS (SELECT doc_id, $fixture AS html FROM documents),

@@ -149,7 +149,12 @@ object TextAnalysis {
 
   /** [[qQualityModel]]'s engine over any (doc_id, toks) DataFrame —
     * the library entry point ([[graft.Graft.modelQuality]]). */
-  def modelQuality(docToks: DataFrame, dim: Int = 1024): DataFrame = {
+  def modelQuality(docToks: DataFrame, dim: Int = 1024): DataFrame =
+    modelQualityCols(docToks, dim).orderBy("doc_id")
+
+  /** [[modelQuality]] minus the total order — the projection-only form
+    * for composition ([[Curation.qCurateWeb]]) and streaming. */
+  def modelQualityCols(docToks: DataFrame, dim: Int = 1024): DataFrame = {
     // feature index: first 8 md5 hex digits (engine-portable, unlike
     // murmur) mod table size; weight: Knuth multiplicative mix of the
     // index into [-1000, 1000] milli-units
@@ -167,7 +172,6 @@ object TextAnalysis {
               round(col("w_milli") /
                 (lit(1000.0) * greatest(col("n_feats"), lit(1))), 6).as("score"),
               (col("w_milli") > 0).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** q_token_bpe: whitespace vs true greedy-merge BPE token counts

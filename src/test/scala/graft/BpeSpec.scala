@@ -77,6 +77,22 @@ class BpeSpec extends AnyFunSuite {
     assert(sizes.head == words.map(_.length).sum)
   }
 
+  test("bpeTokens column: subword stream agrees with the count and is lossless") {
+    Bpe.register(spark)
+    val rows = Seq((1L, Seq("value", "windows", "xyz")),
+                   (2L, Seq("spark", "", "query")))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), Bpe.bpeTokens(col("toks")).as("bpe"),
+              Bpe.bpeCount(col("toks")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).length == r.getInt(2))
+    }
+    assert(rows(0).getSeq[String](1) ==
+      Seq("value", "window", "s", "x", "y", "z"))
+    assert(rows(1).getSeq[String](1) == Seq("spark", "query"))
+  }
+
   test("lossless partition: subword concatenation reproduces every word") {
     // merges only concatenate adjacent symbols, so for ANY input —
     // in-vocab, out-of-vocab, unicode, punctuation — the encoded
