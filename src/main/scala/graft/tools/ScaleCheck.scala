@@ -37,6 +37,9 @@ object ScaleCheck {
     "q_stream_session" -> 1.0,
     "q_sql_q1" -> 1.0,
     "q_sql_q21" -> 1.0,
+    "q_quality_model" -> 1.0,
+    "q_url_canon" -> 1.0,
+    "q_curate_web" -> 1.0,
     "q_sim_cosine_topk" -> 2.0,
   )
 
