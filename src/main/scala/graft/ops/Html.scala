@@ -81,6 +81,11 @@ object Html {
               size(split(col("content"), " ")).as("n_words"))
   }
 
+  /** The strip/decode/normalize chain as a bare Column — for callers
+    * that need to carry extra columns through (e.g. the streaming
+    * curation composition, which keeps `ts` for its watermark). */
+  private[graft] def contentColumn(html: Column): Column = contentCol(html)
+
   /** The whole strip/decode/normalize chain as one expression. */
   private def contentCol(html: Column): Column = {
     val deblocked = BlockDrops.foldLeft(html)((c, re) => regexp_replace(c, re, " "))

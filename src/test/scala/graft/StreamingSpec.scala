@@ -324,6 +324,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("curateWebStream: raw pages in, curated docs out — dedup state sees the EXTRACTED content") {
+    import graft.ops.Html
+    val ms = MemoryStream[(Long, String, Timestamp)](spark)
+    val curated = EventStreams.curateWebStream(
+      ms.toDF().toDF("doc_id", "html", "ts"),
+      watermark = "10 minutes", minQuality = 0.5, maxDupTokFrac = 0.5)
+    def page(body: String, chrome: String) =
+      s"<html><head><title>t</title></head><body><nav>$chrome</nav><p>$body</p></body></html>"
+    withQuery(curated, "append", "t_curate_web_stream") { q =>
+      ms.addData(Seq(
+        (1L, page("the quick brown fox jumps over a lazy dog today", "nav one"),
+         ts("2024-01-01 00:00:00")),
+        // DIFFERENT markup chrome, SAME extracted content: the dedup
+        // state must key on the content, so this is a duplicate
+        (2L, page("the quick brown fox jumps over a lazy dog today", "other chrome"),
+         ts("2024-01-01 00:00:10")),
+        // repetition junk survives extraction but fails the gate
+        (3L, page("spam spam spam spam spam spam spam spam", "nav"),
+         ts("2024-01-01 00:00:20"))))
+      q.processAllAvailable()
+      val out = spark.table("t_curate_web_stream")
+        .collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(1L), s"curated ids: $out")
+    }
+  }
+
   test("html extraction on a crawl stream: stream == batch (stateless projection)") {
     import graft.ops.Html
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)

@@ -53,6 +53,11 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("https://a.com/a/index.html?q=1")._1 == "https://a.com/a?q=1")
   }
 
+  test("scheme-less garbage passes through (minus fragment) instead of collapsing") {
+    assert(canon("not a url at all") == ("not a url at all", "", 0))
+    assert(canon("relative/path?a=1#f") == ("relative/path?a=1", "", 1))
+  }
+
   test("idempotent: canonicalizing a canonical URL is a no-op") {
     val urls = Seq(
       "HTTPS://WWW.A-b.COM:443/x/../y/index.html?utm_s=1&id=2#f",
