@@ -205,6 +205,11 @@ object Graft {
   def canonicalizeUrls(rows: DataFrame): DataFrame =
     ops.Url.canonicalizeUrls(rows)
 
+  /** URL-keyed dedup: group (doc_id, url) rows by the canonical form,
+    * keep the min doc_id, count variants — the crawl step BEFORE
+    * content dedup. */
+  def dedupByUrl(rows: DataFrame): DataFrame = ops.Url.dedupByUrl(rows)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -653,6 +653,7 @@ object Queries {
     "q_token_bpe"           -> (TextAnalysis.qTokenBpe _),
     "q_quality_model"       -> (TextAnalysis.qQualityModel _),
     "q_url_canon"           -> (Url.qUrlCanon _),
+    "q_dedup_url"           -> (Url.qDedupUrl _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -680,6 +681,7 @@ object Queries {
   val extrasOracle: Map[String, String] = Map(
     "q_html_extract" -> Html.oracleSql,
     "q_url_canon" -> Url.oracleSql,
+    "q_dedup_url" -> Url.dedupOracleSql,
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),

@@ -116,32 +116,83 @@ object Url {
       Tables.documents(spark, dir)
         .select(col("doc_id"), renderUrl.as("url")))
 
+  /** URL-keyed dedup over any (doc_id, url) DataFrame — the crawl
+    * step BEFORE content dedup (re-crawls and tracking-param variants
+    * of one page collapse without touching the body): group by the
+    * canonical form, keep the min doc_id, count the variants. One
+    * hash shuffle on the canonical URL ([[graft.Graft.dedupByUrl]]). */
+  def dedupByUrl(rows: DataFrame): DataFrame =
+    canonicalizeUrlCols(rows)
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_variants"),
+           // domain is a pure function of canon, identical group-wide;
+           // min() keeps the aggregate order-insensitive for the oracle
+           min(col("domain")).as("domain"))
+      .select(col("keeper_id"), col("canon"), col("domain"), col("n_variants"))
+      .orderBy("keeper_id")
+
+  /** q_dedup_url: [[dedupByUrl]] with PLANTED variants — each doc's
+    * rendered URL plus (for doc_id % 10 == 0) a variant of the SAME
+    * page differing only in tracking params and fragment, which must
+    * collapse onto the canonical form. */
+  def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), renderUrl.as("url"))
+    val variants = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              concat(lit(V1), col("source"), lit(V2), col("lang"), lit(V3),
+                     col("lang"), lit(V4), col("doc_id").cast("string"),
+                     lit(V5), col("doc_id").cast("string"), lit(V6)).as("url"))
+    dedupByUrl(base.unionByName(variants))
+  }
+
+  // Variant fixture: same resource as renderUrl after canonicalization
+  // (no www, lowercase, no port, resolved path, no utm/fragment noise
+  // — but DIFFERENT raw bytes everywhere the canonicalizer normalizes)
+  private[graft] val V1 = "https://example-" // + source
+  private[graft] val V2 = ".com/Docs/" // + lang (no dots to resolve)
+  private[graft] val V3 = "/../" // + lang
+  private[graft] val V4 = "/page-" // + doc_id (no /. segment)
+  private[graft] val V5 =
+    "?id=" // + doc_id — utm params dropped entirely here
+  private[graft] val V6 = "&ref=abc&utm_term=zz#other-frag"
+
   // DuckDB oracle from the SAME constants.
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private[graft] def oracleSql: String = {
-    val fixture =
-      s"${sqlLit(U1)} || source || ${sqlLit(U2)} || lang || ${sqlLit(U3)} || " +
-        s"lang || ${sqlLit(U4)} || doc_id::VARCHAR || ${sqlLit(U5)} || " +
-        s"doc_id::VARCHAR || ${sqlLit(U6)}"
-    val defragged = s"regexp_replace(url, '#.*$$', '', 'g')"
-    val host = HostSteps.foldLeft(
-      s"lower(regexp_extract(d, ${sqlLit(HostRe)}, 1))") {
-      case (acc, (p, r)) =>
-        s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
-    }
+  private[graft] val baseUrlSql: String =
+    s"${sqlLit(U1)} || source || ${sqlLit(U2)} || lang || ${sqlLit(U3)} || " +
+      s"lang || ${sqlLit(U4)} || doc_id::VARCHAR || ${sqlLit(U5)} || " +
+      s"doc_id::VARCHAR || ${sqlLit(U6)}"
+  private[graft] val variantUrlSql: String =
+    s"${sqlLit(V1)} || source || ${sqlLit(V2)} || lang || ${sqlLit(V3)} || " +
+      s"lang || ${sqlLit(V4)} || doc_id::VARCHAR || ${sqlLit(V5)} || " +
+      s"doc_id::VARCHAR || ${sqlLit(V6)}"
+
+  private[graft] val defraggedSql = s"regexp_replace(url, '#.*$$', '', 'g')"
+
+  /** DuckDB canon/domain expressions over a defragged column `d`. */
+  private[graft] def hostSql: String = HostSteps.foldLeft(
+    s"lower(regexp_extract(d, ${sqlLit(HostRe)}, 1))") {
+    case (acc, (p, r)) =>
+      s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+  }
+  private[graft] def canonSql: String = {
     val rest = RestSteps.foldLeft(
       s"regexp_extract(d, ${sqlLit(RestRe)}, 1)") {
       case (acc, (p, r, isRe)) =>
         if (isRe) s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
         else s"replace($acc, ${sqlLit(p)}, ${sqlLit(r)})"
     }
-    s"""WITH h AS (SELECT doc_id, $fixture AS url FROM documents),
-       |d0 AS (SELECT doc_id, url, $defragged AS d FROM h),
-       |c AS (SELECT doc_id, url,
-       |        lower(regexp_extract(d, ${sqlLit(SchemeRe)}, 1)) || '://' ||
-       |          $host || $rest AS canon,
-       |        $host AS domain
+    s"lower(regexp_extract(d, ${sqlLit(SchemeRe)}, 1)) || '://' || $hostSql || $rest"
+  }
+
+  private[graft] def oracleSql: String =
+    s"""WITH h AS (SELECT doc_id, $baseUrlSql AS url FROM documents),
+       |d0 AS (SELECT doc_id, url, $defraggedSql AS d FROM h),
+       |c AS (SELECT doc_id, url, $canonSql AS canon, $hostSql AS domain
        |      FROM d0),
        |q AS (SELECT doc_id, url, canon, domain,
        |        regexp_extract(canon, '\\?(.*)$$', 1) AS query FROM c)
@@ -149,5 +200,16 @@ object Url {
        |  CASE WHEN query = '' THEN 0
        |       ELSE len(string_split(query, '&')) END::INT AS n_params
        |FROM q ORDER BY doc_id""".stripMargin
-  }
+
+  private[graft] def dedupOracleSql: String =
+    s"""WITH b AS (SELECT doc_id, $baseUrlSql AS url FROM documents),
+       |v AS (SELECT doc_id + 1000000 AS doc_id, url FROM
+       |        (SELECT doc_id, $variantUrlSql AS url FROM documents
+       |         WHERE doc_id % 10 = 0)),
+       |u AS (SELECT * FROM b UNION ALL SELECT * FROM v),
+       |d0 AS (SELECT doc_id, $defraggedSql AS d FROM u),
+       |c AS (SELECT doc_id, $canonSql AS canon, $hostSql AS domain FROM d0)
+       |SELECT min(doc_id)::BIGINT AS keeper_id, canon, min(domain) AS domain,
+       |  count(*)::BIGINT AS n_variants
+       |FROM c GROUP BY canon ORDER BY keeper_id""".stripMargin
 }

@@ -58,6 +58,19 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("relative/path?a=1#f") == ("relative/path?a=1", "", 1))
   }
 
+  test("dedupByUrl collapses tracking-param/fragment/port/www variants of one page") {
+    val rows = Seq(
+      (1L, "HTTPS://WWW.A.COM:443/x/index.html?utm_s=1&id=7#f"),
+      (2L, "https://a.com/x?id=7"),
+      (3L, "https://a.com/x?id=8") // different resource
+    ).toDF("doc_id", "url")
+    val out = Url.dedupByUrl(rows).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "https://a.com/x?id=7", 2L),
+      (3L, "https://a.com/x?id=8", 1L)))
+  }
+
   test("idempotent: canonicalizing a canonical URL is a no-op") {
     val urls = Seq(
       "HTTPS://WWW.A-b.COM:443/x/../y/index.html?utm_s=1&id=2#f",
