@@ -335,6 +335,17 @@ object Graft {
                    tables: Int = 4, probeFlips: Int = 4): DataFrame =
     Similarity.annNeighbors(embeddings, k, tables, probeFlips)
 
+  /** Per-vector symmetric int8 quantization (4x smaller vectors, one
+    * float scale each): (vec_id, qvec, max_abs). */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
+    ops.Quant.quantizeEmbeddings(embeddings)
+
+  /** Approximate dot-product top-k over the int8-quantized corpus —
+    * the integer-kernel/4x-memory search path. */
+  def quantizedTopK(embeddings: DataFrame, nProbes: Int = 5,
+                    k: Int = 10): DataFrame =
+    ops.Quant.quantizedTopK(embeddings, nProbes, k)
+
   // ---- event analytics ----
 
   /** [[funnel]] with a per-step conversion horizon (e.g. "1 HOUR"):

@@ -550,6 +550,7 @@ object Queries {
     "q_sim_jaccard"     -> (Dedup.qSimJaccard _),
     "q_sim_cosine_topk" -> (Similarity.qSimCosineTopk _),
     "q_knn"             -> (Similarity.qKnn _),
+    "q_embed_quant"     -> (Quant.qEmbedQuant _),
   )
 
   /** Shared oracle CTE: L2-normalized double vectors. */
@@ -589,6 +590,7 @@ object Queries {
          |  FROM p)
          |SELECT id_a, rn, id_b, cos_sim FROM r WHERE rn <= 3
          |ORDER BY id_a, rn""".stripMargin,
+    "q_embed_quant" -> Quant.oracleSql,
   )
 
   // -------------------------------------------------------------------
@@ -1094,6 +1096,7 @@ object Queries {
     "q_bloom_decontaminate" -> (Curation.qBloomDecontaminate _),
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_curate_web"        -> (Curation.qCurateWeb _),
+    "q_mix_temperature"   -> (Curation.qMixTemperature _),
   )
 
   val curationOracle: Map[String, String] = Map(
@@ -1188,6 +1191,20 @@ object Queries {
          |      FROM d GROUP BY term)
          |SELECT term, df, cf, postings FROM a WHERE df >= 5
          |ORDER BY term""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |s AS (SELECT lang, c,
+        |        CAST(floor(sqrt(c) * 1000 + 0.5) AS BIGINT) AS s FROM c),
+        |t AS (SELECT sum(c) AS total, sum(s) AS ssum FROM s),
+        |q AS (SELECT lang, least(((total // 2) * s) // ssum, c) AS n_take
+        |      FROM s, t),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, r.rn::INT AS rn
+        |FROM r JOIN q USING (lang) WHERE rn <= n_take
+        |ORDER BY lang, rn""".stripMargin,
   )
 
   // -------------------------------------------------------------------

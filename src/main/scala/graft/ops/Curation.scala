@@ -93,6 +93,57 @@ object Curation {
   def qMixWeighted(spark: SparkSession, dir: String): DataFrame =
     mixWeighted(Tables.documents(spark, dir))
 
+  /** Temperature-smoothed language rebalancing — the multilingual
+    * corpus-mixing standard (sampling rate ∝ count^α, α = 1/2, so
+    * low-resource languages are upweighted relative to their share):
+    * computes a per-language quota from the smoothed weights and
+    * takes the first `quota` docs per language in md5(doc_id) order.
+    *
+    * Every step is INTEGER-EXACT so the draw is reproducible anywhere
+    * (and oracle-checkable): the smoothed weight is the integer
+    * milli-sqrt `s = floor(sqrt(c)*1000 + 0.5)`, and the quota is the
+    * integer division `((total div 2) * s) div sum(s)` capped at `c`
+    * — no cross-language float sum whose accumulation order could
+    * perturb a boundary.
+    *
+    * Scale shape: the per-language weight/quota table is |langs| rows
+    * (broadcast); the per-language rank does NOT use one
+    * window-partition per language (a single task would rank the
+    * entire dominant language at 100 TB) — it is a two-level exact
+    * rank in the [[packChunks]] style: rank within (lang, 2-hex-char
+    * md5 bucket) in parallel, then add the per-lang running total of
+    * the 256 bounded bucket counts. Identical to the global rank
+    * because the bucket key is a prefix of the ordering key.
+    */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("s", floor(sqrt(col("c")) * 1000 + lit(0.5)).cast("long"))
+    val totals = counts.agg(sum("c").as("total"), sum("s").as("ssum"))
+    val quota = counts.crossJoin(broadcast(totals))
+      .withColumn("n_take", least(expr("((total div 2) * s) div ssum"), col("c")))
+      .select(col("lang"), col("n_take"))
+    val h = docs.select(col("doc_id"), col("lang"),
+                        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val within = h.withColumn("w_rn", row_number().over(
+      Window.partitionBy("lang", "bkt").orderBy(col("h"), col("doc_id"))))
+    val bktPrefix = h.groupBy("lang", "bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("pfx", coalesce(sum(col("bn")).over(
+        Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bkt"), col("pfx"))
+    within.join(broadcast(bktPrefix), Seq("lang", "bkt"))
+      .withColumn("rn", (col("pfx") + col("w_rn")).cast("int"))
+      .join(broadcast(quota), "lang")
+      .filter(col("rn") <= col("n_take"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** q_mix_temperature: [[temperatureMix]] on the test corpus. */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir))
+
   /** Token-offset sharding ("packing"): concatenate the corpus in
     * doc_id order and assign each document the training chunk where
     * its first token lands (chunk = global token offset ÷ budget) —

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Int8 scalar quantization of embedding vectors, plus a quantized
+  * dot-product top-k search over the quantized corpus — the memory
+  * side of the ANN story: at 100 TB of embeddings, 4 bytes/dim of
+  * float32 is the dominant storage and shuffle cost, and per-vector
+  * symmetric int8 quantization (`q_i = round(x_i * 127 / max|x|)`,
+  * one float scale kept per vector) cuts it 4x while keeping the
+  * dot product an INTEGER kernel (SIMD-friendly, exactly
+  * reproducible) that is descaled back to an approximate float dot
+  * at the very end.
+  *
+  * Engineering contract (same as [[Html]]/[[Url]]): every arithmetic
+  * step is expressed identically on the Spark side and in the DuckDB
+  * oracle — `floor(x * (127.0 / max_abs) + 0.5)` instead of `round`
+  * (HALF_UP vs banker's rounding is the one way the two engines could
+  * silently diverge), and the candidate ranking happens on the raw
+  * IEEE-754 double descale (bit-identical on both sides) with a
+  * `vec_id` tiebreak, so the top-k cut is deterministic.
+  *
+  * Scale shape: quantization is a pure narrow projection (one scan,
+  * no shuffle); the search probes are broadcast against the quantized
+  * corpus, so the quadratic term is |probes| x |corpus| with a 16x
+  * cheaper inner kernel than the float path and no corpus shuffle.
+  * The sub-linear-candidate path composes with [[Similarity]]'s IVF
+  * buckets (quantize the posting lists); this operator is the
+  * storage/kernel half.
+  */
+object Quant {
+
+  /** Per-vector symmetric int8 quantization over any
+    * (vec_id, embedding: array&lt;float&gt;) DataFrame:
+    * (vec_id, qvec: array&lt;int&gt; in [-127,127], max_abs: float).
+    * A zero vector quantizes to all zeros (scale 0). */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x)))
+    embeddings
+      .select(col("vec_id"), col("embedding"), maxAbs.as("max_abs"))
+      .withColumn("scale",
+        when(col("max_abs") > 0f, lit(127.0) / col("max_abs"))
+          .otherwise(lit(0.0)))
+      .select(
+        col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x * col("scale") + lit(0.5)).cast("int")).as("qvec"),
+        col("max_abs"))
+  }
+
+  /** Integer dot product of two int vectors as a long — the whole
+    * inner kernel of the quantized search (codegen'd
+    * `zip_with`/`aggregate`, no UDF). */
+  private[graft] def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y),
+              lit(0L), (acc, v) => acc + v)
+
+  /** Quantized approximate-dot top-k: quantize the corpus once,
+    * broadcast the first `nProbes` vectors as probes, rank the
+    * corpus per probe by the descaled integer dot
+    * `qdot * (max_abs_p/127) * (max_abs_c/127)`.
+    * Returns (probe_id, vec_id, qdot, approx_dot, rnk), ordered. */
+  def quantizedTopK(embeddings: DataFrame, nProbes: Int = 5,
+                    k: Int = 10): DataFrame = {
+    val q = quantizeEmbeddings(embeddings)
+    val probes = q.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("qvec").as("pvec"),
+              col("max_abs").as("max_abs_p"))
+    val descaled =
+      col("qdot").cast("double") *
+        (col("max_abs_p") / lit(127.0)) * (col("max_abs") / lit(127.0))
+    val pairs = q
+      .join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+              qdot(col("pvec"), col("qvec")).as("qdot"),
+              col("max_abs_p"), col("max_abs"))
+      .select(col("probe_id"), col("vec_id"), col("qdot"),
+              descaled.as("approx"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("qdot"),
+              round(col("approx"), 6).as("approx_dot"), col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** q_embed_quant: [[quantizedTopK]] on the test corpus. */
+  def qEmbedQuant(spark: SparkSession, dir: String): DataFrame =
+    quantizedTopK(Tables.embeddings(spark, dir))
+
+  /** DuckDB oracle: the LITERAL same arithmetic (floor(x*scale+0.5)
+    * quantize, integer dot, identical descale association), so the
+    * integer columns hash-match exactly and the double ranking is
+    * bit-identical. */
+  val oracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, max_abs,
+      |    CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS scale,
+      |    embedding
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(x))) AS max_abs
+      |        FROM embeddings)),
+      |qv AS (
+      |  SELECT vec_id, max_abs,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(x * scale + 0.5) AS INT)) AS qvec
+      |  FROM q),
+      |p AS (SELECT vec_id AS probe_id, qvec AS pvec, max_abs AS max_abs_p
+      |      FROM qv WHERE vec_id < 5),
+      |d AS (
+      |  SELECT probe_id, vec_id,
+      |    CAST(list_dot_product(pvec, qvec) AS BIGINT) AS qdot,
+      |    CAST(list_dot_product(pvec, qvec) AS DOUBLE)
+      |      * (max_abs_p / 127.0) * (max_abs / 127.0) AS approx
+      |  FROM qv CROSS JOIN p WHERE vec_id <> probe_id),
+      |r AS (
+      |  SELECT probe_id, vec_id, qdot, approx,
+      |    row_number() OVER (PARTITION BY probe_id
+      |                       ORDER BY approx DESC, vec_id) AS rnk
+      |  FROM d)
+      |SELECT probe_id, vec_id, qdot,
+      |  round(CAST(CAST(approx AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE
+      |    AS approx_dot, rnk::INT AS rnk
+      |FROM r WHERE rnk <= 10
+      |ORDER BY probe_id, rnk""".stripMargin
+}

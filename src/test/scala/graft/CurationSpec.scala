@@ -160,4 +160,38 @@ class CurationSpec extends AnyFunSuite {
     assert((flagged -- exact).size <= math.max(2, exact.size / 10),
       s"too many bloom false positives: ${(flagged -- exact).size}")
   }
+
+  test("temperatureMix: two-level rank == global rank; α=1/2 upweights the tail") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = spark
+    val docs = Tables.documents(spark0, TestSpark.sf0001)
+    val out = ops.Curation.temperatureMix(docs)
+    // (a) the bucketed two-level rank must equal the naive global rank
+    val naive = docs
+      .select(col("doc_id"), col("lang"),
+              md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))))
+    val mismatch = out.alias("o")
+      .join(naive.alias("n"), Seq("doc_id", "lang"))
+      .filter(col("o.rn") =!= col("n.rn"))
+    assert(mismatch.count() === 0)
+    // (b) per-lang sample rate decreases with language size (α < 1)
+    val rates = out.groupBy("lang").count().alias("k")
+      .join(docs.groupBy("lang").count().alias("t")
+              .withColumnRenamed("count", "total"), "lang")
+      .select(col("lang"), col("count").cast("double") / col("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = totals.maxBy(_._2)._1
+    val small = totals.minBy(_._2)._1
+    assert(rates(small) > rates(big),
+      s"temperature should upweight $small over $big: $rates")
+    // (c) quota totals land near the target N = total/2
+    val picked = out.count().toDouble
+    val n = totals.values.sum / 2.0
+    assert(math.abs(picked - n) <= totals.size + 1, s"picked=$picked target=$n")
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Quant
+
+/** Int8 embedding quantization: range/error invariants on the real
+  * corpus, hand-checked quantization arithmetic, and search recall of
+  * the quantized top-k against the exact float dot-product ranking. */
+class QuantSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("qvec range is [-127,127] and every nonzero vector hits ±127") {
+    val q = Quant.quantizeEmbeddings(graft.Tables.embeddings(spark, dir))
+    val bad = q.filter(
+      exists(col("qvec"), v => abs(v) > 127) ||
+        (col("max_abs") > 0f && !exists(col("qvec"), v => abs(v) === 127)))
+    assert(bad.count() === 0)
+  }
+
+  test("dequantization error is within half a quantization step") {
+    // |x_i - q_i * max_abs/127| <= max_abs/254 (+ float slack)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = Quant.quantizeEmbeddings(emb)
+      .join(emb, "vec_id")
+      .select(col("max_abs"),
+        aggregate(
+          zip_with(col("embedding"), col("qvec"),
+            (x, r) => abs(x - r * col("max_abs") / lit(127.0))),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+    val viol = q.filter(col("max_err") > col("max_abs") / lit(254.0) * 1.0001)
+    assert(viol.count() === 0)
+  }
+
+  test("hand-computed quantization of a known vector and the zero vector") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Quant.quantizeEmbeddings(df).orderBy("vec_id")
+      .select("qvec").as[Seq[Int]].collect()
+    // scale = 127/0.5 = 254: 0.5→127, -0.25→floor(-63.5+0.5)=-63, 0.125→32
+    assert(out(0) == Seq(127, -63, 32))
+    assert(out(1) == Seq(0, 0, 0))
+  }
+
+  test("quantized top-10 recalls >= 0.8 of the exact float dot top-10") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val approx = Quant.quantizedTopK(emb, nProbes = 5, k = 10)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact float dot-product ranking, same probe/tiebreak contract
+    val v = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val p = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val dot = aggregate(zip_with(col("pv"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, e) => acc + e)
+    val exact = v.join(broadcast(p), col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), dot.as("dot"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(col("dot").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+}
