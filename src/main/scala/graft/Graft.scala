@@ -210,6 +210,21 @@ object Graft {
     * content dedup. */
   def dedupByUrl(rows: DataFrame): DataFrame = ops.Url.dedupByUrl(rows)
 
+  /** URL filtering against a broadcast domain blocklist + path-pattern
+    * rules: every row tagged 'domain' / 'path' / 'kept' (auditable;
+    * the kept stream is `.filter(col("kept"))`). */
+  def urlFilter(rows: DataFrame, blockedDomains: DataFrame,
+                pathRules: Seq[String]): DataFrame =
+    ops.Url.urlFilter(rows, blockedDomains, pathRules)
+
+  /** `<a href>` edge list from (doc_id, html) rows:
+    * (doc_id, href, anchor), entity-decoded and squashed. */
+  def extractLinks(rows: DataFrame): DataFrame = ops.Links.extractLinks(rows)
+
+  /** Per-target link rollup: (href, n_links, n_docs, texts) with the
+    * sorted distinct anchor-text set bounded to [[ops.Links.MaxTexts]]. */
+  def anchorStats(links: DataFrame): DataFrame = ops.Links.anchorStats(links)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -656,6 +656,8 @@ object Queries {
     "q_quality_model"       -> (TextAnalysis.qQualityModel _),
     "q_url_canon"           -> (Url.qUrlCanon _),
     "q_dedup_url"           -> (Url.qDedupUrl _),
+    "q_url_filter"          -> (Url.qUrlFilter _),
+    "q_anchor_text"         -> (Links.qAnchorText _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -684,6 +686,8 @@ object Queries {
     "q_html_extract" -> Html.oracleSql,
     "q_url_canon" -> Url.oracleSql,
     "q_dedup_url" -> Url.dedupOracleSql,
+    "q_url_filter" -> Url.filterOracleSql,
+    "q_anchor_text" -> Links.oracleSql,
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),

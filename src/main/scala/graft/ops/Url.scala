@@ -148,6 +148,50 @@ object Url {
     dedupByUrl(base.unionByName(variants))
   }
 
+  /** URL filtering against a domain blocklist plus path-pattern rules
+    * — the frontier-hygiene step of a crawl pipeline (porn/SEO-spam
+    * domain lists, login/calendar/faceted-search path traps). Joins
+    * the canonicalized URLs against the blocklist (BROADCAST: real
+    * blocklists are ~1M domains, far under the broadcast threshold,
+    * so the corpus never shuffles) and tags every row with its
+    * verdict: 'domain' (blocklisted registrable domain), 'path'
+    * (first matching path rule), or 'kept'. Keeping the verdict
+    * instead of dropping rows makes the filter auditable (the kept
+    * stream is `.filter(col("kept"))`); the whole thing is one scan +
+    * one broadcast hash join.
+    */
+  def urlFilter(rows: DataFrame, blockedDomains: DataFrame,
+                pathRules: Seq[String]): DataFrame = {
+    val c = canonicalizeUrlCols(rows)
+    val pathHit = pathRules.map(col("canon").rlike(_)).reduce(_ || _)
+    c.join(broadcast(blockedDomains.select(col("domain"))
+             .withColumn("dom_blocked", lit(true))),
+           Seq("domain"), "left")
+      .withColumn("reason",
+        when(coalesce(col("dom_blocked"), lit(false)), lit("domain"))
+          .when(pathHit, lit("path"))
+          .otherwise(lit("kept")))
+      .select(col("doc_id"), col("canon"), col("domain"), col("reason"),
+              (col("reason") === "kept").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // q_url_filter fixture rules: three blocklisted source domains and
+  // one path trap (the zh docs subtree), over the renderUrl corpus.
+  private[graft] val BlockedDomains: Seq[String] =
+    Seq("example-src3.com", "example-src7.com", "example-src13.com")
+  private[graft] val PathRules: Seq[String] = Seq("://[^/]*/Docs/zh/")
+
+  /** q_url_filter: [[urlFilter]] with the fixture blocklist. */
+  def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = BlockedDomains.toDF("domain")
+    urlFilter(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), renderUrl.as("url")),
+      blocklist, PathRules)
+  }
+
   // Variant fixture: same resource as renderUrl after canonicalization
   // (no www, lowercase, no port, resolved path, no utm/fragment noise
   // — but DIFFERENT raw bytes everywhere the canonicalizer normalizes)
@@ -200,6 +244,21 @@ object Url {
        |  CASE WHEN query = '' THEN 0
        |       ELSE len(string_split(query, '&')) END::INT AS n_params
        |FROM q ORDER BY doc_id""".stripMargin
+
+  private[graft] def filterOracleSql: String = {
+    val domList = BlockedDomains.map(sqlLit).mkString("(", ", ", ")")
+    val pathCond = PathRules
+      .map(p => s"regexp_matches(canon, ${sqlLit(p)})").mkString(" OR ")
+    s"""WITH h AS (SELECT doc_id, $baseUrlSql AS url FROM documents),
+       |d0 AS (SELECT doc_id, $defraggedSql AS d FROM h),
+       |c AS (SELECT doc_id, $canonSql AS canon, $hostSql AS domain FROM d0),
+       |v AS (SELECT doc_id, canon, domain,
+       |        CASE WHEN domain IN $domList THEN 'domain'
+       |             WHEN $pathCond THEN 'path'
+       |             ELSE 'kept' END AS reason FROM c)
+       |SELECT doc_id, canon, domain, reason, reason = 'kept' AS kept
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
 
   private[graft] def dedupOracleSql: String =
     s"""WITH b AS (SELECT doc_id, $baseUrlSql AS url FROM documents),

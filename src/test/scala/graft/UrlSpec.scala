@@ -71,6 +71,25 @@ class UrlSpec extends AnyFunSuite {
       (3L, "https://a.com/x?id=8", 1L)))
   }
 
+  test("urlFilter: domain block wins over path rule; kept rows pass both") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "https://bad.com/Docs/zh/a"),   // domain AND path → 'domain'
+      (2L, "https://ok.com/Docs/zh/a"),    // path only
+      (3L, "https://ok.com/Docs/en/a"),    // kept
+      (4L, "https://WWW.BAD.com/clean")    // canonicalized domain match
+    ).toDF("doc_id", "url")
+    val block = Seq("bad.com").toDF("domain")
+    val out = Url.urlFilter(rows, block, Seq("://[^/]*/Docs/zh/"))
+      .select("doc_id", "reason", "kept").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(out == Seq(
+      (1L, "domain", false), (2L, "path", false),
+      (3L, "kept", true), (4L, "domain", false)))
+    assert(Url.urlFilter(rows, block, Seq("://[^/]*/Docs/zh/"))
+      .filter(col("kept")).count() === 1)
+  }
+
   test("idempotent: canonicalizing a canonical URL is a no-op") {
     val urls = Seq(
       "HTTPS://WWW.A-b.COM:443/x/../y/index.html?utm_s=1&id=2#f",
