@@ -225,6 +225,12 @@ object Graft {
     * sorted distinct anchor-text set bounded to [[ops.Links.MaxTexts]]. */
   def anchorStats(links: DataFrame): DataFrame = ops.Links.anchorStats(links)
 
+  /** PageRank over a (src, dst) edge list, fixed `iters` power
+    * iterations with uniform teleport and dangling-mass
+    * redistribution: (node, pr), one shuffle per round. */
+  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame =
+    ops.Graph.pageRank(edges, iters)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -658,6 +658,7 @@ object Queries {
     "q_dedup_url"           -> (Url.qDedupUrl _),
     "q_url_filter"          -> (Url.qUrlFilter _),
     "q_anchor_text"         -> (Links.qAnchorText _),
+    "q_page_rank"           -> (Graph.qPageRank _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -688,6 +689,7 @@ object Queries {
     "q_dedup_url" -> Url.dedupOracleSql,
     "q_url_filter" -> Url.filterOracleSql,
     "q_anchor_text" -> Links.oracleSql,
+    "q_page_rank" -> Graph.oracleSql(),
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),

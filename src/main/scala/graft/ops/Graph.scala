@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PageRank over the crawl link graph — the classic web quality
+  * signal for corpus curation (rank-weighted sampling, spam
+  * demotion), composed directly on [[Links.extractLinks]] output.
+  *
+  * Iteration shape (the [[Dedup.dedupClusters]] discipline): the edge
+  * list is repartitioned on src and localCheckpoint'ed ONCE; each of
+  * the fixed `iters` rounds is one hash shuffle (contribution sum
+  * grouped by dst) plus a 1-row dangling-mass aggregate that stays IN
+  * PLAN (cross-join of a scalar aggregate — no collect in the data
+  * path), and ends in a lazy localCheckpoint so the logical plan
+  * never grows with the round count. At 100 TB the per-round cost is
+  * one shuffle of the rank table keyed the same way every round.
+  *
+  * Fixed iteration count (no convergence test) keeps the run
+  * deterministic and lets the DuckDB oracle UNROLL the same `iters`
+  * steps from the same constants: same init (uniform 1/n), same
+  * teleport/damping literals, same dangling-mass redistribution, with
+  * the result rounded at the very end only.
+  */
+object Graph {
+
+  private val Damping = "0.85"
+  private val Teleport = "0.15" // 1 - damping, emitted as a literal
+
+  /** PageRank over any (src, dst) string edge DataFrame (parallel
+    * edges count once per occurrence): (node, pr) rounded to 6 dp,
+    * ordered by node. Nodes = distinct src ∪ dst; nodes with no
+    * out-edges are dangling and redistribute their mass uniformly. */
+  def pageRank(edgeDf: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val edges = edgeDf.select(col("src"), col("dst"))
+      .repartition(nParts, col("src"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(nParts, col("node"))
+      .localCheckpoint()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("nc"))
+    // lit(double), NOT expr("0.85"): Spark parses a bare decimal
+    // literal as DECIMAL(2,2), which would silently run the whole
+    // iteration in decimal arithmetic while DuckDB runs ::DOUBLE
+    val d = lit(Damping.toDouble)
+    val t = lit(Teleport.toDouble)
+    var rank = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("nc")).as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(rank, edges("src") === rank("node"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("r") / col("od")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      val dangling = rank
+        .join(outDeg, rank("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      rank = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+                (t / col("nc") +
+                  d * (coalesce(col("contrib"), lit(0.0)) +
+                        col("dm") / col("nc"))).as("r"))
+        .localCheckpoint(false)
+    }
+    rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
+  }
+
+  // ------------------------------------------------------------------
+  // q_page_rank: edges from the Links fixture — each doc's own page
+  // URL links to the next page, its source hub, and a per-lang
+  // partner site (targets via the REAL extraction path,
+  // Links.extractLinks over the rendered pages). Hubs, partners, and
+  // the one past-the-end "next" target have no out-edges, so the
+  // dangling machinery is exercised on the fixture too.
+  // ------------------------------------------------------------------
+
+  private[graft] val PageUrlPrefix = "https://example-"
+  private[graft] val PageUrlMid = ".com/page-"
+
+  /** q_page_rank: [[pageRank]] over the extracted link fixture. */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val links = Links.extractLinks(
+      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
+    val pageUrl = concat(lit(PageUrlPrefix), col("source"),
+                         lit(PageUrlMid), col("doc_id").cast("string"))
+    val edges = links
+      .join(docs.select(col("doc_id"), pageUrl.as("src")), "doc_id")
+      .select(col("src"), col("href").as("dst"))
+    pageRank(edges)
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB oracle: the same fixed number of update steps unrolled as
+    * chained CTEs from the same literals; rounded only at the end. */
+  private[graft] def oracleSql(iters: Int = 10): String = {
+    val fixture = // the Links fixture, inlined (same constants)
+      s"${sqlLit(Links.L1)} || source || ${sqlLit(Links.L2)} || " +
+        s"(doc_id + 1)::VARCHAR || ${sqlLit(Links.L3)} || lang || " +
+        s"${sqlLit(Links.L4)} || source || ${sqlLit(Links.L5)} || lang || " +
+        s"${sqlLit(Links.L6)}"
+    val steps = (1 to iters).map { k =>
+      val p = s"pr${k - 1}"
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    $Teleport::DOUBLE / nc.nc
+         |      + $Damping::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+         |                            + dg.dm / nc.nc) AS r
+         |  FROM nodes nd
+         |  CROSS JOIN n nc
+         |  CROSS JOIN (SELECT coalesce(sum(p.r), 0.0::DOUBLE) AS dm
+         |              FROM $p p LEFT JOIN od ON p.node = od.src
+         |              WHERE od.src IS NULL) dg
+         |  LEFT JOIN (SELECT e.dst AS node, sum(p.r / od.od) AS contrib
+         |             FROM e JOIN $p p ON e.src = p.node
+         |             JOIN od ON od.src = e.src
+         |             GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS MATERIALIZED (SELECT d.doc_id, d.source, $fixture AS html
+       |           FROM documents d),
+       |l AS MATERIALIZED (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
+       |      FROM h),
+       |e AS MATERIALIZED (SELECT ${sqlLit(PageUrlPrefix)} || d.source ||
+       |        ${sqlLit(PageUrlMid)} || d.doc_id::VARCHAR AS src,
+       |        l.href AS dst
+       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM e
+       |             UNION ALL SELECT dst FROM e)),
+       |n AS (SELECT count(*)::BIGINT AS nc FROM nodes),
+       |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY src),
+       |pr0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nc.nc AS r
+       |        FROM nodes CROSS JOIN n nc),
+       |$steps
+       |SELECT node, round(CAST(CAST(r AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS pr
+       |FROM pr$iters ORDER BY node""".stripMargin
+  }
+}

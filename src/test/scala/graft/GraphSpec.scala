@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+/** PageRank: hand-computed fixed points, probability-mass
+  * conservation, dangling redistribution, and convergence toward the
+  * analytic stationary distribution. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 10) =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("symmetric 2-cycle fixes at the uniform distribution") {
+    // a↔b: uniform 1/2 is the exact fixed point of every iteration
+    val r = ranks(Seq("a" -> "b", "b" -> "a"))
+    assert(math.abs(r("a") - 0.5) < 1e-9 && math.abs(r("b") - 0.5) < 1e-9)
+  }
+
+  test("mass is conserved: ranks sum to 1 with dangling nodes present") {
+    // c is dangling; its mass must be redistributed, not lost
+    val r = ranks(Seq("a" -> "b", "a" -> "c", "b" -> "c"))
+    // tolerance: each reported rank is rounded to 6 dp (±5e-7)
+    assert(math.abs(r.values.sum - 1.0) <= r.size * 5e-7 + 1e-9,
+      s"sum=${r.values.sum}")
+  }
+
+  test("sink of a chain outranks its sources; dangling-only graph is uniform") {
+    val chain = ranks(Seq("a" -> "b", "b" -> "c"))
+    assert(chain("c") > chain("b") && chain("b") > chain("a"))
+    // every node dangling (no edges FROM half the nodes): b,c both
+    // only receive — their update is symmetric, ranks equal
+    val star = ranks(Seq("a" -> "b", "a" -> "c"))
+    assert(math.abs(star("b") - star("c")) < 1e-12)
+  }
+
+  test("converges to the analytic stationary point of the 3-node example") {
+    // classic: a->b, a->c, b->c, c->a with d=0.85 has a known
+    // stationary solution; 50 iterations get within 1e-6
+    val r = ranks(Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a"), iters = 50)
+    // solve: ra = 0.15/3 + 0.85*rc; rb = 0.15/3 + 0.85*ra/2;
+    //        rc = 0.15/3 + 0.85*(ra/2 + rb)
+    val t = 0.15 / 3
+    var (ra, rb, rc) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 200) {
+      val (na, nb, nc) =
+        (t + 0.85 * rc, t + 0.85 * ra / 2, t + 0.85 * (ra / 2 + rb))
+      ra = na; rb = nb; rc = nc
+    }
+    assert(math.abs(r("a") - ra) < 1e-6, s"${r("a")} vs $ra")
+    assert(math.abs(r("b") - rb) < 1e-6)
+    assert(math.abs(r("c") - rc) < 1e-6)
+  }
+}
