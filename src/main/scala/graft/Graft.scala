@@ -60,6 +60,12 @@ object Graft {
   def jaccardPairs(docs: DataFrame, tau: Double = 0.9): DataFrame =
     Dedup.jaccardPairs(tokenize(docs), tau)
 
+  /** Exact DIRECTED containment pairs (|A∩B|/|A| ≥ τ): quote /
+    * subset-of-a-longer-page detection that symmetric Jaccard misses
+    * when sizes differ. (doc_a, doc_b, cont). */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.9): DataFrame =
+    Dedup.containmentPairs(tokenize(docs), tau)
+
   /** SimHash near-duplicate candidates within Hamming ≤ maxHamming:
     * (doc_a, doc_b, hamming). */
   def simhashDups(docs: DataFrame, maxHamming: Int = 8): DataFrame =
@@ -117,6 +123,12 @@ object Graft {
   /** Per-source weighted mixing audit: (source, tier, n_total,
     * n_kept) under the deterministic md5-bucket keep rule. */
   def mixWeighted(docs: DataFrame): DataFrame = Curation.mixWeighted(docs)
+
+  /** Temperature-smoothed (rate ∝ count^½) language rebalancing with
+    * integer-exact quotas and a two-level parallel rank:
+    * (doc_id, lang, rn). */
+  def temperatureMix(docs: DataFrame): DataFrame =
+    Curation.temperatureMix(docs)
 
   /** Token-offset sharding into `budget`-token training chunks via a
     * distributed two-level prefix sum: (doc_id, n_toks, tok_offset,

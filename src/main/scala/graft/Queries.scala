@@ -551,6 +551,7 @@ object Queries {
     "q_sim_cosine_topk" -> (Similarity.qSimCosineTopk _),
     "q_knn"             -> (Similarity.qKnn _),
     "q_embed_quant"     -> (Quant.qEmbedQuant _),
+    "q_sim_containment" -> (Dedup.qSimContainment _),
   )
 
   /** Shared oracle CTE: L2-normalized double vectors. */
@@ -591,6 +592,15 @@ object Queries {
          |SELECT id_a, rn, id_b, cos_sim FROM r WHERE rn <= 3
          |ORDER BY id_a, rn""".stripMargin,
     "q_embed_quant" -> Quant.oracleSql,
+    "q_sim_containment" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
+         |SELECT doc_a, doc_b, ${rnd("cont", 6)} AS cont FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
+         |      / len(list_distinct(a.tset)) AS cont
+         |  FROM d a, d b
+         |  WHERE a.lang = b.lang AND a.doc_id <> b.doc_id) p
+         |WHERE cont >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   // -------------------------------------------------------------------

@@ -88,13 +88,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
 
-  /** The verified ≥ τ pair stream BEFORE presentation (unsorted,
-    * unrounded, a pair may appear once per shared prefix token).
-    * Consumers that are insensitive to duplicates — min-label
-    * propagation, EXISTS-style flags — read this directly and skip the
-    * output-only dedup/round/sort ([[dedupClusters]] feed). */
-  private[graft] def jaccardVerified(docToks: DataFrame,
-                                     tau: Double = 0.9): DataFrame = {
+  /** Shared front half of the set-similarity joins: per-doc SORTED
+    * arrays of rarest-first vocabulary ranks,
+    * (doc_id, lang, hset, nset), persisted (feeds both sides of a
+    * self-join). Used by [[jaccardVerified]] and [[containmentPairs]].
+    */
+  private[graft] def rankedTokenSets(docToks: DataFrame): DataFrame = {
     val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
     val d0 = docToks
@@ -121,12 +120,22 @@ object Dedup {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.LongType))))
-    val d = d0.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
+    d0.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
       .join(broadcast(vocab), "h")
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("rank"))).as("hset"))
       .withColumn("nset", size(col("hset")))
       .persist() // feeds both sides of the prefix self-join
+  }
+
+  /** The verified ≥ τ pair stream BEFORE presentation (unsorted,
+    * unrounded, a pair may appear once per shared prefix token).
+    * Consumers that are insensitive to duplicates — min-label
+    * propagation, EXISTS-style flags — read this directly and skip the
+    * output-only dedup/round/sort ([[dedupClusters]] feed). */
+  private[graft] def jaccardVerified(docToks: DataFrame,
+                                     tau: Double = 0.9): DataFrame = {
+    val d = rankedTokenSets(docToks)
     val prefixLen = col("nset") - ceil(col("nset") * tau).cast("int") + 1
     // the rank array rides along: the candidate join feeds the verify
     // expression directly, no re-join for payloads
@@ -149,6 +158,51 @@ object Dedup {
                 / (col("n_a") + col("n_b") - col("inter"))).as("jac"))
       .filter(col("jac") >= tau)
   }
+
+  /** Exact DIRECTED containment join: pairs where
+    * `|A∩B| / |A| ≥ τ` — doc A's token set is (nearly) a subset of
+    * doc B's. The asymmetric cousin of [[jaccardPairs]] that Jaccard
+    * misses when sizes differ (a quoted paragraph inside a 100×
+    * longer page has J ≈ 0.01 but containment ≈ 1): quote detection,
+    * subset-dedup, wrapper-page collapse.
+    *
+    * Prefix filter (exact, asymmetric): if `|A∩B| ≥ τ|A|` then at
+    * most `(1-τ)|A|` of A's tokens fall outside B, so A's
+    * `⌊(1-τ)|A|⌋+1` RAREST tokens must hit B somewhere — the probe
+    * side explodes only that prefix, while the container side posts
+    * its full (rarest-first ranked) token list. Candidates are driven
+    * by the df of A's rarest tokens, so volume stays near-linear; the
+    * only size prune available is `|B| ≥ τ|A|` (containment imposes
+    * no upper bound on the container). Verify is the same inline
+    * codegen merge-intersect as the Jaccard join, on the arrays that
+    * rode through the candidate join.
+    */
+  def containmentPairs(docToks: DataFrame, tau: Double = 0.9): DataFrame = {
+    val d = rankedTokenSets(docToks)
+    val prefixLen = col("nset") - ceil(col("nset") * tau).cast("int") + 1
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+                     col("nset").as("n_a"), col("hset").as("hset_a"),
+                     explode(slice(col("hset"), lit(1), prefixLen)).as("p"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+                     col("nset").as("n_b"), col("hset").as("hset_b"),
+                     explode(col("hset")).as("p_b"))
+    a.join(b,
+        col("lang") === col("lang_b") && col("p") === col("p_b")
+          && col("doc_a") =!= col("doc_b")
+          && col("n_b") >= col("n_a") * tau)
+      .withColumn("inter",
+        SetFunctions.sortedIntersectSize(col("hset_a"), col("hset_b")))
+      .select(col("doc_a"), col("doc_b"),
+              (col("inter").cast("double") / col("n_a")).as("cont"))
+      .filter(col("cont") >= tau)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(col("cont"), 6).as("cont"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q_sim_containment: [[containmentPairs]] on the test corpus. */
+  def qSimContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.docTokens(spark, dir))
 
   // ---- MinHash + LSH (q_dedup_near, oracle-exempt) ----
 

@@ -289,6 +289,61 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Dedup.nearDupIndexEntryCount == before + 1)
   }
 
+  test("containmentPairs: finds the quoted subset both sizes apart, jaccard misses it") {
+    val docs = Seq(
+      // doc 1 is a strict token-subset of doc 2 (quote inside a longer page)
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 60L),
+      // unrelated doc shares nothing
+      (3L, "one two three four", "en", "s", 18L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cont = Graft.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // directed: 1 ⊂ 2 only; 2's set is NOT ⊆ 1's
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // symmetric jaccard at the same τ can't see it (J = 3/10)
+    assert(Graft.jaccardPairs(docs).count() === 0)
+  }
+
+  test("web-graph facade: links → pageRank, urlFilter verdicts on arbitrary rows") {
+    val pages = Seq(
+      (1L, "<p><a href=\"https://b.com/\">to b</a></p>"),
+      (2L, "<p><a href=\"https://a.com/\">to a</a></p>")
+    ).toDF("doc_id", "html")
+    val links = Graft.extractLinks(pages)
+    assert(links.count() === 2)
+    val stats = Graft.anchorStats(links).collect()
+    assert(stats.map(_.getString(0)).sorted.toSeq ==
+      Seq("https://a.com/", "https://b.com/"))
+    val edges = links.select(
+      concat(lit("https://"), col("doc_id").cast("string")).as("src"),
+      col("href").as("dst"))
+    val pr = Graft.pageRank(edges, iters = 5)
+    assert(pr.count() === 4) // 2 sources + 2 targets
+    val filtered = Graft.urlFilter(
+      Seq((1L, "https://bad.com/x"), (2L, "https://good.com/x"))
+        .toDF("doc_id", "url"),
+      Seq("bad.com").toDF("domain"), Seq("/never-matches/"))
+    assert(filtered.filter(col("kept")).count() === 1)
+  }
+
+  test("quantization + temperature mixing facade on hand-built data") {
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+                  (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val q = Graft.quantizeEmbeddings(emb)
+    assert(q.count() === 3)
+    val topk = Graft.quantizedTopK(emb, nProbes = 1, k = 2).collect()
+    assert(topk.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // nearest first
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, s"text $i", if (i < 32) "en" else "fr", "s", 6L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mixed = Graft.temperatureMix(docs)
+    val by = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=1/2 narrows the 32:8 ratio toward sqrt(32):sqrt(8) = 2:1
+    assert(by("en").toDouble / by("fr") < 32.0 / 8)
+  }
+
   test("pair-query tuning loop over distinct inputs leaves no cached plans behind") {
     val base = Seq(
       (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),
@@ -302,6 +357,10 @@ class GraftFacadeSpec extends AnyFunSuite {
       Graft.cosineTopK(base.filter(col("vec_id") <= lit(6 - (i % 2))), n = 5)
         .collect()
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == persisted0)
+    // <= not ==: earlier tests' localCheckpoint RDDs (pageRank,
+    // dedupClusters) are reclaimed ASYNCHRONOUSLY by the
+    // ContextCleaner, so the ambient count can shrink mid-test; the
+    // regression under test is GROWTH (one new entry per call)
+    assert(spark.sparkContext.getPersistentRDDs.size <= persisted0)
   }
 }
