@@ -46,14 +46,22 @@ object Graph {
       .localCheckpoint()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
-    val n = nodes.agg(count(lit(1)).as("nc"))
+    // graph SIZE and the (iteration-invariant) dangling node set are
+    // computed ONCE outside the loop: nc is bounded model state (one
+    // long, the dedupClusters convergence-scalar contract), and
+    // re-deriving the dangling set per round would repeat the same
+    // anti-join ten times for a set that never changes
+    val nc = nodes.count()
+    val danglingNodes = nodes
+      .join(outDeg, nodes("node") === outDeg("src"), "left_anti")
+      .localCheckpoint()
     // lit(double), NOT expr("0.85"): Spark parses a bare decimal
     // literal as DECIMAL(2,2), which would silently run the whole
     // iteration in decimal arithmetic while DuckDB runs ::DOUBLE
     val d = lit(Damping.toDouble)
     val t = lit(Teleport.toDouble)
-    var rank = nodes.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("nc")).as("r"))
+    var rank = nodes
+      .select(col("node"), (lit(1.0) / lit(nc)).as("r"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -61,17 +69,15 @@ object Graph {
         .join(outDeg, "src")
         .select(col("dst"), (col("r") / col("od")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      val dangling = rank
-        .join(outDeg, rank("node") === outDeg("src"), "left_anti")
+      val dangling = rank.join(danglingNodes, "node")
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
       rank = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .crossJoin(broadcast(n))
         .select(col("node"),
-                (t / col("nc") +
+                (t / lit(nc) +
                   d * (coalesce(col("contrib"), lit(0.0)) +
-                        col("dm") / col("nc"))).as("r"))
+                        col("dm") / lit(nc))).as("r"))
         .localCheckpoint(false)
     }
     rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
