@@ -180,6 +180,11 @@ object Graft {
   def perplexity(docs: DataFrame): DataFrame =
     TextAnalysis.perplexity(tokenize(docs))
 
+  /** Per-doc perplexity under an interpolated Kneser–Ney BIGRAM LM
+    * built from the corpus itself: (doc_id, n_bigrams, nll, ppl). */
+  def perplexityKn(docs: DataFrame, discount: Double = 0.75): DataFrame =
+    TextAnalysis.perplexityKn(tokenize(docs), discount)
+
   /** PII detection + redaction over (id, text) rows: match counts per
     * class and the masked text. */
   def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)

@@ -628,6 +628,7 @@ object Queries {
     "q_sql_q18"             -> (Sql.qSqlQ18 _),
     "q_token_entropy"       -> (TextAnalysis.qTokenEntropy _),
     "q_perplexity"          -> (TextAnalysis.qPerplexity _),
+    "q_perplexity_kn"       -> (TextAnalysis.qPerplexityKn _),
     "q_pii_redact"          -> (TextAnalysis.qPiiRedact _),
     "q_kmeans"              -> (Clustering.qKmeans _),
     "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
@@ -1032,6 +1033,24 @@ object Queries {
          |        -avg(ln(lm.c / n.n)) AS nll
          |      FROM t JOIN lm USING (w), n GROUP BY t.doc_id)
          |SELECT doc_id, n_toks, ${rnd("nll", 6)} AS nll,
+         |  ${rnd("exp(nll)", 6)} AS ppl
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_perplexity_kn" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         |        unnest(toks[2:len(toks)]) AS w2 FROM t),
+         |bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM b GROUP BY w1, w2),
+         |lc AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1fwd
+         |       FROM bc GROUP BY w1),
+         |cc AS (SELECT w2, count(*)::BIGINT AS n1back FROM bc GROUP BY w2),
+         |tt AS (SELECT count(*)::BIGINT AS t FROM bc),
+         |s AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         |        -avg(ln(greatest(c12 - 0.75::DOUBLE, 0.0::DOUBLE) / c1
+         |                + 0.75::DOUBLE * n1fwd / c1 * (n1back / t))) AS nll
+         |      FROM b JOIN bc USING (w1, w2) JOIN lc USING (w1)
+         |        JOIN cc USING (w2), tt
+         |      GROUP BY b.doc_id)
+         |SELECT doc_id, n_bigrams, ${rnd("nll", 6)} AS nll,
          |  ${rnd("exp(nll)", 6)} AS ppl
          |FROM s ORDER BY doc_id""".stripMargin,
     "q_dedup_span" ->

@@ -353,6 +353,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the stronger LM
+    * quality signal next to the unigram [[perplexity]] (CCNet-style
+    * pipelines score with a smoothed n-gram LM, not raw unigram
+    * frequency):
+    * `P(w2|w1) = max(c12-D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/T`
+    * with discount D = 0.75, where c1 = Σ_w c(w1,w), N1+(w1,·) is the
+    * distinct-successor count, N1+(·,w2) the distinct-predecessor
+    * (continuation) count, and T the number of distinct bigram types.
+    *
+    * All model quantities are INTEGER counts; every probability is
+    * one fixed expression over them, written identically in the
+    * DuckDB oracle (with `::DOUBLE` on the discount — a bare 0.75 is
+    * DECIMAL in both engines' parsers). Scale shape: one bigram-count
+    * shuffle with map-side combine builds the LM; the successor/
+    * continuation tables are one groupBy each over the (smaller)
+    * bigram-type table; T is a broadcast 1-row scalar; the corpus
+    * bigram stream joins the LM once (AQE broadcasts a small LM) and
+    * aggregates per doc. Docs with < 2 tokens have no bigrams and are
+    * absent, like every n-gram operator here. */
+  /** The KN model's count tables over any (doc_id, toks) DataFrame:
+    * (bigram stream, bigram counts, left/successor counts,
+    * continuation counts, bigram-type total) — split out so the spec
+    * can assert the Σ_w2 P(w2|w1) = 1 normalization directly. */
+  private[graft] def knCounts(docToks: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val bg = docToks
+      .select(col("doc_id"),
+              explode(arrays_zip(
+                slice(col("toks"), lit(1), size(col("toks")) - 1),
+                slice(col("toks"), lit(2), size(col("toks")) - 1))).as("b"))
+      .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lc = bc.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
+    val cc = bc.groupBy("w2").agg(count(lit(1)).as("n1back"))
+    val tt = bc.agg(count(lit(1)).as("t"))
+    (bg, bc, lc, cc, tt)
+  }
+
+  def perplexityKn(docToks: DataFrame, discount: Double = 0.75): DataFrame = {
+    val d = lit(discount)
+    val (bg, bc, lc, cc, tt) = knCounts(docToks)
+    val p = greatest(col("c12") - d, lit(0.0)) / col("c1") +
+      d * col("n1fwd") / col("c1") * (col("n1back") / col("t"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(lc, "w1")
+      .join(cc, "w2")
+      .crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(log(p))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+              round(col("nll"), 6).as("nll"),
+              round(exp(col("nll")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** q_perplexity_kn: [[perplexityKn]] on the test corpus. */
+  def qPerplexityKn(spark: SparkSession, dir: String): DataFrame =
+    perplexityKn(Tables.docTokens(spark, dir))
+
   /** PII patterns shared by [[piiRedact]] and its DuckDB oracle — kept
     * to the regex subset with identical semantics in Java regex and
     * RE2 (char classes, bounded repeats, no lookaround). */
