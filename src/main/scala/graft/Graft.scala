@@ -185,6 +185,11 @@ object Graft {
   def perplexityKn(docs: DataFrame, discount: Double = 0.75): DataFrame =
     TextAnalysis.perplexityKn(tokenize(docs), discount)
 
+  /** Learn a BPE merge table from the corpus (tokenizer training):
+    * (rank, left, right, pair_count), vocabulary-scale iteration. */
+  def learnBpeMerges(docs: DataFrame, nMerges: Int = 20): DataFrame =
+    ops.BpeTrain.learnBpeMerges(tokenize(docs), nMerges)
+
   /** PII detection + redaction over (id, text) rows: match counts per
     * class and the masked text. */
   def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)

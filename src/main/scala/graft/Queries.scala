@@ -664,6 +664,7 @@ object Queries {
     "q_sql_q15"             -> (Sql.qSqlQ15 _),
     "q_html_extract"        -> (Html.qHtmlExtract _),
     "q_token_bpe"           -> (TextAnalysis.qTokenBpe _),
+    "q_bpe_learn"           -> (BpeTrain.qBpeLearn _),
     "q_quality_model"       -> (TextAnalysis.qQualityModel _),
     "q_url_canon"           -> (Url.qUrlCanon _),
     "q_dedup_url"           -> (Url.qDedupUrl _),
@@ -1258,7 +1259,9 @@ object Queries {
     * dependent false positives), q_percentiles_approx (merge-order-
     * dependent GK summaries, golden-bounded against the exact
     * percentiles), q_token_bpe (DuckDB has no BPE; golden-checked
-    * against an independent single-node reference in BpeSpec). */
+    * against an independent single-node reference in BpeSpec),
+    * q_bpe_learn (iterative argmax-merge training loop; golden vs an
+    * independent single-node learner in BpeLearnSpec). */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

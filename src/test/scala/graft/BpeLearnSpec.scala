@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.BpeTrain
+
+/** BPE merge learning golden: the distributed learner must reproduce
+  * an INDEPENDENT single-node Sennrich-style implementation merge for
+  * merge on the real corpus, be deterministic, and learn a planted
+  * dominant digraph first. */
+class BpeLearnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent single-node reference: word-frequency map, repeated
+    * weighted adjacent-pair argmax (count desc, then lexicographic)
+    * and left-to-right non-overlapping merge. */
+  private def referenceLearn(words: Map[String, Long],
+                             nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.split("").toVector -> f }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to nMerges if !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val m = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              m += (a + b); i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          m.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("golden: distributed learner == single-node reference on the corpus") {
+    val d = Tables.docTokens(spark, TestSpark.sf0001)
+    val learned = BpeTrain.learnBpeMerges(d, nMerges = 20)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val wordFreq = d.select(explode(col("toks")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceLearn(wordFreq, 20)
+    assert(learned == expected)
+  }
+
+  test("deterministic: two runs produce the identical merge table") {
+    val d = Tables.docTokens(spark, TestSpark.sf0001)
+    val a = BpeTrain.learnBpeMerges(d, 8).collect().toSeq
+    val b = BpeTrain.learnBpeMerges(d, 8).collect().toSeq
+    assert(a == b)
+  }
+
+  test("planted dominant digraph is learned first, then its trigram") {
+    val docs = Seq(
+      (1L, Seq("thth", "ththth", "the", "xy")),
+      (2L, Seq("thth", "the", "zq"))
+    ).toDF("doc_id", "toks")
+    val m = BpeTrain.learnBpeMerges(docs, 3)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(m(0) == ("t", "h")) // "th" dominates every other pair
+    assert(m(1) == ("th", "th")) // then the repeated-digraph merge
+  }
+}
