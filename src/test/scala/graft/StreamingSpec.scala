@@ -350,6 +350,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("link extraction on a crawl stream: stream == batch (stateless projection)") {
+    import graft.ops.Links
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select(col("doc_id"), Links.renderLinkPage.as("html"))
+    val batch = Links.extractLinks(docs).orderBy("doc_id", "href")
+      .collect().map(_.toString).toSeq
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)](spark)
+    val links = Links.extractLinks(ms.toDF().toDF("doc_id", "html"))
+    withQuery(links, "append", "t_links") { q =>
+      ms.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("t_links").orderBy("doc_id", "href")
+        .collect().map(_.toString).toSeq
+      assert(got == batch)
+    }
+  }
+
   test("html extraction on a crawl stream: stream == batch (stateless projection)") {
     import graft.ops.Html
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
