@@ -166,4 +166,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderstatus:string>"), p)
     assert(!p.contains("o_orderkey:bigint,o_custkey"), p)
   }
+
+  test("q_url_filter: blocklist joins broadcast, corpus side never shuffles for the join") {
+    val p = plan("q_url_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // only the final total-order exchange — no hash shuffle anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_anchor_text: narrow extraction, exactly the href rollup shuffles") {
+    val p = plan("q_anchor_text")
+    // one hash aggregate pair (partial+final) on href; no join at all
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
+  test("q_embed_quant: probes broadcast against the quantized corpus, no corpus shuffle before ranking") {
+    val p = plan("q_embed_quant")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_mix_temperature: quota tables broadcast; ranking windows are bucketed, not one-per-lang") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-scale rank window partitions on (lang, bkt) — the
+    // bucketed two-level rank — visible as both keys in the spec
+    assert(p.contains("Window"), p)
+    assert(p.contains(" bkt#"), p)
+  }
 }
