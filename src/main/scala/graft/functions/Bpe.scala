@@ -104,8 +104,12 @@ object Bpe {
 
   /** Registers `graft_bpe_count(array<string>) -> int`. The ranks map
     * ships ONCE per executor as a broadcast variable, not per-task in
-    * the closure. */
+    * the closure; re-registration is a no-op per session (a corpus
+    * loop calling register() repeatedly must not ship a fresh
+    * broadcast each time — registries are per-SESSION, so the guard
+    * is a catalog lookup, not a context-keyed set). */
   def register(spark: SparkSession): Unit = {
+    if (spark.catalog.functionExists("graft_bpe_count")) return
     val bc = spark.sparkContext.broadcast(Ranks)
     spark.udf.register("graft_bpe_count",
       udf((toks: Seq[String]) =>

@@ -125,7 +125,12 @@ object Dedup {
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("rank"))).as("hset"))
       .withColumn("nset", size(col("hset")))
-      .persist() // feeds both sides of the prefix self-join
+      // localCheckpoint, not persist: it still feeds both sides of the
+      // prefix self-join from one materialization, but the backing RDD
+      // is reclaimed by the ContextCleaner once unreferenced — a
+      // tuning loop over inputs/taus doesn't accumulate cache entries
+      // (the lifecycle class the r5/r6 advisors flagged)
+      .localCheckpoint()
   }
 
   /** The verified ≥ τ pair stream BEFORE presentation (unsorted,

@@ -78,7 +78,11 @@ object Html {
               content.as("content"))
       .select(col("doc_id"), col("title"), col("content"),
               length(col("content")).as("n_chars"),
-              size(split(col("content"), " ")).as("n_words"))
+              // split("") is [""] (size 1) — an all-boilerplate page
+              // must report 0 words, and the oracle carries the same
+              // guard so the artifact can't hide behind parity
+              when(col("content") === "", 0)
+                .otherwise(size(split(col("content"), " "))).as("n_words"))
   }
 
   /** The strip/decode/normalize chain as a bare Column — for callers
@@ -187,7 +191,8 @@ object Html {
        |e AS (SELECT doc_id, $title AS title, $content AS content FROM h)
        |SELECT doc_id, title, content,
        |  len(content)::INT AS n_chars,
-       |  len(string_split(content, ' '))::INT AS n_words
+       |  CASE WHEN content = '' THEN 0
+       |       ELSE len(string_split(content, ' ')) END::INT AS n_words
        |FROM e ORDER BY doc_id""".stripMargin
   }
 }

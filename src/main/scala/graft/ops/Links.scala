@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -53,15 +54,26 @@ object Links {
   }
 
   /** Per-target link rollup: in-link count, distinct linking docs,
-    * and the sorted bounded distinct anchor-text set. */
-  def anchorStats(links: DataFrame): DataFrame =
-    links
+    * and the sorted bounded distinct anchor-text set. The text set is
+    * bounded BEFORE any per-href collection (distinct edges → ranked
+    * cut at [[MaxTexts]] → collect, the [[Curation.invertedIndex]]
+    * posting-cap shape): a hub page with 10⁹ distinct anchors sorts
+    * and cuts in the window (spillable) instead of materializing the
+    * full set in one aggregation buffer. */
+  def anchorStats(links: DataFrame): DataFrame = {
+    val counts = links
       .groupBy(col("href"))
       .agg(count(lit(1)).as("n_links"),
-           countDistinct(col("doc_id")).as("n_docs"),
-           array_join(slice(array_sort(collect_set(col("anchor"))),
-                            1, MaxTexts), "|").as("texts"))
-      .orderBy("href")
+           countDistinct(col("doc_id")).as("n_docs"))
+    val texts = links.select(col("href"), col("anchor")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("href").orderBy("anchor")))
+      .filter(col("rn") <= MaxTexts)
+      .groupBy("href")
+      .agg(array_join(sort_array(collect_list(col("anchor"))), "|")
+             .as("texts"))
+    counts.join(texts, "href").orderBy("href")
+  }
 
   // ------------------------------------------------------------------
   // q_anchor_text fixture: the corpus has no HTML, so the query

@@ -27,31 +27,40 @@ import graft.Tables
   */
 object Url {
 
-  /** Ordered rewrite steps applied to the part AFTER `scheme://host`.
-    * (pattern-or-literal, replacement, isRegex). */
-  private[graft] val RestSteps: Seq[(String, String, Boolean)] = Seq(
+  /** Ordered rewrite steps applied to the PATH (the part after
+    * `scheme://host`, BEFORE any `?`) — path rewrites must never
+    * touch query-parameter VALUES (a `?next=/a/../b` param is data,
+    * not a path to resolve). */
+  private[graft] val PathSteps: Seq[(String, String)] = Seq(
     // dot segments: /a/../ -> / and /./ -> / (two passes each — a
     // fixed, engine-identical approximation of RFC 3986 remove_dot_segments)
-    ("/[^/?#]+/\\.\\./", "/", true),
-    ("/[^/?#]+/\\.\\./", "/", true),
-    ("/./", "/", false),
-    ("/./", "/", false),
-    // tracking params: interior &utm_..., then leading ?utm_...&,
-    // then a ?utm_... tail
-    ("&utm_[^&#]*", "", true),
-    ("\\?utm_[^&#]*&", "?", true),
-    ("\\?utm_[^&#]*$", "", true),
-    // directory-index leaf, with and without a query
-    ("/index.html?", "?", false),
-    ("/index\\.html$", "", true))
+    ("/[^/?#]+/\\.\\./", "/"),
+    ("/[^/?#]+/\\.\\./", "/"),
+    ("/\\./", "/"),
+    ("/\\./", "/"),
+    // directory-index leaf
+    ("/index\\.html$", ""))
 
-  /** Host cleanup after lowercasing. */
-  private[graft] val HostSteps: Seq[(String, String)] = Seq(
-    ("^www\\.", ""), (":443$", ""), (":80$", ""))
+  /** Ordered rewrite steps applied to the QUERY (`?...` tail):
+    * tracking params — interior &utm_..., then leading ?utm_...&,
+    * then a ?utm_... tail. */
+  private[graft] val QuerySteps: Seq[(String, String)] = Seq(
+    ("&utm_[^&#]*", ""),
+    ("\\?utm_[^&#]*&", "?"),
+    ("\\?utm_[^&#]*$", ""))
+
+  /** Host cleanup after lowercasing: www strip always; default-port
+    * strip only for the scheme the port is actually default FOR
+    * (`http://a.com:443` is a distinct origin and must survive). */
+  private[graft] val WwwRe = "^www\\."
+  private[graft] val PortSteps: Seq[(String, String)] =
+    Seq("https" -> ":443$", "http" -> ":80$")
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
   private val RestRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+  private val PathPartRe = "^([^?#]*)"
+  private val QueryPartRe = "(\\?.*)$"
 
   /** Canonicalize any (doc_id, url) DataFrame →
     * (doc_id, url, canon, domain, n_params), ordered — the library
@@ -66,26 +75,29 @@ object Url {
     // fragment off first — it is never part of the resource identity
     val defragged = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(defragged, SchemeRe, 1))
-    val host = HostSteps.foldLeft(
-      lower(regexp_extract(defragged, HostRe, 1))) {
+    val hostBase = regexp_replace(
+      lower(regexp_extract(defragged, HostRe, 1)), WwwRe, "")
+    val host = PortSteps.foldLeft(hostBase) { case (c, (sch, p)) =>
+      when(scheme === sch, regexp_replace(c, p, "")).otherwise(c)
+    }
+    val rest = regexp_extract(defragged, RestRe, 1)
+    val path = PathSteps.foldLeft(regexp_extract(rest, PathPartRe, 1)) {
       case (c, (p, r)) => regexp_replace(c, p, r)
     }
-    val rest = RestSteps.foldLeft(
-      regexp_extract(defragged, RestRe, 1)) {
-      case (c, (p, r, isRe)) =>
-        if (isRe) regexp_replace(c, p, r) else replace(c, lit(p), lit(r))
+    val query = QuerySteps.foldLeft(regexp_extract(rest, QueryPartRe, 1)) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
     }
     // a row with no scheme://host shape passes through unchanged
     // (minus fragment) rather than collapsing to garbage — garbage-in
     // pass-through-out is the right library contract for crawl data;
     // the guard never fires on the oracle fixture, so parity holds
     val canon = when(scheme === "", defragged)
-      .otherwise(concat(scheme, lit("://"), host, rest))
-    val query = regexp_extract(canon, "\\?(.*)$", 1)
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+    val qpart = regexp_extract(canon, "\\?(.*)$", 1)
     rows.select(col("doc_id"), url.as("url"), canon.as("canon"),
                 when(scheme === "", lit("")).otherwise(host).as("domain"),
-                when(query === "", 0)
-                  .otherwise(size(split(query, "&"))).as("n_params"))
+                when(qpart === "", 0)
+                  .otherwise(size(split(qpart, "&"))).as("n_params"))
   }
 
   // ------------------------------------------------------------------
@@ -163,7 +175,10 @@ object Url {
   def urlFilter(rows: DataFrame, blockedDomains: DataFrame,
                 pathRules: Seq[String]): DataFrame = {
     val c = canonicalizeUrlCols(rows)
-    val pathHit = pathRules.map(col("canon").rlike(_)).reduce(_ || _)
+    // foldLeft, not reduce: an empty rule list means "no path hits",
+    // not an empty-reduce crash (domain-blocklist-only is a natural call)
+    val pathHit = pathRules.map(col("canon").rlike(_))
+      .foldLeft(lit(false))(_ || _)
     c.join(broadcast(blockedDomains.select(col("domain"))
              .withColumn("dom_blocked", lit(true))),
            Seq("domain"), "left")
@@ -217,20 +232,31 @@ object Url {
 
   private[graft] val defraggedSql = s"regexp_replace(url, '#.*$$', '', 'g')"
 
-  /** DuckDB canon/domain expressions over a defragged column `d`. */
-  private[graft] def hostSql: String = HostSteps.foldLeft(
-    s"lower(regexp_extract(d, ${sqlLit(HostRe)}, 1))") {
-    case (acc, (p, r)) =>
-      s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+  /** DuckDB canon/domain expressions over a defragged column `d` —
+    * generated from the SAME step constants as the Spark side. */
+  private[graft] def schemeSql: String =
+    s"lower(regexp_extract(d, ${sqlLit(SchemeRe)}, 1))"
+  private[graft] def hostSql: String = {
+    val base = s"regexp_replace(lower(regexp_extract(d, ${sqlLit(HostRe)}, 1)), " +
+      s"${sqlLit(WwwRe)}, '', 'g')"
+    PortSteps.foldLeft(base) { case (acc, (sch, p)) =>
+      s"CASE WHEN $schemeSql = ${sqlLit(sch)} " +
+        s"THEN regexp_replace($acc, ${sqlLit(p)}, '', 'g') ELSE $acc END"
+    }
   }
   private[graft] def canonSql: String = {
-    val rest = RestSteps.foldLeft(
-      s"regexp_extract(d, ${sqlLit(RestRe)}, 1)") {
-      case (acc, (p, r, isRe)) =>
-        if (isRe) s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
-        else s"replace($acc, ${sqlLit(p)}, ${sqlLit(r)})"
+    val rest = s"regexp_extract(d, ${sqlLit(RestRe)}, 1)"
+    val path = PathSteps.foldLeft(
+      s"regexp_extract($rest, ${sqlLit(PathPartRe)}, 1)") {
+      case (acc, (p, r)) =>
+        s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
     }
-    s"lower(regexp_extract(d, ${sqlLit(SchemeRe)}, 1)) || '://' || $hostSql || $rest"
+    val query = QuerySteps.foldLeft(
+      s"regexp_extract($rest, ${sqlLit(QueryPartRe)}, 1)") {
+      case (acc, (p, r)) =>
+        s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+    }
+    s"$schemeSql || '://' || $hostSql || $path || $query"
   }
 
   private[graft] def oracleSql: String =

@@ -33,14 +33,33 @@ object ScaleCheck {
     "q_dedup_span" -> 1.0,
     "q_sim_jaccard" -> 1.0,
     "q_dedup_cluster" -> 1.0,
-    "q_ann_ivf" -> 1.0,
+    "q_ann_ivf" -> 1.5,  // ALL-PAIRS self-kNN over an IVF index: per
+                         // query ~√n candidates (h ≈ log2 √n keeps
+                         // ~√n buckets of ~√n), × n queries = n^1.5
+                         // total — the IVF design point; a production
+                         // batch-vs-index query is the √n per-query
+                         // term, and the exact-scan alternative is n²
     "q_stream_session" -> 1.0,
     "q_sql_q1" -> 1.0,
     "q_sql_q21" -> 1.0,
     "q_quality_model" -> 1.0,
     "q_url_canon" -> 1.0,
     "q_curate_web" -> 1.0,
+    // r7 additions
+    "q_url_filter" -> 1.0,    // narrow canon + broadcast blocklist
+    "q_anchor_text" -> 1.0,   // narrow extract + one rollup
+    "q_page_rank" -> 1.0,     // fixed rounds, linear edges/nodes
+    "q_embed_quant" -> 1.0,   // fixed probes × linear corpus
+    "q_mix_temperature" -> 1.0,
+    "q_perplexity_kn" -> 1.0, // LM build + one join, all linear
+    "q_bpe_learn" -> 1.0,     // vocabulary-scale: measures ≈0 (the
+                              // initial word count is the only
+                              // corpus-size term)
     "q_sim_cosine_topk" -> 2.0,
+    "q_sim_containment" -> 2.0, // candidates ∝ Σ_p df_A(p)·df_B(p):
+                                // near-linear on natural vocabularies,
+                                // quadratic on this 40-word synthetic
+                                // vocab where no token is rare
   )
 
   def main(args: Array[String]): Unit = {

@@ -175,11 +175,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("q_anchor_text: narrow extraction, exactly the href rollup shuffles") {
+  test("q_anchor_text: narrow extraction; rollup = counts agg + bounded text cut + one co-partitioned href join") {
     val p = plan("q_anchor_text")
-    // one hash aggregate pair (partial+final) on href; no join at all
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
-    assert(!p.contains("Join"), p)
+    // the bounded-text window cut rides the same href partitioning
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("BatchEvalPython"), p)
   }
 

@@ -37,6 +37,20 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("https://a.com:443/x")._1 == "https://a.com/x")
     assert(canon("http://a.com:80/x")._1 == "http://a.com/x")
     assert(canon("http://a.com:8080/x")._1 == "http://a.com:8080/x")
+    // a default-for-the-OTHER-scheme port is a distinct origin
+    assert(canon("http://a.com:443/x")._1 == "http://a.com:443/x")
+    assert(canon("https://a.com:80/x")._1 == "https://a.com:80/x")
+  }
+
+  test("path rewrites never touch query parameter values") {
+    // dot segments and index.html inside a query VALUE are data
+    assert(canon("https://a.com/view?path=/x/../s/")._1
+      == "https://a.com/view?path=/x/../s/")
+    assert(canon("https://a.com/p?next=/index.html")._1
+      == "https://a.com/p?next=/index.html")
+    // while the same substrings in the PATH are still rewritten
+    assert(canon("https://a.com/x/../view?id=1")._1
+      == "https://a.com/view?id=1")
   }
 
   test("utm params strip in every position, other params survive") {
