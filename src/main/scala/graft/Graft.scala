@@ -389,6 +389,12 @@ object Graft {
                     k: Int = 10): DataFrame =
     ops.Quant.quantizedTopK(embeddings, nProbes, k)
 
+  /** Johnson–Lindenstrauss projection to 16 dims (fixed seeded
+    * planes, 1/√k scaling): (vec_id, proj) — the dim-reduction half
+    * of the embedding-footprint story. */
+  def projectEmbeddings(embeddings: DataFrame): DataFrame =
+    ops.Quant.projectEmbeddings(embeddings)
+
   // ---- event analytics ----
 
   /** [[funnel]] with a per-step conversion horizon (e.g. "1 HOUR"):

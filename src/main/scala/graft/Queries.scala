@@ -551,6 +551,7 @@ object Queries {
     "q_sim_cosine_topk" -> (Similarity.qSimCosineTopk _),
     "q_knn"             -> (Similarity.qKnn _),
     "q_embed_quant"     -> (Quant.qEmbedQuant _),
+    "q_embed_project"   -> (Quant.qEmbedProject _),
     "q_sim_containment" -> (Dedup.qSimContainment _),
   )
 
@@ -592,6 +593,7 @@ object Queries {
          |SELECT id_a, rn, id_b, cos_sim FROM r WHERE rn <= 3
          |ORDER BY id_a, rn""".stripMargin,
     "q_embed_quant" -> Quant.oracleSql,
+    "q_embed_project" -> Quant.projectOracleSql,
     "q_sim_containment" ->
       s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
          |SELECT doc_a, doc_b, ${rnd("cont", 6)} AS cont FROM (

@@ -94,6 +94,69 @@ object Quant {
   def qEmbedQuant(spark: SparkSession, dir: String): DataFrame =
     quantizedTopK(Tables.embeddings(spark, dir))
 
+  // ------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection: 64 → 16 dims. The other
+  // half of the embedding-footprint story (quantization cuts bytes
+  // per dim; projection cuts dims) — the standard preprocessing
+  // before ANN indexing at scale. The projection matrix is a FIXED
+  // seeded Gaussian scaled by 1/√k (the shipped-artifact model, like
+  // the BPE merge table), so results are deterministic and the DuckDB
+  // oracle can embed the same literal matrix. Both engines fold the
+  // per-dimension dot product LEFT-TO-RIGHT over the input array
+  // (Spark `aggregate`, DuckDB `list_sum` over an ordered
+  // `list_transform`), so the doubles are bit-identical before the
+  // final display rounding.
+  // ------------------------------------------------------------------
+
+  /** Input/output dims of the fixture projection. */
+  val Dim = 64
+  val ProjDim = 16
+
+  /** Seeded Gaussian planes, scaled 1/√k. */
+  private[graft] val Planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    val s = 1.0 / math.sqrt(ProjDim.toDouble)
+    Array.fill(ProjDim)(Array.fill(Dim)(rng.nextGaussian() * s))
+  }
+
+  /** JL-project any (vec_id, embedding: array&lt;float&gt;) DataFrame to
+    * [[ProjDim]] dims: (vec_id, proj), rounded 6 dp for display. A
+    * pure narrow projection — one scan, no shuffle. */
+  def projectEmbeddings(embeddings: DataFrame): DataFrame = {
+    val proj = array(Planes.map { plane =>
+      val p = typedlit(plane.toSeq)
+      round(aggregate(
+        zip_with(col("embedding"), p, (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }: _*)
+    embeddings.select(col("vec_id"), proj.as("proj")).orderBy("vec_id")
+  }
+
+  /** q_embed_project: [[projectEmbeddings]] on the test corpus. */
+  def qEmbedProject(spark: SparkSession, dir: String): DataFrame =
+    projectEmbeddings(Tables.embeddings(spark, dir))
+
+  /** DuckDB oracle: the literal same planes (full-precision literals
+    * round-trip to the same doubles) folded in the same order. */
+  val projectOracleSql: String = {
+    // each output dim gets its plane as an inline list literal
+    // (Double.toString round-trips to the identical bits on parse);
+    // list_sum over the ordered list_transform folds left-to-right,
+    // matching Spark's `aggregate` (the q_dedup_embed cos_sim
+    // precedent)
+    val cols = Planes.map { plane =>
+      // ::DOUBLE[] — a bare numeric list literal parses as DECIMAL[]
+      // in DuckDB, which would run the fold in decimal arithmetic
+      val lit = plane.mkString("[", ", ", "]::DOUBLE[]")
+      s"round(CAST(CAST(list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> embedding[i] * ($lit)[i])) AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id, [
+       |  $cols
+       |] AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle: the LITERAL same arithmetic (floor(x*scale+0.5)
     * quantize, integer dot, identical descale association), so the
     * integer columns hash-match exactly and the double ranking is

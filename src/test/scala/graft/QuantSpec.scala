@@ -48,6 +48,26 @@ class QuantSpec extends AnyFunSuite {
     assert(out(1) == Seq(0, 0, 0))
   }
 
+  test("JL projection: 16 dims out, deterministic, squared norms unbiased") {
+    import graft.ops.Quant
+    val emb = graft.Tables.embeddings(spark, dir)
+    val p1 = Quant.projectEmbeddings(emb).collect()
+    assert(p1.forall(_.getSeq[Double](1).length == Quant.ProjDim))
+    // deterministic: fixed seeded planes, same output both runs
+    val p2 = Quant.projectEmbeddings(emb).collect()
+    assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+    // E[|proj|^2] = |x|^2 under the 1/sqrt(k) scaling: the MEAN ratio
+    // over the corpus concentrates at 1 (per-vector variance ~2/k)
+    val ratios = Quant.projectEmbeddings(emb).join(emb, "vec_id")
+      .select(
+        aggregate(col("proj"), lit(0.0), (a, v) => a + v * v).as("np"),
+        aggregate(col("embedding"), lit(0.0),
+                  (a, v) => a + v.cast("double") * v).as("no"))
+      .collect().map(r => r.getDouble(0) / r.getDouble(1))
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.05, s"mean norm ratio $mean")
+  }
+
   test("quantized top-10 recalls >= 0.8 of the exact float dot top-10") {
     val emb = graft.Tables.embeddings(spark, dir)
     val approx = Quant.quantizedTopK(emb, nProbes = 5, k = 10)
