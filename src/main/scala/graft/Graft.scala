@@ -130,6 +130,10 @@ object Graft {
   def temperatureMix(docs: DataFrame): DataFrame =
     Curation.temperatureMix(docs)
 
+  /** Deterministic md5-band train/val/test assignment, stable under
+    * corpus growth: (doc_id, lang, split). */
+  def splitAssign(docs: DataFrame): DataFrame = Curation.splitAssign(docs)
+
   /** Token-offset sharding into `budget`-token training chunks via a
     * distributed two-level prefix sum: (doc_id, n_toks, tok_offset,
     * chunk). */

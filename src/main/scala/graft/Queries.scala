@@ -1135,6 +1135,7 @@ object Queries {
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_curate_web"        -> (Curation.qCurateWeb _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
+    "q_split_assign"      -> (Curation.qSplitAssign _),
   )
 
   val curationOracle: Map[String, String] = Map(
@@ -1243,6 +1244,12 @@ object Queries {
         |SELECT r.doc_id, r.lang, r.rn::INT AS rn
         |FROM r JOIN q USING (lang) WHERE rn <= n_take
         |ORDER BY lang, rn""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'fa00' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'fd00' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   // -------------------------------------------------------------------

@@ -144,6 +144,29 @@ object Curation {
   def qMixTemperature(spark: SparkSession, dir: String): DataFrame =
     temperatureMix(Tables.documents(spark, dir))
 
+  /** Deterministic train/val/test split — the assignment every
+    * pipeline makes before training, done the [[sampleHash]] way (md5
+    * bucket bands, no RNG) so it is resumable, reproducible across
+    * runs/engines, and STABLE UNDER CORPUS GROWTH: a doc's split
+    * never changes when other docs arrive, which is what keeps eval
+    * sets from silently leaking into train across crawl refreshes.
+    * Band edges are hex-string thresholds on the first 4 md5 nibbles
+    * (fa00/fd00 ≈ 97.66% / 1.17% / 1.17%). Narrow projection.
+    */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .withColumn("split",
+        when(col("bucket") < "fa00", "train")
+          .when(col("bucket") < "fd00", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+
+  /** q_split_assign: [[splitAssign]] on the test corpus. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir))
+
   /** Token-offset sharding ("packing"): concatenate the corpus in
     * doc_id order and assign each document the training chunk where
     * its first token lands (chunk = global token offset ÷ budget) —

@@ -70,16 +70,25 @@ object Url {
 
   /** Projection-only form (streaming-safe, like
     * [[Html.htmlExtractCols]]). */
-  def canonicalizeUrlCols(rows: DataFrame): DataFrame = {
-    val url = col("url")
-    // fragment off first — it is never part of the resource identity
-    val defragged = regexp_replace(url, "#.*$", "")
-    val scheme = lower(regexp_extract(defragged, SchemeRe, 1))
+  /** The canonical form and domain as bare Columns over a url column
+    * — for callers that carry extra columns through (the streaming
+    * frontier dedup keeps `ts` for its watermark). */
+  private def schemeOf(defragged: Column): Column =
+    lower(regexp_extract(defragged, SchemeRe, 1))
+
+  private def hostOf(defragged: Column): Column = {
+    val scheme = schemeOf(defragged)
     val hostBase = regexp_replace(
       lower(regexp_extract(defragged, HostRe, 1)), WwwRe, "")
-    val host = PortSteps.foldLeft(hostBase) { case (c, (sch, p)) =>
+    PortSteps.foldLeft(hostBase) { case (c, (sch, p)) =>
       when(scheme === sch, regexp_replace(c, p, "")).otherwise(c)
     }
+  }
+
+  private[graft] def canonCol(url: Column): Column = {
+    // fragment off first — it is never part of the resource identity
+    val defragged = regexp_replace(url, "#.*$", "")
+    val scheme = schemeOf(defragged)
     val rest = regexp_extract(defragged, RestRe, 1)
     val path = PathSteps.foldLeft(regexp_extract(rest, PathPartRe, 1)) {
       case (c, (p, r)) => regexp_replace(c, p, r)
@@ -91,11 +100,22 @@ object Url {
     // (minus fragment) rather than collapsing to garbage — garbage-in
     // pass-through-out is the right library contract for crawl data;
     // the guard never fires on the oracle fixture, so parity holds
-    val canon = when(scheme === "", defragged)
-      .otherwise(concat(scheme, lit("://"), host, path, query))
+    when(scheme === "", defragged)
+      .otherwise(concat(scheme, lit("://"), hostOf(defragged), path, query))
+  }
+
+  private[graft] def domainCol(url: Column): Column = {
+    val defragged = regexp_replace(url, "#.*$", "")
+    when(schemeOf(defragged) === "", lit(""))
+      .otherwise(hostOf(defragged))
+  }
+
+  def canonicalizeUrlCols(rows: DataFrame): DataFrame = {
+    val url = col("url")
+    val canon = canonCol(url)
     val qpart = regexp_extract(canon, "\\?(.*)$", 1)
     rows.select(col("doc_id"), url.as("url"), canon.as("canon"),
-                when(scheme === "", lit("")).otherwise(host).as("domain"),
+                domainCol(url).as("domain"),
                 when(qpart === "", 0)
                   .otherwise(size(split(qpart, "&"))).as("n_params"))
   }

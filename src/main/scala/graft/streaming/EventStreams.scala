@@ -85,6 +85,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming URL-keyed dedup — the frontier-side twin of
+    * [[dedupDocsByContent]]: canonicalize each arriving URL (the
+    * [[graft.ops.Url]] narrow expression chain, stateless) and keep
+    * only the first occurrence of each CANONICAL form within the
+    * watermark horizon, so re-crawls and tracking-param variants of a
+    * page are dropped before its body is ever fetched/processed.
+    * State is the seen-canon set, watermark-bounded (same contract as
+    * the content dedup). Input needs (url string, ts timestamp). */
+  def dedupUrlStream(rows: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame =
+    rows
+      .withColumn("canon", graft.ops.Url.canonCol(col("url")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canon")
+
   /** Streaming corpus curation — the incremental form of the batch
     * [[graft.ops.TextAnalysis.curate]] pipeline for an unbounded crawl
     * stream: content-hash dedup within the watermark horizon

@@ -16,6 +16,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 /** A streamed document row (crawl shape) for the content-dedup test. */
 case class DocEv(doc_id: Long, text: String, ts: Timestamp)
+case class UrlEv(doc_id: Long, url: String, ts: Timestamp)
 
 /** Structured Streaming tests (SURVEY.md §5.2.4): batch/stream parity,
   * watermark late-data drop, session windows, stateful dedup — all via
@@ -347,6 +348,25 @@ class StreamingSpec extends AnyFunSuite {
       val out = spark.table("t_curate_web_stream")
         .collect().map(_.getLong(0)).toSeq
       assert(out == Seq(1L), s"curated ids: $out")
+    }
+  }
+
+  test("streaming URL dedup: tracking-param variants collapse on the canonical form") {
+    val ms = MemoryStream[UrlEv](spark)
+    val dedup = EventStreams.dedupUrlStream(ms.toDF(), watermark = "10 minutes")
+    withQuery(dedup, "append", "t_url_dedup") { q =>
+      ms.addData(Seq(
+        UrlEv(1, "HTTPS://WWW.A.COM:443/x/index.html?utm_s=1&id=7#f",
+              ts("2024-01-01 00:00:00")),
+        // same resource, different raw bytes: dropped
+        UrlEv(2, "https://a.com/x?id=7", ts("2024-01-01 00:00:30")),
+        // genuinely different resource: kept
+        UrlEv(3, "https://a.com/x?id=8", ts("2024-01-01 00:01:00"))))
+      q.processAllAvailable()
+      val emitted = spark.table("t_url_dedup")
+      assert(emitted.count() == 2)
+      assert(emitted.filter(col("canon") === "https://a.com/x?id=7")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
     }
   }
 
