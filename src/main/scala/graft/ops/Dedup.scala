@@ -125,12 +125,18 @@ object Dedup {
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("rank"))).as("hset"))
       .withColumn("nset", size(col("hset")))
-      // localCheckpoint, not persist: it still feeds both sides of the
-      // prefix self-join from one materialization, but the backing RDD
-      // is reclaimed by the ContextCleaner once unreferenced — a
-      // tuning loop over inputs/taus doesn't accumulate cache entries
-      // (the lifecycle class the r5/r6 advisors flagged)
-      .localCheckpoint()
+      // persist, NOT localCheckpoint, and deliberately so: a
+      // localCheckpoint here replaces the plan with a stats-less
+      // LogicalRDD, and the downstream prefix self-join loses its
+      // size estimate — Catalyst falls back from broadcast-hash to
+      // sort-merge and q_sim_jaccard measures 2x slower (6.0 s vs
+      // 3.0 s warm at sf0.1; q_dedup_cluster, which consumes the
+      // pair stream, 11.5 s vs 8.1 s). The persist's cache entry is
+      // released by callers' clearCache between queries
+      // (Bench/Verify) — a long-lived tuning loop over many distinct
+      // inputs should do the same; plan-dedup caps it at one entry
+      // per distinct input meanwhile.
+      .persist()
   }
 
   /** The verified ≥ τ pair stream BEFORE presentation (unsorted,
