@@ -172,4 +172,34 @@ object Formats {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Training-shard writer — the OUTPUT stage of the curation
+    * pipeline: curated docs land as deterministic, size-bounded,
+    * doc_id-sorted parquet shards plus a MANIFEST (one row per shard:
+    * doc count, token total, min/max doc_id) written alongside. The
+    * shard assignment is `doc_id div span` — deterministic and STABLE
+    * UNDER RERUNS AND APPENDS (a doc's shard never depends on what
+    * else is in the batch), so a resumed job rewrites byte-identical
+    * shards instead of reshuffling everything, and downstream loaders
+    * can consume by manifest. One hash shuffle on the shard key (the
+    * write layout), one shard-cardinality aggregate for the manifest.
+    * Returns the manifest. */
+  def writeShards(docs: DataFrame, path: String,
+                  shardSpan: Long = 1000,
+                  tokenCount: Column = size(split(col("text"), " "))): DataFrame = {
+    val sharded = docs
+      .withColumn("shard", (col("doc_id") / shardSpan).cast("long"))
+      .withColumn("n_toks", tokenCount.cast("long"))
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/shards")
+    val manifest = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+           min(col("doc_id")).as("min_doc_id"),
+           max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    manifest
+  }
 }

@@ -120,6 +120,32 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("writeShards: bounded sorted shards, exact manifest, byte-stable rerun") {
+    import graft.sources.Formats
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val manifest = Formats.writeShards(docs, dir, shardSpan = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // every shard's id range respects the span, counts bounded by span
+    manifest.foreach { case (shard, (n, _, lo, hi)) =>
+      assert(n <= 100 && lo >= shard * 100 && hi < (shard + 1) * 100)
+    }
+    // manifest counts match the written shards exactly
+    // partition-column values are re-inferred as INT on read — cast back
+    val back = spark.read.parquet(s"$dir/shards")
+      .groupBy(col("shard").cast("long").as("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == manifest.map { case (s, (n, _, _, _)) => s -> n })
+    assert(back.values.sum == docs.count())
+    // deterministic: a rerun produces the identical manifest
+    val dir2 = Files.createTempDirectory("graft_shards2").toString
+    val manifest2 = Formats.writeShards(docs, dir2, shardSpan = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(manifest2 == manifest)
+  }
+
   test("text round-trip: one line per doc, order-insensitive content equal") {
     val docs = Tables.documents(spark, TestSpark.sf0001).select(col("text"))
     val dir = Files.createTempDirectory("graft_text").toString + "/docs"
