@@ -257,6 +257,10 @@ object Graft {
   def pageRank(edges: DataFrame, iters: Int = 10): DataFrame =
     ops.Graph.pageRank(edges, iters)
 
+  /** Link-graph degree report per node: out/in degree, distinct
+    * neighbor counts, self-link count. */
+  def degreeStats(edges: DataFrame): DataFrame = ops.Graph.degreeStats(edges)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

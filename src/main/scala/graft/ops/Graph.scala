@@ -108,6 +108,74 @@ object Graph {
     pageRank(edges)
   }
 
+  /** Domain-level link-graph degree report: out-degree, in-degree,
+    * distinct neighbor counts, and self-link share per domain — the
+    * cheap structural profile next to [[pageRank]] (hub/spam domains
+    * jump out of the degree distribution before any iteration runs).
+    * Two map-side-combined aggregates over the edge list + one outer
+    * join; no iteration. */
+  def degreeStats(edgeDf: DataFrame): DataFrame = {
+    val out = edgeDf.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"),
+           countDistinct(col("dst")).as("out_nbrs"),
+           sum(when(col("src") === col("dst"), 1L).otherwise(0L))
+             .as("self_links"))
+    val in = edgeDf.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"),
+           countDistinct(col("src")).as("in_nbrs"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+              coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+              coalesce(col("out_nbrs"), lit(0L)).as("out_nbrs"),
+              coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+              coalesce(col("in_nbrs"), lit(0L)).as("in_nbrs"),
+              coalesce(col("self_links"), lit(0L)).as("self_links"))
+      .orderBy("node")
+  }
+
+  /** q_link_degree: [[degreeStats]] over DOMAIN-level edges from the
+    * Links fixture (page-level edges rolled up to registrable
+    * domains, the frontier-policy granularity). */
+  def qLinkDegree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val links = Links.extractLinks(
+      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
+    val edges = links
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(concat(lit("example-"), col("source"), lit(".com")).as("src"),
+              regexp_extract(col("href"), "^https://([^/]*)", 1).as("dst"))
+    degreeStats(edges)
+  }
+
+  private[graft] val degreeOracleSql: String = {
+    val fixture =
+      s"${sqlLit(Links.L1)} || source || ${sqlLit(Links.L2)} || " +
+        s"(doc_id + 1)::VARCHAR || ${sqlLit(Links.L3)} || lang || " +
+        s"${sqlLit(Links.L4)} || source || ${sqlLit(Links.L5)} || lang || " +
+        s"${sqlLit(Links.L6)}"
+    s"""WITH h AS (SELECT d.doc_id, d.source, $fixture AS html
+       |           FROM documents d),
+       |l AS (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
+       |      FROM h),
+       |e AS (SELECT 'example-' || d.source || '.com' AS src,
+       |        regexp_extract(l.href, '^https://([^/]*)', 1) AS dst
+       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+       |o AS (SELECT src AS node, count(*)::BIGINT AS out_deg,
+       |        count(DISTINCT dst)::BIGINT AS out_nbrs,
+       |        sum(CASE WHEN src = dst THEN 1 ELSE 0 END)::BIGINT AS self_links
+       |      FROM e GROUP BY src),
+       |i AS (SELECT dst AS node, count(*)::BIGINT AS in_deg,
+       |        count(DISTINCT src)::BIGINT AS in_nbrs
+       |      FROM e GROUP BY dst)
+       |SELECT node,
+       |  coalesce(out_deg, 0) AS out_deg, coalesce(out_nbrs, 0) AS out_nbrs,
+       |  coalesce(in_deg, 0) AS in_deg, coalesce(in_nbrs, 0) AS in_nbrs,
+       |  coalesce(self_links, 0) AS self_links
+       |FROM o FULL OUTER JOIN i USING (node)
+       |ORDER BY node""".stripMargin
+  }
+
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB oracle: the same fixed number of update steps unrolled as

@@ -39,6 +39,19 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(star("b") - star("c")) < 1e-12)
   }
 
+  test("degreeStats: hand-computed degrees, distinct neighbors, self-links") {
+    val edges = Seq(
+      "a" -> "b", "a" -> "b", "a" -> "a", // parallel edge + self-link
+      "b" -> "c"
+    ).toDF("src", "dst")
+    val out = Graph.degreeStats(edges).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") == (3L, 2L, 1L, 1L, 1L)) // out 3 (2 distinct), in 1 (self)
+    assert(out("b") == (1L, 1L, 2L, 1L, 0L)) // in 2 edges from 1 neighbor
+    assert(out("c") == (0L, 0L, 1L, 1L, 0L)) // sink: zero out-degree
+  }
+
   test("converges to the analytic stationary point of the 3-node example") {
     // classic: a->b, a->c, b->c, c->a with d=0.85 has a known
     // stationary solution; 50 iterations get within 1e-6
