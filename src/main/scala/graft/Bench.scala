@@ -24,7 +24,7 @@ object Bench {
     // exists to optimize.
     val tWarm0 = System.nanoTime()
     for (name <- Seq("q_agg_scan", "q_sim_cosine_topk", "q_ann_ivf",
-                     "q_dedup_incr_near"))
+                     "q_ann_quant", "q_dedup_incr_near"))
       SparkEntry.queries.get(name).foreach { f =>
         try f(spark, sfDir).count() catch { case _: Throwable => () }
       }

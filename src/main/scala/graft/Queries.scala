@@ -552,6 +552,7 @@ object Queries {
     "q_knn"             -> (Similarity.qKnn _),
     "q_embed_quant"     -> (Quant.qEmbedQuant _),
     "q_embed_project"   -> (Quant.qEmbedProject _),
+    "q_ann_quant"       -> (Quant.qAnnQuant _),
     "q_sim_containment" -> (Dedup.qSimContainment _),
   )
 
@@ -1272,7 +1273,9 @@ object Queries {
     * percentiles), q_token_bpe (DuckDB has no BPE; golden-checked
     * against an independent single-node reference in BpeSpec),
     * q_bpe_learn (iterative argmax-merge training loop; golden vs an
-    * independent single-node learner in BpeLearnSpec). */
+    * independent single-node learner in BpeLearnSpec), q_ann_quant
+    * (approximate by construction; recall + at-rest-size goldens in
+    * QuantSpec). */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

@@ -136,6 +136,63 @@ object Quant {
   def qEmbedProject(spark: SparkSession, dir: String): DataFrame =
     projectEmbeddings(Tables.embeddings(spark, dir))
 
+  // ------------------------------------------------------------------
+  // Quantized-posting ANN: the q_ann_ivf bucket structure with INT8
+  // posting payloads — the composition the two halves exist for. The
+  // quantized posting table is materialized per corpus (same
+  // content-keyed lifecycle as the float index); at rest it is ~4x
+  // smaller (16 int8-as-int... stored columnar-RLE vs 64 float64),
+  // and the query-side verify kernel is the integer dot, descaled
+  // once per candidate. Recall loss from int8 on a normalized vector
+  // is negligible (the golden pins it against exact kNN).
+  // ------------------------------------------------------------------
+
+  private val quantIndexPaths =
+    new IndexCache[String]("embeddings", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ann_qindex").toString + "/qpostings.parquet"
+      val scale = when(col("max_abs") > 0d, lit(127.0) / col("max_abs"))
+        .otherwise(lit(0.0))
+      Similarity.annPostings(s, d)
+        .withColumn("max_abs",
+          array_max(transform(col("vn"), x => abs(x))).cast("double"))
+        .select(col("tbl"), col("bucket"), col("pm"), col("vec_id"),
+                transform(col("vn"),
+                  x => floor(x * scale + lit(0.5)).cast("int")).as("qvec"),
+                col("max_abs"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private[graft] def quantPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(quantIndexPaths.get(spark, dir))
+  private[graft] def quantIndexPath(spark: SparkSession, dir: String): String =
+    quantIndexPaths.get(spark, dir)
+
+  /** q_ann_quant: approximate per-vector top-3 neighbors from the
+    * QUANTIZED posting table — same multi-probe candidate generation
+    * as q_ann_ivf, integer-dot verify. Oracle-exempt (approximate);
+    * golden: recall vs exact kNN + the at-rest size ratio. */
+  def qAnnQuant(spark: SparkSession, dir: String): DataFrame = {
+    val codes = quantPostings(spark, dir)
+    val home = codes.select(col("tbl"), col("bucket"),
+                            col("vec_id").as("id_b"), col("qvec").as("q_b"),
+                            col("max_abs").as("ma_b"))
+    val probes = codes.select(
+      col("tbl"), col("vec_id").as("id_a"), col("qvec").as("q_a"),
+      col("max_abs").as("ma_a"),
+      explode(transform(col("pm"), m => col("bucket").bitwiseXOR(m)))
+        .as("bucket"))
+    val approxCos =
+      qdot(col("q_a"), col("q_b")).cast("double") *
+        (col("ma_a") / lit(127.0)) * (col("ma_b") / lit(127.0))
+    val cands = probes.join(home, Seq("tbl", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), approxCos.as("cos_sim"))
+    Similarity.topKCut(cands, 3, distinct = true)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+  }
+
   /** DuckDB oracle: the literal same planes (full-precision literals
     * round-trip to the same doubles) folded in the same order. */
   val projectOracleSql: String = {

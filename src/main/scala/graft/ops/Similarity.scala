@@ -66,7 +66,7 @@ object Similarity {
     * ~6 µs/row encoder round-trip on the multi-million-row pair
     * streams). Tie semantics identical to
     * `row_number() over (...) <= k`. */
-  private def topKCut(pairs: DataFrame, k: Int,
+  private[ops] def topKCut(pairs: DataFrame, k: Int,
                       distinct: Boolean = false): DataFrame = {
     TopKFunctions.register(pairs.sparkSession)
     pairs
@@ -288,6 +288,8 @@ object Similarity {
     })
   private[graft] def annPostings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(indexPaths.get(spark, dir))
+  private[graft] def annIndexPath(spark: SparkSession, dir: String): String =
+    indexPaths.get(spark, dir)
   private[graft] def annIndexEntryCount: Int = indexPaths.entryCount
 
   /** The scored LSH candidate stream feeding [[qAnnIvf]]'s top-k cut —

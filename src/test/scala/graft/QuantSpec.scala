@@ -68,6 +68,30 @@ class QuantSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.05, s"mean norm ratio $mean")
   }
 
+  test("q_ann_quant: recall@3 vs exact kNN within 0.05 of the float ANN; index 4x smaller at rest") {
+    import graft.ops.{Quant, Similarity}
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.Queries.all("q_knn")(spark, dir))
+    val floatAnn = pairs(graft.Queries.all("q_ann_ivf")(spark, dir))
+    val quantAnn = pairs(graft.Queries.all("q_ann_quant")(spark, dir))
+    val rFloat = (floatAnn & exact).size.toDouble / exact.size
+    val rQuant = (quantAnn & exact).size.toDouble / exact.size
+    // int8 on a normalized vector costs (almost) no recall
+    assert(rQuant >= rFloat - 0.05, s"quant recall $rQuant vs float $rFloat")
+    assert(rQuant >= 0.7, s"recall floor: $rQuant")
+    // the at-rest posting table is the size story: <= half the float one
+    def bytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(path))
+    }
+    val fb = bytes(Similarity.annIndexPath(spark, dir))
+    val qb = bytes(Quant.quantIndexPath(spark, dir))
+    assert(qb < fb / 2, s"quant index $qb bytes vs float $fb")
+  }
+
   test("quantized top-10 recalls >= 0.8 of the exact float dot top-10") {
     val emb = graft.Tables.embeddings(spark, dir)
     val approx = Quant.quantizedTopK(emb, nProbes = 5, k = 10)
