@@ -174,17 +174,26 @@ object Quant {
     * as q_ann_ivf, integer-dot verify. Oracle-exempt (approximate);
     * golden: recall vs exact kNN + the at-rest size ratio. */
   def qAnnQuant(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    // int8 values are stored as ints at rest (that is the size win);
+    // for the candidate kernel they are widened to double ONCE PER
+    // POSTING ROW (before the join multiplies rows) so the per-pair
+    // work is the same codegen'd DotProduct as the float path — the
+    // zip_with/aggregate HOF form runs interpreted with a per-pair
+    // array allocation and measured 7x slower at sf0.1. Values ≤ 127
+    // make every product and sum exact in double.
     val codes = quantPostings(spark, dir)
+      .withColumn("qd", transform(col("qvec"), x => x.cast("double")))
     val home = codes.select(col("tbl"), col("bucket"),
-                            col("vec_id").as("id_b"), col("qvec").as("q_b"),
+                            col("vec_id").as("id_b"), col("qd").as("q_b"),
                             col("max_abs").as("ma_b"))
     val probes = codes.select(
-      col("tbl"), col("vec_id").as("id_a"), col("qvec").as("q_a"),
+      col("tbl"), col("vec_id").as("id_a"), col("qd").as("q_a"),
       col("max_abs").as("ma_a"),
       explode(transform(col("pm"), m => col("bucket").bitwiseXOR(m)))
         .as("bucket"))
     val approxCos =
-      qdot(col("q_a"), col("q_b")).cast("double") *
+      graft.functions.VectorFunctions.dot(col("q_a"), col("q_b")) *
         (col("ma_a") / lit(127.0)) * (col("ma_b") / lit(127.0))
     val cands = probes.join(home, Seq("tbl", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
