@@ -52,6 +52,9 @@ object Graph {
     // re-deriving the dangling set per round would repeat the same
     // anti-join ten times for a set that never changes
     val nc = nodes.count()
+    // empty graph: return the empty (node, pr) frame instead of
+    // dividing the uniform init by zero (ANSI mode throws)
+    if (nc == 0) return nodes.select(col("node"), lit(0.0).as("pr"))
     val danglingNodes = nodes
       .join(outDeg, nodes("node") === outDeg("src"), "left_anti")
       .localCheckpoint()

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{BpeTrain, Curation, Dedup, Graph, Links, Quant, TextAnalysis}
+
+/** Degenerate-input hardening for the r7 operators: empty inputs,
+  * single elements, and boundary shapes must degrade to sane empty/
+  * identity results, never throw — the library contract a pipeline
+  * composing these unattended depends on. */
+class EdgeCasesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: empty edge list yields an empty result, not a crash") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, iters = 3).count() === 0)
+  }
+
+  test("pageRank: single self-loop node holds all the mass") {
+    val r = Graph.pageRank(Seq("a" -> "a").toDF("src", "dst"), iters = 5)
+      .collect()
+    assert(r.length == 1 && math.abs(r.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("degreeStats: empty edges -> empty report") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.degreeStats(empty).count() === 0)
+  }
+
+  test("containmentPairs: single-token docs and identical docs behave") {
+    val docs = Seq(
+      (1L, Seq("alpha"), "en"),
+      (2L, Seq("alpha"), "en"),      // identical single-token set: c = 1 both ways
+      (3L, Seq("beta"), "en")
+    ).toDF("doc_id", "toks", "lang")
+    val out = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("temperatureMix: single-language corpus gets the plain half quota") {
+    val docs = Seq.tabulate(20) { i =>
+      (i.toLong, s"t$i", "en", "s", 2L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.temperatureMix(docs)
+    assert(out.count() === 10) // n = (20 div 2) * s / s = 10
+  }
+
+  test("learnBpeMerges: corpus of single-char words exhausts early, no pairs") {
+    val docs = Seq((1L, Seq("a", "b", "a"))).toDF("doc_id", "toks")
+    assert(BpeTrain.learnBpeMerges(docs, nMerges = 5).count() === 0)
+  }
+
+  test("extractLinks/anchorStats: empty corpus is an empty rollup") {
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "html")
+    assert(Links.anchorStats(Links.extractLinks(none)).count() === 0)
+  }
+
+  test("perplexityKn: a single two-token doc scores against its own LM") {
+    val d = Seq((1L, Seq("x", "y"))).toDF("doc_id", "toks")
+    val r = TextAnalysis.perplexityKn(d).collect()
+    // one bigram, P(y|x) = max(1-.75,0)/1 + .75*1/1*(1/1) = 1.0 → ppl 1
+    assert(r.length == 1 && math.abs(r.head.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("quantizedTopK: corpus smaller than k returns what exists, ranked") {
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Quant.quantizedTopK(emb, nProbes = 1, k = 10).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L)
+  }
+
+  test("projectEmbeddings: zero vector projects to the zero vector") {
+    val emb = Seq((0L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    val p = Quant.projectEmbeddings(emb).collect().head.getSeq[Double](1)
+    assert(p.forall(_ == 0.0))
+  }
+}
