@@ -97,6 +97,9 @@ object Graph {
 
   private[graft] val PageUrlPrefix = "https://example-"
   private[graft] val PageUrlMid = ".com/page-"
+  /** Host of an href — ONE constant for the Spark side and the
+    * q_link_degree oracle (same-constants discipline). */
+  private[graft] val HrefHostRe = "^https://([^/]*)"
 
   /** q_page_rank: [[pageRank]] over the extracted link fixture. */
   def qPageRank(spark: SparkSession, dir: String): DataFrame = {
@@ -146,23 +149,19 @@ object Graph {
     val edges = links
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(concat(lit("example-"), col("source"), lit(".com")).as("src"),
-              regexp_extract(col("href"), "^https://([^/]*)", 1).as("dst"))
+              regexp_extract(col("href"), HrefHostRe, 1).as("dst"))
     degreeStats(edges)
   }
 
   private[graft] val degreeOracleSql: String = {
-    val fixture =
-      s"${sqlLit(Links.L1)} || source || ${sqlLit(Links.L2)} || " +
-        s"(doc_id + 1)::VARCHAR || ${sqlLit(Links.L3)} || lang || " +
-        s"${sqlLit(Links.L4)} || source || ${sqlLit(Links.L5)} || lang || " +
-        s"${sqlLit(Links.L6)}"
+    val fixture = Links.pageFixtureSql
     s"""WITH h AS (SELECT d.doc_id, d.source, $fixture AS html
        |           FROM documents d),
        |l AS (SELECT doc_id,
        |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
        |      FROM h),
        |e AS (SELECT 'example-' || d.source || '.com' AS src,
-       |        regexp_extract(l.href, '^https://([^/]*)', 1) AS dst
+       |        regexp_extract(l.href, ${sqlLit(HrefHostRe)}, 1) AS dst
        |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
        |o AS (SELECT src AS node, count(*)::BIGINT AS out_deg,
        |        count(DISTINCT dst)::BIGINT AS out_nbrs,
@@ -184,11 +183,7 @@ object Graph {
   /** DuckDB oracle: the same fixed number of update steps unrolled as
     * chained CTEs from the same literals; rounded only at the end. */
   private[graft] def oracleSql(iters: Int = 10): String = {
-    val fixture = // the Links fixture, inlined (same constants)
-      s"${sqlLit(Links.L1)} || source || ${sqlLit(Links.L2)} || " +
-        s"(doc_id + 1)::VARCHAR || ${sqlLit(Links.L3)} || lang || " +
-        s"${sqlLit(Links.L4)} || source || ${sqlLit(Links.L5)} || lang || " +
-        s"${sqlLit(Links.L6)}"
+    val fixture = Links.pageFixtureSql
     val steps = (1 to iters).map { k =>
       val p = s"pr${k - 1}"
       s"""pr$k AS MATERIALIZED (

@@ -105,11 +105,16 @@ object Links {
   // capture-group extractions is DuckDB's multi-unnest zip).
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** The rendered link page as DuckDB SQL — the ONE fixture
+    * expression shared by every oracle that embeds it (q_anchor_text,
+    * q_page_rank, q_link_degree), so the three cannot drift. */
+  private[graft] val pageFixtureSql: String =
+    s"${sqlLit(L1)} || source || ${sqlLit(L2)} || (doc_id + 1)::VARCHAR || " +
+      s"${sqlLit(L3)} || lang || ${sqlLit(L4)} || source || ${sqlLit(L5)} || " +
+      s"lang || ${sqlLit(L6)}"
+
   private[graft] def oracleSql: String = {
-    val fixture =
-      s"${sqlLit(L1)} || source || ${sqlLit(L2)} || (doc_id + 1)::VARCHAR || " +
-        s"${sqlLit(L3)} || lang || ${sqlLit(L4)} || source || ${sqlLit(L5)} || " +
-        s"lang || ${sqlLit(L6)}"
+    val fixture = pageFixtureSql
     val decoded = Html.Entities.foldLeft("anchor0") { case (acc, (e, v)) =>
       s"replace($acc, ${sqlLit(e)}, ${sqlLit(v)})"
     }

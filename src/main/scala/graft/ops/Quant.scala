@@ -129,7 +129,13 @@ object Quant {
         zip_with(col("embedding"), p, (x, w) => x * w),
         lit(0.0), (acc, v) => acc + v), 6)
     }: _*)
-    embeddings.select(col("vec_id"), proj.as("proj")).orderBy("vec_id")
+    // fail fast on a dimension mismatch: zip_with null-pads the
+    // shorter side, which would silently project every row to nulls
+    val guarded = when(size(col("embedding")) === Dim, proj)
+      .otherwise(raise_error(concat(
+        lit(s"projectEmbeddings: expected $Dim-dim embedding, got "),
+        size(col("embedding")).cast("string"))))
+    embeddings.select(col("vec_id"), guarded.as("proj")).orderBy("vec_id")
   }
 
   /** q_embed_project: [[projectEmbeddings]] on the test corpus. */
@@ -140,11 +146,14 @@ object Quant {
   // Quantized-posting ANN: the q_ann_ivf bucket structure with INT8
   // posting payloads — the composition the two halves exist for. The
   // quantized posting table is materialized per corpus (same
-  // content-keyed lifecycle as the float index); at rest it is ~4x
-  // smaller (16 int8-as-int... stored columnar-RLE vs 64 float64),
-  // and the query-side verify kernel is the integer dot, descaled
-  // once per candidate. Recall loss from int8 on a normalized vector
-  // is negligible (the golden pins it against exact kNN).
+  // content-keyed lifecycle as the float index); at rest the payload
+  // is the same 64 dims but int8-valued ints (parquet bit-packs the
+  // narrow value range) plus one double scale, vs 64 float64 — the
+  // golden asserts the conservative < ½ bytes, measured closer to 4×
+  // on the value encoding alone. The query-side verify kernel is the
+  // integer dot, descaled once per candidate. Recall loss from int8
+  // on a normalized vector is negligible (the golden pins it against
+  // exact kNN).
   // ------------------------------------------------------------------
 
   private val quantIndexPaths =

@@ -187,14 +187,25 @@ object Formats {
   def writeShards(docs: DataFrame, path: String,
                   shardSpan: Long = 1000,
                   tokenCount: Column = size(split(col("text"), " "))): DataFrame = {
-    val sharded = docs
-      .withColumn("shard", (col("doc_id") / shardSpan).cast("long"))
+    // INTEGER floor division — (x - pmod(x, span)) div span: exact for
+    // the full 64-bit id range (a double divide loses precision past
+    // 2^53 and truncates-toward-zero for negatives, both of which put
+    // boundary ids in the wrong shard and break the manifest bound)
+    val shard = expr(
+      s"(doc_id - pmod(doc_id, ${shardSpan}L)) div ${shardSpan}L")
+    docs
+      .withColumn("shard", shard)
       .withColumn("n_toks", tokenCount.cast("long"))
-    sharded
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/shards")
-    val manifest = sharded.groupBy("shard")
+    // the manifest aggregates the WRITTEN shards, not the input
+    // lineage — correct by construction even for nondeterministic
+    // inputs (a re-executed sample()/limit lineage could disagree
+    // with the files it claims to describe), and it reads the narrow
+    // (shard, doc_id, n_toks) columns instead of re-running the source
+    val manifest = docs.sparkSession.read.parquet(s"$path/shards")
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
            min(col("doc_id")).as("min_doc_id"),
            max(col("doc_id")).as("max_doc_id"))

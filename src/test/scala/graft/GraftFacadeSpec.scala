@@ -327,6 +327,25 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(filtered.filter(col("kept")).count() === 1)
   }
 
+  test("splitAssign / projectEmbeddings / degreeStats facade on hand-built data") {
+    val docs = Seq.tabulate(50) { i =>
+      (i.toLong, s"text $i", "en", "s", 6L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val split = Graft.splitAssign(docs)
+    assert(split.count() === 50)
+    assert(split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: same assignment on a rerun
+    assert(split.collect().toSeq == Graft.splitAssign(docs).collect().toSeq)
+    val emb = Seq((0L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(Graft.projectEmbeddings(emb).collect()
+      .head.getSeq[Double](1).length === 16)
+    val deg = Graft.degreeStats(
+      Seq("a" -> "b").toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(deg("a") == (1L, 0L) && deg("b") == (0L, 1L))
+  }
+
   test("quantization + temperature mixing facade on hand-built data") {
     val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
                   (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
