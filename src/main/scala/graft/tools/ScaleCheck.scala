@@ -55,6 +55,11 @@ object ScaleCheck {
     "q_bpe_learn" -> 1.0,     // vocabulary-scale: measures ≈0 (the
                               // initial word count is the only
                               // corpus-size term)
+    "q_link_degree" -> 1.0,   // two aggregates + one outer join
+    "q_split_assign" -> 1.0,  // narrow projection
+    "q_embed_project" -> 1.0, // narrow projection
+    "q_ann_quant" -> 1.5,     // same all-pairs-over-IVF total as
+                              // q_ann_ivf (int8 kernel, same buckets)
     "q_sim_cosine_topk" -> 2.0,
     "q_sim_containment" -> 2.0, // candidates ∝ Σ_p df_A(p)·df_B(p):
                                 // near-linear on natural vocabularies,
