@@ -261,6 +261,11 @@ object Graft {
     * neighbor counts, self-link count. */
   def degreeStats(edges: DataFrame): DataFrame = ops.Graph.degreeStats(edges)
 
+  /** HITS hubs & authorities over a (src, dst) edge list, fixed
+    * iterations, L1-normalized: (node, hub, auth). */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame =
+    ops.Graph.hits(edges, iters)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -675,6 +675,7 @@ object Queries {
     "q_anchor_text"         -> (Links.qAnchorText _),
     "q_page_rank"           -> (Graph.qPageRank _),
     "q_link_degree"         -> (Graph.qLinkDegree _),
+    "q_hits"                -> (Graph.qHits _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -707,6 +708,7 @@ object Queries {
     "q_anchor_text" -> Links.oracleSql,
     "q_page_rank" -> Graph.oracleSql(),
     "q_link_degree" -> Graph.degreeOracleSql,
+    "q_hits" -> Graph.hitsOracleSql(),
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),

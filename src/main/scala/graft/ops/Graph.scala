@@ -114,6 +114,131 @@ object Graph {
     pageRank(edges)
   }
 
+  /** HITS hubs & authorities — the OTHER classic link-analysis
+    * signal: authorities are pages linked BY good hubs, hubs are
+    * pages linking TO good authorities (mutual recursion), computed
+    * by fixed power iterations with L1 normalization each round
+    * (L1, not L2: the normalizer is then a plain sum, written
+    * identically in the unrolled oracle, with no sqrt in the loop).
+    * Same iteration discipline as [[pageRank]]: edges checkpointed
+    * once, two contribution shuffles per round (auth ← hubs over
+    * in-edges, hub ← auths over out-edges), normalizer scalars stay
+    * in-plan, lazy per-round localCheckpoint.
+    * Returns (node, hub, auth) rounded 6 dp, ordered by node. */
+  def hits(edgeDf: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val edges = edgeDf.select(col("src"), col("dst"))
+      .repartition(nParts, col("src"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(nParts, col("node"))
+      .localCheckpoint()
+    if (nodes.isEmpty)
+      return nodes.select(col("node"), lit(0.0).as("hub"), lit(0.0).as("auth"))
+    var scores = nodes
+      .select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      // authority update: sum of in-linking hubs' scores, L1-normalized
+      val rawA = nodes
+        .join(edges.join(scores, edges("src") === scores("node"))
+                .groupBy(col("dst")).agg(sum(col("h")).as("ra")),
+              nodes("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("ra"), lit(0.0)).as("ra"))
+      val aNorm = rawA.agg(sum(col("ra")).as("na"))
+      val withA = rawA.crossJoin(broadcast(aNorm))
+        .select(col("node"),
+                when(col("na") > 0d, col("ra") / col("na"))
+                  .otherwise(lit(0.0)).as("a"))
+      // hub update: sum of linked-to authorities, L1-normalized
+      val rawH = nodes
+        .join(edges.join(withA, edges("dst") === withA("node"))
+                .groupBy(col("src")).agg(sum(col("a")).as("rh")),
+              nodes("node") === col("src"), "left")
+        .select(col("node").as("hnode"),
+                coalesce(col("rh"), lit(0.0)).as("rh"))
+      val hNorm = rawH.agg(sum(col("rh")).as("nh"))
+      val withH = rawH.crossJoin(broadcast(hNorm))
+        .select(col("hnode"),
+                when(col("nh") > 0d, col("rh") / col("nh"))
+                  .otherwise(lit(0.0)).as("h"))
+      scores = withA.join(withH, withA("node") === withH("hnode"))
+        .select(col("node"), col("h"), col("a"))
+        .localCheckpoint(false)
+    }
+    scores.select(col("node"), round(col("h"), 6).as("hub"),
+                  round(col("a"), 6).as("auth"))
+      .orderBy("node")
+  }
+
+  /** q_hits: [[hits]] over the extracted link fixture (same edge
+    * derivation as [[qPageRank]]). */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val links = Links.extractLinks(
+      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
+    val pageUrl = concat(lit(PageUrlPrefix), col("source"),
+                         lit(PageUrlMid), col("doc_id").cast("string"))
+    val edges = links
+      .join(docs.select(col("doc_id"), pageUrl.as("src")), "doc_id")
+      .select(col("src"), col("href").as("dst"))
+    hits(edges)
+  }
+
+  /** DuckDB oracle for q_hits: the same `iters` double updates
+    * unrolled as MATERIALIZED CTEs — L1 sums only, rounded at the
+    * end. */
+  private[graft] def hitsOracleSql(iters: Int = 10): String = {
+    val steps = (1 to iters).map { k =>
+      val p = if (k == 1) "s0" else s"s${k - 1}"
+      s"""a$k AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(r.ra, 0.0::DOUBLE) AS ra
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.h) AS ra
+         |    FROM e JOIN $p p ON e.src = p.node GROUP BY e.dst) r
+         |  ON r.node = nd.node),
+         |an$k AS (SELECT sum(ra) AS na FROM a$k),
+         |av$k AS MATERIALIZED (
+         |  SELECT node, CASE WHEN na > 0 THEN ra / na ELSE 0.0::DOUBLE END AS a
+         |  FROM a$k, an$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT nd.node, coalesce(r.rh, 0.0::DOUBLE) AS rh
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src AS node, sum(p.a) AS rh
+         |    FROM e JOIN av$k p ON e.dst = p.node GROUP BY e.src) r
+         |  ON r.node = nd.node),
+         |hn$k AS (SELECT sum(rh) AS nh FROM h$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT h$k.node,
+         |    CASE WHEN nh > 0 THEN rh / nh ELSE 0.0::DOUBLE END AS h,
+         |    av$k.a AS a
+         |  FROM h$k, hn$k, av$k WHERE av$k.node = h$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pg AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |        ${Links.pageFixtureSql} AS html
+       |      FROM documents d),
+       |l AS MATERIALIZED (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
+       |      FROM pg),
+       |e AS MATERIALIZED (SELECT ${sqlLit(PageUrlPrefix)} || d.source ||
+       |        ${sqlLit(PageUrlMid)} || d.doc_id::VARCHAR AS src,
+       |        l.href AS dst
+       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM e
+       |             UNION ALL SELECT dst FROM e)),
+       |s0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS h, 1.0::DOUBLE AS a
+       |        FROM nodes),
+       |$steps
+       |SELECT node,
+       |  round(CAST(CAST(h AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS hub,
+       |  round(CAST(CAST(a AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS auth
+       |FROM s$iters ORDER BY node""".stripMargin
+  }
+
   /** Domain-level link-graph degree report: out-degree, in-degree,
     * distinct neighbor counts, and self-link share per domain — the
     * cheap structural profile next to [[pageRank]] (hub/spam domains

@@ -39,6 +39,32 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(star("b") - star("c")) < 1e-12)
   }
 
+  test("hits: bipartite graph separates pure hubs from pure authorities; L1 mass = 1") {
+    // h1,h2 point at a1,a2 (h1 at both — the better hub; a1 from both
+    // — the better authority)
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a1")
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, iters = 20).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r("h1")._1 > r("h2")._1 && r("h2")._1 > 0) // hub ordering
+    assert(r("a1")._2 > r("a2")._2 && r("a2")._2 > 0) // authority ordering
+    assert(r("a1")._1 == 0.0 && r("a2")._1 == 0.0)    // sinks: zero hub
+    assert(r("h1")._2 == 0.0 && r("h2")._2 == 0.0)    // sources: zero auth
+    // L1 normalization: each score vector sums to 1 (± 6dp rounding)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("hits: empty edges -> empty result; symmetric 2-cycle is uniform") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.hits(empty, iters = 3).count() === 0)
+    val cyc = Graph.hits(Seq("a" -> "b", "b" -> "a").toDF("src", "dst"))
+      .collect().map(x => (x.getDouble(1), x.getDouble(2)))
+    cyc.foreach { case (h, a) =>
+      assert(math.abs(h - 0.5) < 1e-9 && math.abs(a - 0.5) < 1e-9)
+    }
+  }
+
   test("degreeStats: hand-computed degrees, distinct neighbors, self-links") {
     val edges = Seq(
       "a" -> "b", "a" -> "b", "a" -> "a", // parallel edge + self-link
