@@ -138,39 +138,46 @@ object Graph {
       .localCheckpoint()
     if (nodes.isEmpty)
       return nodes.select(col("node"), lit(0.0).as("hub"), lit(0.0).as("auth"))
-    var scores = nodes
-      .select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
+    // SPARSE, UNNORMALIZED iteration: only nodes with out-edges ever
+    // hold hub mass and only nodes with in-edges hold authority mass
+    // (a zero score contributes exactly 0.0 to every sum), and power
+    // iteration is scale-invariant, so the L1 normalization happens
+    // ONCE at the end instead of per round — removing two scalar
+    // aggregates and their broadcasts from every round. Each round is
+    // exactly two join+sum shuffles. Magnitudes grow ~(fan²)^iters
+    // unnormalized; double holds that comfortably for the default 10
+    // rounds (normalize every few rounds before pushing iters beyond
+    // ~15 on extreme-fan graphs). Zeros are filled at presentation.
+    var hub = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("h"))
       .localCheckpoint(false)
+    var auth = hub // placeholder; assigned in round 1
     for (_ <- 1 to iters) {
-      // authority update: sum of in-linking hubs' scores, L1-normalized
-      val rawA = nodes
-        .join(edges.join(scores, edges("src") === scores("node"))
-                .groupBy(col("dst")).agg(sum(col("h")).as("ra")),
-              nodes("node") === col("dst"), "left")
-        .select(col("node"), coalesce(col("ra"), lit(0.0)).as("ra"))
-      val aNorm = rawA.agg(sum(col("ra")).as("na"))
-      val withA = rawA.crossJoin(broadcast(aNorm))
-        .select(col("node"),
-                when(col("na") > 0d, col("ra") / col("na"))
-                  .otherwise(lit(0.0)).as("a"))
-      // hub update: sum of linked-to authorities, L1-normalized
-      val rawH = nodes
-        .join(edges.join(withA, edges("dst") === withA("node"))
-                .groupBy(col("src")).agg(sum(col("a")).as("rh")),
-              nodes("node") === col("src"), "left")
-        .select(col("node").as("hnode"),
-                coalesce(col("rh"), lit(0.0)).as("rh"))
-      val hNorm = rawH.agg(sum(col("rh")).as("nh"))
-      val withH = rawH.crossJoin(broadcast(hNorm))
-        .select(col("hnode"),
-                when(col("nh") > 0d, col("rh") / col("nh"))
-                  .otherwise(lit(0.0)).as("h"))
-      scores = withA.join(withH, withA("node") === withH("hnode"))
-        .select(col("node"), col("h"), col("a"))
+      auth = edges.join(hub, edges("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("node"), col("a"))
+        .localCheckpoint(false)
+      hub = edges.join(auth, edges("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("node"), col("h"))
         .localCheckpoint(false)
     }
-    scores.select(col("node"), round(col("h"), 6).as("hub"),
-                  round(col("a"), 6).as("auth"))
+    val hNorm = hub.agg(sum(col("h")).as("nh"))
+    val aNorm = auth.agg(sum(col("a")).as("na"))
+    nodes
+      .join(hub.withColumnRenamed("node", "hn"),
+            nodes("node") === col("hn"), "left")
+      .join(auth.withColumnRenamed("node", "an"),
+            nodes("node") === col("an"), "left")
+      .crossJoin(broadcast(hNorm))
+      .crossJoin(broadcast(aNorm))
+      .select(col("node"),
+              round(when(col("nh") > 0d,
+                         coalesce(col("h"), lit(0.0)) / col("nh"))
+                      .otherwise(lit(0.0)), 6).as("hub"),
+              round(when(col("na") > 0d,
+                         coalesce(col("a"), lit(0.0)) / col("na"))
+                      .otherwise(lit(0.0)), 6).as("auth"))
       .orderBy("node")
   }
 
@@ -188,34 +195,19 @@ object Graph {
     hits(edges)
   }
 
-  /** DuckDB oracle for q_hits: the same `iters` double updates
-    * unrolled as MATERIALIZED CTEs — L1 sums only, rounded at the
-    * end. */
+  /** DuckDB oracle for q_hits: the same `iters` SPARSE unnormalized
+    * double updates unrolled as MATERIALIZED CTEs, one L1 normalize
+    * at the end, zero-fill on the node list — identical arithmetic
+    * to the Spark loop. */
   private[graft] def hitsOracleSql(iters: Int = 10): String = {
     val steps = (1 to iters).map { k =>
-      val p = if (k == 1) "s0" else s"s${k - 1}"
-      s"""a$k AS MATERIALIZED (
-         |  SELECT nd.node, coalesce(r.ra, 0.0::DOUBLE) AS ra
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS node, sum(p.h) AS ra
-         |    FROM e JOIN $p p ON e.src = p.node GROUP BY e.dst) r
-         |  ON r.node = nd.node),
-         |an$k AS (SELECT sum(ra) AS na FROM a$k),
-         |av$k AS MATERIALIZED (
-         |  SELECT node, CASE WHEN na > 0 THEN ra / na ELSE 0.0::DOUBLE END AS a
-         |  FROM a$k, an$k),
-         |h$k AS MATERIALIZED (
-         |  SELECT nd.node, coalesce(r.rh, 0.0::DOUBLE) AS rh
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.src AS node, sum(p.a) AS rh
-         |    FROM e JOIN av$k p ON e.dst = p.node GROUP BY e.src) r
-         |  ON r.node = nd.node),
-         |hn$k AS (SELECT sum(rh) AS nh FROM h$k),
-         |s$k AS MATERIALIZED (
-         |  SELECT h$k.node,
-         |    CASE WHEN nh > 0 THEN rh / nh ELSE 0.0::DOUBLE END AS h,
-         |    av$k.a AS a
-         |  FROM h$k, hn$k, av$k WHERE av$k.node = h$k.node)""".stripMargin
+      val p = if (k == 1) "h0" else s"hub${k - 1}"
+      s"""auth$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(p.h) AS a
+         |  FROM e JOIN $p p ON e.src = p.node GROUP BY e.dst),
+         |hub$k AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(p.a) AS h
+         |  FROM e JOIN auth$k p ON e.dst = p.node GROUP BY e.src)""".stripMargin
     }.mkString(",\n")
     s"""WITH pg AS MATERIALIZED (SELECT d.doc_id, d.source,
        |        ${Links.pageFixtureSql} AS html
@@ -230,13 +222,25 @@ object Graph {
        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        |            (SELECT src AS node FROM e
        |             UNION ALL SELECT dst FROM e)),
-       |s0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS h, 1.0::DOUBLE AS a
-       |        FROM nodes),
-       |$steps
-       |SELECT node,
-       |  round(CAST(CAST(h AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS hub,
-       |  round(CAST(CAST(a AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS auth
-       |FROM s$iters ORDER BY node""".stripMargin
+       |h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h
+       |        FROM e),
+       |$steps,
+       |hn AS (SELECT sum(h) AS nh FROM hub$iters),
+       |an AS (SELECT sum(a) AS na FROM auth$iters)
+       |SELECT nd.node,
+       |  round(CAST(CAST(
+       |    CASE WHEN nh > 0 THEN coalesce(hub$iters.h, 0.0::DOUBLE) / nh
+       |         ELSE 0.0::DOUBLE END AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE
+       |    AS hub,
+       |  round(CAST(CAST(
+       |    CASE WHEN na > 0 THEN coalesce(auth$iters.a, 0.0::DOUBLE) / na
+       |         ELSE 0.0::DOUBLE END AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE
+       |    AS auth
+       |FROM nodes nd
+       |LEFT JOIN hub$iters ON hub$iters.node = nd.node
+       |LEFT JOIN auth$iters ON auth$iters.node = nd.node
+       |CROSS JOIN hn CROSS JOIN an
+       |ORDER BY nd.node""".stripMargin
   }
 
   /** Domain-level link-graph degree report: out-degree, in-degree,
