@@ -157,6 +157,14 @@ object Graft {
                     maxPostings: Int = 20): DataFrame =
     Curation.invertedIndex(tokenize(docs), minDf, maxPostings)
 
+  /** Okapi BM25 top-k document ranking against a term query:
+    * (doc_id, n_hit, bm25). Non-matching docs are pruned before the
+    * explode; corpus stats and the df table ride broadcasts. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = ops.Text.Bm25K1, b: Double = ops.Text.Bm25B,
+           topK: Int = 100): DataFrame =
+    ops.Text.bm25(tokenize(docs), queryTerms, k1, b, topK)
+
   /** Context-window chunking: `size`-token windows advancing by
     * `stride` per doc: (doc_id, chunk_idx, chunk, n_chunk_toks). */
   def chunkDocs(docs: DataFrame, size: Int = 128,
@@ -381,6 +389,12 @@ object Graft {
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame =
     Similarity.embeddingNearDups(embeddings, minCos)
 
+  /** Embedding-space outlier report: (vec_id, dist, dist_z) —
+    * z-scored Euclidean distance to the broadcast corpus centroid,
+    * top-N most anomalous. The corrupt-embedding hygiene check. */
+  def embedOutliers(embeddings: DataFrame, topN: Int = 50): DataFrame =
+    Similarity.embedOutliers(embeddings, topN)
+
   /** APPROXIMATE per-vector k nearest neighbours (OR-amplified
     * multi-probe LSH — the sub-quadratic scale path for [[knn]]);
     * builds the index inline. For repeated querying, materialize the
@@ -432,6 +446,19 @@ object Graft {
     * last observed value carried forward. */
   def resampleDaily(events: DataFrame): DataFrame =
     ops.Events.resampleDaily(events)
+
+  /** Markov transition matrix over per-user event sequences:
+    * (prev_type, next_type, n, avg_gap_us) for every consecutive
+    * event-type hop, ordered by ts with event_id tiebreak. Input:
+    * (user_id, event_id, ts, event_type). */
+  def transitions(events: DataFrame): DataFrame =
+    ops.Events.transitions(events)
+
+  /** Top-N 3-hop clickstream paths ("a>b>c", n) over per-user event
+    * sequences — [[transitions]] generalized to hop triples. Input:
+    * (user_id, event_id, ts, event_type). */
+  def eventPaths(events: DataFrame, topN: Int = 10): DataFrame =
+    ops.Events.eventPaths(events, topN)
 
   // ---- joins / session ----
 

@@ -412,6 +412,8 @@ object Queries {
     "q_funnel"          -> (Events.qFunnel _),
     "q_retention"       -> (Events.qRetention _),
     "q_funnel_within"   -> (Events.qFunnelWithin _),
+    "q_transitions"     -> (Events.qTransitions _),
+    "q_paths"           -> (Events.qPaths _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -480,6 +482,23 @@ object Queries {
          |FROM a JOIN f USING (user_id)
          |GROUP BY f.cohort, week_offset
          |ORDER BY f.cohort, week_offset""".stripMargin,
+    "q_transitions" ->
+      s"""WITH o AS (SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS prev_type,
+         |    epoch_us($TS) - epoch_us(lag($TS) OVER (PARTITION BY user_id ORDER BY $TS, event_id)) AS gap
+         |  FROM events)
+         |SELECT prev_type, event_type AS next_type, count(*) AS n,
+         |  ${rnd("avg(gap)", 2)} AS avg_gap_us
+         |FROM o WHERE prev_type IS NOT NULL
+         |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
+    "q_paths" ->
+      s"""WITH o AS (SELECT event_type AS t0,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS t1,
+         |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS t2
+         |  FROM events)
+         |SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+         |FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+         |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
   )
 
   // -------------------------------------------------------------------
@@ -493,6 +512,7 @@ object Queries {
     "q_ngram_count"  -> (Text.qNgramCount _),
     "q_text_stats"   -> (Text.qTextStats _),
     "q_tfidf"        -> (Text.qTfidf _),
+    "q_bm25"         -> (Text.qBm25 _),
   )
 
   val textOracle: Map[String, String] = Map(
@@ -538,6 +558,27 @@ object Queries {
          |  ${rnd("tf.tf * ln(n.n_docs / dfq.df)", 6)} AS tfidf
          |FROM tf, dfq, n WHERE tf.term = dfq.term
          |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    // BM25 constants are interpolated from ops.Text so both engines fold
+    // the IDENTICAL doubles (k1+1 computed ≠ the literal-2.2 double).
+    "q_bm25" -> {
+      val terms = Text.Bm25Query.map(t => s"'$t'").mkString(", ")
+      val k1 = Text.Bm25K1
+      val b  = Text.Bm25B
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM t),
+         |e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+         |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |w AS (SELECT tf.doc_id,
+         |        ln(1.0::DOUBLE + (s.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+         |          * (tf.tf * ${k1 + 1.0}::DOUBLE)
+         |          / (tf.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE + $b::DOUBLE * tf.dl / s.avgdl)) AS wt
+         |      FROM tf JOIN dfq ON tf.term = dfq.term, s)
+         |SELECT doc_id, count(*) AS n_hit, ${rnd("sum(wt)", 6)} AS bm25
+         |FROM w GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin
+    },
   )
 
   // -------------------------------------------------------------------
@@ -554,6 +595,7 @@ object Queries {
     "q_embed_project"   -> (Quant.qEmbedProject _),
     "q_ann_quant"       -> (Quant.qAnnQuant _),
     "q_sim_containment" -> (Dedup.qSimContainment _),
+    "q_embed_outlier"   -> (Similarity.qEmbedOutlier _),
   )
 
   /** Shared oracle CTE: L2-normalized double vectors. */
@@ -595,6 +637,22 @@ object Queries {
          |ORDER BY id_a, rn""".stripMargin,
     "q_embed_quant" -> Quant.oracleSql,
     "q_embed_project" -> Quant.projectOracleSql,
+    "q_embed_outlier" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |e AS (SELECT vec_id, unnest(v) AS x,
+         |        unnest(generate_series(1, len(v))) AS pos FROM v),
+         |c AS (SELECT pos, avg(x) AS c FROM e GROUP BY pos),
+         |ct AS (SELECT list(c ORDER BY pos) AS cent FROM c),
+         |d AS (SELECT vec_id,
+         |  sqrt(list_sum(list_transform(generate_series(1, 64),
+         |    i -> (v.v[i] - ct.cent[i]) * (v.v[i] - ct.cent[i])))) AS dist
+         |  FROM v, ct),
+         |s AS (SELECT avg(dist) AS mu, stddev(dist) AS sd FROM d)
+         |SELECT vec_id, ${rnd("dist", 6)} AS dist,
+         |  ${rnd("CASE WHEN s.sd IS NULL OR s.sd = 0.0 THEN 0.0" +
+                 " ELSE (d.dist - s.mu) / s.sd END", 6)} AS dist_z
+         |FROM d, s ORDER BY dist_z DESC, vec_id LIMIT 50""".stripMargin,
     "q_sim_containment" ->
       s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
          |SELECT doc_a, doc_b, ${rnd("cont", 6)} AS cont FROM (

@@ -203,4 +203,62 @@ object Events {
   def qScd2(spark: SparkSession, dir: String): DataFrame =
     scd2(Tables.events(spark, dir)
       .filter(col("event_type") === "purchase" && col("user_id") < 100))
+
+  /** Markov transition matrix over per-user event sequences: for every
+    * consecutive (prev → next) event-type pair in a user's timeline
+    * (ordered by ts, event_id tiebreak for same-instant events), the
+    * pair count and the mean inter-event gap in microseconds. The
+    * product-analytics complement to [[funnel]]: funnels test ONE
+    * declared path, the transition matrix reports EVERY observed hop.
+    *
+    * Scale: one shuffle on user_id for the lag window (no global
+    * sort), then a map-side-combined groupBy whose output is at most
+    * |event types|² rows — a fixed-size report regardless of input
+    * size, so the final single-partition sort is free. Gap arithmetic
+    * stays in integer microseconds (`unix_micros`) until the one
+    * rounded average — no float drift across engines. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("prev_ts").cast("timestamp"))), 2).as("avg_gap_us"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** q_transitions: [[transitions]] over the full event stream. */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables.events(spark, dir))
+
+  /** Top-N 3-hop clickstream paths: every consecutive event-type
+    * triple in a user's timeline (ts order, event_id tiebreak),
+    * counted corpus-wide — the path-mining generalization of
+    * [[transitions]] (hop pairs → hop triples).
+    *
+    * Scale: the same single user-keyed window shuffle as
+    * [[transitions]] (two `lead`s ride one window pass), then a
+    * map-side-combined count over ≤|types|³ path strings and a
+    * top-N — bounded output, no second wide shuffle. */
+  def eventPaths(events: DataFrame, topN: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .where(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topN)
+  }
+
+  /** q_paths: [[eventPaths]] over the full event stream. */
+  def qPaths(spark: SparkSession, dir: String): DataFrame =
+    eventPaths(Tables.events(spark, dir))
 }

@@ -335,4 +335,44 @@ object Similarity {
     topKCut(annCandidatesFrom(postings, n, tables), k, distinct = true)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
+
+  /** Embedding-space outlier report: Euclidean distance of every
+    * vector to the corpus centroid, z-scored, top-N most anomalous —
+    * the hygiene check that catches corrupt/degenerate embeddings
+    * (zero vectors, wrong-model rows, encoder blowups) before they
+    * poison dedup/ANN/clustering downstream.
+    *
+    * Scale: the centroid is a d-row aggregate (posexplode → per-dim
+    * avg) reassembled in-plan and broadcast — never a global window;
+    * the distance pass is a narrow codegen projection (zip-diff +
+    * [[graft.functions.VectorExpressions]] dot); the (mu, sd) scalars
+    * ride a second broadcast 1-row DF. Two narrow corpus scans total,
+    * no wide shuffle beyond the d-row and 1-row aggregates. */
+  def embedOutliers(embeddings: DataFrame, topN: Int = 50): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val v = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cent = broadcast(
+      v.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(avg(col("x")).as("c"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       s => s("c")).as("cent")))
+    val dists = v.crossJoin(cent)
+      .withColumn("diff", zip_with(col("v"), col("cent"), (x, y) => x - y))
+      .select(col("vec_id"),
+              sqrt(VectorFunctions.dot(col("diff"), col("diff"))).as("dist"))
+    val stats = broadcast(dists.agg(
+      avg(col("dist")).as("mu"), stddev(col("dist")).as("sd")))
+    dists.crossJoin(stats)
+      .select(col("vec_id"), round(col("dist"), 6).as("dist"),
+              round(when(col("sd").isNull || col("sd") === 0.0, 0.0)
+                .otherwise((col("dist") - col("mu")) / col("sd")), 6)
+                .as("dist_z"))
+      .orderBy(col("dist_z").desc, col("vec_id").asc)
+      .limit(topN)
+  }
+
+  /** q_embed_outlier: [[embedOutliers]] on the test embeddings. */
+  def qEmbedOutlier(spark: SparkSession, dir: String): DataFrame =
+    embedOutliers(Tables.embeddings(spark, dir))
 }

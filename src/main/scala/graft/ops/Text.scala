@@ -181,4 +181,54 @@ object Text {
         round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
       .orderBy("doc_id", "term")
   }
+
+  /** BM25 constants, shared with the DuckDB oracle so both engines fold
+    * the exact same doubles (k1+1 computed in floating point is NOT the
+    * double nearest 2.2 — interpolating the Scala-computed values into
+    * the oracle SQL sidesteps the literal-vs-computed ulp gap). */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double  = 0.75
+  /** The fixed query used by q_bm25 (terms present in the fixtures). */
+  val Bm25Query: Seq[String] = Seq("join", "vector", "stream", "merge")
+
+  /** Okapi BM25 relevance ranking of every document against a fixed
+    * term query — the retrieval scorer that completes the tf-idf /
+    * inverted-index family (score = Σ_t idf(t)·tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)), idf = ln(1+(N−df+0.5)/(df+0.5))).
+    *
+    * Scale: corpus stats (N, avgdl) ride a broadcast 1-row DF (no
+    * eager driver scalar); docs without any query term are pruned
+    * BEFORE the explode by `arrays_overlap` against the broadcast
+    * term list, so the exploded table is |hits| rows, not |tokens|;
+    * the per-term df table is ≤|query| rows and broadcast into the
+    * scoring join. The only wide shuffle is the (doc, term) tf
+    * aggregate over matching docs, map-side combined. Top-k bounds
+    * the output. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = Bm25K1, b: Double = Bm25B, topK: Int = 100): DataFrame = {
+    val stats = broadcast(docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks"))).as("avgdl")))
+    val hits = docs
+      .where(arrays_overlap(col("toks"), lit(queryTerms.toArray)))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+              explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "term").crossJoin(stats)
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("wt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), round(sum(col("wt")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** q_bm25: [[bm25]] of the documents corpus against [[Bm25Query]]. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.docTokens(spark, dir), Bm25Query)
 }

@@ -65,6 +65,10 @@ object ScaleCheck {
                                 // near-linear on natural vocabularies,
                                 // quadratic on this 40-word synthetic
                                 // vocab where no token is rare
+    "q_bm25" -> 1.0,          // overlap-pruned explode + one tf shuffle
+    "q_transitions" -> 1.0,   // one user-keyed window + |types|² report
+    "q_paths" -> 1.0,         // same window pass, |types|³ report
+    "q_embed_outlier" -> 1.0, // two narrow scans + broadcast scalars
   )
 
   def main(args: Array[String]): Unit = {

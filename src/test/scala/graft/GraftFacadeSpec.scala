@@ -186,6 +186,69 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(r.toSet == Set((0, 3L), (1, 1L)))
   }
 
+  test("transitions: per-user hops, exact gaps, event_id tiebreak") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, t("2024-01-01 10:00:01"), "b"), // a→b gap 1s
+      (1L, 3L, t("2024-01-01 10:00:03"), "a"), // b→a gap 2s
+      (2L, 4L, t("2024-01-01 11:00:00"), "b"),
+      (2L, 5L, t("2024-01-01 11:00:02"), "b"), // b→b gap 2s
+      // same-instant events: event_id orders them (c→d, never d→c)
+      (3L, 7L, t("2024-01-01 12:00:00"), "d"),
+      (3L, 6L, t("2024-01-01 12:00:00"), "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Graft.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 1e6), ("b", "a", 1L, 2e6),
+      ("b", "b", 1L, 2e6), ("c", "d", 1L, 0.0)))
+  }
+
+  test("bm25: rare-term match outranks common, tf and length monotone") {
+    val docs = Seq(
+      (1L, "join join join pad"), // tf=3 on the common term
+      (2L, "join pad pad pad"),   // tf=1 on the common term
+      (3L, "vector pad pad pad")  // tf=1 on the rare term
+    ).toDF("doc_id", "text")
+    val out = Graft.bm25(docs, Seq("join", "vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    // idf(vector)=ln(1+2.5/1.5) beats idf(join)=ln(1+1.5/2.5); with
+    // dl=avgdl the tf term collapses to idf, so d3 > d1 > d2 and
+    // d2's score is exactly idf(join).
+    assert(out.map(_._1).toSeq == Seq(3L, 1L, 2L))
+    assert(math.abs(out.toMap.apply(2L) - math.log(1.6)) < 1e-6)
+  }
+
+  test("eventPaths: 3-hop triples counted across users, count-desc order") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, t("2024-01-01 10:00:01"), "b"),
+      (1L, 3L, t("2024-01-01 10:00:02"), "c"),
+      (1L, 4L, t("2024-01-01 10:00:03"), "d"), // u1: a>b>c, b>c>d
+      (2L, 5L, t("2024-01-01 11:00:00"), "a"),
+      (2L, 6L, t("2024-01-01 11:00:01"), "b"),
+      (2L, 7L, t("2024-01-01 11:00:02"), "c")  // u2: a>b>c
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Graft.eventPaths(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
+
+  test("embedOutliers: planted far vector ranks first, topN bounds output") {
+    val emb = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(1f, 1f)),
+      (5L, Array(100f, 100f)) // the corrupt row
+    ).toDF("vec_id", "embedding")
+    val out = Graft.embedOutliers(emb, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.length == 3)
+    assert(out.head._1 == 5L && out.head._2 > 1.5) // far row, big z
+    assert(out.tail.forall(_._2 < 0))              // cluster sits below mean
+  }
+
   test("piiRedact masks every class and counts hits") {
     val rows = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org or 415-555-0137 from 192.168.0.1"),

@@ -91,6 +91,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_bm25: df and corpus stats broadcast, overlap prune below the explode") {
+    val p = plan("q_bm25")
+    // the ≤|query|-row df table and the 1-row stats DF must both ride
+    // broadcasts — a sort-merge join here would shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // non-matching docs are dropped BEFORE the explode: the
+    // arrays_overlap filter must sit under Generate, not above it
+    val gen = p.indexOf("Generate explode")
+    val flt = p.indexOf("arrays_overlap")
+    assert(gen >= 0 && flt > gen, p) // plans print top-down: deeper = later
+  }
+
+  test("q_transitions: one user-keyed shuffle, bounded report aggregation") {
+    val p = plan("q_transitions")
+    // exactly one hash exchange feeds the window (user_id); the
+    // |types|²-row groupBy is map-side combined (partial + final)
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_embed_outlier: centroid and stats ride broadcasts, no global window") {
+    val p = plan("q_embed_outlier")
+    // the d-row centroid and 1-row (mu, sd) both reach the distance
+    // pass as broadcasts — a global Window here would funnel the
+    // corpus through one partition
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_sql_q18: the IN-subquery decorrelates to a semi join, no subquery exec per row") {
     val p = plan("q_sql_q18")
     assert(p.contains("LeftSemi"), p)
