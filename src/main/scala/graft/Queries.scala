@@ -496,7 +496,7 @@ object Queries {
          |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS t1,
          |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY $TS, event_id) AS t2
          |  FROM events)
-         |SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+         |SELECT concat_ws('>', t0, t1, t2) AS path, count(*) AS n
          |FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
          |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
   )
@@ -558,8 +558,10 @@ object Queries {
          |  ${rnd("tf.tf * ln(n.n_docs / dfq.df)", 6)} AS tfidf
          |FROM tf, dfq, n WHERE tf.term = dfq.term
          |ORDER BY tf.doc_id, tf.term""".stripMargin,
-    // BM25 constants are interpolated from ops.Text so both engines fold
-    // the IDENTICAL doubles (k1+1 computed ≠ the literal-2.2 double).
+    // BM25 constants are interpolated from ops.Text so both engines are
+    // GUARANTEED the identical doubles whatever values a caller picks
+    // (shortest-repr round-trip), instead of trusting literal-vs-computed
+    // folds to coincide.
     "q_bm25" -> {
       val terms = Text.Bm25Query.map(t => s"'$t'").mkString(", ")
       val k1 = Text.Bm25K1
@@ -645,7 +647,7 @@ object Queries {
          |c AS (SELECT pos, avg(x) AS c FROM e GROUP BY pos),
          |ct AS (SELECT list(c ORDER BY pos) AS cent FROM c),
          |d AS (SELECT vec_id,
-         |  sqrt(list_sum(list_transform(generate_series(1, 64),
+         |  sqrt(list_sum(list_transform(generate_series(1, len(v.v)),
          |    i -> (v.v[i] - ct.cent[i]) * (v.v[i] - ct.cent[i])))) AS dist
          |  FROM v, ct),
          |s AS (SELECT avg(dist) AS mu, stddev(dist) AS sd FROM d)

@@ -182,10 +182,12 @@ object Text {
       .orderBy("doc_id", "term")
   }
 
-  /** BM25 constants, shared with the DuckDB oracle so both engines fold
-    * the exact same doubles (k1+1 computed in floating point is NOT the
-    * double nearest 2.2 — interpolating the Scala-computed values into
-    * the oracle SQL sidesteps the literal-vs-computed ulp gap). */
+  /** BM25 constants, shared with the DuckDB oracle. The oracle SQL
+    * interpolates the Scala-COMPUTED values (k1+1, 1−b) rather than
+    * writing its own literals: a double's shortest repr round-trips
+    * exactly, so both engines are guaranteed the identical constants
+    * for ANY caller-chosen k1/b — no reliance on a computed fold
+    * happening to land on the same double as a hand-written literal. */
   val Bm25K1: Double = 1.2
   val Bm25B: Double  = 0.75
   /** The fixed query used by q_bm25 (terms present in the fixtures). */

@@ -104,12 +104,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gen >= 0 && flt > gen, p) // plans print top-down: deeper = later
   }
 
-  test("q_transitions: one user-keyed shuffle, bounded report aggregation") {
+  test("q_transitions: single window pass, map-side combine, two hash exchanges") {
     val p = plan("q_transitions")
-    // exactly one hash exchange feeds the window (user_id); the
-    // |types|²-row groupBy is map-side combined (partial + final)
-    assert(p.contains("Window"), p)
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // both lags ride ONE Window node over one user_id exchange; the
+    // |types|²-row groupBy is genuinely map-side combined (partial_count
+    // + partial_avg before its exchange) — `HashAggregate` alone would
+    // also match a single-stage aggregate that shuffles raw hop rows
+    assert(p.sliding("Window [".length).count(_ == "Window [") == 1, p)
+    assert(p.contains("partial_count") && p.contains("partial_avg"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 hash exchanges (window + agg), got $exchanges\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_paths: both leads ride one window pass, path count map-side combined") {
+    val p = plan("q_paths")
+    // a refactor splitting the two leads into differing window specs
+    // would print two Window nodes and pay a second sort
+    assert(p.sliding("Window [".length).count(_ == "Window [") == 1, p)
+    assert(p.contains("partial_count"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 hash exchanges (window + agg), got $exchanges\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
