@@ -77,4 +77,33 @@ class EdgeCasesSpec extends AnyFunSuite {
     val p = Quant.projectEmbeddings(emb).collect().head.getSeq[Double](1)
     assert(p.forall(_ == 0.0))
   }
+
+  test("bm25: empty query list and no-match query both yield empty, not a crash") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    assert(Graft.bm25(docs, Seq.empty).count() === 0)
+    assert(Graft.bm25(docs, Seq("zeta")).count() === 0)
+  }
+
+  test("transitions/eventPaths: single-event users produce no hops") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, 1L, t("2024-01-01 10:00:00"), "a"),
+                 (2L, 2L, t("2024-01-01 11:00:00"), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(Graft.transitions(ev).count() === 0)
+    assert(Graft.eventPaths(ev).count() === 0)
+  }
+
+  test("embedOutliers: single vector gets z = 0 (null stddev guard)") {
+    val emb = Seq((7L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    val out = Graft.embedOutliers(emb).collect()
+    // the only vector IS the centroid: dist 0, sd NULL -> z defined 0
+    assert(out.length == 1 && out.head.getDouble(1) == 0.0
+      && out.head.getDouble(2) == 0.0)
+  }
+
+  test("embedOutliers: identical vectors (sd = 0) all get z = 0") {
+    val emb = (1L to 4L).map(i => (i, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val out = Graft.embedOutliers(emb).collect()
+    assert(out.length == 4 && out.forall(_.getDouble(2) == 0.0))
+  }
 }
