@@ -274,6 +274,12 @@ object Graft {
   def hits(edges: DataFrame, iters: Int = 10): DataFrame =
     ops.Graph.hits(edges, iters)
 
+  /** Deterministic label-propagation communities over a (src, dst)
+    * edge list treated undirected (most-frequent neighbour label,
+    * min-label tiebreak, fixed rounds): (node, community). */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame =
+    ops.Graph.labelPropagation(edges, iters)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -736,6 +736,7 @@ object Queries {
     "q_page_rank"           -> (Graph.qPageRank _),
     "q_link_degree"         -> (Graph.qLinkDegree _),
     "q_hits"                -> (Graph.qHits _),
+    "q_label_prop"          -> (Graph.qLabelProp _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -769,6 +770,7 @@ object Queries {
     "q_page_rank" -> Graph.oracleSql(),
     "q_link_degree" -> Graph.degreeOracleSql,
     "q_hits" -> Graph.hitsOracleSql(),
+    "q_label_prop" -> Graph.lpOracleSql(),
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -305,6 +306,97 @@ object Graph {
        |  coalesce(self_links, 0) AS self_links
        |FROM o FULL OUTER JOIN i USING (node)
        |ORDER BY node""".stripMargin
+  }
+
+  /** Deterministic synchronous label propagation over any (src, dst)
+    * edge DataFrame, treated undirected: each round every node adopts
+    * the label most frequent among its neighbours, ties broken by the
+    * SMALLEST label — the determinism twist that makes classic LPA
+    * (random tie-break, random order) oracle-able: the whole
+    * computation is integer counts + string mins, no RNG and no
+    * floats, so Spark and an unrolled SQL oracle agree bit-exactly.
+    * Returns (node, community) — community ids are label VALUES
+    * (equal label = same community), ordered by node.
+    *
+    * Scale: fixed `iters` rounds; per round one edge×label join
+    * (shuffle on the label key), one (node, label) count, and one
+    * per-node arg-max window — all keyed on node/label, never global.
+    * Same iteration discipline as [[pageRank]]: undirected edge list
+    * repartitioned + checkpointed once, lazy per-round
+    * localCheckpoint to truncate lineage, nothing to the driver. */
+  def labelPropagation(edgeDf: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val und = edgeDf.select(col("src").as("a"), col("dst").as("b"))
+      .union(edgeDf.select(col("dst").as("a"), col("src").as("b")))
+      .repartition(nParts, col("a"))
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .repartition(nParts, col("node"))
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val freq = und.join(labels, und("b") === labels("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("a")
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      val top = freq.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("a").as("node"), col("lbl").as("newl"))
+      labels = labels.join(top, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+  }
+
+  /** q_label_prop: [[labelPropagation]] over the DOMAIN-level link
+    * graph (the q_link_degree edge construction) — community ids at
+    * the frontier-policy granularity, so the node set is #domains,
+    * not #pages. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val links = Links.extractLinks(
+      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
+    val edges = links
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(concat(lit("example-"), col("source"), lit(".com")).as("src"),
+              regexp_extract(col("href"), HrefHostRe, 1).as("dst"))
+    labelPropagation(edges)
+  }
+
+  /** DuckDB oracle for q_label_prop: the same fixed update steps
+    * unrolled as chained MATERIALIZED CTEs from the same literals —
+    * integer counts + string mins throughout, no floats to round. */
+  private[graft] def lpOracleSql(iters: Int = 5): String = {
+    val fixture = Links.pageFixtureSql
+    val steps = (1 to iters).map { k =>
+      val p = s"lp${k - 1}"
+      s"""c$k AS MATERIALIZED (
+         |  SELECT und.a, p.lbl, count(*)::BIGINT AS cnt
+         |  FROM und JOIN $p p ON und.b = p.node GROUP BY und.a, p.lbl),
+         |t$k AS MATERIALIZED (
+         |  SELECT a AS node, lbl FROM (
+         |    SELECT a, lbl, row_number() OVER
+         |      (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn FROM c$k)
+         |  WHERE rn = 1),
+         |lp$k AS MATERIALIZED (
+         |  SELECT p.node, coalesce(t.lbl, p.lbl) AS lbl
+         |  FROM $p p LEFT JOIN t$k t ON p.node = t.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS MATERIALIZED (SELECT d.doc_id, d.source, $fixture AS html
+       |           FROM documents d),
+       |l AS MATERIALIZED (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
+       |      FROM h),
+       |e AS MATERIALIZED (SELECT 'example-' || d.source || '.com' AS src,
+       |        regexp_extract(l.href, ${sqlLit(HrefHostRe)}, 1) AS dst
+       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+       |      UNION ALL SELECT dst AS a, src AS b FROM e),
+       |lp0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM und),
+       |$steps
+       |SELECT node, lbl AS community FROM lp$iters ORDER BY node""".stripMargin
   }
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"

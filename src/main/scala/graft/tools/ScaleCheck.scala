@@ -69,6 +69,8 @@ object ScaleCheck {
     "q_transitions" -> 1.0,   // one user-keyed window + |types|² report
     "q_paths" -> 1.0,         // same window pass, |types|³ report
     "q_embed_outlier" -> 1.0, // two narrow scans + broadcast scalars
+    "q_label_prop" -> 1.0,    // fixed rounds; extraction is the only
+                              // corpus-size term (domain graph fixed)
   )
 
   def main(args: Array[String]): Unit = {

@@ -65,6 +65,31 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: two cliques over one bridge split into two communities") {
+    // complete triangles {a,b,c} and {x,y,z}, one bridge c-x: labels
+    // must converge to one id per clique, different across the bridge
+    val edges = Seq(
+      "a" -> "b", "a" -> "c", "b" -> "c",
+      "x" -> "y", "x" -> "z", "y" -> "z",
+      "c" -> "x"
+    ).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") == out("b") && out("b") == out("c"))
+    assert(out("x") == out("y") && out("y") == out("z"))
+    assert(out("a") != out("x"))
+  }
+
+  test("labelPropagation: empty edges -> empty; determinism across runs") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.labelPropagation(empty, iters = 2).count() === 0)
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+      .toDF("src", "dst")
+    val r1 = Graph.labelPropagation(edges).collect().map(_.toSeq)
+    val r2 = Graph.labelPropagation(edges).collect().map(_.toSeq)
+    assert(r1.toSeq == r2.toSeq) // min-tiebreak LPA has no RNG to drift
+  }
+
   test("degreeStats: hand-computed degrees, distinct neighbors, self-links") {
     val edges = Seq(
       "a" -> "b", "a" -> "b", "a" -> "a", // parallel edge + self-link
