@@ -19,6 +19,17 @@ case class SessionState(start: Long, end: Long, n_events: Long)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
+/** One buffered above-watermark event for [[EventStreams.transitionHops]]. */
+case class BufEv(ts_us: Long, event_id: Long, event_type: String)
+
+/** Per-user hop-extraction state: the last FINALIZED event plus the
+  * buffer of events still above the watermark (horizon-bounded). */
+case class HopState(last_ts_us: Long, last_type: String, buf: List[BufEv])
+
+/** An emitted (prev → next) event-type hop with its gap in µs. */
+case class Hop(user_id: Long, prev_type: String, next_type: String,
+               gap_us: Long)
+
 /** Structured Streaming forms of the event-time operators (SURVEY.md
   * §2.2 streaming-only rows). The batch queries in `ops.Events` use the
   * same `groupBy(window(...))` shapes; these add watermarks (bounded
@@ -227,6 +238,60 @@ object EventStreams {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Streaming (prev → next) hop extraction — the incremental feed for
+    * the batch transition matrix ([[graft.ops.Events.transitions]]):
+    * per-user ordered hops with µs gaps, emitted APPEND-CORRECTLY.
+    * A hop is emitted only once its LATER endpoint falls at or below
+    * the watermark — the proof no earlier in-order event can still
+    * arrive between the two — so late data within the horizon lands
+    * in the right sequence position instead of corrupting hop order
+    * (the naive arrival-order version interleaves wrongly across
+    * micro-batches). Events above the watermark wait in per-user
+    * state; an event-time timeout flushes them as the watermark
+    * passes, even if the user never sends another event. State =
+    * one finalized event + the horizon-bounded buffer per user. The
+    * 25-row matrix itself is then `hops.groupBy(prev, next)` in
+    * update mode — aggregation composes downstream, as with
+    * [[streamingHeavyHitters]]. */
+  def transitionHops(events: Dataset[SEvent],
+                     watermark: String = "10 minutes"): Dataset[Hop] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def flush(uid: Long, st: HopState, wmUs: Long,
+              incoming: List[BufEv],
+              state: GroupState[HopState]): Iterator[Hop] = {
+      val all = (st.buf ++ incoming).sortBy(b => (b.ts_us, b.event_id))
+      val (ready, pending) = all.partition(_.ts_us <= wmUs)
+      var lastTs = st.last_ts_us
+      var lastType = st.last_type
+      val hops = ready.flatMap { b =>
+        val h = Option(lastType)
+          .map(p => Hop(uid, p, b.event_type, b.ts_us - lastTs))
+        lastTs = b.ts_us; lastType = b.event_type
+        h
+      }
+      state.update(HopState(lastTs, lastType, pending))
+      if (pending.nonEmpty)
+        // fire when the watermark passes the OLDEST pending event so
+        // it flushes promptly even if this user goes quiet
+        state.setTimeoutTimestamp(pending.map(_.ts_us).min / 1000L + 1L)
+      hops.iterator
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HopState, Hop](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[SEvent], state: GroupState[HopState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(HopState(Long.MinValue, null, Nil))
+          val incoming =
+            batch.map(e => BufEv(micros(e.ts), e.event_id, e.event_type)).toList
+          flush(uid, st, wmUs, incoming, state)
       }
   }
 

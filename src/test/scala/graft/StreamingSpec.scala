@@ -176,6 +176,69 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transitionHops: late event within the horizon lands in the right sequence position") {
+    import graft.streaming.{Hop, SEvent}
+    val ms = MemoryStream[Ev](spark)
+    val hops = EventStreams.transitionHops(
+      ms.toDS().map(r => SEvent(r.event_id, r.ts, r.user_id, r.event_type, r.value)),
+      watermark = "10 minutes")
+    withQuery(hops.toDF(), "append", "t_hops_late") { q =>
+      ms.addData(Seq(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "a", 0.0),
+        Ev(3, ts("2024-01-01 10:08:00"), 1, "c", 0.0)))
+      q.processAllAvailable()
+      // nothing finalized yet: the watermark is still behind both
+      assert(spark.table("t_hops_late").isEmpty)
+      // the MIDDLE event arrives late, in a later micro-batch but
+      // inside the horizon
+      ms.addData(Seq(Ev(2, ts("2024-01-01 10:04:00"), 1, "b", 0.0)))
+      q.processAllAvailable()
+      // advance the watermark far past all three
+      ms.addData(Seq(Ev(9, ts("2024-01-01 12:00:00"), 99, "z", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("t_hops_late").as[Hop].collect()
+        .filter(_.user_id == 1L)
+        .map(h => (h.prev_type, h.next_type, h.gap_us)).sorted.toSeq
+      // a→b→c with 4-minute gaps — NOT a→c: event time, not arrival
+      // order, decides the sequence
+      assert(got == Seq(("a", "b", 240000000L), ("b", "c", 240000000L)))
+    }
+  }
+
+  test("transitionHops: stream == batch lag-window hops on replayed sf0.001 events") {
+    import graft.streaming.{Hop, SEvent}
+    val evRows = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+              col("event_type"), col("value")).as[Ev].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select(col("user_id"), col("prev_type"), col("event_type"),
+              (unix_micros(col("ts").cast("timestamp")) -
+               unix_micros(col("prev_ts").cast("timestamp"))).as("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    val ms = MemoryStream[Ev](spark)
+    val hops = EventStreams.transitionHops(
+      ms.toDS().map(r => SEvent(r.event_id, r.ts, r.user_id, r.event_type, r.value)),
+      watermark = "1 second")
+    withQuery(hops.toDF(), "append", "t_hops_parity") { q =>
+      ms.addData(evRows)
+      q.processAllAvailable()
+      // sentinel far-future event pushes the watermark past the corpus
+      ms.addData(Seq(Ev(9999999, ts("2030-01-01 00:00:00"), 9999999L, "zz", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("t_hops_parity").as[Hop].collect()
+        .filter(_.user_id != 9999999L)
+        .map(h => (h.user_id, h.prev_type, h.next_type, h.gap_us)).sorted.toSeq
+      assert(got == batch)
+    }
+  }
+
   test("stream-stream interval join: matches within horizon, left-outer emits closed unmatched") {
     val pms = MemoryStream[Ev](spark)
     val sms = MemoryStream[Ev](spark)
