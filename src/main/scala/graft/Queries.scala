@@ -414,6 +414,7 @@ object Queries {
     "q_funnel_within"   -> (Events.qFunnelWithin _),
     "q_transitions"     -> (Events.qTransitions _),
     "q_paths"           -> (Events.qPaths _),
+    "q_spike_detect"    -> (Events.qSpikeDetect _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -499,6 +500,21 @@ object Queries {
          |SELECT concat_ws('>', t0, t1, t2) AS path, count(*) AS n
          |FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
          |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q_spike_detect" ->
+      s"""WITH daily AS (SELECT event_type, CAST($TS AS DATE) AS d,
+         |    count(*) AS n FROM events GROUP BY event_type, d),
+         |z AS (SELECT event_type, d, n,
+         |    avg(n) OVER (PARTITION BY event_type ORDER BY d
+         |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+         |    stddev(n) OVER (PARTITION BY event_type ORDER BY d
+         |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
+         |  FROM daily)
+         |SELECT event_type, d, n,
+         |  ${rnd("CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0" +
+                 " ELSE (n - mu) / sd END", 6)} AS z,
+         |  ${rnd("CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0" +
+                 " ELSE (n - mu) / sd END", 6)} > 3.0::DOUBLE AS spike
+         |FROM z ORDER BY event_type, d""".stripMargin,
   )
 
   // -------------------------------------------------------------------

@@ -261,4 +261,35 @@ object Events {
   /** q_paths: [[eventPaths]] over the full event stream. */
   def qPaths(spark: SparkSession, dir: String): DataFrame =
     eventPaths(Tables.events(spark, dir))
+
+  /** Daily volume spike detection per event type: each day's event
+    * count z-scored against the TRAILING 7-day window (rows between
+    * 7 and 1 preceding — the current day never contaminates its own
+    * baseline), `spike` flagged at z > 3. The ops-monitoring staple
+    * (traffic anomalies, bot bursts, pipeline stalls) composed from
+    * one bounded aggregate + one keyed window.
+    *
+    * Scale: the daily rollup is map-side combined down to
+    * |types| × |days| rows, so the window pass runs on a bounded
+    * report, not raw events; days with a degenerate baseline (fewer
+    * than 2 prior days, or zero variance) get z = 0, never NULL. */
+  def spikeDetect(events: DataFrame, zThr: Double = 3.0): DataFrame = {
+    val daily = events
+      .select(col("event_type"), col("ts").cast("date").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("d").asc)
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev(col("n")).over(w))
+      .select(col("event_type"), col("d"), col("n"),
+        round(when(col("sd").isNull || col("sd") === 0.0, 0.0)
+          .otherwise((col("n") - col("mu")) / col("sd")), 6).as("z"))
+      .withColumn("spike", col("z") > lit(zThr))
+      .orderBy("event_type", "d")
+  }
+
+  /** q_spike_detect: [[spikeDetect]] over the full event stream. */
+  def qSpikeDetect(spark: SparkSession, dir: String): DataFrame =
+    spikeDetect(Tables.events(spark, dir))
 }

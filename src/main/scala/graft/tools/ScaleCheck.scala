@@ -71,6 +71,7 @@ object ScaleCheck {
     "q_embed_outlier" -> 1.0, // two narrow scans + broadcast scalars
     "q_label_prop" -> 1.0,    // fixed rounds; extraction is the only
                               // corpus-size term (domain graph fixed)
+    "q_spike_detect" -> 1.0,  // bounded daily rollup + keyed window
   )
 
   def main(args: Array[String]): Unit = {

@@ -249,6 +249,21 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(out.tail.forall(_._2 < 0))              // cluster sits below mean
   }
 
+  test("spikeDetect: planted 10x day flags, first day has no baseline") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // days 1..9 alternate 9/11 events (non-zero variance baseline);
+    // day 10 bursts to 100
+    val rows = (1 to 9).flatMap { day =>
+      val n = if (day % 2 == 1) 9 else 11
+      (1 to n).map(i => ("a", t(f"2024-01-$day%02d 0$i:00:00")))
+    } ++ (1 to 100).map(i => ("a", t(f"2024-01-10 ${10 + i % 12}%02d:${i % 60}%02d:00")))
+    val out = Graft.spikeDetect(rows.toDF("event_type", "ts")).collect()
+      .map(r => r.getDate(1).toString -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("2024-01-01")._1 == 0.0 && !out("2024-01-01")._2) // no baseline
+    assert(out("2024-01-10")._2 && out("2024-01-10")._1 > 3.0)   // the burst
+    assert((2 to 9).forall(d => !out(f"2024-01-0$d")._2))        // quiet days
+  }
+
   test("piiRedact masks every class and counts hits") {
     val rows = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org or 415-555-0137 from 192.168.0.1"),
