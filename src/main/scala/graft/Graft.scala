@@ -466,9 +466,10 @@ object Graft {
   def eventPaths(events: DataFrame, topN: Int = 10): DataFrame =
     ops.Events.eventPaths(events, topN)
 
-  /** Daily volume spike detection per event type: each day's count
-    * z-scored against its trailing 7-day baseline, `spike` flagged at
-    * z > zThr. Input: (event_type, ts). */
+  /** Daily volume anomaly detection per event type: every calendar
+    * day in the type's span (zero-filled gaps included, so stalls are
+    * visible) z-scored against its trailing 7-day baseline, `spike`
+    * flagged at |z| > zThr. Input: (event_type, ts). */
   def spikeDetect(events: DataFrame, zThr: Double = 3.0): DataFrame =
     ops.Events.spikeDetect(events, zThr)
 

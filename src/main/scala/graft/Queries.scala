@@ -501,19 +501,27 @@ object Queries {
          |FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
          |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q_spike_detect" ->
-      s"""WITH daily AS (SELECT event_type, CAST($TS AS DATE) AS d,
+      s"""WITH daily AS (SELECT event_type, date_trunc('day', $TS) AS d,
          |    count(*) AS n FROM events GROUP BY event_type, d),
-         |z AS (SELECT event_type, d, n,
+         |b AS (SELECT event_type, min(d) AS d0, max(d) AS d1
+         |      FROM daily GROUP BY event_type),
+         |g AS (SELECT event_type,
+         |        unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b),
+         |f AS (SELECT g.event_type, g.d, coalesce(daily.n, 0) AS n
+         |      FROM g LEFT JOIN daily
+         |        ON g.event_type = daily.event_type AND g.d = daily.d),
+         |w AS (SELECT event_type, d, n,
          |    avg(n) OVER (PARTITION BY event_type ORDER BY d
          |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
          |    stddev(n) OVER (PARTITION BY event_type ORDER BY d
          |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
-         |  FROM daily)
-         |SELECT event_type, d, n,
-         |  ${rnd("CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0" +
-                 " ELSE (n - mu) / sd END", 6)} AS z,
-         |  ${rnd("CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0" +
-                 " ELSE (n - mu) / sd END", 6)} > 3.0::DOUBLE AS spike
+         |  FROM f),
+         |z AS (SELECT event_type, d, n,
+         |    ${rnd("CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0" +
+                   " ELSE (n - mu) / sd END", 6)} AS z
+         |  FROM w)
+         |SELECT event_type, d::DATE AS d, n, z,
+         |  abs(z) > 3.0::DOUBLE AS spike
          |FROM z ORDER BY event_type, d""".stripMargin,
   )
 

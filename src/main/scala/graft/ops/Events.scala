@@ -262,30 +262,40 @@ object Events {
   def qPaths(spark: SparkSession, dir: String): DataFrame =
     eventPaths(Tables.events(spark, dir))
 
-  /** Daily volume spike detection per event type: each day's event
+  /** Daily volume anomaly detection per event type: each day's event
     * count z-scored against the TRAILING 7-day window (rows between
     * 7 and 1 preceding — the current day never contaminates its own
-    * baseline), `spike` flagged at z > 3. The ops-monitoring staple
-    * (traffic anomalies, bot bursts, pipeline stalls) composed from
-    * one bounded aggregate + one keyed window.
+    * baseline), `spike` flagged at |z| > 3 so both bursts AND stalls
+    * trip it. Every calendar day in the type's [first, last] span is
+    * materialized (the [[resampleDaily]] grid trick) with n = 0 —
+    * otherwise a pipeline stall is a MISSING row (invisible, no
+    * z-score) and the rows-frame silently reaches back across the
+    * gap to pre-stall days.
     *
     * Scale: the daily rollup is map-side combined down to
-    * |types| × |days| rows, so the window pass runs on a bounded
-    * report, not raw events; days with a degenerate baseline (fewer
-    * than 2 prior days, or zero variance) get z = 0, never NULL. */
+    * |types| × |days| rows, so the grid fill and window pass run on
+    * a bounded report, not raw events; days with a degenerate
+    * baseline (fewer than 2 prior days, or zero variance) get z = 0,
+    * never NULL. */
   def spikeDetect(events: DataFrame, zThr: Double = 3.0): DataFrame = {
     val daily = events
-      .select(col("event_type"), col("ts").cast("date").as("d"))
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
       .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val bounds = daily.groupBy("event_type")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = bounds.select(col("event_type"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val filled = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
     val w = Window.partitionBy("event_type").orderBy(col("d").asc)
       .rowsBetween(-7, -1)
-    daily
+    filled
       .withColumn("mu", avg(col("n")).over(w))
       .withColumn("sd", stddev(col("n")).over(w))
-      .select(col("event_type"), col("d"), col("n"),
+      .select(col("event_type"), col("d").cast("date").as("d"), col("n"),
         round(when(col("sd").isNull || col("sd") === 0.0, 0.0)
           .otherwise((col("n") - col("mu")) / col("sd")), 6).as("z"))
-      .withColumn("spike", col("z") > lit(zThr))
+      .withColumn("spike", abs(col("z")) > lit(zThr))
       .orderBy("event_type", "d")
   }
 

@@ -269,30 +269,13 @@ object Graph {
       .orderBy("node")
   }
 
-  /** q_link_degree: [[degreeStats]] over DOMAIN-level edges from the
-    * Links fixture (page-level edges rolled up to registrable
-    * domains, the frontier-policy granularity). */
-  def qLinkDegree(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val links = Links.extractLinks(
-      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
-    val edges = links
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(concat(lit("example-"), col("source"), lit(".com")).as("src"),
-              regexp_extract(col("href"), HrefHostRe, 1).as("dst"))
-    degreeStats(edges)
-  }
+  /** q_link_degree: [[degreeStats]] over the DOMAIN-level edges
+    * ([[domainEdges]] — shared with q_label_prop). */
+  def qLinkDegree(spark: SparkSession, dir: String): DataFrame =
+    degreeStats(domainEdges(spark, dir))
 
-  private[graft] val degreeOracleSql: String = {
-    val fixture = Links.pageFixtureSql
-    s"""WITH h AS (SELECT d.doc_id, d.source, $fixture AS html
-       |           FROM documents d),
-       |l AS (SELECT doc_id,
-       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
-       |      FROM h),
-       |e AS (SELECT 'example-' || d.source || '.com' AS src,
-       |        regexp_extract(l.href, ${sqlLit(HrefHostRe)}, 1) AS dst
-       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+  private[graft] def degreeOracleSql: String = {
+    s"""WITH $domainEdgeCtes,
        |o AS (SELECT src AS node, count(*)::BIGINT AS out_deg,
        |        count(DISTINCT dst)::BIGINT AS out_nbrs,
        |        sum(CASE WHEN src = dst THEN 1 ELSE 0 END)::BIGINT AS self_links
@@ -315,21 +298,35 @@ object Graph {
     * (random tie-break, random order) oracle-able: the whole
     * computation is integer counts + string mins, no RNG and no
     * floats, so Spark and an unrolled SQL oracle agree bit-exactly.
-    * Returns (node, community) — community ids are label VALUES
-    * (equal label = same community), ordered by node.
+    * Every node also casts ONE vote for its own current label (a
+    * self-loop in the undirected adjacency): without the self-vote,
+    * synchronous LPA oscillates forever on bipartite structures — a
+    * single edge a–b swaps labels every round and never merges; the
+    * self-vote breaks the swap symmetry so even cycles and stars
+    * converge. Returns (node, community) — community ids are label
+    * VALUES (equal label = same community), ordered by node.
     *
     * Scale: fixed `iters` rounds; per round one edge×label join
     * (shuffle on the label key), one (node, label) count, and one
     * per-node arg-max window — all keyed on node/label, never global.
-    * Same iteration discipline as [[pageRank]]: undirected edge list
-    * repartitioned + checkpointed once, lazy per-round
-    * localCheckpoint to truncate lineage, nothing to the driver. */
+    * Same iteration discipline as [[pageRank]]: the adjacency is
+    * repartitioned + checkpointed ONCE on `b` — the key every
+    * round's join probes — so the checkpointed partitioning satisfies
+    * the join requirement and the edge list is never reshuffled;
+    * lazy per-round localCheckpoint truncates lineage, nothing to
+    * the driver. */
   def labelPropagation(edgeDf: DataFrame, iters: Int = 5): DataFrame = {
     val spark = edgeDf.sparkSession
     val nParts = spark.sparkContext.defaultParallelism
-    val und = edgeDf.select(col("src").as("a"), col("dst").as("b"))
+    val bid = edgeDf.select(col("src").as("a"), col("dst").as("b"))
       .union(edgeDf.select(col("dst").as("a"), col("src").as("b")))
-      .repartition(nParts, col("a"))
+    // adjacency = both edge directions + one self-loop per node (the
+    // self-vote); partitioned on b because the per-round join is
+    // und.b = labels.node
+    val und = bid
+      .union(bid.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b")))
+      .repartition(nParts, col("b"))
       .localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .repartition(nParts, col("node"))
@@ -350,26 +347,44 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community")).orderBy("node")
   }
 
-  /** q_label_prop: [[labelPropagation]] over the DOMAIN-level link
-    * graph (the q_link_degree edge construction) — community ids at
-    * the frontier-policy granularity, so the node set is #domains,
-    * not #pages. */
-  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+  /** Domain-level (src, dst) edge list from the Links fixture — the
+    * ONE Spark-side construction shared by q_link_degree and
+    * q_label_prop (page-level links rolled up to registrable domains,
+    * the frontier-policy granularity). */
+  private[graft] def domainEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val links = Links.extractLinks(
       docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
-    val edges = links
+    links
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(concat(lit("example-"), col("source"), lit(".com")).as("src"),
               regexp_extract(col("href"), HrefHostRe, 1).as("dst"))
-    labelPropagation(edges)
   }
+
+  /** The matching h/l/e oracle CTE block (no WITH keyword) — the ONE
+    * SQL derivation of the same domain edges, shared by the
+    * q_link_degree and q_label_prop oracles so the two can't drift. */
+  private[graft] def domainEdgeCtes: String =
+    s"""h AS MATERIALIZED (SELECT d.doc_id, d.source, ${Links.pageFixtureSql} AS html
+       |           FROM documents d),
+       |l AS MATERIALIZED (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
+       |      FROM h),
+       |e AS MATERIALIZED (SELECT 'example-' || d.source || '.com' AS src,
+       |        regexp_extract(l.href, ${sqlLit(HrefHostRe)}, 1) AS dst
+       |      FROM l JOIN documents d ON l.doc_id = d.doc_id)""".stripMargin
+
+  /** q_label_prop: [[labelPropagation]] over the DOMAIN-level link
+    * graph ([[domainEdges]]) — community ids at the frontier-policy
+    * granularity, so the node set is #domains, not #pages. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(domainEdges(spark, dir))
 
   /** DuckDB oracle for q_label_prop: the same fixed update steps
     * unrolled as chained MATERIALIZED CTEs from the same literals —
-    * integer counts + string mins throughout, no floats to round. */
+    * integer counts + string mins throughout, no floats to round;
+    * `und` carries the same per-node self-vote row. */
   private[graft] def lpOracleSql(iters: Int = 5): String = {
-    val fixture = Links.pageFixtureSql
     val steps = (1 to iters).map { k =>
       val p = s"lp${k - 1}"
       s"""c$k AS MATERIALIZED (
@@ -384,17 +399,12 @@ object Graph {
          |  SELECT p.node, coalesce(t.lbl, p.lbl) AS lbl
          |  FROM $p p LEFT JOIN t$k t ON p.node = t.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH h AS MATERIALIZED (SELECT d.doc_id, d.source, $fixture AS html
-       |           FROM documents d),
-       |l AS MATERIALIZED (SELECT doc_id,
-       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
-       |      FROM h),
-       |e AS MATERIALIZED (SELECT 'example-' || d.source || '.com' AS src,
-       |        regexp_extract(l.href, ${sqlLit(HrefHostRe)}, 1) AS dst
-       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
-       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+    s"""WITH $domainEdgeCtes,
+       |bid AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
        |      UNION ALL SELECT dst AS a, src AS b FROM e),
-       |lp0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM und),
+       |und AS MATERIALIZED (SELECT a, b FROM bid
+       |      UNION ALL SELECT DISTINCT a, a AS b FROM bid),
+       |lp0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM bid),
        |$steps
        |SELECT node, lbl AS community FROM lp$iters ORDER BY node""".stripMargin
   }

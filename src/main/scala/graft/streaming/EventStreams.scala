@@ -252,12 +252,18 @@ object EventStreams {
     * micro-batches). Events above the watermark wait in per-user
     * state; an event-time timeout flushes them as the watermark
     * passes, even if the user never sends another event. State =
-    * one finalized event + the horizon-bounded buffer per user. The
-    * 25-row matrix itself is then `hops.groupBy(prev, next)` in
-    * update mode — aggregation composes downstream, as with
-    * [[streamingHeavyHitters]]. */
+    * one finalized event + the horizon-bounded buffer per ACTIVE
+    * user: a user idle past `idleTtlMs` (watermark time) has its
+    * entry removed entirely, so the store is bounded by active users,
+    * not by every user_id ever seen — the price is that a hop
+    * SPANNING an expiry gap is dropped (its prev endpoint is gone),
+    * the documented trade for bounded state on an unbounded id
+    * space. The 25-row matrix itself is then
+    * `hops.groupBy(prev, next)` in update mode — aggregation
+    * composes downstream, as with [[streamingHeavyHitters]]. */
   def transitionHops(events: Dataset[SEvent],
-                     watermark: String = "10 minutes"): Dataset[Hop] = {
+                     watermark: String = "10 minutes",
+                     idleTtlMs: Long = 7L * 24 * 3600 * 1000): Dataset[Hop] = {
     import events.sparkSession.implicits._
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
@@ -274,12 +280,25 @@ object EventStreams {
         lastTs = b.ts_us; lastType = b.event_type
         h
       }
-      state.update(HopState(lastTs, lastType, pending))
-      if (pending.nonEmpty)
-        // fire when the watermark passes the OLDEST pending event so
-        // it flushes promptly even if this user goes quiet
-        state.setTimeoutTimestamp(pending.map(_.ts_us).min / 1000L + 1L)
-      hops.iterator
+      if (ready.isEmpty && pending.isEmpty && incoming.isEmpty &&
+          lastType != null && wmUs >= lastTs + idleTtlMs * 1000L) {
+        // idle-expiry timeout: nothing buffered, nothing new, and the
+        // watermark is a full TTL past the last event — drop the user
+        state.remove()
+        Iterator.empty
+      } else {
+        state.update(HopState(lastTs, lastType, pending))
+        if (pending.nonEmpty)
+          // fire when the watermark passes the OLDEST pending event so
+          // it flushes promptly even if this user goes quiet
+          state.setTimeoutTimestamp(pending.map(_.ts_us).min / 1000L + 1L)
+        else if (lastType != null)
+          // nothing pending: arm the idle-expiry alarm (clamped above
+          // the current watermark — required by the state API)
+          state.setTimeoutTimestamp(
+            math.max(lastTs / 1000L + idleTtlMs, wmUs / 1000L + 1L))
+        hops.iterator
+      }
     }
     events
       .withWatermark("ts", watermark)

@@ -249,19 +249,28 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(out.tail.forall(_._2 < 0))              // cluster sits below mean
   }
 
-  test("spikeDetect: planted 10x day flags, first day has no baseline") {
+  test("spikeDetect: planted burst and zero-day stall both flag, first day has no baseline") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
-    // days 1..9 alternate 9/11 events (non-zero variance baseline);
-    // day 10 bursts to 100
-    val rows = (1 to 9).flatMap { day =>
+    // type "a": days 1..9 alternate 9/11 events (non-zero variance
+    // baseline); day 10 bursts to 100. type "b": same baseline, then
+    // days 10-11 SILENT (no rows at all) and day 12 resumes.
+    def baseline(tpe: String) = (1 to 9).flatMap { day =>
       val n = if (day % 2 == 1) 9 else 11
-      (1 to n).map(i => ("a", t(f"2024-01-$day%02d 0$i:00:00")))
-    } ++ (1 to 100).map(i => ("a", t(f"2024-01-10 ${10 + i % 12}%02d:${i % 60}%02d:00")))
+      (1 to n).map(i => (tpe, t(f"2024-01-$day%02d 0$i:00:00")))
+    }
+    val rows = baseline("a") ++
+      (1 to 100).map(i => ("a", t(f"2024-01-10 ${10 + i % 12}%02d:${i % 60}%02d:00"))) ++
+      baseline("b") ++ (1 to 10).map(i => ("b", t(f"2024-01-12 0$i:00:00")))
     val out = Graft.spikeDetect(rows.toDF("event_type", "ts")).collect()
-      .map(r => r.getDate(1).toString -> ((r.getDouble(3), r.getBoolean(4)))).toMap
-    assert(out("2024-01-01")._1 == 0.0 && !out("2024-01-01")._2) // no baseline
-    assert(out("2024-01-10")._2 && out("2024-01-10")._1 > 3.0)   // the burst
-    assert((2 to 9).forall(d => !out(f"2024-01-0$d")._2))        // quiet days
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(("a", "2024-01-01"))._2 == 0.0 && !out(("a", "2024-01-01"))._3)
+    assert(out(("a", "2024-01-10"))._3 && out(("a", "2024-01-10"))._2 > 3.0)
+    assert((2 to 9).forall(d => !out(("a", f"2024-01-0$d"))._3))
+    // the stall days exist as rows (n = 0) and flag with z << -3
+    assert(out(("b", "2024-01-10")) == ((0L, out(("b", "2024-01-10"))._2, true))
+      && out(("b", "2024-01-10"))._2 < -3.0)
+    assert(out(("b", "2024-01-11"))._1 == 0L) // gap materialized
   }
 
   test("piiRedact masks every class and counts hits") {

@@ -90,6 +90,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r1.toSeq == r2.toSeq) // min-tiebreak LPA has no RNG to drift
   }
 
+  test("labelPropagation: bipartite shapes converge (self-vote breaks the swap symmetry)") {
+    // WITHOUT the self-vote, synchronous LPA oscillates on any
+    // bipartite structure: a single edge swaps labels forever and the
+    // two connected nodes report different communities
+    val one = Graph.labelPropagation(Seq("a" -> "b").toDF("src", "dst"))
+      .collect().map(_.getString(1)).distinct
+    assert(one.length == 1) // a and b merged
+    // even 4-cycle: one community, not the {a,c}/{b,d} bipartite split
+    val cyc = Graph.labelPropagation(
+      Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a").toDF("src", "dst"))
+      .collect().map(_.getString(1)).distinct
+    assert(cyc.length == 1, cyc.mkString(","))
+    // star: hub + leaves agree
+    val star = Graph.labelPropagation(
+      Seq("hub" -> "l1", "hub" -> "l2", "hub" -> "l3").toDF("src", "dst"))
+      .collect().map(_.getString(1)).distinct
+    assert(star.length == 1, star.mkString(","))
+  }
+
   test("degreeStats: hand-computed degrees, distinct neighbors, self-links") {
     val edges = Seq(
       "a" -> "b", "a" -> "b", "a" -> "a", // parallel edge + self-link

@@ -205,6 +205,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transitionHops: idle user state expires after the TTL — a hop across the gap is dropped") {
+    import graft.streaming.{Hop, SEvent}
+    val ms = MemoryStream[Ev](spark)
+    val hops = EventStreams.transitionHops(
+      ms.toDS().map(r => SEvent(r.event_id, r.ts, r.user_id, r.event_type, r.value)),
+      watermark = "10 minutes", idleTtlMs = 60000L) // 1-minute TTL
+    withQuery(hops.toDF(), "append", "t_hops_ttl") { q =>
+      ms.addData(Seq(Ev(1, ts("2024-01-01 10:00:00"), 1, "a", 0.0)))
+      q.processAllAvailable()
+      // advance the watermark in two hops: first past the event (it
+      // flushes, idle alarm armed), then past the 1-minute TTL
+      ms.addData(Seq(Ev(90, ts("2024-01-01 13:00:00"), 99, "z", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(91, ts("2024-01-01 14:00:00"), 99, "z", 0.0)))
+      q.processAllAvailable()
+      // user 1 returns AFTER expiry: state is gone, so no a→b hop
+      ms.addData(Seq(Ev(2, ts("2024-01-01 15:00:00"), 1, "b", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(92, ts("2024-01-01 18:00:00"), 99, "z", 0.0)))
+      q.processAllAvailable()
+      val u1 = spark.table("t_hops_ttl").as[Hop].collect().filter(_.user_id == 1L)
+      assert(u1.isEmpty, u1.mkString(";")) // the cross-gap hop is dropped by design
+    }
+  }
+
   test("transitionHops: stream == batch lag-window hops on replayed sf0.001 events") {
     import graft.streaming.{Hop, SEvent}
     val evRows = Tables.events(spark, TestSpark.sf0001)
