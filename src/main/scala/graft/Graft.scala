@@ -356,6 +356,22 @@ object Graft {
   def qualityZ(docs: DataFrame): DataFrame =
     TextAnalysis.qualityZ(tokenize(docs))
 
+  /** Quality-tier report: `tiers` rank buckets of the quality
+    * composite (tier 1 = best): (tier, n_docs, avg_q, min_q, max_q).
+    * Closed-form integer bucket over a parallel global rank — never a
+    * single-partition window. */
+  def qualityTiers(docs: DataFrame, tiers: Int = 4): DataFrame =
+    TextAnalysis.qualityTiers(tokenize(docs), tiers)
+
+  /** Cross-source duplication matrix: distinct texts shared per
+    * source pair: (source_a, source_b, n_shared). */
+  def sourceOverlap(docs: DataFrame): DataFrame = Dedup.sourceOverlap(docs)
+
+  /** Per-source contamination: docs whose text appears anywhere else
+    * in the corpus: (source, n_docs, n_dup_docs, dup_doc_rate). */
+  def contaminationRate(docs: DataFrame): DataFrame =
+    Dedup.contaminationRate(docs)
+
   /** Semantic decontamination: corpus vectors whose cosine against any
     * probe (eval) vector clears minCos — (vec_id, n_probe_hits,
     * max_cos). Probes broadcast; the corpus never shuffles. */

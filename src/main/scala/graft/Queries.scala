@@ -622,7 +622,17 @@ object Queries {
     "q_ann_quant"       -> (Quant.qAnnQuant _),
     "q_sim_containment" -> (Dedup.qSimContainment _),
     "q_embed_outlier"   -> (Similarity.qEmbedOutlier _),
+    "q_source_overlap"  -> (Dedup.qSourceOverlap _),
+    "q_dup_rate"        -> (Dedup.qDupRate _),
   )
+
+  /** Shared oracle CTE for the mirrored-corpus queries (the same
+    * constructed input as Dedup.mirroredDocs). */
+  private val MIRROR =
+    """m AS (SELECT doc_id, text, source, lang FROM documents
+      |      UNION ALL
+      |      SELECT doc_id + 500000, text, 'mirror', lang
+      |      FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
   /** Shared oracle CTE: L2-normalized double vectors. */
   private val NORMVEC =
@@ -663,6 +673,23 @@ object Queries {
          |ORDER BY id_a, rn""".stripMargin,
     "q_embed_quant" -> Quant.oracleSql,
     "q_embed_project" -> Quant.projectOracleSql,
+    "q_source_overlap" ->
+      s"""WITH $MIRROR,
+         |hs AS (SELECT DISTINCT sha256(text) AS h, source FROM m)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared
+         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
+    "q_dup_rate" ->
+      s"""WITH $MIRROR,
+         |hashed AS (SELECT source, sha256(text) AS h FROM m),
+         |df AS (SELECT h, count(*) AS hdf FROM hashed GROUP BY h)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN hdf > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         |  ${rnd("sum(CASE WHEN hdf > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)", 6)}
+         |    AS dup_doc_rate
+         |FROM hashed JOIN df USING (h)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_embed_outlier" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
          |           FROM embeddings),
@@ -745,6 +772,7 @@ object Queries {
     "q_sql_recursive"       -> (Sql.qSqlRecursive _),
     "q_corpus_diff"         -> (Dedup.qCorpusDiff _),
     "q_quality_z"           -> (TextAnalysis.qQualityZ _),
+    "q_quality_tiers"       -> (TextAnalysis.qQualityTiers _),
     "q_heavy_hitters_by_lang" -> (TextAnalysis.qHeavyHittersByLang _),
     "q_upsert"              -> (Dedup.qUpsert _),
     "q_sql_q8"              -> (Sql.qSqlQ8 _),
@@ -839,6 +867,26 @@ object Queries {
          |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
                   " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
          |FROM q ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_tiers" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |q0 AS (SELECT doc_id,
+         |  len(toks)::INT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
+         |FROM t),
+         |q AS (SELECT doc_id,
+         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
+         |FROM q0),
+         |r AS (SELECT quality,
+         |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rank,
+         |  count(*) OVER () AS n FROM q)
+         |SELECT (((rank - 1) * 4) // n + 1)::INT AS tier,
+         |  count(*) AS n_docs, ${rnd("avg(quality)", 6)} AS avg_q,
+         |  min(quality) AS min_q, max(quality) AS max_q
+         |FROM r GROUP BY tier ORDER BY tier""".stripMargin
     },
     "q_curate" -> {
       val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)

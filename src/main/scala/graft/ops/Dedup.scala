@@ -769,4 +769,64 @@ object Dedup {
               concat(col("text"), lit(" updated")).as("text"))
     incrementalDedup(d, refetched.unionAll(changed).unionAll(doubled))
   }
+
+  /** Cross-source duplication matrix: for every source pair, how many
+    * DISTINCT texts appear in both — the crawl-redundancy report that
+    * tells a curation team which feeds to drop or dedup-first.
+    *
+    * Scale: the corpus collapses to distinct (hash, source) rows
+    * before any join, so the self-join fan-out per hash is bounded by
+    * |sources| (a text in every source makes C(|sources|, 2) pairs,
+    * never a doc-count term); output is ≤ C(|sources|, 2) rows. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val hs = docs.select(sha2(col("text"), 256).as("h"), col("source"))
+      .distinct()
+    hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-source contamination report: how many of a source's docs
+    * carry a text that also appears SOMEWHERE ELSE in the corpus
+    * (any source, any doc) — the "is this feed adding anything new"
+    * number next to [[sourceOverlap]]'s pairwise view.
+    *
+    * Scale: one hash aggregate for corpus-wide df + one broadcast-able
+    * join back; the report is |source| rows. */
+  def contaminationRate(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("source"), sha2(col("text"), 256).as("h"))
+    val df = hashed.groupBy("h").agg(count(lit(1)).as("hdf"))
+    hashed.join(df, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("hdf") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+              round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+                .as("dup_doc_rate"))
+      .orderBy("source")
+  }
+
+  /** The constructed corpus for q_source_overlap / q_dup_rate: the
+    * fixture has no natural cross-source duplicates, so every fifth
+    * doc is mirrored into a synthetic 'mirror' source (same text, new
+    * doc_id) — the documented constructed-input pattern
+    * (q_upsert / q_dedup_incremental). */
+  private def mirroredDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+    d.unionAll(
+      d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"),
+                lit("mirror").as("source"), col("lang")))
+  }
+
+  /** q_source_overlap: [[sourceOverlap]] over the mirrored corpus. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(mirroredDocs(spark, dir))
+
+  /** q_dup_rate: [[contaminationRate]] over the mirrored corpus. */
+  def qDupRate(spark: SparkSession, dir: String): DataFrame =
+    contaminationRate(mirroredDocs(spark, dir))
 }

@@ -124,6 +124,47 @@ object TextAnalysis {
   def qQualityZ(spark: SparkSession, dir: String): DataFrame =
     qualityZ(Tables.docTokens(spark, dir))
 
+  /** Quality-tier report: the corpus split into `tiers` rank buckets
+    * of the [[qualityScore]] composite (tier 1 = best), with per-tier
+    * count and quality stats — the "keep the top N quartiles" cut
+    * every curation run starts from.
+    *
+    * The bucket comes from a CLOSED-FORM integer rank formula
+    * (((rank−1)·tiers) div n) + 1, not SQL `ntile` — identical
+    * arithmetic is written on both engines, integer-exact. The global
+    * rank itself is the [[Dedup.rankedTokenSets]] discipline: a
+    * range-partitioned sort + zipWithIndex (parallel dense ranking),
+    * never a single-partition window — one of the deliberate RDD
+    * touches in the codebase (dense global indexing is a genuine
+    * per-partition-offset computation Catalyst has no operator for).
+    * The n scalar rides a broadcast 1-row DF. */
+  def qualityTiers(docToks: DataFrame, tiers: Int = 4): DataFrame = {
+    val spark = docToks.sparkSession
+    val q = qualityScore(docToks).select(col("doc_id"), col("quality"))
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val ranked = spark.createDataFrame(
+      q.orderBy(col("quality").desc, col("doc_id").asc).rdd
+        .zipWithIndex.map { case (r, i) => org.apache.spark.sql.Row(
+          r.getLong(0), r.getDouble(1), i + 1L) },
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("quality", DoubleType),
+        StructField("rank", LongType))))
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(n)
+      .withColumn("tier",
+        expr(s"cast(((rank - 1) * $tiers) div n + 1 as int)"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("quality")), 6).as("avg_q"),
+           min(col("quality")).as("min_q"),
+           max(col("quality")).as("max_q"))
+      .orderBy("tier")
+  }
+
+  /** q_quality_tiers: [[qualityTiers]] quartiles on the test corpus. */
+  def qQualityTiers(spark: SparkSession, dir: String): DataFrame =
+    qualityTiers(Tables.docTokens(spark, dir))
+
   /** q_token_count: whitespace tokens vs BPE-ish regex tokens
     * ([a-z]+ | digit-runs | single non-space residue) vs chars. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =

@@ -72,6 +72,9 @@ object ScaleCheck {
     "q_label_prop" -> 1.0,    // fixed rounds; extraction is the only
                               // corpus-size term (domain graph fixed)
     "q_spike_detect" -> 1.0,  // bounded daily rollup + keyed window
+    "q_source_overlap" -> 1.0, // distinct (hash, source) then ≤|src|² join
+    "q_dup_rate" -> 1.0,      // hash df agg + one join back
+    "q_quality_tiers" -> 1.0, // parallel rank (range sort + zipWithIndex)
   )
 
   def main(args: Array[String]): Unit = {

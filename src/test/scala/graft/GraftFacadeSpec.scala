@@ -273,6 +273,36 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(out(("b", "2024-01-11"))._1 == 0L) // gap materialized
   }
 
+  test("sourceOverlap/contaminationRate: hand-built cross-source dups") {
+    val docs = Seq(
+      (1L, "shared text", "s1", "en"), (2L, "only in s1", "s1", "en"),
+      (3L, "shared text", "s2", "en"), (4L, "only in s2", "s2", "en"),
+      (5L, "lonely", "s3", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val ov = Graft.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(ov.toSeq == Seq(("s1", "s2", 1L)))
+    val cr = Graft.contaminationRate(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(cr("s1") == ((1L, 0.5)) && cr("s2") == ((1L, 0.5))
+      && cr("s3") == ((0L, 0.0)))
+  }
+
+  test("qualityTiers: buckets partition the corpus in rank order") {
+    // 4 docs with clearly separated quality (longer + more distinct
+    // tokens scores higher under the composite)
+    val docs = Seq(
+      (1L, "w w w w"), (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "x x y"), (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Graft.qualityTiers(docs, tiers = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == Seq(1, 2))
+    assert(out.map(_._2).sum == 4L && out.forall(_._2 == 2L))
+    // tier 1's WORST doc is at least as good as tier 2's BEST
+    assert(out(0)._3 >= out(1)._4)
+  }
+
   test("piiRedact masks every class and counts hits") {
     val rows = Seq(
       (1L, "reach me at jane.doe+x@mail.example.org or 415-555-0137 from 192.168.0.1"),
