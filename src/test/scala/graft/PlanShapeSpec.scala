@@ -138,6 +138,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_source_overlap: corpus collapses to distinct (hash, source) BELOW the self-join") {
+    val p = plan("q_source_overlap")
+    // the distinct aggregate must sit under the join — joining raw
+    // doc rows first would make the fan-out doc-scale, not |sources|
+    val join = p.indexOf("SortMergeJoin")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(join >= 0 || p.contains("BroadcastHashJoin"), p)
+    assert(agg > math.max(join, 0), p) // plans print top-down: deeper = later
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dup_rate: one hash-df aggregate, no cartesian, map-side combine") {
+    val p = plan("q_dup_rate")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sql_q18: the IN-subquery decorrelates to a semi join, no subquery exec per row") {
     val p = plan("q_sql_q18")
     assert(p.contains("LeftSemi"), p)
