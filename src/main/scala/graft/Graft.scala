@@ -280,6 +280,13 @@ object Graft {
   def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame =
     ops.Graph.labelPropagation(edges, iters)
 
+  /** Personalized PageRank: teleport and dangling mass land on the
+    * `seeds` (node) set only, so unreachable nodes score exactly 0:
+    * (node, pr). The topic/trust-biased ranking. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 10): DataFrame =
+    ops.Graph.personalizedPageRank(edges, seeds, iters)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -789,6 +789,7 @@ object Queries {
     "q_link_degree"         -> (Graph.qLinkDegree _),
     "q_hits"                -> (Graph.qHits _),
     "q_label_prop"          -> (Graph.qLabelProp _),
+    "q_ppr"                 -> (Graph.qPpr _),
   )
 
   private val langLists: Seq[(String, Seq[String])] = Seq(
@@ -823,6 +824,7 @@ object Queries {
     "q_link_degree" -> Graph.degreeOracleSql,
     "q_hits" -> Graph.hitsOracleSql(),
     "q_label_prop" -> Graph.lpOracleSql(),
+    "q_ppr" -> Graph.pprOracleSql(),
     "q_quality_model" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |f AS (SELECT doc_id, ${bigramFeatsSql("toks")} AS feats FROM t),

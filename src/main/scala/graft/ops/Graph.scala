@@ -87,6 +87,137 @@ object Graph {
     rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport vector
+    * concentrated on a SEED set — the topic/trust-biased ranking
+    * (seed a vetted domain list, rank everything by proximity to it).
+    * Teleport AND dangling mass both land uniformly on the seeds
+    * (the standard PPR convention), so every round is
+    * r(node) = (t + d·dm)·isSeed/|S| + d·contrib(node); nodes
+    * unreachable from any seed get EXACTLY 0 (no uniform floor —
+    * that separation is the point of personalization).
+    *
+    * Same iteration discipline and oracle story as [[pageRank]]:
+    * fixed rounds, edges/nodes/dangling checkpointed once, the
+    * dangling-mass scalar in-plan, per-round lazy checkpoints; the
+    * seed flag is one broadcast semi-join at setup. `seeds` is a
+    * (node) DataFrame; ids absent from the graph are ignored. */
+  def personalizedPageRank(edgeDf: DataFrame, seeds: DataFrame,
+                           iters: Int = 10): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val edges = edgeDf.select(col("src"), col("dst"))
+      .repartition(nParts, col("src"))
+      .localCheckpoint()
+    val nodes0 = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .repartition(nParts, col("node"))
+    val seedSet = seeds.select(col("node")).distinct()
+    val nodes = nodes0
+      .join(seedSet.select(col("node"), lit(1.0).as("is_seed")),
+            Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0.0)).as("is_seed"))
+      .localCheckpoint()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint()
+    // |S| is bounded model state (one long), like pageRank's nc
+    val ns = nodes.where(col("is_seed") === 1.0).count()
+    if (ns == 0) return nodes.select(col("node"), lit(0.0).as("pr"))
+      .orderBy("node")
+    val danglingNodes = nodes.select(col("node"))
+      .join(outDeg, nodes("node") === outDeg("src"), "left_anti")
+      .localCheckpoint()
+    val d = lit(Damping.toDouble)
+    val t = lit(Teleport.toDouble)
+    var rank = nodes
+      .select(col("node"), (col("is_seed") / lit(ns)).as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(rank, edges("src") === rank("node"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("r") / col("od")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      val dangling = rank.join(danglingNodes, "node")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      rank = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("is_seed"),
+                ((t + d * col("dm")) * col("is_seed") / lit(ns) +
+                  d * coalesce(col("contrib"), lit(0.0))).as("r"))
+        .localCheckpoint(false)
+    }
+    rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
+  }
+
+  /** The seed rule for q_ppr: every page of source src0 — ONE literal
+    * shared with the oracle. */
+  private[graft] val PprSeedPrefix = "https://example-src0.com/page-"
+
+  /** q_ppr: [[personalizedPageRank]] over the page-level link fixture
+    * (the q_page_rank edge construction), seeded on src0's pages. */
+  def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val links = Links.extractLinks(
+      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
+    val pageUrl = concat(lit(PageUrlPrefix), col("source"),
+                         lit(PageUrlMid), col("doc_id").cast("string"))
+    val edges = links
+      .join(docs.select(col("doc_id"), pageUrl.as("src")), "doc_id")
+      .select(col("src"), col("href").as("dst"))
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .where(col("node").startsWith(PprSeedPrefix))
+    personalizedPageRank(edges, seeds)
+  }
+
+  /** DuckDB oracle for q_ppr: the PPR update unrolled like
+    * [[oracleSql]], with the seed indicator from the same prefix
+    * literal. */
+  private[graft] def pprOracleSql(iters: Int = 10): String = {
+    val fixture = Links.pageFixtureSql
+    val steps = (1 to iters).map { k =>
+      val p = s"pr${k - 1}"
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT nd.node, nd.is_seed,
+         |    ($Teleport::DOUBLE + $Damping::DOUBLE * dg.dm)
+         |        * nd.is_seed / sn.ns
+         |      + $Damping::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE) AS r
+         |  FROM nodes nd
+         |  CROSS JOIN sn
+         |  CROSS JOIN (SELECT coalesce(sum(p.r), 0.0::DOUBLE) AS dm
+         |              FROM $p p LEFT JOIN od ON p.node = od.src
+         |              WHERE od.src IS NULL) dg
+         |  LEFT JOIN (SELECT e.dst AS node, sum(p.r / od.od) AS contrib
+         |             FROM e JOIN $p p ON e.src = p.node
+         |             JOIN od ON od.src = e.src
+         |             GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS MATERIALIZED (SELECT d.doc_id, d.source, $fixture AS html
+       |           FROM documents d),
+       |l AS MATERIALIZED (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
+       |      FROM h),
+       |e AS MATERIALIZED (SELECT ${sqlLit(PageUrlPrefix)} || d.source ||
+       |        ${sqlLit(PageUrlMid)} || d.doc_id::VARCHAR AS src,
+       |        l.href AS dst
+       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+       |nodes AS MATERIALIZED (SELECT node,
+       |          CASE WHEN starts_with(node, ${sqlLit(PprSeedPrefix)})
+       |               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS is_seed
+       |        FROM (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM e
+       |             UNION ALL SELECT dst FROM e))),
+       |sn AS (SELECT sum(is_seed)::BIGINT AS ns FROM nodes),
+       |od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY src),
+       |pr0 AS MATERIALIZED (SELECT node, is_seed, is_seed / sn.ns AS r
+       |        FROM nodes CROSS JOIN sn),
+       |$steps
+       |SELECT node, round(CAST(CAST(r AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS pr
+       |FROM pr$iters ORDER BY node""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // q_page_rank: edges from the Links fixture — each doc's own page
   // URL links to the next page, its source hub, and a per-lang

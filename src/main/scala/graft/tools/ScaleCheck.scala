@@ -75,6 +75,7 @@ object ScaleCheck {
     "q_source_overlap" -> 1.0, // distinct (hash, source) then ≤|src|² join
     "q_dup_rate" -> 1.0,      // hash df agg + one join back
     "q_quality_tiers" -> 1.0, // parallel rank (range sort + zipWithIndex)
+    "q_ppr" -> 1.0,           // fixed rounds, linear edges/nodes
   )
 
   def main(args: Array[String]): Unit = {

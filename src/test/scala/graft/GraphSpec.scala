@@ -109,6 +109,26 @@ class GraphSpec extends AnyFunSuite {
     assert(star.length == 1, star.mkString(","))
   }
 
+  test("personalizedPageRank: mass stays on the seed side, unreachable = exactly 0") {
+    import spark.implicits._
+    // two components; seed sits in the first
+    val edges = Seq("a" -> "b", "b" -> "c", "x" -> "y", "y" -> "x")
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    // enough rounds that the chain's 3-cycle oscillation (mass a→b→c
+    // then dangling-recycled to the seed) has decayed to the fixpoint
+    val pr = Graph.personalizedPageRank(edges, seeds, iters = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("a") > pr("b") && pr("b") > pr("c") && pr("c") > 0.0)
+    assert(pr("x") == 0.0 && pr("y") == 0.0) // no teleport floor
+    // all mass on the seed component, total conserved
+    assert(math.abs(pr.values.sum - 1.0) < 1e-5)
+    // empty seed set: zeros, not a crash
+    val z = Graph.personalizedPageRank(edges,
+      Seq.empty[String].toDF("node"), iters = 3).collect()
+    assert(z.forall(_.getDouble(1) == 0.0))
+  }
+
   test("degreeStats: hand-computed degrees, distinct neighbors, self-links") {
     val edges = Seq(
       "a" -> "b", "a" -> "b", "a" -> "a", // parallel edge + self-link
