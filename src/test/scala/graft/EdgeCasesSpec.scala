@@ -106,4 +106,21 @@ class EdgeCasesSpec extends AnyFunSuite {
     val out = Graft.embedOutliers(emb).collect()
     assert(out.length == 4 && out.forall(_.getDouble(2) == 0.0))
   }
+
+  test("sourceOverlap/contaminationRate: single source -> no pairs, zero rate") {
+    val docs = Seq((1L, "t1", "only", "en"), (2L, "t1", "only", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    assert(Graft.sourceOverlap(docs).count() === 0) // no second source
+    val cr = Graft.contaminationRate(docs).collect()
+    // intra-source dup still counts: both docs share a text
+    assert(cr.length == 1 && cr.head.getLong(2) == 2L)
+  }
+
+  test("qualityTiers: fewer docs than tiers yields sparse tier ids, counts sum") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "w w"))
+      .toDF("doc_id", "text")
+    val out = Graft.qualityTiers(docs, tiers = 4).collect()
+    assert(out.map(_.getLong(1)).sum == 2L) // every doc in exactly one tier
+    assert(out.map(_.getInt(0)).distinct.length == out.length)
+  }
 }
