@@ -626,13 +626,15 @@ object Queries {
     "q_dup_rate"        -> (Dedup.qDupRate _),
   )
 
-  /** Shared oracle CTE for the mirrored-corpus queries (the same
-    * constructed input as Dedup.mirroredDocs). */
+  /** Shared oracle CTE for the mirrored-corpus queries — interpolated
+    * from Dedup's mirror constants so the constructed input can't
+    * drift from the Spark side. */
   private val MIRROR =
-    """m AS (SELECT doc_id, text, source, lang FROM documents
-      |      UNION ALL
-      |      SELECT doc_id + 500000, text, 'mirror', lang
-      |      FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+    s"""m AS (SELECT doc_id, text, source, lang FROM documents
+       |      UNION ALL
+       |      SELECT doc_id + ${Dedup.MirrorOffset}, text,
+       |             '${Dedup.MirrorSource}', lang
+       |      FROM documents WHERE doc_id % ${Dedup.MirrorMod} = 0)""".stripMargin
 
   /** Shared oracle CTE: L2-normalized double vectors. */
   private val NORMVEC =
@@ -884,7 +886,7 @@ object Queries {
          |FROM q0),
          |r AS (SELECT quality,
          |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rank,
-         |  count(*) OVER () AS n FROM q)
+         |  count(*) OVER () AS n FROM q WHERE quality IS NOT NULL)
          |SELECT (((rank - 1) * 4) // n + 1)::INT AS tier,
          |  count(*) AS n_docs, ${rnd("avg(quality)", 6)} AS avg_q,
          |  min(quality) AS min_q, max(quality) AS max_q

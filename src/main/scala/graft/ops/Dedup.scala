@@ -791,14 +791,19 @@ object Dedup {
   /** Per-source contamination report: how many of a source's docs
     * carry a text that also appears SOMEWHERE ELSE in the corpus
     * (any source, any doc) — the "is this feed adding anything new"
-    * number next to [[sourceOverlap]]'s pairwise view.
+    * number next to [[sourceOverlap]]'s pairwise view. Null-text docs
+    * count in `n_docs` but never as duplicates (a null is not "the
+    * same text" as another null) — a LEFT join keeps them through the
+    * null-keyed df lookup instead of silently dropping them from the
+    * denominator.
     *
     * Scale: one hash aggregate for corpus-wide df + one broadcast-able
     * join back; the report is |source| rows. */
   def contaminationRate(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("source"), sha2(col("text"), 256).as("h"))
-    val df = hashed.groupBy("h").agg(count(lit(1)).as("hdf"))
-    hashed.join(df, "h")
+    val df = hashed.where(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("hdf"))
+    hashed.join(df, Seq("h"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("hdf") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
@@ -808,18 +813,25 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Mirror-slice constants — ONE set of literals shared between
+    * [[mirroredDocs]] and the Queries oracle CTE (same-constants
+    * discipline, like Graph.PprSeedPrefix). */
+  private[graft] val MirrorMod = 5
+  private[graft] val MirrorOffset = 500000
+  private[graft] val MirrorSource = "mirror"
+
   /** The constructed corpus for q_source_overlap / q_dup_rate: the
-    * fixture has no natural cross-source duplicates, so every fifth
-    * doc is mirrored into a synthetic 'mirror' source (same text, new
-    * doc_id) — the documented constructed-input pattern
-    * (q_upsert / q_dedup_incremental). */
+    * fixture has no natural cross-source duplicates, so every
+    * [[MirrorMod]]-th doc is mirrored into a synthetic
+    * [[MirrorSource]] source (same text, new doc_id) — the documented
+    * constructed-input pattern (q_upsert / q_dedup_incremental). */
   private def mirroredDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"), col("lang"))
     d.unionAll(
-      d.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 500000).as("doc_id"), col("text"),
-                lit("mirror").as("source"), col("lang")))
+      d.where(col("doc_id") % MirrorMod === 0)
+        .select((col("doc_id") + MirrorOffset).as("doc_id"), col("text"),
+                lit(MirrorSource).as("source"), col("lang")))
   }
 
   /** q_source_overlap: [[sourceOverlap]] over the mirrored corpus. */

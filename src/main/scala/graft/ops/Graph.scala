@@ -156,16 +156,9 @@ object Graph {
   private[graft] val PprSeedPrefix = "https://example-src0.com/page-"
 
   /** q_ppr: [[personalizedPageRank]] over the page-level link fixture
-    * (the q_page_rank edge construction), seeded on src0's pages. */
+    * ([[pageEdges]]), seeded on src0's pages. */
   def qPpr(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val links = Links.extractLinks(
-      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
-    val pageUrl = concat(lit(PageUrlPrefix), col("source"),
-                         lit(PageUrlMid), col("doc_id").cast("string"))
-    val edges = links
-      .join(docs.select(col("doc_id"), pageUrl.as("src")), "doc_id")
-      .select(col("src"), col("href").as("dst"))
+    val edges = pageEdges(spark, dir)
     val seeds = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .where(col("node").startsWith(PprSeedPrefix))
@@ -176,7 +169,6 @@ object Graph {
     * [[oracleSql]], with the seed indicator from the same prefix
     * literal. */
   private[graft] def pprOracleSql(iters: Int = 10): String = {
-    val fixture = Links.pageFixtureSql
     val steps = (1 to iters).map { k =>
       val p = s"pr${k - 1}"
       s"""pr$k AS MATERIALIZED (
@@ -194,15 +186,7 @@ object Graph {
          |             JOIN od ON od.src = e.src
          |             GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH h AS MATERIALIZED (SELECT d.doc_id, d.source, $fixture AS html
-       |           FROM documents d),
-       |l AS MATERIALIZED (SELECT doc_id,
-       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
-       |      FROM h),
-       |e AS MATERIALIZED (SELECT ${sqlLit(PageUrlPrefix)} || d.source ||
-       |        ${sqlLit(PageUrlMid)} || d.doc_id::VARCHAR AS src,
-       |        l.href AS dst
-       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+    s"""WITH $pageEdgeCtes,
        |nodes AS MATERIALIZED (SELECT node,
        |          CASE WHEN starts_with(node, ${sqlLit(PprSeedPrefix)})
        |               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS is_seed
@@ -233,18 +217,37 @@ object Graph {
     * q_link_degree oracle (same-constants discipline). */
   private[graft] val HrefHostRe = "^https://([^/]*)"
 
-  /** q_page_rank: [[pageRank]] over the extracted link fixture. */
-  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** Page-level (src, dst) edge list from the Links fixture — the ONE
+    * Spark-side construction shared by q_page_rank / q_hits / q_ppr. */
+  private[graft] def pageEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val links = Links.extractLinks(
       docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
     val pageUrl = concat(lit(PageUrlPrefix), col("source"),
                          lit(PageUrlMid), col("doc_id").cast("string"))
-    val edges = links
+    links
       .join(docs.select(col("doc_id"), pageUrl.as("src")), "doc_id")
       .select(col("src"), col("href").as("dst"))
-    pageRank(edges)
   }
+
+  /** The matching pg/l/e oracle CTE block (no WITH) — the ONE SQL
+    * derivation of the same page edges, shared by the q_page_rank /
+    * q_hits / q_ppr oracles so they can't drift. */
+  private[graft] def pageEdgeCtes: String =
+    s"""pg AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |        ${Links.pageFixtureSql} AS html
+       |      FROM documents d),
+       |l AS MATERIALIZED (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
+       |      FROM pg),
+       |e AS MATERIALIZED (SELECT ${sqlLit(PageUrlPrefix)} || d.source ||
+       |        ${sqlLit(PageUrlMid)} || d.doc_id::VARCHAR AS src,
+       |        l.href AS dst
+       |      FROM l JOIN documents d ON l.doc_id = d.doc_id)""".stripMargin
+
+  /** q_page_rank: [[pageRank]] over the extracted link fixture. */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(pageEdges(spark, dir))
 
   /** HITS hubs & authorities — the OTHER classic link-analysis
     * signal: authorities are pages linked BY good hubs, hubs are
@@ -313,19 +316,10 @@ object Graph {
       .orderBy("node")
   }
 
-  /** q_hits: [[hits]] over the extracted link fixture (same edge
-    * derivation as [[qPageRank]]). */
-  def qHits(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val links = Links.extractLinks(
-      docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
-    val pageUrl = concat(lit(PageUrlPrefix), col("source"),
-                         lit(PageUrlMid), col("doc_id").cast("string"))
-    val edges = links
-      .join(docs.select(col("doc_id"), pageUrl.as("src")), "doc_id")
-      .select(col("src"), col("href").as("dst"))
-    hits(edges)
-  }
+  /** q_hits: [[hits]] over the extracted link fixture
+    * ([[pageEdges]]). */
+  def qHits(spark: SparkSession, dir: String): DataFrame =
+    hits(pageEdges(spark, dir))
 
   /** DuckDB oracle for q_hits: the same `iters` SPARSE unnormalized
     * double updates unrolled as MATERIALIZED CTEs, one L1 normalize
@@ -341,16 +335,7 @@ object Graph {
          |  SELECT e.src AS node, sum(p.a) AS h
          |  FROM e JOIN auth$k p ON e.dst = p.node GROUP BY e.src)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pg AS MATERIALIZED (SELECT d.doc_id, d.source,
-       |        ${Links.pageFixtureSql} AS html
-       |      FROM documents d),
-       |l AS MATERIALIZED (SELECT doc_id,
-       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
-       |      FROM pg),
-       |e AS MATERIALIZED (SELECT ${sqlLit(PageUrlPrefix)} || d.source ||
-       |        ${sqlLit(PageUrlMid)} || d.doc_id::VARCHAR AS src,
-       |        l.href AS dst
-       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+    s"""WITH $pageEdgeCtes,
        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        |            (SELECT src AS node FROM e
        |             UNION ALL SELECT dst FROM e)),
@@ -545,7 +530,6 @@ object Graph {
   /** DuckDB oracle: the same fixed number of update steps unrolled as
     * chained CTEs from the same literals; rounded only at the end. */
   private[graft] def oracleSql(iters: Int = 10): String = {
-    val fixture = Links.pageFixtureSql
     val steps = (1 to iters).map { k =>
       val p = s"pr${k - 1}"
       s"""pr$k AS MATERIALIZED (
@@ -563,15 +547,7 @@ object Graph {
          |             JOIN od ON od.src = e.src
          |             GROUP BY e.dst) c ON c.node = nd.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH h AS MATERIALIZED (SELECT d.doc_id, d.source, $fixture AS html
-       |           FROM documents d),
-       |l AS MATERIALIZED (SELECT doc_id,
-       |        unnest(regexp_extract_all(html, ${sqlLit(Links.AnchorRe)}, 1)) AS href
-       |      FROM h),
-       |e AS MATERIALIZED (SELECT ${sqlLit(PageUrlPrefix)} || d.source ||
-       |        ${sqlLit(PageUrlMid)} || d.doc_id::VARCHAR AS src,
-       |        l.href AS dst
-       |      FROM l JOIN documents d ON l.doc_id = d.doc_id),
+    s"""WITH $pageEdgeCtes,
        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
        |            (SELECT src AS node FROM e
        |             UNION ALL SELECT dst FROM e)),

@@ -140,7 +140,25 @@ object TextAnalysis {
     * The n scalar rides a broadcast 1-row DF. */
   def qualityTiers(docToks: DataFrame, tiers: Int = 4): DataFrame = {
     val spark = docToks.sparkSession
-    val q = qualityScore(docToks).select(col("doc_id"), col("quality"))
+    // doc_id normalized to long (any integral id type works in the
+    // typed RDD map below) and null-quality docs EXCLUDED — a doc
+    // with no score (null text) has no tier; silently NPE-ing the
+    // whole job on one bad row is not an option for a library report
+    val q = qualityScore(docToks)
+      .select(col("doc_id").cast("long").as("doc_id"), col("quality"))
+      .where(col("quality").isNotNull)
+      // materialized ONCE: the sort below is consumed twice
+      // (zipWithIndex's offset pass + the final aggregate) and the
+      // count() next; without this the whole quality lineage would
+      // recompute three times
+      .localCheckpoint(false)
+    // n as a driver long (bounded model state) instead of a broadcast
+    // 1-row DF: removes a third consumer of the ranked plan
+    val n = q.count()
+    if (n == 0)
+      return q.select(lit(0).cast("int").as("tier"),
+        lit(0L).as("n_docs"), lit(0.0).as("avg_q"),
+        lit(0.0).as("min_q"), lit(0.0).as("max_q")).limit(0)
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val ranked = spark.createDataFrame(
       q.orderBy(col("quality").desc, col("doc_id").asc).rdd
@@ -149,10 +167,9 @@ object TextAnalysis {
       StructType(Seq(
         StructField("doc_id", LongType), StructField("quality", DoubleType),
         StructField("rank", LongType))))
-    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
-    ranked.crossJoin(n)
+    ranked
       .withColumn("tier",
-        expr(s"cast(((rank - 1) * $tiers) div n + 1 as int)"))
+        expr(s"cast(((rank - 1) * $tiers) div ${n}L + 1 as int)"))
       .groupBy("tier")
       .agg(count(lit(1)).as("n_docs"),
            round(avg(col("quality")), 6).as("avg_q"),

@@ -123,4 +123,20 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == 2L) // every doc in exactly one tier
     assert(out.map(_.getInt(0)).distinct.length == out.length)
   }
+
+  test("null text: contaminationRate keeps the doc in n_docs, qualityTiers skips it") {
+    val docs = Seq((1L, "real text", "s1", "en"), (2L, null, "s1", "en"),
+                   (3L, null, "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val cr = Graft.contaminationRate(docs).collect().head
+    // 3 docs counted; the two nulls are NOT "the same text" as each other
+    assert(cr.getLong(1) == 3L && cr.getLong(2) == 0L)
+    val tiers = Graft.qualityTiers(docs.select(col("doc_id"), col("text")), 2)
+      .collect()
+    assert(tiers.map(_.getLong(1)).sum == 1L) // only the scored doc tiers
+    // all-null corpus: empty report, not a crash
+    val empty = Graft.qualityTiers(
+      Seq((9L, null: String)).toDF("doc_id", "text"), 2).collect()
+    assert(empty.isEmpty)
+  }
 }

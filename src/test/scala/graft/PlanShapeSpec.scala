@@ -141,11 +141,13 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q_source_overlap: corpus collapses to distinct (hash, source) BELOW the self-join") {
     val p = plan("q_source_overlap")
     // the distinct aggregate must sit under the join — joining raw
-    // doc rows first would make the fan-out doc-scale, not |sources|
-    val join = p.indexOf("SortMergeJoin")
+    // doc rows first would make the fan-out doc-scale, not |sources|.
+    // Whichever join strategy Spark picks must appear ABOVE (before)
+    // the last aggregate in the top-down plan print.
+    val join = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
     val agg = p.lastIndexOf("HashAggregate")
-    assert(join >= 0 || p.contains("BroadcastHashJoin"), p)
-    assert(agg > math.max(join, 0), p) // plans print top-down: deeper = later
+    assert(join >= 0, p)
+    assert(agg > join, p) // plans print top-down: deeper = later
     assert(!p.contains("CartesianProduct"), p)
   }
 
