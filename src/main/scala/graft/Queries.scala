@@ -761,6 +761,11 @@ object Queries {
     "q_sql_q19"             -> (Sql.qSqlQ19 _),
     "q_sql_q21"             -> (Sql.qSqlQ21 _),
     "q_sql_q22"             -> (Sql.qSqlQ22 _),
+    "q_sql_q2"              -> (Sql.qSqlQ2 _),
+    "q_sql_q9"              -> (Sql.qSqlQ9 _),
+    "q_sql_q11"             -> (Sql.qSqlQ11 _),
+    "q_sql_q16"             -> (Sql.qSqlQ16 _),
+    "q_sql_q20"             -> (Sql.qSqlQ20 _),
     "q_heavy_hitters"       -> (TextAnalysis.qHeavyHitters _),
     "q_profile"             -> (Profile.qProfile _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
@@ -990,6 +995,11 @@ object Queries {
     "q_sql_q19" -> Sql.q19Template(e => rnd(e, 2)),
     "q_sql_q21" -> Sql.q21Template(e => rnd(e, 2)),
     "q_sql_q22" -> Sql.q22Template(e => rnd(e, 2)),
+    "q_sql_q2" -> Sql.q2Template(e => rnd(e, 2)),
+    "q_sql_q9" -> Sql.q9Template(e => rnd(e, 2)),
+    "q_sql_q11" -> Sql.q11Template(e => rnd(e, 2)),
+    "q_sql_q16" -> Sql.q16Template(e => rnd(e, 2)),
+    "q_sql_q20" -> Sql.q20Template(e => rnd(e, 2)),
     // exact two-pass heavy hitters: the sketch only bounds the
     // candidate set, so the oracle is the plain exact HAVING form
     "q_heavy_hitters_by_lang" ->

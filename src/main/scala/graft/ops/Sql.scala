@@ -319,6 +319,126 @@ object Sql {
        |SELECT k, min(depth) AS depth, count(*) AS n_paths
        |FROM chain GROUP BY k ORDER BY k""".stripMargin
 
+  /** The fixture has no `partsupp` table (TESTDATA.md), which TPC-H
+    * Q2/Q9/Q11/Q16/Q20 all require. Derive one deterministically from
+    * lineitem — every (partkey, suppkey) pair that ever shipped, with
+    * availqty = 10× the line count and supplycost = the minimum unit
+    * price observed. The IDENTICAL CTE text runs on Spark and on the
+    * DuckDB oracle, so the derivation itself is oracle-checked (the
+    * constructed-input pattern: q_upsert / q_source_overlap
+    * precedents). `min` over doubles is order-independent and the
+    * division is bit-exact, so the derived table is bit-identical in
+    * both engines. */
+  private val psCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         count(*) * 10 AS ps_availqty,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)""".stripMargin
+
+  /** TPC-H Q2 shape (adapted: derived partsupp, fixture columns only —
+    * no s_address/s_phone/p_mfgr): minimum-cost supplier per
+    * European large part — the correlated scalar-min subquery that
+    * re-joins the SAME dim chain as the outer query. Tests that the
+    * correlated min is planned as one aggregate-then-join, not a
+    * per-row rescan of the 4-table chain. */
+  def q2Template(rnd: String => String): String =
+    s"""WITH $psCte
+       |SELECT ${rnd("s_acctbal")} AS s_acctbal, s_name, n_name,
+       |       p_partkey, p_type, ${rnd("ps_supplycost")} AS ps_supplycost
+       |FROM part, supplier, partsupp, nation, region
+       |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+       |  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND ps_supplycost = (
+       |    SELECT min(ps2.ps_supplycost)
+       |    FROM partsupp ps2, supplier s2, nation n2, region r2
+       |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+       |      AND s2.s_nationkey = n2.n_nationkey
+       |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 shape (adapted: derived partsupp; '%bolt%' for the
+    * absent '%green%' name vocabulary): product-type profit by nation
+    * and year — the 6-relation join where lineitem joins partsupp on
+    * the COMPOSITE (partkey, suppkey) key, the only two-column join
+    * key in the suite. */
+  def q9Template(rnd: String => String): String =
+    s"""WITH $psCte
+       |SELECT nation, o_year, ${rnd("sum(amount)")} AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |         l_extendedprice * (1 - l_discount)
+       |           - ps_supplycost * l_quantity AS amount
+       |  FROM part, supplier, lineitem, partsupp, orders, nation
+       |  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+       |    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+       |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |    AND p_name LIKE '%bolt%'
+       |) profit
+       |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape (adapted: derived partsupp; relative 0.5%
+    * threshold instead of the SF-scaled constant, so the query is
+    * scale-invariant): important-stock parts in one nation — the
+    * HAVING gated by an uncorrelated scalar subquery that re-runs the
+    * SAME aggregate over the SAME join (evaluated once and
+    * broadcast, not per group). */
+  def q11Template(rnd: String => String): String =
+    s"""WITH $psCte
+       |SELECT ps_partkey,
+       |       ${rnd("sum(ps_supplycost * ps_availqty)")} AS total_value
+       |FROM partsupp, supplier, nation
+       |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND n_name = 'NATION_7'
+       |GROUP BY ps_partkey
+       |HAVING sum(ps_supplycost * ps_availqty) > (
+       |  SELECT sum(ps_supplycost * ps_availqty) * 0.005
+       |  FROM partsupp, supplier, nation
+       |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |    AND n_name = 'NATION_7')
+       |ORDER BY total_value DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q16 shape (adapted: derived partsupp; the
+    * customer-complaints supplier exclusion is dropped — the fixture
+    * has no s_comment column): supplier count per (brand, type, size)
+    * bucket — count(DISTINCT) under a multi-column group-by with
+    * NOT-IN value-list predicates. Integer/string only: no float
+    * parity surface at all. */
+  def q16Template(rnd: String => String): String =
+    s"""WITH $psCte
+       |SELECT p_brand, p_type, p_size,
+       |       count(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM partsupp, part
+       |WHERE p_partkey = ps_partkey
+       |  AND p_brand <> 'Brand#1'
+       |  AND p_type NOT IN ('PROMO', 'ECONOMY')
+       |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape (adapted: derived partsupp; 'small%' parts,
+    * fixture nation): suppliers holding excess stock of a part family
+    * — a three-deep nesting where the innermost scalar subquery
+    * correlates on BOTH columns of the composite key from the middle
+    * IN-subquery. The deepest correlation shape in the suite. */
+  def q20Template(rnd: String => String): String =
+    s"""WITH $psCte
+       |SELECT s_name, s_suppkey
+       |FROM supplier, nation
+       |WHERE s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+       |                         WHERE p_name LIKE 'small%')
+       |      AND ps_availqty > (
+       |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+       |ORDER BY s_name, s_suppkey""".stripMargin
+
   private val sparkRound: String => String = e => s"round($e, 2)"
 
   /** q_sql_q1: TPC-H Q1 via spark.sql. */
@@ -433,5 +553,35 @@ object Sql {
   def qSqlQ15(spark: SparkSession, dir: String): DataFrame = {
     registerTables(spark, dir)
     spark.sql(q15Template(sparkRound))
+  }
+
+  /** q_sql_q2: TPC-H Q2 shape via spark.sql. */
+  def qSqlQ2(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q2Template(sparkRound))
+  }
+
+  /** q_sql_q9: TPC-H Q9 shape via spark.sql. */
+  def qSqlQ9(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q9Template(sparkRound))
+  }
+
+  /** q_sql_q11: TPC-H Q11 shape via spark.sql. */
+  def qSqlQ11(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q11Template(sparkRound))
+  }
+
+  /** q_sql_q16: TPC-H Q16 shape via spark.sql. */
+  def qSqlQ16(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q16Template(sparkRound))
+  }
+
+  /** q_sql_q20: TPC-H Q20 shape via spark.sql. */
+  def qSqlQ20(spark: SparkSession, dir: String): DataFrame = {
+    registerTables(spark, dir)
+    spark.sql(q20Template(sparkRound))
   }
 }

@@ -272,4 +272,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(p.contains(" bkt#"), p)
   }
+
+  test("q_sql_q2: correlated scalar-min decorrelates to an aggregate join, no per-row rescan") {
+    val p = plan("q_sql_q2")
+    // the EUROPE-min subquery re-joins the dim chain; decorrelation
+    // must turn it into min-aggregate-then-join, not a subquery
+    // executed per outer part row
+    assert(p.contains("partial_min") || p.contains("min("), p)
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_q9: composite-key profit join stays equi, no cartesian or nested loop") {
+    val p = plan("q_sql_q9")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_sql_q11: the uncorrelated total re-aggregate runs ONCE as a reusable subquery") {
+    val p = plan("q_sql_q11")
+    // an UNcorrelated scalar gate SHOULD appear as a Subquery node —
+    // evaluated once and broadcast into the HAVING — never per group
+    assert(p.contains("Subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sql_q16: count-DISTINCT buckets are planned as two-level aggregation with pushed part filters") {
+    val p = plan("q_sql_q16")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"), p)
+  }
+
+  test("q_sql_q20: the three-deep nesting decorrelates (semi joins), no per-row subquery") {
+    val p = plan("q_sql_q20")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("InSubqueryExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
