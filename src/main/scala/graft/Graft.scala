@@ -287,6 +287,14 @@ object Graft {
                            iters: Int = 10): DataFrame =
     ops.Graph.personalizedPageRank(edges, seeds, iters)
 
+  /** Per-node triangle count + local clustering coefficient over a
+    * (src, dst) edge list treated as a simple undirected graph:
+    * (node, degree, triangles, clustering). Degree-ordered
+    * orientation, so wedge fan-out is O(sqrt m) per node, never
+    * raw-degree-quadratic. */
+  def triangleCount(edges: DataFrame): DataFrame =
+    ops.Graph.triangleCount(edges)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

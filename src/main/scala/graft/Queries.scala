@@ -25,6 +25,19 @@ object Queries {
   private val TOKS = "string_split(lower(trim(text)), ' ')"
   private val TS = "CAST(ts AS TIMESTAMP)"
 
+  /** The ±3-window, min-count-5 co-occurrence pair counts (no WITH) —
+    * the ONE SQL derivation shared by the q_cooccur and
+    * q_triangle_count oracles (mirrors
+    * [[ops.TextAnalysis.cooccurPairCounts]]). */
+  private val coocCtes: String =
+    s"""t AS (SELECT $TOKS AS toks FROM documents),
+       |p AS (SELECT unnest(flatten(list_transform(
+       |        generate_series(1, greatest(len(toks)-1, 0)), i ->
+       |        list_transform(generate_series(i+1, least(i+3, len(toks))), j ->
+       |          {'w1': toks[i], 'w2': toks[j]})))) AS pr FROM t),
+       |cnt AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*)::BIGINT AS n_cooc
+       |        FROM p GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+
   /** DuckDB emulation of Spark's `round(double, s)`. Spark rounds the
     * SHORTEST DECIMAL REPRESENTATION of the double (Round uses
     * `BigDecimal.valueOf`, i.e. `Double.toString`), while DuckDB rounds
@@ -796,6 +809,7 @@ object Queries {
     "q_link_degree"         -> (Graph.qLinkDegree _),
     "q_hits"                -> (Graph.qHits _),
     "q_label_prop"          -> (Graph.qLabelProp _),
+    "q_triangle_count"      -> (Graph.qTriangleCount _),
     "q_ppr"                 -> (Graph.qPpr _),
   )
 
@@ -1161,14 +1175,33 @@ object Queries {
         |FROM pri p LEFT JOIN ex e USING (h)
         |ORDER BY doc_id""".stripMargin,
     "q_cooccur" ->
-      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
-         |p AS (SELECT unnest(flatten(list_transform(
-         |        generate_series(1, greatest(len(toks)-1, 0)), i ->
-         |        list_transform(generate_series(i+1, least(i+3, len(toks))), j ->
-         |          {'w1': toks[i], 'w2': toks[j]})))) AS pr FROM t)
-         |SELECT pr.w1 AS w1, pr.w2 AS w2, count(*)::BIGINT AS n_cooc
-         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+      s"""WITH $coocCtes
+         |SELECT w1, w2, n_cooc FROM cnt
          |ORDER BY n_cooc DESC, w1, w2 LIMIT 100""".stripMargin,
+    // naive ordered a<b<c three-way join: count-identical to the
+    // Spark side's degree-ordered orientation, so the oracle checks
+    // the orientation logic end to end
+    "q_triangle_count" ->
+      s"""WITH $coocCtes,
+         |und AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |        FROM cnt WHERE w1 <> w2),
+         |deg AS (SELECT node, count(*)::BIGINT AS degree FROM
+         |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY node),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tc AS (SELECT node, count(*)::BIGINT AS triangles
+         |       FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         |       GROUP BY node)
+         |SELECT deg.node AS node, deg.degree,
+         |  coalesce(tc.triangles, 0)::BIGINT AS triangles,
+         |  CASE WHEN deg.degree < 2 THEN 0.0::DOUBLE
+         |       ELSE ${rnd("(coalesce(tc.triangles, 0) * 2)::DOUBLE" +
+                            " / (deg.degree * (deg.degree - 1))", 6)}
+         |  END AS clustering
+         |FROM deg LEFT JOIN tc ON deg.node = tc.node
+         |ORDER BY node""".stripMargin,
     "q_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
          |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),

@@ -559,4 +559,83 @@ object Graph {
        |SELECT node, round(CAST(CAST(r AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS pr
        |FROM pr$iters ORDER BY node""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q_triangle_count: per-node triangle participation + local
+  // clustering coefficient — the cohesion signal (spam-farm link
+  // blocks are triangle-dense, navigational chains are triangle-free)
+  // and the standard "can your engine do a two-hop self-join without
+  // blowing up" benchmark.
+  // ------------------------------------------------------------------
+
+  /** Per-node triangle counts and local clustering coefficient over
+    * any (src, dst) edge DataFrame (direction, parallel edges and
+    * self-loops are all normalized away first): (node, degree,
+    * triangles, clustering) ordered by node, clustering rounded 6 dp.
+    *
+    * Shape is the degree-ordered orientation algorithm (Schank-Wagner
+    * / the MR-equivalent of Suri-Vassilvitskii): every edge is
+    * oriented from its LOWER (degree, node) endpoint to the higher,
+    * wedges are generated only at an edge's lower endpoint, and a
+    * wedge becomes a triangle iff the oriented closing edge exists.
+    * Each triangle is found exactly once, and — the scale property —
+    * per-node wedge fan-out is bounded by the oriented out-degree,
+    * O(sqrt(m)), NOT by the raw degree: a celebrity node with 10^7
+    * neighbours generates no wedge explosion because its edges all
+    * point INTO it. Every stage is an equi-join or a map-side-combined
+    * count; nothing is quadratic in degree. The naive a<b<c
+    * three-way join the DuckDB oracle runs is count-identical, so the
+    * oracle checks the orientation logic end to end. */
+  def triangleCount(edgeDf: DataFrame): DataFrame = {
+    val und = edgeDf
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient a—b from the lower (degree, name) endpoint; carry the
+    // dst endpoint's key so wedge pairs can be ordered the same way
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+             struct(col("a").as("s"), col("b").as("d"), col("db").as("kd")))
+          .otherwise(
+             struct(col("b").as("s"), col("a").as("d"), col("da").as("kd")))
+          .as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.kd"))
+    val wedges = oriented.select(col("src"), col("dst").as("d1"), col("kd").as("k1"))
+      .join(oriented.select(col("src"), col("dst").as("d2"), col("kd").as("k2")),
+            "src")
+      .filter(struct(col("k1"), col("d1")) < struct(col("k2"), col("d2")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("d1"), col("dst").as("d2")),
+            Seq("d1", "d2"))
+      .select(col("src").as("x"), col("d1").as("y"), col("d2").as("z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+              coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          round((col("triangles") * 2).cast("double") /
+                  (col("degree") * (col("degree") - lit(1L))), 6)))
+      .orderBy("node")
+  }
+
+  /** q_triangle_count: [[triangleCount]] over the token
+    * CO-OCCURRENCE graph ([[TextAnalysis.cooccurPairCounts]] — tokens
+    * co-occurring in a ±3 window at least 5 times). The Links page
+    * fixture is triangle-free by construction (next-links dangle, the
+    * domain rollup is source↔partner bipartite), so the corpus's own
+    * collocation structure is the natural triangle-rich graph. */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleCount(
+      TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
+        .select(col("w1").as("src"), col("w2").as("dst")))
 }

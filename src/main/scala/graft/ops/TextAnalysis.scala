@@ -529,10 +529,14 @@ object TextAnalysis {
   def qCooccur(spark: SparkSession, dir: String): DataFrame =
     cooccurrence(Tables.docTokens(spark, dir))
 
-  /** [[qCooccur]]'s engine over any (toks) DataFrame — the library
-    * entry point ([[graft.Graft.cooccurrence]]). */
-  def cooccurrence(docToks: DataFrame, k: Int = 3, minCount: Long = 5,
-                   topN: Int = 100): DataFrame = {
+  /** The thresholded co-occurrence pair table WITHOUT the top-N
+    * report cut — the full (w1, w2, n_cooc) count relation, shared by
+    * [[cooccurrence]] (which adds the ordering + limit) and
+    * [[Graph.qTriangleCount]] (which reads the pairs as a token
+    * graph). One narrow pair expression per doc, one word-pair count
+    * shuffle with map-side combine. */
+  private[graft] def cooccurPairCounts(docToks: DataFrame, k: Int = 3,
+                                       minCount: Long = 5): DataFrame = {
     val n = size(col("toks"))
     val pairStruct = org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StructType(Seq(
@@ -550,9 +554,15 @@ object TextAnalysis {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
       .filter(col("n_cooc") >= minCount)
+  }
+
+  /** [[qCooccur]]'s engine over any (toks) DataFrame — the library
+    * entry point ([[graft.Graft.cooccurrence]]). */
+  def cooccurrence(docToks: DataFrame, k: Int = 3, minCount: Long = 5,
+                   topN: Int = 100): DataFrame =
+    cooccurPairCounts(docToks, k, minCount)
       .orderBy(col("n_cooc").desc, col("w1").asc, col("w2").asc)
       .limit(topN)
-  }
 
   /** q_domain_stats: the per-source corpus report a curation run reads
     * before setting mixture weights — doc counts, language spread,

@@ -142,6 +142,43 @@ class GraphSpec extends AnyFunSuite {
     assert(out("c") == (0L, 0L, 1L, 1L, 0L)) // sink: zero out-degree
   }
 
+  test("triangleCount: K4 + pendant + isolated edge, hand-computed counts") {
+    // K4 on a,b,c,d: every node is in C(3,2)=3 triangles, clustering 1.
+    // e hangs off d (degree 1, zero triangles); f—g is an isolated
+    // edge (degree 1 each). Direction, duplicates and self-loops in
+    // the input must all be normalized away.
+    val edges = Seq(
+      "a" -> "b", "b" -> "a", // duplicate both directions
+      "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "e", "f" -> "g", "a" -> "a" // pendant, isolated, self-loop
+    ).toDF("src", "dst")
+    val out = Graph.triangleCount(edges).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((3L, 3L, 1.0)), out("a"))
+    assert(out("b") == ((3L, 3L, 1.0)))
+    assert(out("c") == ((3L, 3L, 1.0)))
+    // d: degree 4 (K4 + e), 3 triangles, cc = 6/12 = 0.5
+    assert(out("d") == ((4L, 3L, 0.5)), out("d"))
+    assert(out("e") == ((1L, 0L, 0.0)))
+    assert(out("f") == ((1L, 0L, 0.0)) && out("g") == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCount: triangle-free shapes (star, path, 4-cycle) all report zero") {
+    // the classic false-positive shapes: hub wedges, chains, and even
+    // cycles have wedges everywhere but no closing edge
+    val star = Seq("h" -> "x1", "h" -> "x2", "h" -> "x3", "h" -> "x4")
+    val path = Seq("p1" -> "p2", "p2" -> "p3", "p3" -> "p4")
+    val cycle = Seq("c1" -> "c2", "c2" -> "c3", "c3" -> "c4", "c4" -> "c1")
+    val out = Graph.triangleCount(
+      (star ++ path ++ cycle).toDF("src", "dst")).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(2) == 0L),
+      out.mkString(","))
+    // empty input: empty result, not a crash
+    assert(Graph.triangleCount(
+      Seq.empty[(String, String)].toDF("src", "dst")).collect().isEmpty)
+  }
+
   test("converges to the analytic stationary point of the 3-node example") {
     // classic: a->b, a->c, b->c, c->a with d=0.85 has a known
     // stationary solution; 50 iterations get within 1e-6

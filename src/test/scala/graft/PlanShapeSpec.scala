@@ -310,4 +310,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("InSubqueryExec"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_triangle_count: wedge and closing joins stay equi, counts map-side combined") {
+    val p = plan("q_triangle_count")
+    // the whole pipeline is equi-joins + partial-agg counts — a
+    // cartesian or nested-loop anywhere means the orientation keys
+    // fell out of a join condition
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
