@@ -379,12 +379,15 @@ object Sql {
        |) profit
        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
 
-  /** TPC-H Q11 shape (adapted: derived partsupp; relative 0.5%
-    * threshold instead of the SF-scaled constant, so the query is
-    * scale-invariant): important-stock parts in one nation — the
-    * HAVING gated by an uncorrelated scalar subquery that re-runs the
-    * SAME aggregate over the SAME join (evaluated once and
-    * broadcast, not per group). */
+  /** TPC-H Q11 shape (adapted: derived partsupp; the gate is "above
+    * 2× the average per-part value" instead of the SF-scaled fixed
+    * fraction — a FIXED fraction of the nation total empties the
+    * result as the part count grows, which is exactly why the
+    * official query scales its constant by 1/SF; the average-relative
+    * form selects ~the same quantile at every scale): important-stock
+    * parts in one nation — the HAVING gated by an uncorrelated scalar
+    * subquery that re-runs the SAME aggregate over the SAME join
+    * (evaluated once and broadcast, not per group). */
   def q11Template(rnd: String => String): String =
     s"""WITH $psCte
        |SELECT ps_partkey,
@@ -394,7 +397,8 @@ object Sql {
        |  AND n_name = 'NATION_7'
        |GROUP BY ps_partkey
        |HAVING sum(ps_supplycost * ps_availqty) > (
-       |  SELECT sum(ps_supplycost * ps_availqty) * 0.005
+       |  SELECT 2.0 * sum(ps_supplycost * ps_availqty)
+       |           / count(DISTINCT ps_partkey)
        |  FROM partsupp, supplier, nation
        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
        |    AND n_name = 'NATION_7')

@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * measured scaling exponent  e = log(t_big/t_base) / log(10)
   * against its DECLARED complexity, plus the q_dedup_cluster round
   * counts (must stay flat — O(log d)) —
-  * `sbt "runMain graft.tools.ScaleCheck [baseDir] [bigDir]"`.
+  * `sbt "runMain graft.tools.ScaleCheck [baseDir] [bigDir] [nameFilter]"`
+  * (the optional third arg restricts to queries containing the
+  * substring — the incremental-check loop for new additions).
   *
   * Reading the exponents: e ≈ 1 is linear scaling, e ≈ 2 quadratic;
   * local[32] wall time includes fixed per-job latency, so small base
@@ -76,6 +78,16 @@ object ScaleCheck {
     "q_dup_rate" -> 1.0,      // hash df agg + one join back
     "q_quality_tiers" -> 1.0, // parallel rank (range sort + zipWithIndex)
     "q_ppr" -> 1.0,           // fixed rounds, linear edges/nodes
+    // r7 late additions
+    "q_sql_q9" -> 1.0,        // the heaviest partsupp shape: 6-relation
+                              // equi-join chain + one rollup, linear
+    "q_sql_q11" -> 1.0,       // derived-partsupp agg + scalar gate
+    "q_sql_q20" -> 1.0,       // nested semi joins, all linear
+    "q_triangle_count" -> 1.0, // pair counting is the only corpus-size
+                              // term; the graph itself is vocabulary-
+                              // bounded (ScaleGen's salted replicas
+                              // add disjoint vocab slices — block-
+                              // diagonal graphs, linear wedge growth)
   )
 
   def main(args: Array[String]): Unit = {
@@ -100,8 +112,9 @@ object ScaleCheck {
     // one warmup absorbs session/codegen startup
     time("q_agg_scan", base)
 
+    val only = if (args.length > 2) Some(args(2)) else None
     println(f"${"query"}%-22s ${"t_base"}%8s ${"t_10x"}%8s ${"rows_b"}%9s ${"rows_10x"}%9s ${"exp"}%6s decl")
-    Subset.foreach { case (name, decl) =>
+    Subset.filter(q => only.forall(q._1.contains)).foreach { case (name, decl) =>
       val (tb, nb) = time(name, base)
       val roundsB = graft.ops.Dedup.lastPropagationRounds
       val (tx, nx) = time(name, big)
