@@ -295,6 +295,14 @@ object Graft {
   def triangleCount(edges: DataFrame): DataFrame =
     ops.Graph.triangleCount(edges)
 
+  /** Minimum hop distance from a `seeds` (node) set over a directed
+    * (src, dst) edge list: (node, depth), -1 for unreachable nodes.
+    * Monotone frontier expansion with early exit — total work is one
+    * pass over the reachable edges, not per-round re-relaxation. */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame,
+               maxDepth: Int = ops.Graph.BfsMaxDepth): DataFrame =
+    ops.Graph.bfsDepth(edges, seeds, maxDepth)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

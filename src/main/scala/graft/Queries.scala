@@ -810,6 +810,7 @@ object Queries {
     "q_hits"                -> (Graph.qHits _),
     "q_label_prop"          -> (Graph.qLabelProp _),
     "q_triangle_count"      -> (Graph.qTriangleCount _),
+    "q_bfs_depth"           -> (Graph.qBfsDepth _),
     "q_ppr"                 -> (Graph.qPpr _),
   )
 
@@ -1202,6 +1203,30 @@ object Queries {
          |  END AS clustering
          |FROM deg LEFT JOIN tc ON deg.node = tc.node
          |ORDER BY node""".stripMargin,
+    // bounded recursive CTE with UNION (set) semantics: rows are
+    // (node, depth) pairs deduped across rounds, so the recursion is
+    // n×maxDepth-bounded even on the dense co-occurrence graph; the
+    // Spark side's frontier expansion + early exit is depth-identical
+    "q_bfs_depth" ->
+      s"""WITH RECURSIVE $coocCtes,
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |        SELECT w1 AS src, w2 AS dst FROM cnt
+         |        UNION ALL SELECT w2, w1 FROM cnt)),
+         |-- no bare UNION here: inside a RECURSIVE with-clause DuckDB
+         |-- parses `a UNION b` as anchor/step and skips the
+         |-- cross-branch dedup; the derived-table form is safe
+         |nodes AS (SELECT DISTINCT node FROM (
+         |            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |seed AS (SELECT min(src) AS node FROM e),
+         |r(node, depth) AS (
+         |  SELECT node, 0 FROM seed WHERE node IS NOT NULL
+         |  UNION
+         |  SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+         |  WHERE r.depth < ${Graph.BfsMaxDepth}),
+         |d AS (SELECT node, min(depth)::BIGINT AS depth FROM r GROUP BY node)
+         |SELECT n.node AS node, coalesce(d.depth, -1)::BIGINT AS depth
+         |FROM nodes n LEFT JOIN d ON n.node = d.node
+         |ORDER BY n.node""".stripMargin,
     "q_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
          |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),

@@ -638,4 +638,88 @@ object Graph {
     triangleCount(
       TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
         .select(col("w1").as("src"), col("w2").as("dst")))
+
+  // ------------------------------------------------------------------
+  // q_bfs_depth: multi-source BFS hop distance — the crawl-depth /
+  // graph-radius primitive (frontier policies cap crawl depth;
+  // distance-from-trusted-set is a quality prior like PPR but in
+  // hops, not mass).
+  // ------------------------------------------------------------------
+
+  /** Minimum hop distance from a seed set over a directed (src, dst)
+    * edge list: (node, depth) for EVERY graph node, `-1` for nodes
+    * the seeds cannot reach, ordered by node. Seeds sit at depth 0;
+    * expansion stops at `maxDepth` (a crawl-policy cap — and what
+    * lets the oracle bound its recursion identically).
+    *
+    * A third iteration discipline next to [[pageRank]] (fixed-round
+    * full relaxation) and [[labelPropagation]] (fixed-round
+    * synchronous vote): MONOTONE FRONTIER expansion. Only the nodes
+    * first reached in round d−1 join the edge table in round d — the
+    * settled distance set never re-enters the join, so total work is
+    * Σ|frontier_d| edge lookups ≈ one pass over the reachable edges
+    * across ALL rounds, not per round. Each round is one equi-join
+    * (frontier repartitioned on the edge key), one distinct, one
+    * anti-join against the settled set, and a 1-row count that both
+    * detects the natural end of the graph (early exit on an empty
+    * frontier — BFS on a shallow graph must not pay the full cap) and
+    * stays bounded driver state. Depths are integers end to end:
+    * bit-exact against the oracle's bounded recursive CTE. */
+  private[graft] val BfsMaxDepth = 8
+
+  def bfsDepth(edgeDf: DataFrame, seeds: DataFrame,
+               maxDepth: Int = BfsMaxDepth): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val edges = edgeDf.select(col("src"), col("dst")).distinct()
+      .repartition(nParts, col("src"))
+      .localCheckpoint()
+    // null-safe: an aggregate-built seed frame (min over an empty
+    // graph) yields one NULL row, which must not become a node
+    val seedNodes = seeds.select(col("node"))
+      .filter(col("node").isNotNull).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .unionAll(seedNodes.select(col("node")))
+      .distinct()
+      .localCheckpoint()
+    var dist = seedNodes
+      .withColumn("depth", lit(0L))
+      .localCheckpoint()
+    var frontier = dist
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      val reached = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached.join(dist, Seq("node"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint(false)
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.unionAll(fresh).localCheckpoint(false)
+        frontier = fresh
+        d += 1
+      }
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("depth"), lit(-1L)).as("depth"))
+      .orderBy("node")
+  }
+
+  /** q_bfs_depth: [[bfsDepth]] over the symmetrized token
+    * co-occurrence graph, seeded on the lexicographically first
+    * token. Documents are single-language, so tokens of different
+    * languages never co-occur: the seed's language component gets
+    * real hop depths and every other language's tokens report -1 —
+    * both output paths exercised by the fixture itself. */
+  def qBfsDepth(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
+      .select(col("w1"), col("w2"))
+    val und = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+    val seed = und.agg(min(col("src")).as("node"))
+    bfsDepth(und, seed)
+  }
 }

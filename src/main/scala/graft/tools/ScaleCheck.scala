@@ -88,6 +88,10 @@ object ScaleCheck {
                               // bounded (ScaleGen's salted replicas
                               // add disjoint vocab slices — block-
                               // diagonal graphs, linear wedge growth)
+    "q_bfs_depth" -> 1.0,     // pair counting again; the BFS itself
+                              // touches each reachable edge once
+                              // (salted replicas: the seed's own
+                              // component only, rest report -1)
   )
 
   def main(args: Array[String]): Unit = {

@@ -179,6 +179,42 @@ class GraphSpec extends AnyFunSuite {
       Seq.empty[(String, String)].toDF("src", "dst")).collect().isEmpty)
   }
 
+  test("bfsDepth: chain depths, unreachable component = -1, depth cap honored") {
+    // a->b->c->d chain seeded at a, plus x->y disconnected
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "x" -> "y")
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val out = Graph.bfsDepth(edges, seeds).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+                      "x" -> -1L, "y" -> -1L), out)
+    // crawl-policy cap: maxDepth 2 leaves d unreached
+    val capped = Graph.bfsDepth(edges, seeds, maxDepth = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("d") == -1L && capped("c") == 2L, capped)
+  }
+
+  test("bfsDepth: direction respected, multi-seed min wins, cycle terminates early") {
+    // edges point INTO a: nothing downstream of a is reachable
+    val back = Graph.bfsDepth(Seq("b" -> "a", "c" -> "b").toDF("src", "dst"),
+                              Seq("a").toDF("node")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == Map("a" -> 0L, "b" -> -1L, "c" -> -1L), back)
+    // two seeds on a 4-cycle: every node within 1 hop of some seed;
+    // the cycle must terminate via the empty-frontier exit, not spin
+    // to the cap re-discovering settled nodes
+    val cyc = Graph.bfsDepth(
+      Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a").toDF("src", "dst"),
+      Seq("a", "c").toDF("node")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cyc == Map("a" -> 0L, "b" -> 1L, "c" -> 0L, "d" -> 1L), cyc)
+    // aggregate-built seed over an empty graph: one NULL row in,
+    // empty result out, no crash
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val nullSeed = empty.agg(min(col("src")).as("node"))
+    assert(Graph.bfsDepth(empty, nullSeed).collect().isEmpty)
+  }
+
   test("converges to the analytic stationary point of the 3-node example") {
     // classic: a->b, a->c, b->c, c->a with d=0.85 has a known
     // stationary solution; 50 iterations get within 1e-6
