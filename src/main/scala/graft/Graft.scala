@@ -124,6 +124,13 @@ object Graft {
     * n_kept) under the deterministic md5-bucket keep rule. */
   def mixWeighted(docs: DataFrame): DataFrame = Curation.mixWeighted(docs)
 
+  /** Quality-proportional deterministic sample over (doc_id, lang,
+    * source, toks) rows: keep-probability = integer milli-quality /
+    * 1000, decided by the md5-bucket-vs-hex-threshold compare — zero
+    * RNG state, integer-exact, reproducible anywhere. */
+  def weightedSample(docToks: DataFrame): DataFrame =
+    Curation.weightedSample(docToks)
+
   /** Temperature-smoothed (rate ∝ count^½) language rebalancing with
     * integer-exact quotas and a two-level parallel rank:
     * (doc_id, lang, rn). */

@@ -1338,6 +1338,7 @@ object Queries {
     "q_sample_hash"       -> (Curation.qSampleHash _),
     "q_sample_stratified" -> (Curation.qSampleStratified _),
     "q_mix_weighted"      -> (Curation.qMixWeighted _),
+    "q_sample_weighted"   -> (Curation.qSampleWeighted _),
     "q_pack_chunks"       -> (Curation.qPackChunks _),
     "q_decontaminate"     -> (Curation.qDecontaminate _),
     "q_rep_filter"        -> (Curation.qRepFilter _),
@@ -1385,6 +1386,26 @@ object Queries {
         |SELECT source, tier, count(*) AS n_total,
         |       sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM t GROUP BY source, tier ORDER BY source""".stripMargin,
+    // integer milli-weight; keep iff 16-bit md5 bucket < (w*65536)//1000
+    // rendered as 4 lowercase hex chars (lexicographic = numeric)
+    "q_sample_weighted" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      s"""WITH t AS (SELECT doc_id, lang, source, $TOKS AS toks FROM documents),
+         |q AS (SELECT doc_id, lang, source,
+         |  len(toks)::BIGINT AS n_toks,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::BIGINT AS n_stop
+         |FROM t),
+         |w AS (SELECT doc_id, lang, source,
+         |  least(least(n_toks, 100) * 3 + (n_distinct * 300) // n_toks
+         |        + ((n_toks - n_stop) * 400) // n_toks, 999)::BIGINT AS w_milli,
+         |  substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
+         |FROM q)
+         |SELECT doc_id, lang, source, w_milli, bucket
+         |FROM w
+         |WHERE bucket < lpad(lower(to_hex((w_milli * 65536) // 1000)), 4, '0')
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS n_toks FROM documents),
          |o AS (SELECT doc_id, n_toks,

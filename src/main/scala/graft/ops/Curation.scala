@@ -93,6 +93,49 @@ object Curation {
   def qMixWeighted(spark: SparkSession, dir: String): DataFrame =
     mixWeighted(Tables.documents(spark, dir))
 
+  /** Quality-PROPORTIONAL deterministic sampling — keep-probability
+    * scales with each row's own quality, where [[sampleHash]] is one
+    * global rate and [[mixWeighted]] a per-source tier. This is the
+    * "sample good documents more" curation draw, still with zero RNG
+    * state: same sample on every engine, every run, resumable and
+    * auditable.
+    *
+    * Integer-exact end to end (the [[temperatureMix]] discipline):
+    * the weight is the milli-unit composite
+    * `w = least(n_toks,100)·3 + (n_distinct·300) div n_toks +
+    * ((n_toks−n_stop)·400) div n_toks` (the [[TextAnalysis
+    * .qualityScore]] 0.3/0.3/0.4 blend in integer arithmetic, capped
+    * at 999), and a row is kept iff its 16-bit md5 bucket falls below
+    * `(w·65536) div 1000` rendered as 4 lowercase hex chars — a
+    * lexicographic compare that IS the numeric compare, computed
+    * per-row with only hex/lpad/lower (no hex-parsing, which DuckDB
+    * lacks). Keep-prob = w/1000 exactly; no float ever enters the
+    * decision, so the oracle matches bit-for-bit. Narrow filter:
+    * at 100 TB this is one scan, no shuffle before the output sort. */
+  def weightedSample(docToks: DataFrame): DataFrame = {
+    val stop = typedLit(TextAnalysis.stopwords)
+    docToks
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(filter(col("toks"), t => array_contains(stop, t))).as("n_stop"))
+      .withColumn("w_milli",
+        least(least(col("n_toks"), lit(100)) * 3
+                + expr("(n_distinct * 300) div n_toks")
+                + expr("((n_toks - n_stop) * 400) div n_toks"),
+              lit(999)).cast("long"))
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast("string")), 1, 4))
+      .filter(col("bucket") <
+        lpad(lower(hex(expr("(w_milli * 65536) div 1000"))), 4, "0"))
+      .select("doc_id", "lang", "source", "w_milli", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** q_sample_weighted: [[weightedSample]] on the test corpus. */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.docTokens(spark, dir))
+
   /** Temperature-smoothed language rebalancing — the multilingual
     * corpus-mixing standard (sampling rate ∝ count^α, α = 1/2, so
     * low-resource languages are upweighted relative to their share):

@@ -384,24 +384,26 @@ object Sql {
     * fraction — a FIXED fraction of the nation total empties the
     * result as the part count grows, which is exactly why the
     * official query scales its constant by 1/SF; the average-relative
-    * form selects ~the same quantile at every scale): important-stock
-    * parts in one nation — the HAVING gated by an uncorrelated scalar
-    * subquery that re-runs the SAME aggregate over the SAME join
-    * (evaluated once and broadcast, not per group). */
+    * form selects ~the same quantile at every scale; NATION_19
+    * because it has suppliers even in the 10-supplier sf0.001
+    * fixture — same reason Q21 uses it): important-stock parts in one
+    * nation — the HAVING gated by an uncorrelated scalar subquery
+    * that re-runs the SAME aggregate over the SAME join (evaluated
+    * once and broadcast, not per group). */
   def q11Template(rnd: String => String): String =
     s"""WITH $psCte
        |SELECT ps_partkey,
        |       ${rnd("sum(ps_supplycost * ps_availqty)")} AS total_value
        |FROM partsupp, supplier, nation
        |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-       |  AND n_name = 'NATION_7'
+       |  AND n_name = 'NATION_19'
        |GROUP BY ps_partkey
        |HAVING sum(ps_supplycost * ps_availqty) > (
        |  SELECT 2.0 * sum(ps_supplycost * ps_availqty)
        |           / count(DISTINCT ps_partkey)
        |  FROM partsupp, supplier, nation
        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-       |    AND n_name = 'NATION_7')
+       |    AND n_name = 'NATION_19')
        |ORDER BY total_value DESC, ps_partkey""".stripMargin
 
   /** TPC-H Q16 shape (adapted: derived partsupp; the

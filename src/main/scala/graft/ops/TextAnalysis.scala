@@ -55,7 +55,8 @@ object TextAnalysis {
   }
 
   /** The flat stopword list backing the quality composite (shared with
-    * the streaming curation pipeline). */
+    * the streaming curation pipeline and
+    * [[Curation.weightedSample]]). */
   private[graft] val stopwords: Seq[String] =
     markers.flatMap(_._2).distinct.sorted
 
@@ -67,7 +68,7 @@ object TextAnalysis {
   /** [[qQualityScore]]'s engine over any (doc_id, toks) DataFrame —
     * the library entry point ([[graft.Graft.qualityScore]]). */
   def qualityScore(docToks: DataFrame): DataFrame = {
-    val stop = typedLit(markers.flatMap(_._2).distinct.sorted)
+    val stop = typedLit(stopwords)
     docToks
       .select(
         col("doc_id"),
@@ -98,7 +99,7 @@ object TextAnalysis {
     * sample stddev over the unbounded frame); a degenerate
     * single-doc/constant language yields z = 0, not a NaN. */
   def qualityZ(docToks: DataFrame): DataFrame = {
-    val stop = typedLit(markers.flatMap(_._2).distinct.sorted)
+    val stop = typedLit(stopwords)
     val q = docToks
       .select(col("doc_id"), col("lang"),
         size(col("toks")).as("n_toks"),

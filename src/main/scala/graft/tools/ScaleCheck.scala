@@ -92,6 +92,7 @@ object ScaleCheck {
                               // touches each reachable edge once
                               // (salted replicas: the seed's own
                               // component only, rest report -1)
+    "q_sample_weighted" -> 1.0, // one narrow scan, no shuffle
   )
 
   def main(args: Array[String]): Unit = {

@@ -106,6 +106,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out("src0")._3 > out("src2")._3)
   }
 
+  test("weightedSample: keep rate tracks the milli-weight, weights exact, deterministic") {
+    import org.apache.spark.sql.functions.{col, split, lit}
+    // 400 top-quality docs (100 distinct non-stop tokens → w = 300 +
+    // 300 + 400 = 999) and 400 junk docs (one stopword repeated →
+    // w = 300 + (1·300) div 100 + 0 = 303); disjoint id ranges
+    val rich = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val junk = Seq.fill(100)("the").mkString(" ")
+    val docs = ((0L until 400L).map(_ -> rich) ++
+                (1000L until 1400L).map(_ -> junk))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src1"))
+      .withColumn("toks", split(col("text"), " "))
+    val out = Graft.weightedSample(docs).collect()
+    val kept = out.map(r => r.getLong(0)).toSet
+    val w = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // integer weights exact per class
+    assert(w.filter(_._1 < 400L).values.forall(_ == 999L), w.take(5))
+    assert(w.filter(_._1 >= 1000L).values.forall(_ == 303L), w.take(5))
+    // keep rate ≈ w/1000 (binomial over fixed md5 draws; wide margin)
+    val rRich = kept.count(_ < 400L) / 400.0
+    val rJunk = kept.count(_ >= 1000L) / 400.0
+    assert(math.abs(rRich - 0.999) < 0.05, s"rich rate $rRich")
+    assert(math.abs(rJunk - 0.303) < 0.08, s"junk rate $rJunk")
+    assert(rRich > rJunk + 0.3)
+    // deterministic: identical sample on a re-run
+    val again = Graft.weightedSample(docs).collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("invertedIndex: exact df/cf, postings bounded and sorted") {
     val docs = mkDocs((0L until 30L).map(i =>
       i -> (if (i % 2 == 0) "common rare" else "common only")): _*)
