@@ -1397,8 +1397,10 @@ object Queries {
          |  len(list_filter(toks, t -> list_contains($stop, t)))::BIGINT AS n_stop
          |FROM t),
          |w AS (SELECT doc_id, lang, source,
-         |  least(least(n_toks, 100) * 3 + (n_distinct * 300) // n_toks
-         |        + ((n_toks - n_stop) * 400) // n_toks, 999)::BIGINT AS w_milli,
+         |  CASE WHEN n_toks = 0 THEN 0
+         |       ELSE least(least(n_toks, 100) * 3 + (n_distinct * 300) // n_toks
+         |            + ((n_toks - n_stop) * 400) // n_toks, 999)
+         |  END::BIGINT AS w_milli,
          |  substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
          |FROM q)
          |SELECT doc_id, lang, source, w_milli, bucket

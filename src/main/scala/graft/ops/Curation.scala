@@ -120,10 +120,16 @@ object Curation {
         size(array_distinct(col("toks"))).as("n_distinct"),
         size(filter(col("toks"), t => array_contains(stop, t))).as("n_stop"))
       .withColumn("w_milli",
-        least(least(col("n_toks"), lit(100)) * 3
-                + expr("(n_distinct * 300) div n_toks")
-                + expr("((n_toks - n_stop) * 400) div n_toks"),
-              lit(999)).cast("long"))
+        // empty toks ⇒ weight 0 (never sampled): without the guard the
+        // two ratio terms divide by zero — an ANSI-mode crash, and with
+        // ANSI off least() SKIPS the NULLs and hands the empty doc the
+        // MAXIMUM weight. The fixture can't hit this (split of '' is
+        // ['']) but the caller-supplied entry point can.
+        when(col("n_toks") === 0, lit(0L)).otherwise(
+          least(least(col("n_toks"), lit(100)) * 3
+                  + expr("(n_distinct * 300) div n_toks")
+                  + expr("((n_toks - n_stop) * 400) div n_toks"),
+                lit(999)).cast("long")))
       .withColumn("bucket",
         substring(md5(col("doc_id").cast("string")), 1, 4))
       .filter(col("bucket") <

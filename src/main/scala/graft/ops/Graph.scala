@@ -587,11 +587,19 @@ object Graph {
     * three-way join the DuckDB oracle runs is count-identical, so the
     * oracle checks the orientation logic end to end. */
   def triangleCount(edgeDf: DataFrame): DataFrame = {
+    // checkpointed once: und embeds the caller's full lineage (for
+    // q_triangle_count, the corpus-scale pair aggregation) and is
+    // consumed by deg (×2) and the orientation join (×1); oriented
+    // feeds the wedge self-join (×2) and the closing-edge probe (×1).
+    // Without the pin, plan dedup rests entirely on ReuseExchange
+    // canonicalization — one divergent branch and the corpus scan
+    // runs up to ~9× (the pageRank/bfsDepth input discipline).
     val und = edgeDf
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -607,6 +615,7 @@ object Graph {
              struct(col("b").as("s"), col("a").as("d"), col("da").as("kd")))
           .as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.kd"))
+      .localCheckpoint()
     val wedges = oriented.select(col("src"), col("dst").as("d1"), col("kd").as("k1"))
       .join(oriented.select(col("src"), col("dst").as("d2"), col("kd").as("k2")),
             "src")
@@ -710,10 +719,11 @@ object Graph {
 
   /** q_bfs_depth: [[bfsDepth]] over the symmetrized token
     * co-occurrence graph, seeded on the lexicographically first
-    * token. Documents are single-language, so tokens of different
-    * languages never co-occur: the seed's language component gets
-    * real hop depths and every other language's tokens report -1 —
-    * both output paths exercised by the fixture itself. */
+    * token. The synthetic vocabulary is shared across languages, so
+    * at oracle scale the graph is ONE component and every node gets a
+    * real hop depth; the -1 (unreachable) path is pinned by the
+    * GraphSpec goldens and exercised at 10× by ScaleGen's salted
+    * replicas (disjoint vocab slices the seed cannot reach). */
   def qBfsDepth(spark: SparkSession, dir: String): DataFrame = {
     val pairs = TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
       .select(col("w1"), col("w2"))

@@ -79,9 +79,11 @@ object ScaleCheck {
     "q_quality_tiers" -> 1.0, // parallel rank (range sort + zipWithIndex)
     "q_ppr" -> 1.0,           // fixed rounds, linear edges/nodes
     // r7 late additions
+    "q_sql_q2" -> 1.0,        // correlated-min decorrelated to agg+join
     "q_sql_q9" -> 1.0,        // the heaviest partsupp shape: 6-relation
                               // equi-join chain + one rollup, linear
     "q_sql_q11" -> 1.0,       // derived-partsupp agg + scalar gate
+    "q_sql_q16" -> 1.0,       // distinct-agg over the derived partsupp
     "q_sql_q20" -> 1.0,       // nested semi joins, all linear
     "q_triangle_count" -> 1.0, // pair counting is the only corpus-size
                               // term; the graph itself is vocabulary-
