@@ -310,6 +310,15 @@ object Graft {
                maxDepth: Int = ops.Graph.BfsMaxDepth): DataFrame =
     ops.Graph.bfsDepth(edges, seeds, maxDepth)
 
+  /** Connected components over a generic (src, dst) edge list — the
+    * [[dedupClusters]] O(log d) pointer-jumping engine under
+    * graph-flavored names: (node, component, component_size,
+    * is_root), where the component id and root are the component's
+    * minimum node. Any orderable id type (numeric doc ids, string
+    * hosts/tokens alike) via order-preserving dictionary encoding. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    ops.Graph.connectedComponents(edges)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -717,6 +717,51 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Connected components over a generic (src, dst) edge list — the
+    * [[Dedup.dedupClusters]] O(log d) pointer-jumping engine behind a
+    * graph-flavored contract: (node, component, component_size,
+    * is_root), component id = the component's minimum node.
+    *
+    * The engine's convergence scalar is `sum(label)` (labels only
+    * decrease, so the sum strictly decreases iff anything changed) —
+    * a NUMERIC-id assumption. Arbitrary ids (string hosts, tokens)
+    * are dictionary-encoded first with an ORDER-PRESERVING dense id
+    * (range-partitioned sort + zipWithIndex, the [[TextAnalysis
+    * .qualityTiers]] parallel-rank discipline — never a
+    * single-partition window): numeric order ≡ source order, so the
+    * engine's min-label semantics decode back to "component id = min
+    * original node". Two dictionary joins total (encode + decode),
+    * not per round. */
+  def connectedComponents(edgeDf: DataFrame): DataFrame = {
+    val spark = edgeDf.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val nodes = edgeDf.select(col("src").as("node"))
+      .unionAll(edgeDf.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val f = nodes.schema.fields(0)
+    if (nodes.isEmpty)
+      return nodes.select(col("node"), col("node").as("component"),
+        lit(0L).as("component_size"), lit(false).as("is_root")).limit(0)
+    val dict = spark.createDataFrame(
+      nodes.orderBy(col("node").asc).rdd.zipWithIndex
+        .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) },
+      StructType(Seq(f.copy(name = "node"), StructField("nid", LongType))))
+      .localCheckpoint()
+    val enc = edgeDf
+      .join(dict.select(col("node").as("src"), col("nid").as("doc_a")), "src")
+      .join(dict.select(col("node").as("dst"), col("nid").as("doc_b")), "dst")
+      .select("doc_a", "doc_b")
+    Dedup.dedupClusters(enc)
+      .join(dict.select(col("nid").as("doc_id"), col("node")), "doc_id")
+      .join(dict.select(col("nid").as("cluster"),
+                        col("node").as("component")), "cluster")
+      .select(col("node"), col("component"),
+              col("cluster_size").as("component_size"),
+              col("is_keeper").as("is_root"))
+      .orderBy("node")
+  }
+
   /** q_bfs_depth: [[bfsDepth]] over the symmetrized token
     * co-occurrence graph, seeded on the lexicographically first
     * token. The synthetic vocabulary is shared across languages, so

@@ -139,4 +139,16 @@ class EdgeCasesSpec extends AnyFunSuite {
       Seq((9L, null: String)).toDF("doc_id", "text"), 2).collect()
     assert(empty.isEmpty)
   }
+
+  test("weightedSample: empty token array weighs 0 and is never kept (no ANSI crash)") {
+    // the ratio terms divide by n_toks; TestSpark runs ANSI mode, so
+    // without the zero guard this row would throw DIVIDE_BY_ZERO (and
+    // with ANSI off, least() skipping the NULLs would hand the empty
+    // doc the MAXIMUM weight instead of none)
+    val docs = Seq((1L, Seq.empty[String]), (2L, Seq("tok1", "tok2")))
+      .toDF("doc_id", "toks")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val out = Graft.weightedSample(docs).collect()
+    assert(!out.map(_.getLong(0)).contains(1L), out.mkString(","))
+  }
 }

@@ -215,6 +215,22 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.bfsDepth(empty, nullSeed).collect().isEmpty)
   }
 
+  test("connectedComponents: string-id graph splits into labeled components with min roots") {
+    // two components: {a,b,c} (path) and {x,y}; ids are STRINGS —
+    // the pointer-jumping engine must not assume numeric doc ids
+    val out = Graft.connectedComponents(
+      Seq("b" -> "a", "b" -> "c", "x" -> "y").toDF("src", "dst"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out("a") == (("a", 3L, true)), out)
+    assert(out("b") == (("a", 3L, false)) && out("c") == (("a", 3L, false)))
+    assert(out("x") == (("x", 2L, true)) && out("y") == (("x", 2L, false)))
+    // empty edge list: empty result, not a crash
+    assert(Graft.connectedComponents(
+      Seq.empty[(String, String)].toDF("src", "dst")).collect().isEmpty)
+  }
+
   test("converges to the analytic stationary point of the 3-node example") {
     // classic: a->b, a->c, b->c, c->a with d=0.85 has a known
     // stationary solution; 50 iterations get within 1e-6
