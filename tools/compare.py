@@ -10,7 +10,7 @@ For each query in <verifyOutDir>/oracle_sql.json:
     are required to end in a total order)
 Reports PASS/FAIL per query with a diff sample.
 """
-import duckdb, json, sys, glob, math
+import duckdb, json, sys, glob, math, os
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -32,11 +32,25 @@ def main():
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # driver fixtures are single files; ScaleGen/Spark outputs are
+        # part-file directories — accept both
+        path = f"{sf}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
+        # check for the Spark dump BEFORE running the oracle: a
+        # subset Verify run leaves most queries undumped, and paying
+        # an expensive oracle (unrolled-CTE graph closures, O(n^2)
+        # pair scans) for a guaranteed "no spark result" can stall
+        # the whole compare at 10x scale
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result")
+            n_fail += 1
+            continue
         try:
             o = con.sql(sql)
             ocols = [c.lower() for c in o.columns]
@@ -44,11 +58,6 @@ def main():
             orows = o.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
-            n_fail += 1
-            continue
-        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
-        if not files:
-            print(f"FAIL {name}: no spark result")
             n_fail += 1
             continue
         s = con.sql(f"SELECT * FROM read_parquet({files!r})")
