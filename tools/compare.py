@@ -27,6 +27,19 @@ def norm_cell(v):
         return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     return v
 
+def cells_eq(a, b):
+    """Equality with relative tolerance on floats: a double aggregate's
+    summation order differs between engines, so exact equality breaks
+    down at ~1e-12 relative once sums reach 1e9+ (seen at sf1: TPC-H
+    Q19's round(sum,2) straddles a rounding boundary). The driver's
+    gate runs at sf0.01 where exact matches hold; this local tool
+    compares the way floating-point results should be compared."""
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(cells_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -78,7 +91,7 @@ def main():
             print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
             n_fail += 1
             continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(orows, srows)) if a != b]
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(orows, srows)) if not cells_eq(a, b)]
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first at {i}:")
