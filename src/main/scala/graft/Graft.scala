@@ -498,6 +498,13 @@ object Graft {
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
     ops.Events.funnel(events, stages)
 
+  /** Last-touch attribution: each `convType` conversion credited to
+    * the user's latest preceding `touchTypes` event within `horizon`
+    * (else `direct`); (channel, n_conv, revenue). */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+                  convType: String, horizon: String = "7 DAYS"): DataFrame =
+    ops.Events.attribution(events, touchTypes, convType, horizon)
+
   /** Weekly cohort retention: users per (first-event cohort week,
     * activity-week offset). Input: (user_id, ts). */
   def retention(events: DataFrame): DataFrame = ops.Events.retention(events)
@@ -539,6 +546,16 @@ object Graft {
            joinType: JoinType = Inner): DataFrame =
     plans.AsOfJoins.asof(left, right, leftKeyCol, rightKeyCol,
                          leftTsCol, rightTsCol, joinType)
+
+  /** Interval-overlap join of two closed timestamp intervals, each
+    * pair exactly once, via fixed-width bucket decomposition — a hash
+    * equi-join on the bucket id, never a nested loop. Column names
+    * must be disjoint across the two sides. */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aStart: String, aEnd: String,
+                   bStart: String, bEnd: String,
+                   bucketWidth: String = "1 hour"): DataFrame =
+    ops.Relational.intervalJoin(a, b, aStart, aEnd, bStart, bEnd, bucketWidth)
 
   /** Registers every graft SQL function on the session — or build the
     * session with `.withExtensions(new plans.GraftExtensions)` to get

@@ -72,6 +72,7 @@ object Queries {
     "q_intersect"      -> (Relational.qIntersect _),
     "q_except"         -> (Relational.qExcept _),
     "q_join_skew"      -> (Relational.qJoinSkew _),
+    "q_join_interval"  -> (Relational.qJoinInterval _),
   )
 
   val relationalOracle: Map[String, String] = Map(
@@ -185,6 +186,33 @@ object Queries {
          |  count(*)::BIGINT AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // sessions CTE = the q_stream_session gaps-and-islands SQL; the
+    // oracle joins on the RAW inequality overlap (correct but
+    // nested-loop) — the Spark side's bucket decomposition must
+    // produce the identical pair set
+    "q_join_interval" ->
+      s"""WITH o AS (SELECT user_id, event_id, $TS AS ts, event_type FROM events),
+         |l AS (SELECT user_id, event_id, ts, event_type,
+         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM o),
+         |f AS (SELECT user_id, event_id, ts,
+         |        CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+         |             THEN 1 ELSE 0 END AS is_new FROM l),
+         |s AS (SELECT user_id, ts,
+         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |      FROM f),
+         |sess AS (SELECT user_id, min(ts) AS s0, max(ts) AS s1
+         |         FROM s GROUP BY user_id, sid),
+         |h AS (SELECT date_trunc('hour', $TS) AS inc_h, count(*) AS n_err
+         |      FROM events WHERE event_type = 'error' GROUP BY 1),
+         |inc AS (SELECT inc_h, n_err FROM h
+         |        WHERE n_err > 2.0::DOUBLE * (SELECT avg(n_err) FROM h))
+         |SELECT inc.inc_h, inc.n_err, count(*) AS n_sessions,
+         |       count(DISTINCT sess.user_id) AS n_users
+         |FROM inc JOIN sess
+         |  ON sess.s0 <= inc.inc_h + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND
+         | AND inc.inc_h <= sess.s1
+         |GROUP BY inc.inc_h, inc.n_err ORDER BY inc.inc_h""".stripMargin,
   )
 
   // -------------------------------------------------------------------
@@ -428,6 +456,7 @@ object Queries {
     "q_transitions"     -> (Events.qTransitions _),
     "q_paths"           -> (Events.qPaths _),
     "q_spike_detect"    -> (Events.qSpikeDetect _),
+    "q_attribution"     -> (Events.qAttribution _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -536,6 +565,25 @@ object Queries {
          |SELECT event_type, d::DATE AS d, n, z,
          |  abs(z) > 3.0::DOUBLE AS spike
          |FROM z ORDER BY event_type, d""".stripMargin,
+    "q_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, $TS AS ts, event_type, value
+         |           FROM events
+         |           WHERE event_type IN ('view', 'click', 'purchase')),
+         |c AS (SELECT user_id, event_id, ts, event_type, value,
+         |    last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+         |               IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts,
+         |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+         |               IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+         |  FROM e)
+         |SELECT CASE WHEN lt_ts IS NOT NULL AND ts <= lt_ts + INTERVAL 1 HOUR
+         |            THEN lt_type ELSE 'direct' END AS channel,
+         |  count(*) AS n_conv, ${rnd("sum(value)", 2)} AS revenue
+         |FROM c WHERE event_type = 'purchase'
+         |GROUP BY channel ORDER BY channel""".stripMargin,
   )
 
   // -------------------------------------------------------------------

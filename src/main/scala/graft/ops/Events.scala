@@ -302,4 +302,63 @@ object Events {
   /** q_spike_detect: [[spikeDetect]] over the full event stream. */
   def qSpikeDetect(spark: SparkSession, dir: String): DataFrame =
     spikeDetect(Tables.events(spark, dir))
+
+  /** Last-touch attribution: every conversion event is credited to
+    * the same user's most recent PRECEDING touch event within
+    * `horizon`; conversions with no in-horizon touch report as
+    * channel `direct`. The revenue-accounting readout that closes
+    * the loop [[funnel]] opens — funnels count users per stage,
+    * attribution splits conversion count and value across the
+    * channels that drove them.
+    *
+    * Scale: this is an as-of join in disguise, and the window form
+    * IS the scale shape — one shuffle on user_id, one window pass
+    * carrying the last touch (two `last(_, ignoreNulls)` columns
+    * ride the same window; rows frame ends at `-1` so a conversion
+    * never self-attributes), then a map-side-combined aggregate to
+    * ≤ |touch types|+1 report rows. No join of conversions back
+    * against touches (the naive form shuffles the event table
+    * twice), no range predicate the optimizer would turn into a
+    * nested loop.
+    *
+    * Determinism: the window orders by (ts, event_id) — a touch and
+    * a conversion at the same instant resolve by event id, same as
+    * every other sequence operator here ([[transitions]], [[scd2]]).
+    * Horizon comparison is timestamp + INTERVAL in integer
+    * microseconds on both engines — exact. */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+                  convType: String, horizon: String = "7 DAYS"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: need at least one touch type")
+    require(!touchTypes.contains(convType),
+      "attribution: conversion type cannot also be a touch type")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type"), col("value"))
+      // prune to the two roles BEFORE the shuffle: other event types
+      // neither touch nor convert, and dropping them first keeps the
+      // window partition narrow
+      .filter(isTouch || col("event_type") === convType)
+      .withColumn("lt_ts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .select(
+        when(col("lt_ts").isNotNull
+               && col("ts") <= col("lt_ts") + expr(s"INTERVAL $horizon"),
+             col("lt_type"))
+          .otherwise(lit("direct")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"), round(sum(col("value")), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** q_attribution: [[attribution]] of purchases to view/click
+    * touches within a 1-hour horizon. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(spark, dir), Seq("view", "click"),
+                "purchase", horizon = "1 HOUR")
 }

@@ -254,4 +254,90 @@ object Relational {
     val (a, b) = unionSides(spark, dir)
     a.except(b).orderBy("custkey")
   }
+
+  /** Interval-overlap join of two CLOSED timestamp intervals
+    * [aStart, aEnd] × [bStart, bEnd] — every (a, b) pair whose
+    * intervals intersect, emitted exactly once, WITHOUT the
+    * cartesian/nested-loop plan a raw inequality join degenerates to
+    * (Catalyst has no equi-key to hash on, so `a.s <= b.e AND b.s <=
+    * a.e` alone plans BroadcastNestedLoopJoin — fine for 4 literal
+    * bands in [[qJoinRange]], fatal for two large sides at 100 TB).
+    *
+    * Shape: both sides explode to the fixed-width epoch buckets their
+    * intervals cover (`sequence` over integer-micros bucket ids — an
+    * interval of length L costs ⌈L/width⌉ rows, so width should sit
+    * near the typical interval length), then ONE hash equi-join on
+    * the bucket id. A pair sharing k buckets would surface k times;
+    * instead of a dedup shuffle, the pair is kept only in the bucket
+    * containing the LATER of the two starts — the bucket where the
+    * overlap begins — which each matched pair has exactly one of.
+    * True overlap is then one residual predicate. Hot buckets (many
+    * live intervals at once) produce m·n candidates — that is the
+    * real overlap density, not an artifact; narrow the width to
+    * spread genuinely long intervals.
+    *
+    * Both inputs must already carry disjoint column names; the
+    * output is a.* ++ b.*. */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aStart: String, aEnd: String,
+                   bStart: String, bEnd: String,
+                   bucketWidth: String = "1 hour"): DataFrame = {
+    val widthUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(bucketWidth))
+      match {
+        case iv =>
+          require(iv.months == 0, s"intervalJoin: bucketWidth must be day-time, got $bucketWidth")
+          iv.days * 86400000000L + iv.microseconds
+      }
+    require(widthUs > 0, s"intervalJoin: non-positive bucketWidth $bucketWidth")
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .withColumn("__bk", explode(sequence(
+        floor(us(s).cast("double") / widthUs).cast("long"),
+        floor(us(e).cast("double") / widthUs).cast("long"))))
+    val aB = buckets(a, aStart, aEnd)
+    val bB = buckets(b, bStart, bEnd).withColumnRenamed("__bk", "__bk_b")
+    aB.join(bB, col("__bk") === col("__bk_b")
+        // true overlap of the closed intervals…
+        && us(aStart) <= us(bEnd) && us(bStart) <= us(aEnd)
+        // …counted only in the bucket where the overlap begins
+        && col("__bk") === floor(greatest(us(aStart), us(bStart))
+                                   .cast("double") / widthUs).cast("long"))
+      .drop("__bk", "__bk_b")
+  }
+
+  /** q_join_interval: [[intervalJoin]] on real interval × interval
+    * sides — user activity sessions (the gaps-and-islands intervals
+    * of [[Events.qStreamSession]]) against error-spike hours (hours
+    * whose error count exceeds 2× the average hourly error count —
+    * average-relative so the gate selects the same quantile at every
+    * scale), reporting how many sessions and distinct users were
+    * live during each incident. The spike hour is the closed
+    * interval [h, h + 1 hour − 1 µs] — integer-micros exact on both
+    * engines, and a session STARTING exactly at h + 1 hour does not
+    * overlap. */
+  def qJoinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = Events.qStreamSession(spark, dir)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val hourly = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      // date_trunc always returns LTZ TimestampType; cast back to NTZ
+      // for DuckDB naive-TIMESTAMP parity (session tz is UTC, so the
+      // cast is wall-clock identity)
+      .groupBy(date_trunc("hour", col("ts"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType).as("inc_h"))
+      .agg(count(lit(1)).as("n_err"))
+    val thr = hourly.agg(avg(col("n_err")).as("avg_err"))
+    val incidents = hourly.crossJoin(broadcast(thr))
+      .filter(col("n_err") > lit(2.0) * col("avg_err"))
+      .select(col("inc_h"), col("n_err"),
+              (col("inc_h") + expr("INTERVAL 1 HOUR") - expr("INTERVAL 1 MICROSECOND"))
+                .as("inc_end"))
+    intervalJoin(sessions, incidents,
+                 "session_start", "session_end", "inc_h", "inc_end")
+      .groupBy("inc_h", "n_err")
+      .agg(count(lit(1)).as("n_sessions"),
+           count_distinct(col("user_id")).as("n_users"))
+      .orderBy("inc_h")
+  }
 }

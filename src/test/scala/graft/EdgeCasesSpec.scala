@@ -151,4 +151,71 @@ class EdgeCasesSpec extends AnyFunSuite {
     val out = Graft.weightedSample(docs).collect()
     assert(!out.map(_.getLong(0)).contains(1L), out.mkString(","))
   }
+
+  test("attribution: horizon boundary, no-touch, post-conversion touch, and tie cases") {
+    import java.sql.Timestamp
+    def t(min: Long, us: Long = 0) = new Timestamp(min * 60000 + us / 1000)
+    val ev = Seq(
+      // user 1: click 00:00, purchase 00:30 — inside 1h horizon
+      (1L, 1L, t(0), "click", 0.0), (2L, 1L, t(30), "purchase", 10.0),
+      // user 2: view 00:00, purchase 01:00 sharp — ts <= lt_ts + 1h is inclusive
+      (3L, 2L, t(0), "view", 0.0), (4L, 2L, t(60), "purchase", 20.0),
+      // user 3: click 00:00, purchase 01:01 — outside horizon -> direct
+      (5L, 3L, t(0), "click", 0.0), (6L, 3L, t(61), "purchase", 40.0),
+      // user 4: no touch at all -> direct
+      (7L, 4L, t(5), "purchase", 80.0),
+      // user 5: touch AFTER the conversion never attributes (frame ends at -1)
+      (8L, 5L, t(10), "purchase", 160.0), (9L, 5L, t(11), "click", 0.0),
+      // user 6: view then click at the SAME instant as the purchase —
+      // same-ts touch with smaller event_id still precedes in row order
+      (10L, 6L, t(20), "view", 0.0), (11L, 6L, t(25), "click", 0.0),
+      (12L, 6L, t(25), "purchase", 320.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Graft.attribution(ev, Seq("view", "click"), "purchase", "1 HOUR")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(out == List(
+      ("click", 2L, 330.0),   // users 1, 6
+      ("direct", 3L, 280.0),  // users 3 (stale), 4 (none), 5 (late touch)
+      ("view", 1L, 20.0)))    // user 2, exactly on the boundary
+  }
+
+  test("intervalJoin: exactly-once pairs across shared buckets, touching endpoints, disjoint") {
+    import java.sql.Timestamp
+    def t(min: Long) = new Timestamp(min * 60000)
+    // 1-minute buckets; intervals span many buckets to force shared-
+    // bucket candidates that must still surface exactly once
+    val a = Seq(
+      ("a1", t(0), t(10)),    // overlaps b1 (shares 11 buckets) and b2 at a point
+      ("a2", t(20), t(30)),   // disjoint from everything
+      ("a3", t(40), t(45))    // contained inside b3
+    ).toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      ("b1", t(0), t(10)),    // identical to a1
+      ("b2", t(10), t(12)),   // touches a1 exactly at t=10 (closed: overlap)
+      ("b3", t(35), t(50))    // contains a3
+    ).toDF("b_id", "b_s", "b_e")
+    val out = Graft.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", "1 minute")
+      .select("a_id", "b_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a1", "b1"), ("a1", "b2"), ("a3", "b3")))
+    // and once means once: no duplicate rows before the toSet
+    val n = Graft.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", "1 minute").count()
+    assert(n == 3, s"expected 3 pairs, got $n")
+  }
+
+  test("intervalJoin: month-bucket widths are rejected, zero width is rejected") {
+    val df = Seq(("x", new java.sql.Timestamp(0), new java.sql.Timestamp(1)))
+      .toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      Graft.intervalJoin(df, df.select(col("id").as("i2"), col("s").as("s2"), col("e").as("e2")),
+                         "s", "e", "s2", "e2", "1 month")
+    }
+  }
+
+  test("attribution: conversion type in touch list is rejected") {
+    val ev = Seq((1L, 1L, new java.sql.Timestamp(0L), "x", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    intercept[IllegalArgumentException] {
+      Graft.attribution(ev, Seq("x"), "x")
+    }
+  }
 }

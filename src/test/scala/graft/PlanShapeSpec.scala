@@ -206,6 +206,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_join_interval: bucket decomposition gives a hash equi-join on the bucket id") {
+    val p = plan("q_join_interval")
+    // the raw inequality-overlap form would plan the session×incident
+    // join as a nested loop (no equi-key); the bucket id must hand
+    // Catalyst a hash key. The ONE BroadcastNestedLoopJoin allowed is
+    // the deliberate 1-row avg-threshold broadcast cross.
+    assert(p.contains("Join [__bk") || p.contains("Join [cast(__bk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+            .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
   test("q_sql_q13: left join survives with its extra condition (not degraded to inner)") {
     val p = plan("q_sql_q13")
     assert(p.contains("LeftOuter"), p)
