@@ -213,6 +213,12 @@ object Graft {
     * class and the masked text. */
   def piiRedact(rows: DataFrame): DataFrame = TextAnalysis.piiRedact(rows)
 
+  /** Unicode normalization of (doc_id, text): NFC compose (native
+    * codegen Expression — Spark has no built-in), Unicode lowercase,
+    * whitespace collapse, trim; (doc_id, norm). */
+  def normalizeText(docs: DataFrame): DataFrame =
+    TextAnalysis.normalizeText(docs)
+
   /** Model-based quality scoring: fastText-style hashed linear
     * classifier inference over unigram+bigram features —
     * (doc_id, n_feats, score, keep). The weight table is a

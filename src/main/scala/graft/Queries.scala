@@ -807,6 +807,7 @@ object Queries {
     "q_perplexity"          -> (TextAnalysis.qPerplexity _),
     "q_perplexity_kn"       -> (TextAnalysis.qPerplexityKn _),
     "q_pii_redact"          -> (TextAnalysis.qPiiRedact _),
+    "q_normalize_text"      -> (TextAnalysis.qNormalizeText _),
     "q_kmeans"              -> (Clustering.qKmeans _),
     "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
     "q_dedup_span"          -> (Dedup.qDedupSpan _),
@@ -1375,6 +1376,20 @@ object Queries {
          |    ${rnd("list_sum(list_transform(generate_series(1, 64), i -> a.vn[i] * b.vn[i]))", 6)} AS cos_sim
          |  FROM u a, u b WHERE a.vec_id < b.vec_id) p
          |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // planted rows are chr()-for-\\u mirrors of the Scala literals:
+    // 769 = U+0301 combining acute, 778 = U+030A combining ring,
+    // 233 = é precomposed, 65313/65314 = fullwidth A/B
+    "q_normalize_text" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT 9000001, 'Cafe' || chr(769) || '  du  MONDE'
+         |  UNION ALL SELECT 9000002, 'A' || chr(778) || '  STRAND'
+         |  UNION ALL SELECT 9000003, 'already caf' || chr(233)
+         |  UNION ALL SELECT 9000004, '  tabs' || chr(9) || 'and' || chr(10) || 'newlines  '
+         |  UNION ALL SELECT 9000005, 'FULLWIDTH ' || chr(65313) || chr(65314))
+         |SELECT doc_id,
+         |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm
+         |FROM d ORDER BY doc_id""".stripMargin,
   )
 
   // -------------------------------------------------------------------

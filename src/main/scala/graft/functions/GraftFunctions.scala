@@ -45,6 +45,8 @@ object GraftFunctions {
       (e => SimHash64(e.head)),
     "graft_topk" ->
       (e => TopKPairs(e(0), e(1), intLit(e(2)).toInt, boolLit(e(3)))),
+    "graft_nfc" ->
+      (e => NfcNormalize(e.head)),
   )
 
   /** Registers every graft function on the session (idempotent). */

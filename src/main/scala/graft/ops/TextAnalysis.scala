@@ -690,4 +690,43 @@ object TextAnalysis {
     * (k = 99 → tokens above 1% of each language's token stream). */
   def qHeavyHittersByLang(spark: SparkSession, dir: String): DataFrame =
     heavyHittersByGroup(Tables.docTokens(spark, dir))
+
+  /** Unicode text normalization — the canonical first pass of every
+    * corpus pipeline, BEFORE tokenizing/hashing/dedup: NFC compose
+    * (decomposed e+◌́ ≡ precomposed é — without it, cross-source
+    * duplicates differing only in normalization form slip past both
+    * exact and near dedup), Unicode lowercase, whitespace collapse,
+    * trim. NFC is the one step Spark has no built-in for —
+    * [[graft.functions.NfcNormalize]] is a native codegen Expression
+    * (JDK Normalizer kernel, ASCII fast path, zero-copy when already
+    * normalized), so the whole pipeline stays inside one
+    * whole-stage-codegen span over a narrow (doc_id, text) scan:
+    * embarrassingly parallel, no shuffle until the output sort. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    graft.functions.NormalizeFunctions.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        lower(graft.functions.NormalizeFunctions.nfc(col("text"))),
+        "\\s+", " ")).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  /** q_normalize_text: [[normalizeText]] over documents plus planted
+    * non-NFC rows (the fixture text is ASCII, so combining marks,
+    * precomposed accents, fullwidth letters and raw tab/newline runs
+    * are appended as literal rows — mirrored `chr()`-for-`chr()` in
+    * the DuckDB oracle, the constructed-input pattern). */
+  def qNormalizeText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (9000001L, "Cafe\u0301  du  MONDE"),   // combining acute + space runs
+      (9000002L, "A\u030A  STRAND"),         // A + combining ring -> a-ring
+      (9000003L, "already caf\u00E9"),       // precomposed: NFC is identity
+      (9000004L, "  tabs\tand\nnewlines  "),     // \s covers tab + newline
+      (9000005L, "FULLWIDTH \uFF21\uFF22")  // fullwidth A B lowercase in place
+    ).toDF("doc_id", "text")
+    normalizeText(
+      Tables.documents(spark, dir).select("doc_id", "text").unionAll(planted))
+  }
 }

@@ -211,6 +211,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("NfcNormalize: codegen and interpreted agree with JDK Normalizer; null and zero-copy paths") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfcNormalize
+    val cases = Seq(
+      "Cafe\u0301 du Monde",  // decomposed -> composes
+      "already caf\u00E9",    // precomposed -> identity
+      "A\u030A",              // combining ring
+      "plain ascii stays",         // ASCII fast path
+      "")                          // empty
+    for (s <- cases) {
+      val expect = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      // interpreted eval
+      val got = NfcNormalize(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null)
+      assert(got.toString == expect, s"interpreted: $s")
+    }
+    // codegen path through a real DataFrame (whole-stage codegen on)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val out = Graft.normalizeText(df).collect().map(_.getString(1))
+    val expect = cases.map(s => java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC).toLowerCase.trim
+      .replaceAll("\\s+", " "))
+    assert(out.toSeq == expect, out.mkString("|"))
+    // null text -> null norm, no crash
+    val withNull = Seq((1L, null: String), (2L, "ok")).toDF("doc_id", "text")
+    val n = Graft.normalizeText(withNull).collect()
+    assert(n(0).isNullAt(1) && n(1).getString(1) == "ok")
+  }
+
   test("attribution: conversion type in touch list is rejected") {
     val ev = Seq((1L, 1L, new java.sql.Timestamp(0L), "x", 1.0))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
