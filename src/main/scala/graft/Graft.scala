@@ -325,6 +325,13 @@ object Graft {
   def connectedComponents(edges: DataFrame): DataFrame =
     ops.Graph.connectedComponents(edges)
 
+  /** k-core decomposition over any (src, dst) edge list (treated
+    * undirected/simple): the maximal subgraph where every node keeps
+    * degree ≥ k, by simultaneous peeling; (node, core_deg). Throws if
+    * the peel hasn't reached fixpoint in `maxRounds`. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame =
+    ops.Graph.kCore(edges, k, maxRounds)
+
   /** Exact shared-span pairs: docs sharing a verbatim `w`-token window
     * (substring-level dedup signal): (doc_a, doc_b, n_shared_spans).
     * Spans appearing in more than `maxDf` docs are dropped as

@@ -860,6 +860,7 @@ object Queries {
     "q_label_prop"          -> (Graph.qLabelProp _),
     "q_triangle_count"      -> (Graph.qTriangleCount _),
     "q_bfs_depth"           -> (Graph.qBfsDepth _),
+    "q_kcore"               -> (Graph.qKCore _),
     "q_ppr"                 -> (Graph.qPpr _),
   )
 
@@ -1252,6 +1253,9 @@ object Queries {
          |  END AS clustering
          |FROM deg LEFT JOIN tc ON deg.node = tc.node
          |ORDER BY node""".stripMargin,
+    // unrolled simultaneous-peel: rounds >= the fixture's fixed
+    // peeling depth; extra rounds are no-ops = the Spark fixpoint exit
+    "q_kcore" -> Graph.kcoreOracleSql(),
     // bounded recursive CTE with UNION (set) semantics: rows are
     // (node, depth) pairs deduped across rounds, so the recursion is
     // n×maxDepth-bounded even on the dense co-occurrence graph; the

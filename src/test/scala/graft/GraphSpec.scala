@@ -231,6 +231,41 @@ class GraphSpec extends AnyFunSuite {
       Seq.empty[(String, String)].toDF("src", "dst")).collect().isEmpty)
   }
 
+  test("kCore: planted clique survives with in-core degrees, pendant chain peels away") {
+    // 5-clique (degree 4 inside) with a 3-node chain hanging off node a:
+    // k=3 keeps exactly the clique; the chain erodes over rounds
+    val clique = for {
+      x <- Seq("a", "b", "c", "d", "e"); y <- Seq("a", "b", "c", "d", "e")
+      if x < y
+    } yield (x, y)
+    val chain = Seq(("a", "p1"), ("p1", "p2"), ("p2", "p3"))
+    val out = Graft.kCore((clique ++ chain).toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 4L, "b" -> 4L, "c" -> 4L, "d" -> 4L, "e" -> 4L), out)
+  }
+
+  test("kCore: k=2 path peels one layer per round to empty; duplicate+reversed edges collapse") {
+    // a path has no 2-core; parallel/reversed duplicates must not
+    // inflate degrees into a fake core
+    val path = Seq(("n1", "n2"), ("n2", "n1"), ("n1", "n2"),
+                   ("n2", "n3"), ("n3", "n4"))
+    assert(Graft.kCore(path.toDF("src", "dst"), k = 2).collect().isEmpty)
+    // self-loops don't count toward degree
+    val loops = Seq(("s", "s"), ("s", "t"))
+    assert(Graft.kCore(loops.toDF("src", "dst"), k = 2).collect().isEmpty)
+    // empty input: empty output, no crash
+    assert(Graft.kCore(Seq.empty[(String, String)].toDF("src", "dst"), 2)
+      .collect().isEmpty)
+  }
+
+  test("kCore: round cap below the peeling depth fails loudly, not silently wrong") {
+    // 8-node path at k=2 needs ~4 peel rounds; cap at 2 must throw
+    val path = (1 to 7).map(i => (s"v$i", s"v${i + 1}"))
+    intercept[IllegalStateException] {
+      Graft.kCore(path.toDF("src", "dst"), k = 2, maxRounds = 2)
+    }
+  }
+
   test("converges to the analytic stationary point of the 3-node example") {
     // classic: a->b, a->c, b->c, c->a with d=0.85 has a known
     // stationary solution; 50 iterations get within 1e-6
