@@ -28,12 +28,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events` carries a parquet TIMESTAMP(NANOS) column that Spark 4
-    * refuses by default (PARQUET_TYPE_ILLEGAL). Workaround (SURVEY.md
-    * §7.4.1, verified): read nanos as long, then truncate to micros with
-    * *integer* division (`div`, not `/` — a long→double round-trip at
-    * ~1.7e18 ns loses up to ~128 ns of precision, enough to flip a µs
-    * digit vs the DuckDB oracle's exact integer truncation).
+  /** `events.ts` normalization, schema-adaptive. Two layouts exist:
+    *   - parquet TIMESTAMP(NANOS) (original fixture + ScaleGen output):
+    *     Spark 4 refuses it by default (PARQUET_TYPE_ILLEGAL), so read
+    *     nanos as long, then truncate to micros with *integer* division
+    *     (`div`, not `/` — a long→double round-trip at ~1.7e18 ns loses
+    *     up to ~128 ns, enough to flip a µs digit vs the DuckDB oracle's
+    *     exact integer truncation).
+    *   - parquet TIMESTAMP(MICROS) (regenerated fixture): loads as a
+    *     timestamp directly; pass through.
+    * Either way the result is TIMESTAMP_NTZ — parity with orders/
+    * lineitem and with DuckDB's naive TIMESTAMP; session tz is UTC so
+    * any LTZ→NTZ cast is wall-clock-identity.
     *
     * Also pins parquet TIMESTAMP_MICROS output so Verify's result dumps
     * round-trip losslessly for the oracle compare.
@@ -41,13 +47,12 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    load(spark, dir, "events")
-      // NTZ keeps parity with the other tables (orders/lineitem read as
-      // TIMESTAMP_NTZ) and with DuckDB's naive TIMESTAMP; session tz is
-      // UTC so the LTZ→NTZ cast is wall-clock-identity.
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000"))
-          .cast(org.apache.spark.sql.types.TimestampNTZType))
+    val raw = load(spark, dir, "events")
+    val tsNorm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _                                   => col("ts")
+    }
+    raw.withColumn("ts", tsNorm.cast(org.apache.spark.sql.types.TimestampNTZType))
   }
 
   /** Normalized document tokens: `documents.text` has a trailing space

@@ -389,21 +389,33 @@ object Sql {
     * fixture — same reason Q21 uses it): important-stock parts in one
     * nation — the HAVING gated by an uncorrelated scalar subquery
     * that re-runs the SAME aggregate over the SAME join (evaluated
-    * once and broadcast, not per group). */
+    * once and broadcast, not per group).
+    *
+    * Money is summed in INTEGER CENTS: each per-row stock value is
+    * rounded to 2 dp (engine-matched `rnd`), scaled ×100 and cast to
+    * BIGINT before the sum. A raw `round(sum(double), 2)` here is a
+    * run-to-run coin flip — ps_supplycost is a full-precision
+    * division, and a group whose true total sits within an ulp of a
+    * half-cent boundary (sf0.01 has one: partkey 1223 at ≈943577.515)
+    * flips its last cent with Spark's partial-agg addition order.
+    * Integer sums are order-independent, and the HAVING threshold
+    * (2× mean part value) is derived from the same exact cents. */
   def q11Template(rnd: String => String): String =
-    s"""WITH $psCte
-       |SELECT ps_partkey,
-       |       ${rnd("sum(ps_supplycost * ps_availqty)")} AS total_value
-       |FROM partsupp, supplier, nation
-       |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-       |  AND n_name = 'NATION_19'
-       |GROUP BY ps_partkey
-       |HAVING sum(ps_supplycost * ps_availqty) > (
-       |  SELECT 2.0 * sum(ps_supplycost * ps_availqty)
-       |           / count(DISTINCT ps_partkey)
+    s"""WITH $psCte,
+       |pv AS (
+       |  SELECT ps_partkey,
+       |         CAST(round(${rnd("ps_supplycost * ps_availqty")} * 100)
+       |              AS BIGINT) AS v_cents
        |  FROM partsupp, supplier, nation
        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
        |    AND n_name = 'NATION_19')
+       |SELECT ps_partkey,
+       |       CAST(sum(v_cents) AS DOUBLE) / 100 AS total_value
+       |FROM pv
+       |GROUP BY ps_partkey
+       |HAVING sum(v_cents) > (
+       |  SELECT CAST(2 * sum(v_cents) AS DOUBLE)
+       |           / count(DISTINCT ps_partkey) FROM pv)
        |ORDER BY total_value DESC, ps_partkey""".stripMargin
 
   /** TPC-H Q16 shape (adapted: derived partsupp; the

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * with the data — the property a scaling measurement needs. Dim
   * tables (region/nation/part/supplier) are copied verbatim: dims grow
   * slower than facts in every real schema, and the FK ranges stay
-  * valid. `events.ts` is kept as raw nanosecond longs so the generated
-  * dir round-trips through the same [[graft.Tables.events]] shim as
-  * the driver-written data. */
+  * valid. `events.ts` is copied in whatever physical layout the source
+  * dir carries (nanos-as-long for the original fixture, TIMESTAMP_MICROS
+  * for the regenerated one) — [[graft.Tables.events]] adapts to both. */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
