@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
 import org.apache.spark.sql.functions._
 
@@ -226,6 +226,14 @@ object Graft {
     * production; the inference mechanics are identical). */
   def modelQuality(docs: DataFrame): DataFrame =
     TextAnalysis.modelQuality(tokenize(docs))
+
+  /** DSIR-style importance weights: top-k docs by mean hashed-n-gram
+    * log-likelihood ratio of a target slice vs the raw corpus —
+    * (doc_id, n_feats, dsir_w). `isTarget` marks the target-domain
+    * exemplar rows (e.g. `col("source") === "curated"`). */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = 4096, topK: Int = 100): DataFrame =
+    Curation.dsirWeights(tokenize(docs), isTarget, buckets, topK)
 
   /** Per-doc whitespace vs greedy-merge BPE token counts over
     * tokenized docs — the context-window budget in the tokens the

@@ -1415,9 +1415,29 @@ object Queries {
     "q_curate_web"        -> (Curation.qCurateWeb _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
     "q_split_assign"      -> (Curation.qSplitAssign _),
+    "q_dsir"              -> (Curation.qDsir _),
   )
 
   val curationOracle: Map[String, String] = Map(
+    // DSIR importance weights: hashed unigram+bigram buckets (3 hex md5
+    // chars = 4096), Laplace-smoothed target-vs-raw log-ratio, per-doc
+    // mean — identical term order to the Spark expression
+    "q_dsir" ->
+      s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         |f AS (SELECT doc_id, source = 'src0' AS is_t,
+         |        unnest(${bigramFeatsSql("toks")}) AS f FROM t),
+         |b AS (SELECT doc_id, is_t, substr(md5(f), 1, 3) AS bk FROM f),
+         |lm AS (SELECT bk, count(*)::BIGINT AS c_r,
+         |         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+         |       FROM b GROUP BY bk),
+         |tot AS (SELECT sum(c_r)::DOUBLE AS n_r, sum(c_t)::DOUBLE AS n_t
+         |        FROM lm),
+         |s AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+         |        avg(ln(c_t + 1) - ln(n_t + 4096)
+         |          - ln(c_r + 1) + ln(n_r + 4096)) AS w
+         |      FROM b JOIN lm USING (bk) CROSS JOIN tot GROUP BY doc_id)
+         |SELECT doc_id, n_feats, ${rnd("w", 6)} AS dsir_w
+         |FROM s ORDER BY dsir_w DESC, doc_id LIMIT 100""".stripMargin,
     "q_curate_web" ->
       s"""WITH h AS (SELECT doc_id, ${Html.plainPageSql} AS html FROM documents),
          |e AS (SELECT doc_id, ${Html.contentSqlExpr("html")} AS content FROM h),

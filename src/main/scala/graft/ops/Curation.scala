@@ -493,4 +493,67 @@ object Curation {
     extracted.unpersist()
     out
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-n-gram bag is under a
+    * TARGET domain's feature distribution than under the raw corpus's,
+    * then keep the top-k — the principled "make the corpus look like
+    * the target domain" selection step next to the model-based
+    * classifier ([[TextAnalysis.modelQuality]]).
+    *
+    * weight(doc) = mean over the doc's features f of
+    * `ln p̂_target(bucket(f)) − ln p̂_raw(bucket(f))`, with unigram +
+    * bigram features hashed into `buckets` md5 buckets and both
+    * distributions Laplace-smoothed: p̂(b) = (c(b)+1)/(N+buckets).
+    *
+    * Scale shape: one feature-stream aggregate with map-side combine
+    * into at most `buckets` rows (BOTH counts ride a single pass —
+    * the target count is a conditional aggregate, not a second scan),
+    * totals reduced from that bucket table, the ≤`buckets`-row model
+    * broadcast back onto the feature stream, one per-doc aggregate.
+    * No shuffle is ever wider than the bucket table; at 100 TB the
+    * corpus is scanned twice (count pass + score pass) and nothing
+    * else. Docs with zero tokens have no features and are absent,
+    * like every n-gram operator here.
+    *
+    * Bucket ids stay 3-hex-char STRINGS (md5 prefix): lexicographic
+    * grouping needs no hex→int conversion, and the same `substr(md5)`
+    * renders identically in the DuckDB oracle. */
+  def dsirWeights(docToks: DataFrame, isTarget: Column,
+                  buckets: Int = 4096, topK: Int = 100): DataFrame = {
+    val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
+    require(Seq(16, 256, 4096, 65536).contains(buckets),
+            s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
+    val feats = docToks
+      .select(col("doc_id"), isTarget.as("is_t"),
+              explode(concat(col("toks"), Text.ngramCol(col("toks"), 2)))
+                .as("f"))
+      .select(col("doc_id"), col("is_t"),
+              substring(md5(col("f")), 1, hexDigits).as("bk"))
+    val lm = feats.groupBy("bk")
+      .agg(count(lit(1)).as("c_r"),
+           count(when(col("is_t"), 1)).as("c_t"))
+    val tot = lm.agg(sum(col("c_r")).cast("double").as("n_r"),
+                     sum(col("c_t")).cast("double").as("n_t"))
+    val b = lit(buckets.toDouble)
+    feats
+      .join(broadcast(lm), "bk")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+           avg(log(col("c_t") + 1) - log(col("n_t") + b)
+             - log(col("c_r") + 1) + log(col("n_r") + b)).as("w"))
+      .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
+              round(col("w"), 6).as("dsir_w"))
+      .orderBy(col("dsir_w").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** q_dsir: [[dsirWeights]] on the test corpus, with the `src0`
+    * slice standing in for the target domain (the constructed-input
+    * pattern — in production the target counts come from a curated
+    * exemplar corpus; the estimator mechanics are identical). */
+  def qDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.docTokens(spark, dir), col("source") === "src0")
 }

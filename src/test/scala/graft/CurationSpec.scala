@@ -223,4 +223,29 @@ class CurationSpec extends AnyFunSuite {
     val n = totals.values.sum / 2.0
     assert(math.abs(picked - n) <= totals.size + 1, s"picked=$picked target=$n")
   }
+
+  test("dsirWeights: target-like docs outrank off-domain docs, features counted, order pinned") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "tgt"),
+      (1L, "alpha beta gamma epsilon", "tgt"),
+      (2L, "alpha beta gamma zeta", "raw"), // shares the target vocab
+      (3L, "qq rr ss tt", "raw"),           // disjoint off-domain vocab
+      (4L, "alpha beta qq rr", "raw")       // half in, half out
+    ).toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = Graft.dsirWeights(docs, col("source") === "tgt", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // unigrams + bigrams: 4 + 3 per 4-token doc
+    assert(byId(2L)._2 === 7L)
+    // on-domain > mixed > off-domain
+    assert(byId(2L)._3 > byId(4L)._3, s"$byId")
+    assert(byId(4L)._3 > byId(3L)._3, s"$byId")
+    // result arrives sorted by weight descending (doc_id tiebreak)
+    val ws = out.map(_._3).toSeq
+    assert(ws == ws.sorted.reverse, s"$ws")
+    // weight scale sanity: off-domain features never seen in target →
+    // each term ln(1/(n_t+B)) − ln((c_r+1)/(n_r+B)) < 0
+    assert(byId(3L)._3 < 0.0)
+  }
 }
