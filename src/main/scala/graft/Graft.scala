@@ -353,6 +353,14 @@ object Graft {
   def domainStats(docs: DataFrame): DataFrame =
     TextAnalysis.domainStats(tokenize(docs))
 
+  /** Per-source distribution drift vs the corpus unigram LM:
+    * (source, n_toks, vocab, kl, xent). KL moves when a source's
+    * token distribution shifts (spam flood, language drift) long
+    * before per-doc filters trip; xent is the bits-per-token cost of
+    * modeling the source with the corpus LM (needs `source`). */
+  def corpusDivergence(docs: DataFrame): DataFrame =
+    TextAnalysis.corpusDivergence(tokenize(docs))
+
   /** Skip-gram co-occurrence counts within a ±k window:
     * (w1, w2, n_cooc) top-N — the embedding-training count table. */
   def cooccurrence(docs: DataFrame, k: Int = 3, minCount: Long = 5,

@@ -810,6 +810,7 @@ object Queries {
     "q_normalize_text"      -> (TextAnalysis.qNormalizeText _),
     "q_kmeans"              -> (Clustering.qKmeans _),
     "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
+    "q_corpus_kl"           -> (TextAnalysis.qCorpusKl _),
     "q_dedup_span"          -> (Dedup.qDedupSpan _),
     "q_sql_scalar"          -> (Sql.qSqlScalar _),
     "q_sql_q6"              -> (Sql.qSqlQ6 _),
@@ -1352,6 +1353,22 @@ object Queries {
          |FROM t JOIN q USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    // per-source KL / cross-entropy vs the corpus unigram LM — term
+    // order inside the sums matches the Spark expression exactly
+    "q_corpus_kl" ->
+      s"""WITH t AS (SELECT source, $TOKS AS toks FROM documents),
+         |w AS (SELECT source, unnest(toks) AS w FROM t),
+         |cs AS (SELECT source, w, count(*)::BIGINT AS c_s
+         |       FROM w GROUP BY source, w),
+         |cc AS (SELECT w, sum(c_s)::BIGINT AS c_c FROM cs GROUP BY w),
+         |ns AS (SELECT source, sum(c_s)::DOUBLE AS n_s
+         |       FROM cs GROUP BY source),
+         |nc AS (SELECT sum(c_c)::DOUBLE AS n_c FROM cc)
+         |SELECT source, n_s::BIGINT AS n_toks, count(*)::BIGINT AS vocab,
+         |  ${rnd("sum((c_s / n_s) * (ln(c_s / n_s) - ln(c_c / n_c)))", 6)} AS kl,
+         |  ${rnd("sum(-(c_s / n_s) * ln(c_c / n_c))", 6)} AS xent
+         |FROM cs JOIN cc USING (w) JOIN ns USING (source) CROSS JOIN nc
+         |GROUP BY source, n_s ORDER BY source""".stripMargin,
     "q_pii_redact" -> {
       import TextAnalysis.{EmailRe, PhoneRe, IpRe}
       s"""WITH b AS (SELECT c_custkey AS id,

@@ -590,6 +590,53 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q_corpus_kl: distribution-level corpus drift — per source, the
+    * KL divergence and cross-entropy of the source's unigram
+    * distribution against the whole corpus's. The corpus-monitoring
+    * readout next to the per-doc quality gates: a crawl source whose
+    * token distribution drifts (template spam flood, language shift,
+    * encoding regression) moves its KL long before per-doc filters
+    * trip, and cross-entropy is the bits-per-token cost of modeling
+    * the source with the corpus LM.
+    *
+    * KL(s‖c) = Σ_w p_s(w)·(ln p_s(w) − ln p_c(w)) needs no smoothing:
+    * only words the source contains contribute, and every source word
+    * is a corpus word by construction (source ⊆ corpus).
+    *
+    * Scale shape: ONE corpus-scale shuffle — the (source, word) count
+    * with map-side combine; corpus counts derive from that table by a
+    * second vocab-bounded aggregate (never a second pass over the
+    * data), per-source totals are |sources| rows broadcast, the corpus
+    * total a 1-row broadcast, and the scoring join is vocab-scale.
+    * At 100 TB the report costs one word-count aggregation. */
+  def qCorpusKl(spark: SparkSession, dir: String): DataFrame =
+    corpusDivergence(Tables.docTokens(spark, dir))
+
+  /** [[qCorpusKl]]'s engine over any (source, toks) DataFrame — the
+    * library entry point ([[graft.Graft.corpusDivergence]]). */
+  def corpusDivergence(docToks: DataFrame): DataFrame = {
+    val cs = docToks
+      .select(col("source"), explode(col("toks")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_s"))
+    val cc = cs.groupBy("w").agg(sum(col("c_s")).as("c_c"))
+    val ns = cs.groupBy("source").agg(sum(col("c_s")).cast("double").as("n_s"))
+    val nc = cc.agg(sum(col("c_c")).cast("double").as("n_c"))
+    cs.join(cc, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nc))
+      .groupBy("source", "n_s")
+      .agg(count(lit(1)).as("vocab"),
+           sum((col("c_s") / col("n_s"))
+             * (log(col("c_s") / col("n_s"))
+               - log(col("c_c") / col("n_c")))).as("kl"),
+           sum(-(col("c_s") / col("n_s"))
+             * log(col("c_c") / col("n_c"))).as("xent"))
+      .select(col("source"), col("n_s").cast("long").as("n_toks"),
+              col("vocab"), round(col("kl"), 6).as("kl"),
+              round(col("xent"), 6).as("xent"))
+      .orderBy("source")
+  }
+
   /** q_fingerprint: content fingerprints — md5 of the normalized text
     * (order-sensitive) and md5 of the sorted distinct token set (bag
     * fingerprint), plus the bag-group size: set-identical docs share

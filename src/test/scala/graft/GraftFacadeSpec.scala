@@ -168,6 +168,29 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(out("srcB") == ((1L, 1L, 2L)))
   }
 
+  test("corpusDivergence: KL is 0 for a corpus-typical source, positive for a drifted one") {
+    // srcSame mirrors the corpus distribution exactly (same doc twice);
+    // srcDrift is all one rare word
+    val d = Seq(
+      (1L, "a b c d", "en", "srcSame"),
+      (2L, "a b c d", "en", "srcSame"),
+      (3L, "zz zz zz zz", "en", "srcDrift"),
+      (4L, "a b c d", "en", "srcSame2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Graft.corpusDivergence(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // every source's KL vs the blended corpus is ≥ 0; the drifted
+    // all-one-word source diverges strictly more than the typical ones
+    assert(out.values.forall(_._3 >= 0.0), s"$out")
+    assert(out("srcDrift")._3 > out("srcSame")._3, s"$out")
+    assert(out("srcDrift")._1 == 4L && out("srcDrift")._2 == 1L)
+    // xent ≥ KL + entropy lower bound: xent − kl = H(p_s) ≥ 0
+    out.values.foreach { case (_, _, kl, xe) => assert(xe >= kl - 1e-9) }
+    // identical-distribution sources get identical scores
+    assert(math.abs(out("srcSame")._3 - out("srcSame2")._3) < 1e-9)
+  }
+
   test("funnel and retention on hand-built events") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
