@@ -77,6 +77,13 @@ object Graft {
     * clusters. */
   def dedupClusters(pairs: DataFrame): DataFrame = Dedup.dedupClusters(pairs)
 
+  /** Per-cluster canonical selection: keep the highest-quality member
+    * of each [[dedupClusters]] cluster (doc_id tiebreak) — (cluster,
+    * cluster_size, best_doc, best_quality, worst_quality). `quality`
+    * is any (doc_id, quality) table, e.g. [[qualityScore]]'s. */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame =
+    Dedup.keepBest(clusters, quality)
+
   // ---- text analysis / curation ----
 
   /** Stopword-overlap language ID (needs `lang` for the agreement

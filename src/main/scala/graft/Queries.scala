@@ -794,6 +794,7 @@ object Queries {
     "q_collocations"        -> (TextAnalysis.qCollocations _),
     "q_length_hist"         -> (TextAnalysis.qLengthHist _),
     "q_dedup_cluster"       -> (Dedup.qDedupCluster _),
+    "q_dedup_keep_best"     -> (Dedup.qDedupKeepBest _),
     "q_dedup_simhash"       -> (Dedup.qDedupSimhash _),
     "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
@@ -1045,6 +1046,49 @@ object Queries {
          |       (lab.id = lab.cluster) AS is_keeper
          |FROM lab JOIN sz USING (cluster)
          |ORDER BY doc_id""".stripMargin,
+    // q_dedup_cluster's closure composed with the q_quality_score
+    // composite: highest-ROUNDED-quality member per cluster, doc_id
+    // tiebreak — the deterministic argmax both engines agree on
+    "q_dedup_keep_best" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
+         |        / len(list_distinct(a.tset || b.tset)) AS jac
+         |    FROM d a, d b
+         |    WHERE a.lang = b.lang AND a.doc_id < b.doc_id) p
+         |  WHERE jac >= 0.9),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.id),
+         |lab AS (SELECT id, min(anc) AS cluster FROM reach GROUP BY id),
+         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster),
+         |t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |q0 AS (SELECT doc_id,
+         |  len(toks)::INT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
+         |FROM t),
+         |q AS (SELECT doc_id,
+         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
+         |FROM q0),
+         |m AS (SELECT lab.cluster, sz.cluster_size, lab.id, q.quality,
+         |        row_number() OVER (PARTITION BY lab.cluster
+         |                           ORDER BY q.quality DESC, lab.id) AS rn,
+         |        min(q.quality) OVER (PARTITION BY lab.cluster) AS worst_quality
+         |      FROM lab JOIN sz USING (cluster) JOIN q ON q.doc_id = lab.id)
+         |SELECT cluster, cluster_size, id AS best_doc,
+         |       quality AS best_quality, worst_quality
+         |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin
+    },
     "q_sql_q1" -> Sql.q1Template(e => rnd(e, 2)),
     "q_sql_q3" -> Sql.q3Template(e => rnd(e, 2)),
     "q_sql_q5" -> Sql.q5Template(e => rnd(e, 2)),

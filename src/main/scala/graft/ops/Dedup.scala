@@ -414,6 +414,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-cluster canonical selection — the curation ACTION the
+    * cluster report feeds: given near-dup clusters and a per-doc
+    * quality score, keep the highest-quality member of each cluster
+    * (doc_id tiebreak) instead of [[dedupClusters]]'s min-id keeper.
+    * "Keep the best copy, not the first copy" — the policy real
+    * corpus dedup ships, since boilerplate mirrors often have the
+    * lowest ids. Emits (cluster, cluster_size, best_doc,
+    * best_quality, worst_quality): the quality spread is the audit
+    * column — a wide spread inside one cluster flags a template
+    * family, not a true mirror.
+    *
+    * Scale shape: one key join with the (already aggregated) quality
+    * table, one window over `cluster` — groups are cluster-sized
+    * (bounded by construction: near-dup clusters are shallow), so no
+    * skew surface. The argmax is over the ROUNDED quality so the
+    * selection reproduces across engines bit-for-bit. */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clusters
+      .join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("worst_quality",
+        min(col("quality")).over(
+          Window.partitionBy("cluster")))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("cluster_size"),
+              col("doc_id").as("best_doc"),
+              col("quality").as("best_quality"),
+              col("worst_quality"))
+      .orderBy("cluster")
+  }
+
+  /** q_dedup_keep_best: [[keepBest]] over the exact near-dup clusters
+    * ([[qDedupCluster]]'s graph) scored by the composite quality
+    * ([[TextAnalysis.qualityScore]]). */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.docTokens(spark, dir)
+    val clusters = dedupClusters(
+      jaccardVerified(toks).dropDuplicates("doc_a", "doc_b"))
+    keepBest(clusters,
+             TextAnalysis.qualityScore(toks).select("doc_id", "quality"))
+  }
+
   /** q_dedup_span: exact shared-span detection — pairs of documents
     * sharing at least one verbatim `w`-token window (the
     * substring-level dedup signal of RefinedWeb/Lee-et-al-style exact

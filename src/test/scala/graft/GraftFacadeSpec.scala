@@ -191,6 +191,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(math.abs(out("srcSame")._3 - out("srcSame2")._3) < 1e-9)
   }
 
+  test("keepBest picks the highest-quality member per cluster, min-id on ties") {
+    val clusters = Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)
+    ).toDF("doc_id", "cluster", "cluster_size")
+    val quality = Seq(
+      1L -> 0.5, 2L -> 0.9, 3L -> 0.7,
+      10L -> 0.8, 11L -> 0.8
+    ).toDF("doc_id", "quality")
+    val out = Graft.keepBest(clusters, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 0.9, 0.5),    // best is doc 2, spread 0.9→0.5
+      (10L, 2L, 10L, 0.8, 0.8))) // quality tie → min doc_id
+  }
+
   test("funnel and retention on hand-built events") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
