@@ -355,6 +355,14 @@ object Graft {
   def sharedSpans(docs: DataFrame, w: Int = 20, maxDf: Int = 128): DataFrame =
     Dedup.sharedSpans(tokenize(docs), w, maxDf)
 
+  /** Substring-dedup rewrite: every duplicated `w`-token window keeps
+    * only its globally-first occurrence; docs are rebuilt from the
+    * surviving tokens — (doc_id, n_before, n_after, text_after).
+    * Cuts boilerplate RUNS out of otherwise-unique documents, the
+    * duplication document-level dedup cannot see. */
+  def spanCut(docs: DataFrame, w: Int = 20): DataFrame =
+    Dedup.spanCut(tokenize(docs), w)
+
   /** Per-source corpus report: doc counts, language spread, token
     * totals/means, mean quality (needs a `source` column). */
   def domainStats(docs: DataFrame): DataFrame =

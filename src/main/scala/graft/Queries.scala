@@ -813,6 +813,7 @@ object Queries {
     "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
     "q_corpus_kl"           -> (TextAnalysis.qCorpusKl _),
     "q_dedup_span"          -> (Dedup.qDedupSpan _),
+    "q_dedup_span_cut"      -> (Dedup.qDedupSpanCut _),
     "q_sql_scalar"          -> (Sql.qSqlScalar _),
     "q_sql_q6"              -> (Sql.qSqlQ6 _),
     "q_cooccur"             -> (TextAnalysis.qCooccur _),
@@ -1377,6 +1378,38 @@ object Queries {
          |       count(*)::BIGINT AS n_shared_spans
          |FROM f a JOIN f b ON a.span = b.span AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    // substring-dedup rewrite: same window slicing as q_dedup_span,
+    // first-occurrence keeper by the encoded (doc_id, pos) key,
+    // greedy coverage union, rebuild by position order
+    "q_dedup_span_cut" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(1,
+         |        greatest(len(toks)-19, 0))) AS pos FROM t),
+         |wi AS (SELECT g.doc_id, g.pos,
+         |         md5(array_to_string(t.toks[g.pos:g.pos+19], ' ')) AS sp
+         |       FROM g JOIN t USING (doc_id)),
+         |dup AS (SELECT sp, min(doc_id * 1000000 + pos) AS keeper
+         |        FROM wi GROUP BY sp HAVING count(*) > 1),
+         |rm0 AS (SELECT wi.doc_id,
+         |          unnest(generate_series(wi.pos, wi.pos + 19)) AS p
+         |        FROM wi JOIN dup USING (sp)
+         |        WHERE wi.doc_id * 1000000 + wi.pos <> dup.keeper),
+         |rm AS (SELECT DISTINCT doc_id, p FROM rm0),
+         |tp AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p
+         |       FROM t),
+         |tok AS (SELECT tp.doc_id, tp.p, t.toks[tp.p] AS tok
+         |        FROM tp JOIN t USING (doc_id)),
+         |keep AS (SELECT doc_id, p, tok FROM tok
+         |         WHERE NOT EXISTS (SELECT 1 FROM rm
+         |                           WHERE rm.doc_id = tok.doc_id
+         |                             AND rm.p = tok.p)),
+         |k AS (SELECT doc_id, count(*)::BIGINT AS n_after,
+         |        string_agg(tok, ' ' ORDER BY p) AS text_after
+         |      FROM keep GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks)::BIGINT AS n_before,
+         |  coalesce(k.n_after, 0)::BIGINT AS n_after,
+         |  coalesce(k.text_after, '') AS text_after
+         |FROM t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_domain_stats" -> {
       val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
       s"""WITH t AS (SELECT doc_id, source, lang, $TOKS AS toks FROM documents),

@@ -459,6 +459,73 @@ object Dedup {
              TextAnalysis.qualityScore(toks).select("doc_id", "quality"))
   }
 
+  /** Substring-dedup REWRITE (the action half of [[sharedSpans]]'
+    * report — Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every `w`-token window that occurs
+    * more than once in the corpus keeps exactly its globally-first
+    * occurrence (min (doc_id, pos)); every other occurrence has its
+    * `w` positions excised, and each document is rebuilt from its
+    * surviving tokens in order. Emits (doc_id, n_before, n_after,
+    * text_after) for every input doc — unchanged docs ride through.
+    *
+    * Where near-dup clustering drops whole documents, this cuts the
+    * boilerplate RUN (license header, site chrome, quoted reply) out
+    * of otherwise-unique documents — the form of duplication document
+    * dedup cannot see. Greedy union semantics: overlapping duplicated
+    * windows merge their covered positions (a removed occurrence
+    * overlapping the keeper in the same doc may shorten the kept run
+    * — the standard approximation; the oracle implements the
+    * identical rule).
+    *
+    * Scale shape, and why the REWRITE is safer at 100 TB than the
+    * pair REPORT: the duplicated-span table is a groupBy on the span
+    * hash (map-side combine, one row per span — a boilerplate span in
+    * m docs costs m input rows, never the m² pairs of a self-join),
+    * occurrence marking is one hash equi-join against that table, the
+    * coverage explode is w× on REMOVED occurrences only, and the
+    * rebuild is one doc_id shuffle. First-occurrence identity is the
+    * encoded key doc_id·10⁶+pos (exact while pos < 10⁶ — enforce
+    * upstream chunking for longer docs). */
+  def spanCut(docToks: DataFrame, w: Int = 20): DataFrame = {
+    val toksed = docToks.select(col("doc_id"), col("toks"))
+    val enc = col("doc_id") * lit(1000000L) + col("pos")
+    val wins = toksed
+      .select(col("doc_id"),
+              posexplode(Text.ngramCol(col("toks"), w)).as(Seq("i", "span")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"),
+              md5(col("span")).as("sp"))
+    val dup = wins
+      .groupBy("sp")
+      .agg(count(lit(1)).as("n_occ"), min(enc).as("keeper"))
+      .filter(col("n_occ") > 1)
+      .select("sp", "keeper")
+    val removed = wins.join(dup, "sp")
+      .filter(enc =!= col("keeper"))
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+    val kept = toksed
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .select(col("doc_id"), (col("i") + 1).as("p"), col("tok"))
+      .join(removed, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after_raw"),
+           array_join(
+             transform(
+               array_sort(collect_list(struct(col("p"), col("tok")))),
+               s => s.getField("tok")), " ").as("text_raw"))
+    toksed.select(col("doc_id"), size(col("toks")).cast("long").as("n_before"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+              coalesce(col("n_after_raw"), lit(0L)).as("n_after"),
+              coalesce(col("text_raw"), lit("")).as("text_after"))
+      .orderBy("doc_id")
+  }
+
+  /** q_dedup_span_cut: [[spanCut]] on the test corpus. */
+  def qDedupSpanCut(spark: SparkSession, dir: String): DataFrame =
+    spanCut(Tables.docTokens(spark, dir))
+
   /** q_dedup_span: exact shared-span detection — pairs of documents
     * sharing at least one verbatim `w`-token window (the
     * substring-level dedup signal of RefinedWeb/Lee-et-al-style exact

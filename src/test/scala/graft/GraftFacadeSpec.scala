@@ -208,6 +208,24 @@ class GraftFacadeSpec extends AnyFunSuite {
       (10L, 2L, 10L, 0.8, 0.8))) // quality tie → min doc_id
   }
 
+  test("spanCut: duplicated windows keep the first occurrence only; docs rebuilt in order") {
+    val docs = Seq(
+      (1L, "a b c d e"),     // first occurrence of every window → intact
+      (2L, "x y c d e"),     // tail shares doc 1's "c d e" → cut to "x y"
+      (3L, "a b c d e"),     // full mirror of doc 1 → cut to nothing
+      (4L, "p q r p q r"),   // within-doc repeat → second "p q r" cut
+      (5L, "s t")            // shorter than w → no windows, rides through
+    ).toDF("doc_id", "text")
+    val out = Graft.spanCut(docs, w = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 5L, "a b c d e"),
+      (2L, 5L, 2L, "x y"),
+      (3L, 5L, 0L, ""),
+      (4L, 6L, 3L, "p q r"),
+      (5L, 2L, 2L, "s t")))
+  }
+
   test("funnel and retention on hand-built events") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
