@@ -95,6 +95,14 @@ object ScaleCheck {
                               // (salted replicas: the seed's own
                               // component only, rest report -1)
     "q_sample_weighted" -> 1.0, // one narrow scan, no shuffle
+    // r7 close-out additions
+    "q_dsir" -> 1.0,          // two feature-stream scans, aggregates
+                              // bounded at 4096 buckets, model broadcast
+    "q_corpus_kl" -> 1.0,     // one word-count shuffle; everything
+                              // after is vocab-bounded
+    "q_dedup_keep_best" -> 1.0, // the cluster pipeline + one window
+    "q_dedup_span_cut" -> 1.0, // span-hash groupBy + equi-joins +
+                              // one doc_id rebuild shuffle
   )
 
   def main(args: Array[String]): Unit = {

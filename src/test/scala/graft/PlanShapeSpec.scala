@@ -336,4 +336,29 @@ class PlanShapeSpec extends AnyFunSuite {
       && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("q_dsir: the bucket model joins back by BROADCAST; counts map-side combined") {
+    val p = plan("q_dsir")
+    // the ≤4096-row model and the 1-row totals must broadcast onto
+    // the feature stream — a sort-merge join here would shuffle the
+    // whole corpus feature stream by bucket id at scale
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q_corpus_kl: one word-count shuffle with map-side combine, no cartesian") {
+    val p = plan("q_corpus_kl")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_span_cut: span marking stays equi-join, no pair blowup shape") {
+    val p = plan("q_dedup_span_cut")
+    // the rewrite must never plan the m² self-join of the pair report:
+    // no cartesian/nested-loop, dup spans found by partial-agg groupBy
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
