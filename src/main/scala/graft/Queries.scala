@@ -240,19 +240,30 @@ object Queries {
        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   val aggregatesOracle: Map[String, String] = Map(
+    // exact integer-unit sums (order-independent), divisions and
+    // rounding mirroring the Spark expression — see Aggregates.qAggScan
     "q_agg_scan" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  ${rnd("sum(l_quantity)", 2)} AS sum_qty,
-         |  ${rnd("sum(l_extendedprice)", 2)} AS sum_base_price,
-         |  ${rnd("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
-         |  ${rnd("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
-         |  ${rnd("avg(l_quantity)", 2)} AS avg_qty,
-         |  ${rnd("avg(l_extendedprice)", 2)} AS avg_price,
-         |  ${rnd("avg(l_discount)", 4)} AS avg_disc,
+      s"""WITH g AS (SELECT l_returnflag, l_linestatus,
+         |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc,
+         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc,
+         |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+         |      AS BIGINT)) AS dc,
+         |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+         |      * 1000000) AS BIGINT)) AS cc,
+         |  sum(CAST(round(l_discount * 100) AS BIGINT)) AS dsc,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-         |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+         |GROUP BY l_returnflag, l_linestatus)
+         |SELECT l_returnflag, l_linestatus,
+         |  ${rnd("qc::DOUBLE / 100", 2)} AS sum_qty,
+         |  ${rnd("pc::DOUBLE / 100", 2)} AS sum_base_price,
+         |  ${rnd("dc::DOUBLE / 10000", 2)} AS sum_disc_price,
+         |  ${rnd("cc::DOUBLE / 1000000", 2)} AS sum_charge,
+         |  ${rnd("qc::DOUBLE / 100 / count_order", 2)} AS avg_qty,
+         |  ${rnd("pc::DOUBLE / 100 / count_order", 2)} AS avg_price,
+         |  ${rnd("dsc::DOUBLE / 100 / count_order", 4)} AS avg_disc,
+         |  count_order
+         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_distinct" ->
       s"""SELECT l_returnflag,
          |  count(DISTINCT l_partkey) AS dist_parts,
@@ -531,7 +542,7 @@ object Queries {
          |    epoch_us($TS) - epoch_us(lag($TS) OVER (PARTITION BY user_id ORDER BY $TS, event_id)) AS gap
          |  FROM events)
          |SELECT prev_type, event_type AS next_type, count(*) AS n,
-         |  ${rnd("avg(gap)", 2)} AS avg_gap_us
+         |  ${rnd("sum(gap)::DOUBLE / count(*)", 2)} AS avg_gap_us
          |FROM o WHERE prev_type IS NOT NULL
          |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
     "q_paths" ->

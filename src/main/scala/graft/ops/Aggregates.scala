@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -14,21 +14,44 @@ import graft.Tables
 object Aggregates {
 
   /** q_agg_scan: TPC-H-Q1-style — filter + 8 aggregates over 2 group
-    * keys. Doubles rounded post-aggregation (SURVEY.md §2.3.3). */
-  def qAggScan(spark: SparkSession, dir: String): DataFrame =
+    * keys. Money/quantity sums ride EXACT INTEGER UNITS (each addend
+    * is a fixed-decimal value; round it to its scale, sum as BIGINT —
+    * order-independent — and divide back out once): a raw
+    * `round(sum(double), 2)` is a latent cross-engine coin flip when
+    * a group's true total sits within the sum-order error of a
+    * half-unit boundary, and the boundary audit measured this very
+    * query's sf0.01 totals within ~116 ulps of one (same failure
+    * class Q11 hit live — see Sql.q11Template). Averages derive from
+    * the same exact sums. Per-row products stay IEEE doubles — both
+    * engines compute them bit-identically; only the ORDER-dependent
+    * reduction needs the integer carrier. */
+  def qAggScan(spark: SparkSession, dir: String): DataFrame = {
+    def units(c: Column, scale: Long): Column =
+      round(c * lit(scale)).cast("long")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(units(col("l_quantity"), 100L)).as("qc"),
+        sum(units(col("l_extendedprice"), 100L)).as("pc"),
+        sum(units(col("l_extendedprice") * (lit(1) - col("l_discount")),
+                  10000L)).as("dc"),
+        sum(units(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                    * (lit(1) + col("l_tax")), 1000000L)).as("cc"),
+        sum(units(col("l_discount"), 100L)).as("dsc"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("qc").cast("double") / 100, 2).as("sum_qty"),
+        round(col("pc").cast("double") / 100, 2).as("sum_base_price"),
+        round(col("dc").cast("double") / 10000, 2).as("sum_disc_price"),
+        round(col("cc").cast("double") / 1000000, 2).as("sum_charge"),
+        round(col("qc").cast("double") / 100 / col("count_order"), 2).as("avg_qty"),
+        round(col("pc").cast("double") / 100 / col("count_order"), 2).as("avg_price"),
+        round(col("dsc").cast("double") / 100 / col("count_order"), 4).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** q_agg_distinct: exact distinct aggregates (Expand-based plan when
     * multiple distinct columns are present). */

@@ -215,8 +215,12 @@ object Events {
     * sort), then a map-side-combined groupBy whose output is at most
     * |event types|² rows — a fixed-size report regardless of input
     * size, so the final single-partition sort is free. Gap arithmetic
-    * stays in integer microseconds (`unix_micros`) until the one
-    * rounded average — no float drift across engines. */
+    * stays in integer microseconds (`unix_micros`) through an EXACT
+    * BIGINT sum — `avg(long)` buffers in DOUBLE (order-dependent once
+    * group sums get large; the boundary audit measured an sf0.01
+    * average within ~34 ulps of its rounding boundary), so the mean
+    * is the integer sum divided by the count, identical either
+    * engine, any fold order. */
   def transitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     events
@@ -227,8 +231,10 @@ object Events {
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(unix_micros(col("ts").cast("timestamp"))
-          - unix_micros(col("prev_ts").cast("timestamp"))), 2).as("avg_gap_us"))
+        sum(unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("prev_ts").cast("timestamp"))).as("gap_sum"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+              round(col("gap_sum").cast("double") / col("n"), 2).as("avg_gap_us"))
       .orderBy("prev_type", "next_type")
   }
 

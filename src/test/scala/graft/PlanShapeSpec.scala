@@ -108,10 +108,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_transitions")
     // both lags ride ONE Window node over one user_id exchange; the
     // |types|²-row groupBy is genuinely map-side combined (partial_count
-    // + partial_avg before its exchange) — `HashAggregate` alone would
-    // also match a single-stage aggregate that shuffles raw hop rows
+    // + partial_sum of the exact integer gaps before its exchange —
+    // the mean is derived from those, never a DOUBLE-buffered avg) —
+    // `HashAggregate` alone would also match a single-stage aggregate
+    // that shuffles raw hop rows
     assert(p.sliding("Window [".length).count(_ == "Window [") == 1, p)
-    assert(p.contains("partial_count") && p.contains("partial_avg"), p)
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 2, s"expected 2 hash exchanges (window + agg), got $exchanges\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Rounding-boundary audit for the DuckDB oracle suite.
+
+A rounded float aggregate is a latent cross-engine coin flip when a
+group's UNROUNDED value sits within the summation-order error (tens to
+hundreds of ulps) of a rounding boundary: Spark's partial-agg fold
+order varies run to run, so the last rounded digit can flip between
+verifies even though both engines are "correct". This audit caught
+q_sql_q11 (flipped live between two r7 verifies), q_agg_scan (~116
+ulps from a boundary at sf0.01) and q_transitions (~34 ulps) — all
+three now sum in exact integer units.
+
+Method: strip every rnd() emulation wrapper from oracle_sql.json
+(written by `graft.Verify`), re-run the unrounded SQL in DuckDB, and
+report values within `ULPS` ulps of a half-unit boundary at the
+query's rounding scale. Values flagged at 0 ulps are only a risk when
+the quantity is an ORDER-DEPENDENT aggregate (sum/avg over doubles);
+per-row expressions and min/max compute bit-identical doubles in both
+engines and round identically under the rnd() emulation.
+
+Usage: tools/boundary_audit.py <sfDir> <verifyOutDir> [ulps=200]
+"""
+import duckdb, json, math, re, sys, glob, os
+
+PREFIX = "round(CAST(CAST(("
+MID = ") AS VARCHAR) AS DECIMAL(38,18)), "
+
+
+def unround(sql):
+    out, scales = [], []
+    i = 0
+    while True:
+        j = sql.find(PREFIX, i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        k = sql.find(MID, j)
+        expr = sql[j + len(PREFIX):k]
+        m = re.match(r"(\d+)\)::DOUBLE", sql[k + len(MID):])
+        if not m:
+            return None, None
+        scales.append(int(m.group(1)))
+        out.append(sql[i:j])
+        out.append("(" + expr + ")")
+        i = k + len(MID) + m.end()
+    return "".join(out), scales
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    max_ulps = float(sys.argv[3]) if len(sys.argv) > 3 else 200.0
+    sql_map = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(f).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{f}')")
+    flagged = 0
+    for name, sql in sorted(sql_map.items()):
+        if PREFIX not in sql:
+            continue
+        usql, scales = unround(sql)
+        if usql is None:
+            print(f"{name}: UNPARSED rnd() shape"); continue
+        try:
+            rows = con.execute(usql).fetchall()
+        except Exception as e:
+            print(f"{name}: ERR {str(e)[:100]}"); continue
+        smax = max(scales)
+        hits = []
+        for r in rows:
+            for v in r:
+                if isinstance(v, float) and math.isfinite(v) and v != 0:
+                    x = v * (10 ** smax)
+                    d = abs(x - math.floor(x) - 0.5)
+                    u = math.ulp(x)
+                    if u > 0 and d / u < max_ulps:
+                        hits.append((round(d / u, 1), v))
+        if hits:
+            flagged += 1
+            hits.sort()
+            print(f"{name}: boundary within {hits[0][0]} ulps "
+                  f"({len(hits)} value(s); closest v={hits[0][1]!r}) — "
+                  f"order-dependent aggregate? then sum in integer units")
+    print(f"== {flagged} queries flagged (<{max_ulps} ulps) ==")
+
+
+if __name__ == "__main__":
+    main()
