@@ -244,13 +244,13 @@ object Queries {
     // rounding mirroring the Spark expression — see Aggregates.qAggScan
     "q_agg_scan" ->
       s"""WITH g AS (SELECT l_returnflag, l_linestatus,
-         |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qc,
-         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS pc,
+         |  sum(CAST(round(l_quantity * 100) AS DECIMAL(38,0))) AS qc,
+         |  sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS pc,
          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-         |      AS BIGINT)) AS dc,
+         |      AS DECIMAL(38,0))) AS dc,
          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-         |      * 1000000) AS BIGINT)) AS cc,
-         |  sum(CAST(round(l_discount * 100) AS BIGINT)) AS dsc,
+         |      * 1000000) AS DECIMAL(38,0))) AS cc,
+         |  sum(CAST(round(l_discount * 100) AS DECIMAL(38,0))) AS dsc,
          |  count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
          |GROUP BY l_returnflag, l_linestatus)
@@ -891,6 +891,52 @@ object Queries {
   /** DuckDB twins of [[ops.TextAnalysis.modelQualityCols]]'s feature
     * build (unigrams + space-joined bigrams) and integer milli-unit
     * weight sum — shared by q_quality_model and q_curate_web. */
+  /** Shared quality-composite CTEs (read from a `t(doc_id, toks, …)`
+    * CTE): `q0` = per-doc length/TTR/stopword stats, `q` = (doc_id,
+    * n_toks, quality) with the ROUNDED 0.3/0.3/0.4 blend. ONE
+    * definition feeding the quality_tiers / curate / domain_stats /
+    * dedup_keep_best oracles, so an edit to the blend cannot
+    * desynchronize them from the shared Spark `qualityScore` engine
+    * (q_quality_score keeps its own expanded copy — it additionally
+    * emits avg_tok_len and is the definition the others are checked
+    * against). */
+  private def qualityCtes: String = {
+    val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+    s"""q0 AS (SELECT doc_id,
+       |  len(toks)::INT AS n_toks,
+       |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+       |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
+       |FROM t),
+       |q AS (SELECT doc_id, n_toks,
+       |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+                " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
+       |FROM q0)""".stripMargin
+  }
+
+  /** Shared near-dup closure CTEs: the exact jaccard≥0.9 pair graph
+    * and its recursive-CTE transitive closure with min-label
+    * clusters — verbatim the q_dedup_cluster oracle's shape, shared
+    * with q_dedup_keep_best. Must appear inside `WITH RECURSIVE`. */
+  private def dedupClosureCtes: String =
+    s"""d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
+       |        / len(list_distinct(a.tset || b.tset)) AS jac
+       |    FROM d a, d b
+       |    WHERE a.lang = b.lang AND a.doc_id < b.doc_id) p
+       |  WHERE jac >= 0.9),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach(id, anc) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.id),
+       |lab AS (SELECT id, min(anc) AS cluster FROM reach GROUP BY id),
+       |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)""".stripMargin
+
   private def bigramFeatsSql(toks: String): String =
     s"""list_concat($toks, list_transform(
        |        generate_series(1, len($toks) - 1),
@@ -956,44 +1002,24 @@ object Queries {
                   " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
          |FROM q ORDER BY doc_id""".stripMargin
     },
-    "q_quality_tiers" -> {
-      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+    "q_quality_tiers" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         |q0 AS (SELECT doc_id,
-         |  len(toks)::INT AS n_toks,
-         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
-         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
-         |FROM t),
-         |q AS (SELECT doc_id,
-         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
-                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
-         |FROM q0),
+         |$qualityCtes,
          |r AS (SELECT quality,
          |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rank,
          |  count(*) OVER () AS n FROM q WHERE quality IS NOT NULL)
          |SELECT (((rank - 1) * 4) // n + 1)::INT AS tier,
          |  count(*) AS n_docs, ${rnd("avg(quality)", 6)} AS avg_q,
          |  min(quality) AS min_q, max(quality) AS max_q
-         |FROM r GROUP BY tier ORDER BY tier""".stripMargin
-    },
-    "q_curate" -> {
-      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+         |FROM r GROUP BY tier ORDER BY tier""".stripMargin,
+    "q_curate" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         |q AS (SELECT doc_id,
-         |  len(toks)::INT AS n_toks,
-         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
-         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
-         |FROM t),
-         |s AS (SELECT doc_id, n_toks,
-         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
-                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
-         |FROM q),
+         |$qualityCtes,
          |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
-         |SELECT s.doc_id, d.lang, s.n_toks, s.quality
-         |FROM s JOIN k USING (doc_id) JOIN documents d ON d.doc_id = s.doc_id
-         |WHERE s.quality >= 0.70::DOUBLE AND s.n_toks BETWEEN 20 AND 1000
-         |ORDER BY s.doc_id""".stripMargin
-    },
+         |SELECT q.doc_id, d.lang, q.n_toks, q.quality
+         |FROM q JOIN k USING (doc_id) JOIN documents d ON d.doc_id = q.doc_id
+         |WHERE q.quality >= 0.70::DOUBLE AND q.n_toks BETWEEN 20 AND 1000
+         |ORDER BY q.doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::INT AS ws_tokens,
@@ -1036,24 +1062,7 @@ object Queries {
          |FROM h ORDER BY bucket""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE
-         |d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |      len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
-         |        / len(list_distinct(a.tset || b.tset)) AS jac
-         |    FROM d a, d b
-         |    WHERE a.lang = b.lang AND a.doc_id < b.doc_id) p
-         |  WHERE jac >= 0.9),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |reach(id, anc) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.id),
-         |lab AS (SELECT id, min(anc) AS cluster FROM reach GROUP BY id),
-         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+         |$dedupClosureCtes
          |SELECT lab.id AS doc_id, lab.cluster, sz.cluster_size,
          |       (lab.id = lab.cluster) AS is_keeper
          |FROM lab JOIN sz USING (cluster)
@@ -1061,46 +1070,19 @@ object Queries {
     // q_dedup_cluster's closure composed with the q_quality_score
     // composite: highest-ROUNDED-quality member per cluster, doc_id
     // tiebreak — the deterministic argmax both engines agree on
-    "q_dedup_keep_best" -> {
-      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+    "q_dedup_keep_best" ->
       s"""WITH RECURSIVE
-         |d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |      len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
-         |        / len(list_distinct(a.tset || b.tset)) AS jac
-         |    FROM d a, d b
-         |    WHERE a.lang = b.lang AND a.doc_id < b.doc_id) p
-         |  WHERE jac >= 0.9),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |reach(id, anc) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.id),
-         |lab AS (SELECT id, min(anc) AS cluster FROM reach GROUP BY id),
-         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster),
+         |$dedupClosureCtes,
          |t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         |q0 AS (SELECT doc_id,
-         |  len(toks)::INT AS n_toks,
-         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
-         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
-         |FROM t),
-         |q AS (SELECT doc_id,
-         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
-                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
-         |FROM q0),
+         |$qualityCtes,
          |m AS (SELECT lab.cluster, sz.cluster_size, lab.id, q.quality,
          |        row_number() OVER (PARTITION BY lab.cluster
-         |                           ORDER BY q.quality DESC, lab.id) AS rn,
+         |                           ORDER BY q.quality DESC NULLS LAST, lab.id) AS rn,
          |        min(q.quality) OVER (PARTITION BY lab.cluster) AS worst_quality
-         |      FROM lab JOIN sz USING (cluster) JOIN q ON q.doc_id = lab.id)
+         |      FROM lab JOIN sz USING (cluster) LEFT JOIN q ON q.doc_id = lab.id)
          |SELECT cluster, cluster_size, id AS best_doc,
          |       quality AS best_quality, worst_quality
-         |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin
-    },
+         |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "q_sql_q1" -> Sql.q1Template(e => rnd(e, 2)),
     "q_sql_q3" -> Sql.q3Template(e => rnd(e, 2)),
     "q_sql_q5" -> Sql.q5Template(e => rnd(e, 2)),
@@ -1421,26 +1403,16 @@ object Queries {
          |  coalesce(k.n_after, 0)::BIGINT AS n_after,
          |  coalesce(k.text_after, '') AS text_after
          |FROM t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
-    "q_domain_stats" -> {
-      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+    "q_domain_stats" ->
       s"""WITH t AS (SELECT doc_id, source, lang, $TOKS AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  len(toks)::INT AS n_toks,
-         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
-         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE / len(toks) AS stop_ratio
-         |FROM t),
-         |q AS (SELECT doc_id,
-         |  ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
-                  " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE", 6)} AS quality
-         |FROM m)
+         |$qualityCtes
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  count(DISTINCT lang)::BIGINT AS n_langs,
          |  sum(len(toks))::BIGINT AS total_toks,
          |  ${rnd("avg(len(toks))", 6)} AS avg_toks,
          |  ${rnd("avg(quality)", 6)} AS avg_quality
          |FROM t JOIN q USING (doc_id)
-         |GROUP BY source ORDER BY source""".stripMargin
-    },
+         |GROUP BY source ORDER BY source""".stripMargin,
     // per-source KL / cross-entropy vs the corpus unigram LM — term
     // order inside the sums matches the Spark expression exactly
     "q_corpus_kl" ->
@@ -1542,7 +1514,7 @@ object Queries {
          |          - ln(c_r + 1) + ln(n_r + 4096)) AS w
          |      FROM b JOIN lm USING (bk) CROSS JOIN tot GROUP BY doc_id)
          |SELECT doc_id, n_feats, ${rnd("w", 6)} AS dsir_w
-         |FROM s ORDER BY dsir_w DESC, doc_id LIMIT 100""".stripMargin,
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_curate_web" ->
       s"""WITH h AS (SELECT doc_id, ${Html.plainPageSql} AS html FROM documents),
          |e AS (SELECT doc_id, ${Html.contentSqlExpr("html")} AS content FROM h),

@@ -24,10 +24,16 @@ object Aggregates {
     * class Q11 hit live — see Sql.q11Template). Averages derive from
     * the same exact sums. Per-row products stay IEEE doubles — both
     * engines compute them bit-identically; only the ORDER-dependent
-    * reduction needs the integer carrier. */
+    * reduction needs the integer carrier.
+    *
+    * The carrier is DECIMAL(38,0), not BIGINT: micro-unit charge sums
+    * would cross 2⁶³ near sf≈160 (Spark wraps or throws where DuckDB
+    * auto-promotes to HUGEINT — the exactness fix would itself become
+    * the cross-engine divergence); 38 digits cover any realistic
+    * corpus. */
   def qAggScan(spark: SparkSession, dir: String): DataFrame = {
     def units(c: Column, scale: Long): Column =
-      round(c * lit(scale)).cast("long")
+      round(c * lit(scale)).cast("decimal(38,0)")
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")

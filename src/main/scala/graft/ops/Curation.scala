@@ -521,7 +521,20 @@ object Curation {
     * grouping needs no hex→int conversion, and the same `substr(md5)`
     * renders identically in the DuckDB oracle. */
   def dsirWeights(docToks: DataFrame, isTarget: Column,
-                  buckets: Int = 4096, topK: Int = 100): DataFrame = {
+                  buckets: Int = 4096, topK: Int = 100): DataFrame =
+    dsirScores(docToks, isTarget, buckets)
+      .orderBy(col("dsir_w").desc, col("doc_id"))
+      .limit(topK)
+
+  /** [[dsirWeights]] without the top-k cut: every scored doc, ordered
+    * by doc_id. This is the REGISTERED form — a top-k over a rounded,
+    * order-dependent float mean can flip which ROWS cross the cut
+    * when a weight sits at a rounding boundary (the q_sql_q11 flake
+    * class, but as a whole-row mismatch); the doc_id order makes the
+    * row set deterministic and lets the oracle check every doc's
+    * weight, not just the top slice. */
+  def dsirScores(docToks: DataFrame, isTarget: Column,
+                 buckets: Int = 4096): DataFrame = {
     val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
     require(Seq(16, 256, 4096, 65536).contains(buckets),
             s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
@@ -546,14 +559,13 @@ object Curation {
              - log(col("c_r") + 1) + log(col("n_r") + b)).as("w"))
       .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
               round(col("w"), 6).as("dsir_w"))
-      .orderBy(col("dsir_w").desc, col("doc_id"))
-      .limit(topK)
+      .orderBy("doc_id")
   }
 
-  /** q_dsir: [[dsirWeights]] on the test corpus, with the `src0`
+  /** q_dsir: [[dsirScores]] on the test corpus, with the `src0`
     * slice standing in for the target domain (the constructed-input
     * pattern — in production the target counts come from a curated
     * exemplar corpus; the estimator mechanics are identical). */
   def qDsir(spark: SparkSession, dir: String): DataFrame =
-    dsirWeights(Tables.docTokens(spark, dir), col("source") === "src0")
+    dsirScores(Tables.docTokens(spark, dir), col("source") === "src0")
 }

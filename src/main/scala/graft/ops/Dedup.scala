@@ -429,14 +429,22 @@ object Dedup {
     * table, one window over `cluster` — groups are cluster-sized
     * (bounded by construction: near-dup clusters are shallow), so no
     * skew surface. The argmax is over the ROUNDED quality so the
-    * selection reproduces across engines bit-for-bit. */
+    * selection reproduces across engines bit-for-bit.
+    *
+    * Members missing from `quality` are KEPT in the ranking (LEFT
+    * join) but sort last (nulls-last): an inner join would silently
+    * shrink the candidate set while cluster_size still reported the
+    * full cluster — a partial scoring run would then elect a wrong
+    * "best" with no signal. An unscored best is only possible when a
+    * whole cluster is unscored, and then best_quality is visibly
+    * null. */
   def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     clusters
-      .join(quality, "doc_id")
+      .join(quality, Seq("doc_id"), "left")
       .withColumn("rn", row_number().over(
         Window.partitionBy("cluster")
-          .orderBy(col("quality").desc, col("doc_id"))))
+          .orderBy(col("quality").desc_nulls_last, col("doc_id"))))
       .withColumn("worst_quality",
         min(col("quality")).over(
           Window.partitionBy("cluster")))
@@ -484,8 +492,11 @@ object Dedup {
     * occurrence marking is one hash equi-join against that table, the
     * coverage explode is w× on REMOVED occurrences only, and the
     * rebuild is one doc_id shuffle. First-occurrence identity is the
-    * encoded key doc_id·10⁶+pos (exact while pos < 10⁶ — enforce
-    * upstream chunking for longer docs). */
+    * encoded key doc_id·10⁶+pos — valid while pos < 10⁶ AND
+    * doc_id < 2⁶³/10⁶ ≈ 9.2·10¹², and GUARDED in-plan: a row outside
+    * either bound raises rather than silently electing a wrong keeper
+    * (an overflow/collision here would excise the wrong document's
+    * text). Chunk longer docs / renumber wider ids upstream. */
   def spanCut(docToks: DataFrame, w: Int = 20): DataFrame = {
     val toksed = docToks.select(col("doc_id"), col("toks"))
     val enc = col("doc_id") * lit(1000000L) + col("pos")
@@ -494,6 +505,13 @@ object Dedup {
               posexplode(Text.ngramCol(col("toks"), w)).as(Seq("i", "span")))
       .select(col("doc_id"), (col("i") + 1).as("pos"),
               md5(col("span")).as("sp"))
+      .withColumn("pos",
+        when(col("pos") >= 1000000L || col("doc_id") < 0L
+               || col("doc_id") >= 9223372036854L,
+          raise_error(concat(
+            lit("spanCut: (doc_id, pos) outside the encodable range: "),
+            col("doc_id"), lit("/"), col("pos"))).cast("int"))
+          .otherwise(col("pos")))
     val dup = wins
       .groupBy("sp")
       .agg(count(lit(1)).as("n_occ"), min(enc).as("keeper"))

@@ -231,8 +231,11 @@ object Events {
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(unix_micros(col("ts").cast("timestamp"))
-          - unix_micros(col("prev_ts").cast("timestamp"))).as("gap_sum"))
+        // DECIMAL(38,0) carrier: micro-gap sums cross 2⁶³ at corpus
+        // scale, where Spark's long sum wraps but DuckDB promotes
+        sum((unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("prev_ts").cast("timestamp")))
+          .cast("decimal(38,0)")).as("gap_sum"))
       .select(col("prev_type"), col("next_type"), col("n"),
               round(col("gap_sum").cast("double") / col("n"), 2).as("avg_gap_us"))
       .orderBy("prev_type", "next_type")

@@ -399,13 +399,17 @@ object Sql {
     * half-cent boundary (sf0.01 has one: partkey 1223 at ≈943577.515)
     * flips its last cent with Spark's partial-agg addition order.
     * Integer sums are order-independent, and the HAVING threshold
-    * (2× mean part value) is derived from the same exact cents. */
+    * (2× mean part value) is derived from the same exact cents. The
+    * carrier is DECIMAL(38,0): BIGINT cent sums cross 2⁶³ at large
+    * scale factors, where Spark wraps/throws but DuckDB silently
+    * promotes to HUGEINT — the comparisons go through DOUBLE casts so
+    * both engines run identical IEEE arithmetic. */
   def q11Template(rnd: String => String): String =
     s"""WITH $psCte,
        |pv AS (
        |  SELECT ps_partkey,
        |         CAST(round(${rnd("ps_supplycost * ps_availqty")} * 100)
-       |              AS BIGINT) AS v_cents
+       |              AS DECIMAL(38,0)) AS v_cents
        |  FROM partsupp, supplier, nation
        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
        |    AND n_name = 'NATION_19')
@@ -413,8 +417,8 @@ object Sql {
        |       CAST(sum(v_cents) AS DOUBLE) / 100 AS total_value
        |FROM pv
        |GROUP BY ps_partkey
-       |HAVING sum(v_cents) > (
-       |  SELECT CAST(2 * sum(v_cents) AS DOUBLE)
+       |HAVING CAST(sum(v_cents) AS DOUBLE) > (
+       |  SELECT CAST(sum(v_cents) AS DOUBLE) * 2
        |           / count(DISTINCT ps_partkey) FROM pv)
        |ORDER BY total_value DESC, ps_partkey""".stripMargin
 

@@ -18,6 +18,11 @@ the quantity is an ORDER-DEPENDENT aggregate (sum/avg over doubles);
 per-row expressions and min/max compute bit-identical doubles in both
 engines and round identically under the rnd() emulation.
 
+Each value is checked against EVERY rounding scale the query uses
+(the column→scale mapping is not recoverable from the result tuples),
+so mixed-scale queries may over-flag — a human filters; they can
+never under-flag the scale a column is actually rounded at.
+
 Usage: tools/boundary_audit.py <sfDir> <verifyOutDir> [ulps=200]
 """
 import duckdb, json, math, re, sys, glob, os
@@ -65,16 +70,19 @@ def main():
             rows = con.execute(usql).fetchall()
         except Exception as e:
             print(f"{name}: ERR {str(e)[:100]}"); continue
-        smax = max(scales)
+        # a mixed-scale query (e.g. q_agg_scan rounds at 2 AND 4) must be
+        # checked at EVERY scale it rounds at — a scale-2 column sitting
+        # on a half-cent boundary is invisible at scale 4
         hits = []
         for r in rows:
             for v in r:
                 if isinstance(v, float) and math.isfinite(v) and v != 0:
-                    x = v * (10 ** smax)
-                    d = abs(x - math.floor(x) - 0.5)
-                    u = math.ulp(x)
-                    if u > 0 and d / u < max_ulps:
-                        hits.append((round(d / u, 1), v))
+                    for s in set(scales):
+                        x = v * (10 ** s)
+                        d = abs(x - math.floor(x) - 0.5)
+                        u = math.ulp(x)
+                        if u > 0 and d / u < max_ulps:
+                            hits.append((round(d / u, 1), v))
         if hits:
             flagged += 1
             hits.sort()
