@@ -242,6 +242,20 @@ object Graft {
                   buckets: Int = 4096, topK: Int = 100): DataFrame =
     Curation.dsirWeights(tokenize(docs), isTarget, buckets, topK)
 
+  /** Batch-build the DSIR model artifact: (per-bucket log-likelihood
+    * ratios, unseen-bucket default) — driver-side model state (the
+    * kmeans-centroid contract) for stateless scoring via
+    * [[dsirScore]] or `streaming.EventStreams.dsirScoreStream`. */
+  def dsirModel(docs: DataFrame, isTarget: Column,
+                buckets: Int = 4096): (Map[String, Double], Double) =
+    Curation.dsirModel(tokenize(docs), isTarget, buckets)
+
+  /** Stateless DSIR scoring against a [[dsirModel]] artifact: adds
+    * (n_feats, dsir_w) as a pure projection — no shuffle, no join. */
+  def dsirScore(docs: DataFrame, model: Map[String, Double],
+                default: Double, buckets: Int = 4096): DataFrame =
+    Curation.dsirScoreCols(tokenize(docs), model, default, buckets)
+
   /** Per-doc whitespace vs greedy-merge BPE token counts over
     * tokenized docs — the context-window budget in the tokens the
     * model actually sees ([[graft.functions.Bpe]]); pair with

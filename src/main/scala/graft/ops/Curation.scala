@@ -568,4 +568,62 @@ object Curation {
     * exemplar corpus; the estimator mechanics are identical). */
   def qDsir(spark: SparkSession, dir: String): DataFrame =
     dsirScores(Tables.docTokens(spark, dir), col("source") === "src0")
+
+  /** The DSIR model as a driver-side artifact: per-bucket
+    * log-likelihood ratios (≤`buckets` entries) plus the
+    * unseen-bucket default. This is MODEL STATE, not data — the same
+    * k·d-doubles contract as kmeans centroids — built once in batch
+    * so scoring becomes a STATELESS narrow projection
+    * ([[dsirScoreCols]]): usable on a structured stream (no state, no
+    * watermark, append-safe) and as a one-scan batch scorer. Each
+    * bucket's weight is the identical 4-term expression
+    * [[dsirScores]] evaluates per feature, so the two paths agree to
+    * float-fold order. */
+  def dsirModel(docToks: DataFrame, isTarget: Column,
+                buckets: Int = 4096): (Map[String, Double], Double) = {
+    val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
+    require(Seq(16, 256, 4096, 65536).contains(buckets),
+            s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
+    val lm = docToks
+      .select(col("doc_id"), isTarget.as("is_t"),
+              explode(concat(col("toks"), Text.ngramCol(col("toks"), 2)))
+                .as("f"))
+      .select(col("is_t"), substring(md5(col("f")), 1, hexDigits).as("bk"))
+      .groupBy("bk")
+      .agg(count(lit(1)).as("c_r"),
+           count(when(col("is_t"), 1)).as("c_t"))
+      .collect()
+    val b = buckets.toDouble
+    val nR = lm.map(_.getLong(1)).sum.toDouble
+    val nT = lm.map(_.getLong(2)).sum.toDouble
+    val weights = lm.map { r =>
+      r.getString(0) ->
+        (math.log(r.getLong(2) + 1) - math.log(nT + b)
+          - math.log(r.getLong(1) + 1) + math.log(nR + b))
+    }.toMap
+    (weights, math.log(nR + b) - math.log(nT + b))
+  }
+
+  /** Stateless DSIR scoring against a [[dsirModel]]: adds (n_feats,
+    * dsir_w) to any (…, toks) DataFrame as a pure projection — one
+    * map-literal lookup per feature, no shuffle, no join, stream-safe
+    * (the registered batch path is [[dsirScores]]; this is the
+    * incremental-scoring twin). Zero-feature rows score 0. */
+  def dsirScoreCols(docToks: DataFrame, model: Map[String, Double],
+                    default: Double, buckets: Int = 4096): DataFrame = {
+    val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
+    require(Seq(16, 256, 4096, 65536).contains(buckets),
+            s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
+    val m = typedlit(model)
+    docToks
+      .withColumn("__feats", concat(col("toks"), Text.ngramCol(col("toks"), 2)))
+      .withColumn("n_feats", size(col("__feats")).cast("long"))
+      .withColumn("dsir_w",
+        round(
+          aggregate(col("__feats"), lit(0.0),
+            (acc, f) => acc + coalesce(
+              element_at(m, substring(md5(f), 1, hexDigits)), lit(default)))
+            / greatest(col("n_feats"), lit(1L)), 6))
+      .drop("__feats")
+  }
 }

@@ -157,6 +157,21 @@ object EventStreams {
                    col("ts")),
       watermark, minQuality, maxDupTokFrac)
 
+  /** Incremental DSIR scoring: score a document stream (doc_id, text,
+    * ts) against a BATCH-built [[graft.ops.Curation.dsirModel]] —
+    * (doc_id, ts, n_feats, dsir_w). A pure stateless projection (one
+    * map-literal lookup per hashed feature): no aggregation state, no
+    * watermark requirement, append-safe — the scoring half of the
+    * batch estimator split exactly where a production pipeline splits
+    * it (model refit is a periodic batch job; the stream only reads
+    * the artifact). */
+  def dsirScoreStream(docs: DataFrame, model: Map[String, Double],
+                      default: Double, buckets: Int = 4096): DataFrame =
+    graft.ops.Curation.dsirScoreCols(
+      docs.withColumn("toks", split(lower(trim(col("text"))), "\\s+")),
+      model, default, buckets)
+      .select("doc_id", "ts", "n_feats", "dsir_w")
+
   /** Stream-stream INTERVAL join: each purchase joined to signups of
     * the same user within the preceding `horizon` — the canonical
     * Structured Streaming join shape. Both sides carry watermarks and

@@ -248,4 +248,29 @@ class CurationSpec extends AnyFunSuite {
     // each term ln(1/(n_t+B)) − ln((c_r+1)/(n_r+B)) < 0
     assert(byId(3L)._3 < 0.0)
   }
+
+  test("dsirModel + dsirScoreCols: the stateless scorer agrees with the join-path scorer") {
+    import org.apache.spark.sql.functions.{col, lit, split, lower, trim}
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "tgt"),
+      (1L, "alpha beta gamma epsilon", "tgt"),
+      (2L, "alpha beta gamma zeta", "raw"),
+      (3L, "qq rr ss tt", "raw"),
+      (4L, "alpha beta qq rr", "raw")
+    ).toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val isTgt = col("source") === "tgt"
+    val joinPath = graft.ops.Curation.dsirScores(docs, isTgt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (model, default) = graft.ops.Curation.dsirModel(docs, isTgt)
+    val modelPath = graft.ops.Curation.dsirScoreCols(docs, model, default)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_w")).toMap
+    assert(joinPath.keySet == modelPath.keySet)
+    // identical up to float fold order (both round at 6 dp, so paths
+    // can differ by at most one ulp-at-the-6th-decimal)
+    joinPath.foreach { case (id, w) =>
+      assert(math.abs(w - modelPath(id)) <= 1.1e-6, s"doc $id: $w vs ${modelPath(id)}")
+    }
+  }
 }

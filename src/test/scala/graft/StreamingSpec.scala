@@ -374,6 +374,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirScoreStream: stateless scoring matches the batch scorer on the same docs") {
+    import org.apache.spark.sql.functions.{col, lit, split, lower, trim}
+    // model built in batch from a small corpus with a distinctive target
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta", "tgt"),
+      (101L, "alpha beta gamma epsilon", "tgt"),
+      (102L, "qq rr ss tt", "raw")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val (model, default) =
+      graft.ops.Curation.dsirModel(corpus, col("source") === "tgt")
+    val ms = MemoryStream[DocEv](spark)
+    val scored = EventStreams.dsirScoreStream(ms.toDF(), model, default)
+    withQuery(scored, "append", "t_dsir_stream") { q =>
+      ms.addData(Seq(
+        DocEv(1, "alpha beta gamma zeta", ts("2024-01-01 00:00:00")),
+        DocEv(2, "qq rr xx yy", ts("2024-01-01 00:00:01"))))
+      q.processAllAvailable()
+      val out = spark.table("t_dsir_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      // batch twin on the identical rows
+      val batch = graft.ops.Curation.dsirScoreCols(
+        Seq((1L, "alpha beta gamma zeta"), (2L, "qq rr xx yy"))
+          .toDF("doc_id", "text")
+          .withColumn("toks", split(lower(trim(col("text"))), "\\s+")),
+        model, default)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_w")).toMap
+      assert(out == batch, s"stream $out vs batch $batch")
+      // the target-like doc outranks the off-domain one
+      assert(out(1L) > out(2L), s"$out")
+    }
+  }
+
   test("stream-static enrichment join attaches dim attributes, unmatched keys survive") {
     val ms = MemoryStream[Ev](spark)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
