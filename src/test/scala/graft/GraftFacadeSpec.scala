@@ -226,6 +226,16 @@ class GraftFacadeSpec extends AnyFunSuite {
       (5L, 2L, 2L, "s t")))
   }
 
+  test("spanCut: an unencodable doc_id fails loudly instead of electing a wrong keeper") {
+    // negative ids break the doc_id·10⁶+pos first-occurrence encoding —
+    // the guard must raise, not silently excise the wrong document
+    val docs = Seq((-1L, "a b c d e"), (7L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[Exception] { Graft.spanCut(docs, w = 3).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("spanCut")), msgs(e).mkString(" | "))
+  }
+
   test("funnel and retention on hand-built events") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
