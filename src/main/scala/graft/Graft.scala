@@ -234,6 +234,13 @@ object Graft {
   def modelQuality(docs: DataFrame): DataFrame =
     TextAnalysis.modelQuality(tokenize(docs))
 
+  /** CCNet-style cross-perplexity: every doc scored under the TARGET
+    * slice's Laplace-smoothed unigram LM — (doc_id, n_toks, nll,
+    * ppl_target); low ppl_target = target-like (Wenzek et al. 2020).
+    * The absolute-fit complement of [[dsirWeights]]' ratio. */
+  def crossPerplexity(docs: DataFrame, isTarget: Column): DataFrame =
+    TextAnalysis.crossPerplexity(tokenize(docs), isTarget)
+
   /** DSIR-style importance weights: top-k docs by mean hashed-n-gram
     * log-likelihood ratio of a target slice vs the raw corpus —
     * (doc_id, n_feats, dsir_w). `isTarget` marks the target-domain

@@ -818,6 +818,7 @@ object Queries {
     "q_token_entropy"       -> (TextAnalysis.qTokenEntropy _),
     "q_perplexity"          -> (TextAnalysis.qPerplexity _),
     "q_perplexity_kn"       -> (TextAnalysis.qPerplexityKn _),
+    "q_perplexity_target"   -> (TextAnalysis.qPerplexityTarget _),
     "q_pii_redact"          -> (TextAnalysis.qPiiRedact _),
     "q_normalize_text"      -> (TextAnalysis.qNormalizeText _),
     "q_kmeans"              -> (Clustering.qKmeans _),
@@ -1340,6 +1341,20 @@ object Queries {
          |      FROM t JOIN lm USING (w), n GROUP BY t.doc_id)
          |SELECT doc_id, n_toks, ${rnd("nll", 6)} AS nll,
          |  ${rnd("exp(nll)", 6)} AS ppl
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // CCNet-style cross-perplexity under the src0 target LM, Laplace-
+    // smoothed over the corpus vocabulary — identical term order
+    "q_perplexity_target" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_t,
+         |             unnest($TOKS) AS w FROM documents),
+         |lm AS (SELECT w, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+         |       FROM t GROUP BY w),
+         |tot AS (SELECT count(*)::DOUBLE AS v, sum(c_t)::DOUBLE AS n_t FROM lm),
+         |s AS (SELECT t.doc_id, count(*)::BIGINT AS n_toks,
+         |        -avg(ln((lm.c_t + 1) / (tot.n_t + tot.v))) AS nll
+         |      FROM t JOIN lm USING (w), tot GROUP BY t.doc_id)
+         |SELECT doc_id, n_toks, ${rnd("nll", 6)} AS nll,
+         |  ${rnd("exp(nll)", 6)} AS ppl_target
          |FROM s ORDER BY doc_id""".stripMargin,
     "q_perplexity_kn" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -412,6 +412,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_perplexity_target: CCNet-style cross-perplexity — every
+    * document scored under the TARGET slice's unigram LM (not the
+    * corpus's own, as [[perplexity]] does): the canonical "keep what
+    * a Wikipedia-trained LM finds unsurprising" quality filter
+    * (Wenzek et al. 2020). Low ppl_target = target-like. Complements
+    * [[Curation.dsirScores]]: DSIR ranks by the target/raw LIKELIHOOD
+    * RATIO, this by absolute target-LM fit.
+    *
+    * P(w) = (c_t(w)+1)/(N_t+V), Laplace-smoothed over the CORPUS
+    * vocabulary V — off-target words are unseen in the target LM, so
+    * unsmoothed probabilities would be 0 (infinite NLL); smoothing
+    * over V keeps every corpus word scorable and the estimator
+    * proper.
+    *
+    * Scale shape: one word-count shuffle with map-side combine (the
+    * target count rides as a conditional aggregate over the same
+    * pass), the (V, N_t) totals a 1-row broadcast, one vocab-scale
+    * key join (AQE broadcasts a small LM), one per-doc aggregate —
+    * the [[perplexity]] shape exactly. */
+  def qPerplexityTarget(spark: SparkSession, dir: String): DataFrame =
+    crossPerplexity(Tables.docTokens(spark, dir), col("source") === "src0")
+
+  /** [[qPerplexityTarget]]'s engine over any (doc_id, toks, …)
+    * DataFrame — the library entry point
+    * ([[graft.Graft.crossPerplexity]]). */
+  def crossPerplexity(docToks: DataFrame, isTarget: Column): DataFrame = {
+    val words = docToks
+      .select(col("doc_id"), isTarget.as("is_t"), explode(col("toks")).as("w"))
+    val lm = words.groupBy("w")
+      .agg(count(when(col("is_t"), 1)).as("c_t"))
+    val tot = lm.agg(count(lit(1)).cast("double").as("v"),
+                     sum(col("c_t")).cast("double").as("n_t"))
+    words
+      .join(lm, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           (-avg(log((col("c_t") + 1) / (col("n_t") + col("v"))))).as("nll"))
+      .select(col("doc_id"), col("n_toks"),
+              round(col("nll"), 6).as("nll"),
+              round(exp(col("nll")), 6).as("ppl_target"))
+      .orderBy("doc_id")
+  }
+
   /** Interpolated Kneser–Ney bigram perplexity — the stronger LM
     * quality signal next to the unigram [[perplexity]] (CCNet-style
     * pipelines score with a smoothed n-gram LM, not raw unigram

@@ -191,6 +191,24 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(math.abs(out("srcSame")._3 - out("srcSame2")._3) < 1e-9)
   }
 
+  test("crossPerplexity: target-like docs score lower target-LM perplexity") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "tgt"),
+      (1L, "alpha beta gamma epsilon", "tgt"),
+      (2L, "alpha beta gamma delta", "raw"),  // pure target vocabulary
+      (3L, "qq rr ss tt", "raw")              // fully off-target
+    ).toDF("doc_id", "text", "source")
+    val out = Graft.crossPerplexity(docs, col("source") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(2L) < out(3L), s"$out")        // target-like beats off-target
+    assert(out.values.forall(_ > 0.0))
+    // off-target doc: every word unseen in target → ppl = (N_t+V)/1
+    // exactly (all terms identical) — pins the smoothing arithmetic:
+    // N_t = 8 target tokens, V = 9 distinct corpus words
+    assert(math.abs(out(3L) - 17.0) < 1e-6, s"$out")
+  }
+
   test("keepBest picks the highest-quality member per cluster, min-id on ties") {
     val clusters = Seq(
       (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
