@@ -103,6 +103,7 @@ object ScaleCheck {
     "q_dedup_keep_best" -> 1.0, // the cluster pipeline + one window
     "q_dedup_span_cut" -> 1.0, // span-hash groupBy + equi-joins +
                               // one doc_id rebuild shuffle
+    "q_perplexity_target" -> 1.0, // the q_perplexity one-shuffle shape
   )
 
   def main(args: Array[String]): Unit = {

@@ -248,4 +248,23 @@ class EdgeCasesSpec extends AnyFunSuite {
       Graft.attribution(ev, Seq("x"), "x")
     }
   }
+
+  test("dsir + crossPerplexity: an EMPTY target slice degrades gracefully, never crashes") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((0L, "a b c", "raw"), (1L, "d e f", "raw"))
+      .toDF("doc_id", "text", "source")
+    val never = col("source") === "no_such_source"
+    // DSIR: c_t = 0 everywhere → every weight is the finite constant
+    // class ln(1/(0+B)) − ln((c_r+1)/(n_r+B)); scores finite, all docs out
+    val w = Graft.dsirWeights(docs, never, topK = 10).collect()
+    assert(w.length == 2 && w.forall(r => !r.getDouble(2).isNaN
+      && !r.getDouble(2).isInfinite))
+    // cross-ppl: N_t = 0 → uniform LM P(w) = 1/V; ppl = V exactly (V = 6)
+    val p = Graft.crossPerplexity(docs, never).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p.values.forall(v => math.abs(v - 6.0) < 1e-6), s"$p")
+    // model artifact path: finite default and weights
+    val (model, default) = Graft.dsirModel(docs, never)
+    assert(!default.isNaN && model.values.forall(v => !v.isNaN))
+  }
 }
