@@ -258,10 +258,12 @@ object Graft {
     Curation.dsirModel(tokenize(docs), isTarget, buckets)
 
   /** Stateless DSIR scoring against a [[dsirModel]] artifact: adds
-    * (n_feats, dsir_w) as a pure projection — no shuffle, no join. */
+    * (n_feats, dsir_w) as a pure projection — no shuffle, no join;
+    * zero-feature rows are dropped (the [[dsirWeights]] row set). */
   def dsirScore(docs: DataFrame, model: Map[String, Double],
                 default: Double, buckets: Int = 4096): DataFrame =
     Curation.dsirScoreCols(tokenize(docs), model, default, buckets)
+      .drop("toks")
 
   /** Per-doc whitespace vs greedy-merge BPE token counts over
     * tokenized docs — the context-window budget in the tokens the

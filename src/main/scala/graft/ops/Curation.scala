@@ -26,6 +26,16 @@ import graft.Tables
   */
 object Curation {
 
+  /** Shared DSIR bucketing contract: md5 hex-prefix length for a
+    * power-of-16 bucket count — model build, batch scoring and the
+    * join-path scorer must all hash features identically, so the
+    * computation (and its precondition) lives once. */
+  private def hexPrefixDigits(buckets: Int): Int = {
+    require(Seq(16, 256, 4096, 65536).contains(buckets),
+            s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
+    (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
+  }
+
   /** Deterministic uniform sampling by content-independent hash:
     * keep a row iff the first 4 hex chars of md5(doc_id) fall below
     * `thrHex` (lexicographic compare on lowercase hex ≡ numeric
@@ -535,9 +545,7 @@ object Curation {
     * weight, not just the top slice. */
   def dsirScores(docToks: DataFrame, isTarget: Column,
                  buckets: Int = 4096): DataFrame = {
-    val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
-    require(Seq(16, 256, 4096, 65536).contains(buckets),
-            s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
+    val hexDigits = hexPrefixDigits(buckets)
     val feats = docToks
       .select(col("doc_id"), isTarget.as("is_t"),
               explode(concat(col("toks"), Text.ngramCol(col("toks"), 2)))
@@ -581,9 +589,7 @@ object Curation {
     * float-fold order. */
   def dsirModel(docToks: DataFrame, isTarget: Column,
                 buckets: Int = 4096): (Map[String, Double], Double) = {
-    val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
-    require(Seq(16, 256, 4096, 65536).contains(buckets),
-            s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
+    val hexDigits = hexPrefixDigits(buckets)
     val lm = docToks
       .select(col("doc_id"), isTarget.as("is_t"),
               explode(concat(col("toks"), Text.ngramCol(col("toks"), 2)))
@@ -608,22 +614,26 @@ object Curation {
     * dsir_w) to any (…, toks) DataFrame as a pure projection — one
     * map-literal lookup per feature, no shuffle, no join, stream-safe
     * (the registered batch path is [[dsirScores]]; this is the
-    * incremental-scoring twin). Zero-feature rows score 0. */
+    * incremental-scoring twin). Zero-feature / null-toks rows are
+    * dropped, matching [[dsirScores]]' row set. */
   def dsirScoreCols(docToks: DataFrame, model: Map[String, Double],
                     default: Double, buckets: Int = 4096): DataFrame = {
-    val hexDigits = (math.log(buckets.toDouble) / math.log(16.0)).round.toInt
-    require(Seq(16, 256, 4096, 65536).contains(buckets),
-            s"buckets must be a power of 16 (hex-prefix bucketing), got $buckets")
+    val hexDigits = hexPrefixDigits(buckets)
     val m = typedlit(model)
     docToks
       .withColumn("__feats", concat(col("toks"), Text.ngramCol(col("toks"), 2)))
       .withColumn("n_feats", size(col("__feats")).cast("long"))
+      // zero-feature (or null-toks) rows are DROPPED, matching
+      // dsirScores' row set exactly — a contentless doc scoring a
+      // constant would outrank real (negative-log-ratio) docs in any
+      // downstream top-k
+      .filter(col("n_feats") > 0)
       .withColumn("dsir_w",
         round(
           aggregate(col("__feats"), lit(0.0),
             (acc, f) => acc + coalesce(
               element_at(m, substring(md5(f), 1, hexDigits)), lit(default)))
-            / greatest(col("n_feats"), lit(1L)), 6))
+            / col("n_feats"), 6))
       .drop("__feats")
   }
 }

@@ -167,9 +167,11 @@ object EventStreams {
     * the artifact). */
   def dsirScoreStream(docs: DataFrame, model: Map[String, Double],
                       default: Double, buckets: Int = 4096): DataFrame =
+    // tokenize via the SAME facade expression the model was built
+    // through (Graft.dsirModel) — a hand-copied tokenizer here could
+    // silently drift from the model's feature distribution
     graft.ops.Curation.dsirScoreCols(
-      docs.withColumn("toks", split(lower(trim(col("text"))), "\\s+")),
-      model, default, buckets)
+      graft.Graft.tokenize(docs), model, default, buckets)
       .select("doc_id", "ts", "n_feats", "dsir_w")
 
   /** Stream-stream INTERVAL join: each purchase joined to signups of
