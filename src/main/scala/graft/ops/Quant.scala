@@ -138,9 +138,16 @@ object Quant {
     embeddings.select(col("vec_id"), guarded.as("proj")).orderBy("vec_id")
   }
 
-  /** q_embed_project: [[projectEmbeddings]] on the test corpus. */
+  /** q_embed_project: [[projectEmbeddings]] on the test corpus,
+    * posexploded to one `(vec_id, dim, value)` row per output
+    * dimension. The library API keeps the array shape
+    * ([[projectEmbeddings]]); the registered query emits scalar
+    * columns only, because the correctness gate's comparator sorts
+    * on every column and cannot hash an array cell. */
   def qEmbedProject(spark: SparkSession, dir: String): DataFrame =
     projectEmbeddings(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+      .orderBy("vec_id", "dim")
 
   // ------------------------------------------------------------------
   // Quantized-posting ANN: the q_ann_ivf bucket structure with INT8
@@ -226,10 +233,17 @@ object Quant {
       s"round(CAST(CAST(list_sum(list_transform(generate_series(1, $Dim), " +
         s"i -> embedding[i] * ($lit)[i])) AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE"
     }.mkString(",\n  ")
-    s"""SELECT vec_id, [
+    // parallel unnest (the q_embed_outlier precedent) zips the value
+    // list with its 1-based positions — emitted 0-based to match
+    // Spark's posexplode, ::INT to match posexplode's IntegerType
+    s"""WITH p AS (SELECT vec_id, [
        |  $cols
        |] AS proj
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+       |FROM embeddings)
+       |SELECT vec_id,
+       |  (unnest(generate_series(1, $ProjDim)) - 1)::INT AS dim,
+       |  unnest(proj) AS value
+       |FROM p ORDER BY vec_id, dim""".stripMargin
   }
 
   /** DuckDB oracle: the LITERAL same arithmetic (floor(x*scale+0.5)
