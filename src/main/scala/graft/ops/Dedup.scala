@@ -120,8 +120,15 @@ object Dedup {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.LongType))))
+    // NO broadcast hint on the rank table: a 100 TB web corpus has a
+    // Heaps-law vocabulary (10^8-10^9 distinct tokens) — a forced
+    // broadcast of that table OOMs executors. A plain equi-join on
+    // `h` lets AQE broadcast at runtime when the vocab actually fits
+    // (it does at test SFs — same plan as before) and fall back to a
+    // shuffle join when it doesn't. Candidate volume downstream is
+    // unchanged: the join only attaches ranks, it doesn't filter.
     d0.select(col("doc_id"), col("lang"), explode(col("hs")).as("h"))
-      .join(broadcast(vocab), "h")
+      .join(vocab, "h")
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("rank"))).as("hset"))
       .withColumn("nset", size(col("hset")))
@@ -378,8 +385,13 @@ object Dedup {
       .localCheckpoint(false)
     // labels only ever DECREASE (min propagation), so the label sum
     // strictly decreases iff any label changed — a 1-row aggregate per
-    // round instead of a (self-lineage-ambiguous) prev⋈next join
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // round instead of a (self-lineage-ambiguous) prev⋈next join.
+    // DECIMAL(38,0), not Long: billions of 64-bit ids sum past 2^63
+    // and a wrapped-equal Long sum would falsely signal convergence.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -400,8 +412,8 @@ object Dedup {
         .select(col("x.id").as("id"),
                 coalesce(col("j.jlabel"), col("x.label")).as("label"))
         .localCheckpoint(false)
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
-      converged = s == prevSum
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
     }

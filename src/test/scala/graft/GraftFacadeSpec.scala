@@ -128,6 +128,21 @@ class GraftFacadeSpec extends AnyFunSuite {
         s"took ${Dedup.lastPropagationRounds}")
   }
 
+  test("dedupClusters: huge 64-bit ids — convergence sum must not wrap") {
+    // ids near Long.MaxValue: a Long-typed sum(label) wraps after a
+    // handful of rows (200 * 2^62 >> 2^63) and a wrapped-equal sum
+    // could falsely signal convergence mid-propagation. The DECIMAL
+    // (38,0) carrier sums exactly; the clusters must still close.
+    val base = Long.MaxValue - 400L
+    val chain = (0L until 199L).map(i => (base + i, base + i + 1))
+      .toDF("doc_a", "doc_b")
+    val c = Graft.dedupClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.length == 200)
+    assert(c.forall(_._2 == base), "one component labeled by min id")
+    assert(c.forall(_._3 == 200L))
+  }
+
   test("asof through the facade") {
     val trades = Seq((1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:05")))
       .toDF("trade_id", "uid", "t")
