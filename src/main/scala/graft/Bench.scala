@@ -1,5 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+  *
+  * r8 measurement discipline (the r7 verdict found 3-6x sequential
+  * carry-over noise in the in-suite numbers — enough to mask a real 2x
+  * regression):
+  *
+  *  - every query runs once COLD (absorbs per-query one-time costs:
+  *    codegen, page-cache fill, content-keyed index builds — ANN
+  *    postings, MinHash bands, the near-dup cluster table — plus
+  *    whatever GC/page pressure the previous query left behind), then
+  *    once TIMED; queries at or above 0.75 s get a second timed run
+  *    and the artifact records the MIN of the two. GC noise is
+  *    one-sided (pauses only ever add time), so min-of-2 is the
+  *    stable steady-state estimator; the sub-0.75 s majority skip the
+  *    third execution — 20% of half a second cannot mask a 2x
+  *    regression.
+  *  - `spark.catalog.clearCache()` + `System.gc()` between every
+  *    execution: drops persisted intermediates and nudges the async
+  *    ContextCleaner to reclaim the iterative queries' localCheckpoint
+  *    blocks instead of letting them squat for the rest of the suite.
+  *  - the 5 slowest recorded queries re-run TWICE back-to-back at
+  *    suite end; `repeat_disagreement` = max relative gap between the
+  *    min of that pair and the recorded value. This is the
+  *    in-artifact evidence that recorded numbers reproduce (the r4
+  *    q_knn=12.4s one-off-spike lesson), measured protocol-against-
+  *    protocol rather than against a single end-of-suite run whose
+  *    heap state 160 queries have trampled.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,66 +43,79 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed warmup absorbs one-time JVM/codegen/page-cache costs
-    // so per-query numbers reflect steady-state plan cost instead of
-    // charging session startup to the alphabetically-first queries
+    // one untimed session warmup absorbs JVM/classloading/session
+    // startup so those one-time costs aren't charged to the
+    // alphabetically-first query's cold slot
     // (BASELINE.md's numbers are cold — weigh totals accordingly).
-    // q_ann_ivf and q_dedup_incr_near are warmed because their first
-    // call runs an offline index build (materialized ANN posting /
-    // MinHash band tables, once per corpus); their timed slots below
-    // then measure query cost, which is the number an index structure
-    // exists to optimize.
     val tWarm0 = System.nanoTime()
-    for (name <- Seq("q_agg_scan", "q_sim_cosine_topk", "q_ann_ivf",
-                     "q_ann_quant", "q_dedup_incr_near"))
+    for (name <- Seq("q_agg_scan"))
       SparkEntry.queries.get(name).foreach { f =>
         try f(spark, sfDir).count() catch { case _: Throwable => () }
       }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     spark.catalog.clearCache()
+
+    def settle(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def timeOnce(name: String): Option[Double] =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+
     // stable alphabetical order: per-query timings comparable across
     // rounds (Map iteration order is hash-arbitrary)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      // per-query cache lifecycle: ops may persist() intermediates
-      // (normalized embeddings, LSH buckets); dropping them here keeps
-      // one query's working set from squatting on executor memory for
-      // the rest of the session
-      spark.catalog.clearCache()
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val cold = timeOnce(name)
+      settle()
+      val t1 = cold.flatMap(_ => timeOnce(name))
+      settle()
+      val t2 = t1.filter(_ >= 0.75).flatMap { _ =>
+        val r = timeOnce(name); settle(); r
+      }
+      val steady = (t1, t2) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, _)             => a
+      }
+      // -1 sentinel on failure (a run that fails fast must not read as
+      // a genuinely fast run)
+      (name, cold.getOrElse(-1.0), steady.getOrElse(-1.0), steady.isDefined)
     }
-    // second measurement of the slowest queries: a one-off spike from
-    // machine contention (the r4 q_knn=12.4s ghost) shows up as a
-    // large first/retimed gap, a real plan cost reproduces — readers
-    // of this JSON can tell the two apart without a re-run
-    val retimed = results.filter(_._3).sortBy(-_._2).take(3).map { case (name, _, _) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      // -1 sentinel (same as the main loop): a re-run that fails fast
-      // must not read as a genuinely fast re-run
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // reproducibility evidence: re-run the 5 slowest with the same
+    // min-of-pair protocol the suite used
+    val retimed = results.filter(_._4).sortBy(-_._3).take(5).map { case (name, _, _, _) =>
+      settle()
+      val a = timeOnce(name); settle()
+      val b = timeOnce(name); settle()
+      val best = (a, b) match {
+        case (Some(x), Some(y)) => math.min(x, y)
+        case (Some(x), None)    => x
+        case (None, Some(y))    => y
+        case _                  => -1.0
+      }
+      name -> best
     }
-    val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map(t => s"\"${t._1}\"").mkString("[", ",", "]")
-    val okTimes = results.filter(_._3).map(_._2)
-    val total = okTimes.sum
+    val steadyMap = results.map(t => t._1 -> t._3).toMap
+    val repeatDisagreement = retimed.collect {
+      case (name, t3) if t3 > 0 && steadyMap(name) > 0 =>
+        math.abs(t3 - steadyMap(name)) / steadyMap(name)
+    } match { case Nil => -1.0; case xs => xs.max }
+
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(t => t._1 -> t._3))
+    val qsCold = jmap(results.map(t => t._1 -> t._2))
+    val retimedJson = jmap(retimed)
+    val failed = results.filterNot(_._4).map(t => s"\"${t._1}\"").mkString("[", ",", "]")
+    val total = results.filter(_._4).map(_._3).sum
+    val coldTotal = results.filter(_._2 > 0).map(_._2).sum + warmupSec
     // closest analogs of BASELINE.md's 7-query suite, for an
     // apples-to-apples subtotal next to the full-registry total
     val baselineSubset = Seq("q_agg_scan", "q_join_left", "q_window_topk",
       "q_ngram_count", "q_sim_cosine_topk", "q_stream_tumbling", "q_dedup_exact")
-    val rmap = results.map(t => t._1 -> t._2).toMap
-    val subsetTotal = baselineSubset.flatMap(rmap.get).sum
-    // cold_total = warm per-query total + the untimed warmup cost, the
-    // apples-to-apples number against BASELINE.md's cold first query
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"cold_total":${total + warmupSec},"retimed_slowest":$retimedJson,"n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed}""")
+    val subsetTotal = baselineSubset.flatMap(steadyMap.get).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"queries_cold":$qsCold,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_queries":${results.size},"n_failed":${results.count(!_._4)},"failed":$failed}""")
     spark.stop()
   }
 }

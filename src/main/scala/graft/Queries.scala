@@ -65,6 +65,9 @@ object Queries {
     "q_join_asof"      -> (Relational.qJoinAsof _),
     "q_join_asof_native" -> (Relational.qJoinAsofNative _),
     "q_join_asof_left" -> (Relational.qJoinAsofLeft _),
+    "q_join_asof_tol"  -> (Relational.qJoinAsofTol _),
+    "q_join_asof_fwd"  -> (Relational.qJoinAsofFwd _),
+    "q_join_asof_near" -> (Relational.qJoinAsofNear _),
     "q_sort_multi"     -> (Relational.qSortMulti _),
     "q_topk"           -> (Relational.qTopk _),
     "q_union_all"      -> (Relational.qUnionAll _),
@@ -149,6 +152,41 @@ object Queries {
          |SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
          |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
          |ORDER BY p.event_id""".stripMargin,
+    // backward match first, gap bound second — the exec applies the
+    // same order, so the residual filter is the exact semantics
+    "q_join_asof_tol" ->
+      s"""WITH p AS (SELECT event_id, user_id, $TS AS ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup')
+         |SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+         |FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+         |WHERE p.ts - s.ts <= INTERVAL 1 DAY
+         |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      s"""WITH p AS (SELECT event_id, user_id, $TS AS ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup'),
+         |m AS (SELECT p.event_id, p.user_id, p.ts,
+         |        (SELECT min(s.ts) FROM s
+         |         WHERE s.user_id = p.user_id AND s.ts >= p.ts) AS signup_ts
+         |      FROM p)
+         |SELECT event_id, user_id, ts, signup_ts FROM m
+         |WHERE signup_ts IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q_join_asof_near" ->
+      s"""WITH p AS (SELECT event_id, user_id, $TS AS ts FROM events
+         |           WHERE event_type = 'purchase'),
+         |s AS (SELECT user_id, $TS AS ts FROM events WHERE event_type = 'signup'),
+         |m AS (SELECT p.event_id, p.user_id, p.ts,
+         |        (SELECT max(s.ts) FROM s
+         |         WHERE s.user_id = p.user_id AND s.ts <= p.ts) AS bw,
+         |        (SELECT min(s.ts) FROM s
+         |         WHERE s.user_id = p.user_id AND s.ts >= p.ts) AS fw
+         |      FROM p)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN bw IS NULL THEN fw WHEN fw IS NULL THEN bw
+         |       WHEN ts - bw <= fw - ts THEN bw ELSE fw END AS signup_ts
+         |FROM m WHERE bw IS NOT NULL OR fw IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
         |       nullif(o_orderstatus, 'O') AS status_n

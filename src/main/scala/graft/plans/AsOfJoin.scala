@@ -13,6 +13,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
+/** Match direction of the as-of join — the three modes users of asof
+  * APIs (pandas `merge_asof`, kdb `aj`, QuestDB/DuckDB `ASOF JOIN`)
+  * reach for. */
+sealed trait AsOfDirection
+object AsOfDirection {
+  /** Greatest right-ts <= left-ts (the classic trade/quote default). */
+  case object Backward extends AsOfDirection
+  /** Smallest right-ts >= left-ts. */
+  case object Forward extends AsOfDirection
+  /** Whichever of backward/forward is closer in absolute ts distance;
+    * an exact tie chooses backward (pandas `merge_asof` convention). */
+  case object Nearest extends AsOfDirection
+}
+
 /** A native as-of join — the build-rules preference-(c) extension point
   * (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`): whole-operator
   * semantics Spark's DataFrame algebra lacks, expressed as a first-class
@@ -21,24 +35,33 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * oracle-checked against DuckDB's `ASOF JOIN`).
   *
   * Semantics: for each left row, the single right row with the same key
-  * and the greatest right-ts <= left-ts (backward as-of). `Inner`
-  * drops left rows with no match; `LeftOuter` keeps them with a
-  * null-filled right side (the common trade/quote shape — every trade
-  * survives, quoted or not).
+  * and — per [[AsOfDirection]] — the greatest right-ts <= left-ts
+  * (backward), the smallest right-ts >= left-ts (forward), or the
+  * closest of the two (nearest; ties break backward). An optional
+  * `tolerance` bounds the match gap: a candidate farther than
+  * `tolerance` ts-units away (micros for timestamps) is no match at
+  * all. `Inner` drops left rows with no match; `LeftOuter` keeps them
+  * with a null-filled right side (the common trade/quote shape — every
+  * trade survives, quoted or not).
   *
   * Scale shape: each side shuffles ONCE on its key (co-partitioned
   * `ClusteredDistribution`s, same machinery as sort-merge join) and is
   * sorted (key, ts) within partitions; the join itself is a streaming
   * two-pointer merge per partition — no window state over the unioned
   * stream, no per-row lookups, O(1) memory beyond one candidate row.
+  * Forward/nearest peek at (never consume) the next right row, so the
+  * merge stays single-pass.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
                     leftTs: Expression, rightTs: Expression,
-                    joinType: JoinType = Inner)
+                    joinType: JoinType = Inner,
+                    direction: AsOfDirection = AsOfDirection.Backward,
+                    tolerance: Option[Double] = None)
     extends BinaryNode {
   require(joinType == Inner || joinType == LeftOuter,
           s"as-of join supports Inner and LeftOuter, got $joinType")
+  require(tolerance.forall(_ >= 0), s"as-of tolerance must be >= 0, got $tolerance")
   override def output: Seq[Attribute] = joinType match {
     case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
     case _ => left.output ++ right.output
@@ -53,20 +76,25 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   * [[AsOfJoins.asof]]) or session-wide via [[GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, jt) =>
-      AsOfJoinExec(lk, rk, lt, rt, jt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, jt, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, jt, dir, tol,
+                   planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical backward as-of join: co-partitioned on the keys, children
-  * sorted by (key, ts); per-partition streaming merge keeping only the
-  * latest in-range right row per key. Key/ts must be orderable atomic
+/** Physical as-of join: co-partitioned on the keys, children sorted by
+  * (key, ts); per-partition streaming merge keeping only the latest
+  * in-range right row per key (backward candidate) and peeking the
+  * next right row (forward candidate). Key/ts must be orderable atomic
   * types whose values do not alias the row buffer (integral, floating,
-  * date/timestamp — the as-of domain). */
+  * date/timestamp — the as-of domain); nearest/tolerance additionally
+  * require a NUMERIC ts (distances are differences). */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression,
                         joinType: JoinType,
+                        direction: AsOfDirection,
+                        tolerance: Option[Double],
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -105,9 +133,29 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       "AsOfJoinExec requires co-partitioned children, got " +
         s"${lRdd.getNumPartitions} vs ${rRdd.getNumPartitions} partitions")
+    val dir = direction
+    val tol = tolerance
     lRdd.zipPartitions(rRdd) { (lIt, rIt) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+      // ts distance for tolerance/nearest: exact Long arithmetic for
+      // the integral internal types (timestamp micros / date days /
+      // int / long), double otherwise. Only evaluated when tol or
+      // nearest is in play — plain backward/forward joins never
+      // require a numeric ts.
+      def tsDiff(a: Any, b: Any): Double = (a, b) match {
+        case (x: java.lang.Long, y: java.lang.Long)       => (x - y).toDouble
+        case (x: java.lang.Integer, y: java.lang.Integer) => (x.toLong - y.toLong).toDouble
+        case (x: java.lang.Number, y: java.lang.Number)   => x.doubleValue() - y.doubleValue()
+        case _ => throw new UnsupportedOperationException(
+          s"as-of nearest/tolerance requires a numeric ts, got $tsType")
+      }
+      def withinTol(gap: => Double): Boolean = tol.forall(gap <= _)
+      // Forward mode must NOT consume an exactly-simultaneous right
+      // row (rt == lt is its best match); backward/nearest fold it
+      // into the backward candidate (distance 0 wins every nearest
+      // comparison, so semantics agree).
+      val consumeEq = dir != AsOfDirection.Forward
       val rBuf = rIt.buffered
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(output, output)
@@ -116,6 +164,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       // consumed under (checked against each left key before emitting)
       var cand: InternalRow = null
       var candKey: Any = null
+      var candTs: Any = null
       lIt.flatMap { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
@@ -131,14 +180,39 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
             if (rk == null || rt == null) { rBuf.next(); () } // unmatchable
             else {
               val c = keyOrd.compare(rk, lk)
-              if (c < 0 || (c == 0 && tsOrd.compare(rt, lt) <= 0)) {
+              val tc = if (c == 0) tsOrd.compare(rt, lt) else 0
+              if (c < 0 || (c == 0 && (if (consumeEq) tc <= 0 else tc < 0))) {
                 val r = rBuf.next()
-                if (c == 0) { cand = r.copy(); candKey = rk }
+                if (c == 0) { cand = r.copy(); candKey = rk; candTs = rt }
               } else advancing = false
             }
           }
-          if (cand != null && keyOrd.compare(candKey, lk) == 0)
-            Iterator.single(resultProj(joined(lRow, cand)))
+          // backward candidate: the latest consumed same-key row
+          val bwOk = cand != null && keyOrd.compare(candKey, lk) == 0 &&
+            (tol.isEmpty || withinTol(tsDiff(lt, candTs)))
+          // forward candidate: peek (never consume — one right row can
+          // be the forward match of many left rows)
+          var fwRow: InternalRow = null
+          var fwTs: Any = null
+          if (dir != AsOfDirection.Backward && rBuf.hasNext) {
+            val rk = rKeyB.eval(rBuf.head)
+            val rt = rTsB.eval(rBuf.head)
+            if (rk != null && rt != null && keyOrd.compare(rk, lk) == 0 &&
+                withinTol(tsDiff(rt, lt))) {
+              fwRow = rBuf.head; fwTs = rt
+            }
+          }
+          val matched: InternalRow = dir match {
+            case AsOfDirection.Backward => if (bwOk) cand else null
+            case AsOfDirection.Forward  => fwRow
+            case AsOfDirection.Nearest  =>
+              if (bwOk && fwRow != null) {
+                // tie → backward (pandas merge_asof convention)
+                if (tsDiff(lt, candTs) <= tsDiff(fwTs, lt)) cand else fwRow
+              } else if (bwOk) cand else fwRow
+          }
+          if (matched != null)
+            Iterator.single(resultProj(joined(lRow, matched)))
           else if (emitUnmatched)
             Iterator.single(resultProj(joined(lRow, nullRight)))
           else Iterator.empty
@@ -191,13 +265,17 @@ object AsOfJoins {
   }
 
   /** `left ASOF [LEFT] JOIN right ON left.keyCol = right.keyCol AND
-    * left.tsCol >= right.tsCol` (backward; `Inner` or `LeftOuter`).
-    * Column names are resolved per side; rename overlapping right
-    * columns first. */
+    * left.tsCol >= right.tsCol` (backward default; `Inner` or
+    * `LeftOuter`), or forward (`<=`) / nearest per `direction`, with
+    * an optional max-gap `tolerance` in the ts column's internal units
+    * (MICROSECONDS for timestamps, days for dates). Column names are
+    * resolved per side; rename overlapping right columns first. */
   def asof(left: DataFrame, right: DataFrame,
            leftKeyCol: String, rightKeyCol: String,
            leftTsCol: String, rightTsCol: String,
-           joinType: JoinType = Inner): DataFrame = {
+           joinType: JoinType = Inner,
+           direction: AsOfDirection = AsOfDirection.Backward,
+           tolerance: Option[Double] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
@@ -209,7 +287,8 @@ object AsOfJoins {
     org.apache.spark.sql.graft.Shims.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
                attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
-               attr(lPlan, leftTsCol), attr(rPlan, rightTsCol), joinType))
+               attr(lPlan, leftTsCol), attr(rPlan, rightTsCol), joinType,
+               direction, tolerance))
   }
 }
 

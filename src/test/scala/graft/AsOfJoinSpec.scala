@@ -55,6 +55,69 @@ class AsOfJoinSpec extends AnyFunSuite {
                       4L -> None, 5L -> Some(9.0)))
   }
 
+  private def dirFixture = {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")),
+      (2L, 100L, ts("2024-01-01 10:00:00")),   // exactly simultaneous quote
+      (3L, 100L, ts("2024-01-01 09:59:59")),   // before any quote
+      (4L, 200L, ts("2024-01-01 11:00:00")),   // user with no quotes
+      (5L, 300L, ts("2024-01-01 12:00:00")),   // only a 12h-old quote
+      (6L, 100L, ts("2024-01-01 10:00:01.5"))  // EQUIDISTANT between quotes
+    ).toDF("trade_id", "uid", "t")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1.0),
+      (100L, ts("2024-01-01 10:00:03"), 2.0),
+      (300L, ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("q_uid", "q_t", "px")
+    (trades, quotes)
+  }
+
+  private def run(direction: graft.plans.AsOfDirection,
+                  tol: Option[Double] = None,
+                  jt: org.apache.spark.sql.catalyst.plans.JoinType =
+                    org.apache.spark.sql.catalyst.plans.Inner) = {
+    val (trades, quotes) = dirFixture
+    AsOfJoins.asof(trades, quotes, "uid", "q_uid", "t", "q_t",
+                   jt, direction, tol)
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+  }
+
+  test("forward as-of: earliest at-or-after quote; simultaneous matches; no future quote drops") {
+    assert(run(graft.plans.AsOfDirection.Forward) ==
+      Map(2L -> Some(1.0),  // rt == lt IS a forward match
+          3L -> Some(1.0),  // next quote 1s ahead
+          6L -> Some(2.0))) // 10:00:03 is the next quote
+  }
+
+  test("nearest as-of: closer side wins, exact tie chooses backward") {
+    assert(run(graft.plans.AsOfDirection.Nearest) ==
+      Map(1L -> Some(2.0),  // only backward exists
+          2L -> Some(1.0),  // distance 0
+          3L -> Some(1.0),  // only forward exists
+          5L -> Some(9.0),  // only backward (12h away, no tolerance)
+          6L -> Some(1.0))) // 1.5s either way: tie → backward
+  }
+
+  test("tolerance bounds the backward gap; out-of-tolerance is NO match") {
+    val oneHourUs = 3600e6
+    assert(run(graft.plans.AsOfDirection.Backward, Some(oneHourUs)) ==
+      Map(1L -> Some(2.0), 2L -> Some(1.0), 6L -> Some(1.0)))
+    // trade 5's only quote is 12h stale → dropped under Inner ...
+    // ... but kept with a null right side under LeftOuter
+    assert(run(graft.plans.AsOfDirection.Backward, Some(oneHourUs),
+               org.apache.spark.sql.catalyst.plans.LeftOuter) ==
+      Map(1L -> Some(2.0), 2L -> Some(1.0), 3L -> None,
+          4L -> None, 5L -> None, 6L -> Some(1.0)))
+  }
+
+  test("tolerance composes with nearest: an out-of-tolerance side simply loses") {
+    assert(run(graft.plans.AsOfDirection.Nearest, Some(3600e6)) ==
+      Map(1L -> Some(2.0), 2L -> Some(1.0),
+          3L -> Some(1.0), 6L -> Some(1.0)))
+  }
+
   test("pre-partitioned children are re-distributed, not silently zipped") {
     // children arriving with their own (wrong) partitionings must still
     // produce correct results: EnsureRequirements has to re-establish

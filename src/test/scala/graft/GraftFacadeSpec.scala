@@ -507,6 +507,21 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(Dedup.nearDupIndexEntryCount == before + 1)
   }
 
+  test("cluster table: q_dedup_cluster and q_dedup_keep_best share one materialization") {
+    import graft.ops.Dedup
+    val dir = TestSpark.sf0001
+    val before = Dedup.clusterTableEntryCount
+    val clusters = Dedup.qDedupCluster(spark, dir).collect()
+    val built = Dedup.clusterTableEntryCount
+    assert(built == before + 1 || (before > 0 && built == before))
+    // the second consumer must reuse the materialized table (entry
+    // count flat), and its clusters must be the same graph
+    val kb = Dedup.qDedupKeepBest(spark, dir).collect()
+    assert(Dedup.clusterTableEntryCount == built, "keep_best rebuilt the cluster table")
+    assert(kb.map(_.getLong(0)).toSet ==
+      clusters.map(_.getLong(1)).toSet, "same cluster ids from both consumers")
+  }
+
   test("containmentPairs: finds the quoted subset both sizes apart, jaccard misses it") {
     val docs = Seq(
       // doc 1 is a strict token-subset of doc 2 (quote inside a longer page)
