@@ -580,7 +580,7 @@ object Queries {
          |    epoch_us($TS) - epoch_us(lag($TS) OVER (PARTITION BY user_id ORDER BY $TS, event_id)) AS gap
          |  FROM events)
          |SELECT prev_type, event_type AS next_type, count(*) AS n,
-         |  ${rnd("sum(gap)::DOUBLE / count(*)", 2)} AS avg_gap_us
+         |  ${rnd("sum(gap)::DOUBLE / count(gap)", 2)} AS avg_gap_us
          |FROM o WHERE prev_type IS NOT NULL
          |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
     "q_paths" ->

@@ -568,6 +568,11 @@ object Curation {
       .select(col("doc_id"), col("n_feats").cast("long").as("n_feats"),
               round(col("w"), 6).as("dsir_w"))
       .orderBy("doc_id")
+    // ACCEPTED RESIDUAL RISK (r8 boundary audit): dsir_w is an
+    // order-dependent per-doc avg of log-ratio terms rounded at 6 dp
+    // (the q_sql_q11 flake class; no exact carrier for sums of logs).
+    // tools/boundary_audit.py at sf0.01 shows every value > 200 ulps
+    // from a boundary; re-audited each round at close-out.
   }
 
   /** q_dsir: [[dsirScores]] on the test corpus, with the `src0`

@@ -228,16 +228,23 @@ object Events {
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .where(col("prev_type").isNotNull)
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("prev_ts").cast("timestamp")))
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(
         count(lit(1)).as("n"),
         // DECIMAL(38,0) carrier: micro-gap sums cross 2⁶³ at corpus
         // scale, where Spark's long sum wraps but DuckDB promotes
-        sum((unix_micros(col("ts").cast("timestamp"))
-          - unix_micros(col("prev_ts").cast("timestamp")))
-          .cast("decimal(38,0)")).as("gap_sum"))
+        sum(col("gap_us").cast("decimal(38,0)")).as("gap_sum"),
+        // divisor = NON-NULL gap count, matching avg()'s null
+        // semantics (a null ts row — none exist in the fixtures, but
+        // the library contract shouldn't depend on that — joins n but
+        // must not dilute the mean); the oracle divides by count(gap)
+        // identically
+        count(col("gap_us")).as("n_gap"))
       .select(col("prev_type"), col("next_type"), col("n"),
-              round(col("gap_sum").cast("double") / col("n"), 2).as("avg_gap_us"))
+              round(col("gap_sum").cast("double") / col("n_gap"), 2).as("avg_gap_us"))
       .orderBy("prev_type", "next_type")
   }
 

@@ -454,6 +454,11 @@ object TextAnalysis {
               round(col("nll"), 6).as("nll"),
               round(exp(col("nll")), 6).as("ppl_target"))
       .orderBy("doc_id")
+    // ACCEPTED RESIDUAL RISK (r8 boundary audit): nll/ppl_target are
+    // order-dependent per-doc avgs of log terms rounded at 6 dp (the
+    // q_sql_q11 flake class; no exact carrier for sums of logs).
+    // tools/boundary_audit.py at sf0.01 shows every value > 200 ulps
+    // from a boundary; re-audited each round at close-out.
   }
 
   /** Interpolated Kneser–Ney bigram perplexity — the stronger LM
@@ -679,6 +684,14 @@ object TextAnalysis {
               col("vocab"), round(col("kl"), 6).as("kl"),
               round(col("xent"), 6).as("xent"))
       .orderBy("source")
+    // ACCEPTED RESIDUAL RISK (r8 boundary audit): kl/xent are
+    // order-dependent vocab-scale double sums rounded at 6 dp — the
+    // q_sql_q11 flake class. No exact integer carrier exists for a
+    // sum of p*log terms. tools/boundary_audit.py (part of the round
+    // close-out) shows every sf0.01 value > 200 ulps from a rounding
+    // boundary; a flip would need a value within summation-order
+    // error (~1e2 ulps) of a half-unit at 1e-6 — re-audit per round
+    // rather than distort the metric's definition.
   }
 
   /** q_fingerprint: content fingerprints — md5 of the normalized text

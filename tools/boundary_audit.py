@@ -41,6 +41,15 @@ def unround(sql):
             break
         k = sql.find(MID, j)
         expr = sql[j + len(PREFIX):k]
+        # a nested rnd(rnd(e)) would make the first-MID slice grab the
+        # INNER wrapper's boundary and emit silently wrong unrounded
+        # SQL — fail loudly instead of mis-auditing (no current oracle
+        # nests rnd(); this guard keeps that an error, not a trap)
+        if PREFIX in expr or expr.count("(") != expr.count(")"):
+            raise ValueError(
+                f"nested/unbalanced rnd() wrapper (expr starts {expr[:80]!r}); "
+                "unround()'s first-MID slice cannot handle nesting — "
+                "flatten the oracle's rounding or extend this parser")
         m = re.match(r"(\d+)\)::DOUBLE", sql[k + len(MID):])
         if not m:
             return None, None
