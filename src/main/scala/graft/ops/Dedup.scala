@@ -425,23 +425,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      // neighbour-min propagation ...
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val prop = labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-                least(col("label"), coalesce(col("nbr_min"), col("label")))
-                  .as("label"))
-      // ... then pointer jumping (label ← label(label)): path
-      // compression turns the O(diameter) round count into O(log d) —
-      // every label is a node id, so the self-join always resolves
-      labels = prop.as("x")
-        .join(prop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
-              col("x.label") === col("j.jid"), "left")
-        .select(col("x.id").as("id"),
-                coalesce(col("j.jlabel"), col("x.label")).as("label"))
-        .localCheckpoint(false)
+      labels = propagationRound(edges, labels).localCheckpoint(false)
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -449,6 +433,38 @@ object Dedup {
     }
     lastPropagationRounds = rounds
     val sized = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    finishClusters(labels, sized)
+  }
+
+  /** One min-label propagation + pointer-jumping round, factored out
+    * of [[dedupClusters]] so its PLAN SHAPE is pinnable
+    * (PlanShapeSpec): the full query's final plan only shows the
+    * checkpointed `ExistingRDD`, hiding any in-loop regression to a
+    * cartesian or a lost map-side combine. Shape contract: two
+    * equi-joins (neighbour-min, pointer jump) + one partial-agg min;
+    * no cartesian, no window. */
+  private[graft] def propagationRound(edges: DataFrame,
+                                      labels: DataFrame): DataFrame = {
+    // neighbour-min propagation ...
+    val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+      .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+    val prop = labels
+      .join(nbrMin, labels("id") === nbrMin("src"), "left")
+      .select(col("id"),
+              least(col("label"), coalesce(col("nbr_min"), col("label")))
+                .as("label"))
+    // ... then pointer jumping (label ← label(label)): path
+    // compression turns the O(diameter) round count into O(log d) —
+    // every label is a node id, so the self-join always resolves
+    prop.as("x")
+      .join(prop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+            col("x.label") === col("j.jid"), "left")
+      .select(col("x.id").as("id"),
+              coalesce(col("j.jlabel"), col("x.label")).as("label"))
+  }
+
+  private def finishClusters(labels: DataFrame,
+                             sized: DataFrame): DataFrame = {
     labels.join(sized, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster"),
               col("cluster_size"),

@@ -59,32 +59,48 @@ object Graph {
     val danglingNodes = nodes
       .join(outDeg, nodes("node") === outDeg("src"), "left_anti")
       .localCheckpoint()
+    var rank = nodes
+      .select(col("node"), (lit(1.0) / lit(nc)).as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      rank = pageRankRound(nodes, edges, outDeg, danglingNodes, rank, nc)
+        .localCheckpoint(false)
+    }
+    rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
+  }
+
+  /** One PageRank power-iteration round, factored out of [[pageRank]]
+    * so its PLAN SHAPE is pinnable (PlanShapeSpec): the final plan of
+    * the full query only shows checkpointed `ExistingRDD` scans, so a
+    * de-broadcast or cartesian regression inside the loop would
+    * otherwise be invisible to a plan assert. Shape contract: contrib
+    * is one equi-join + map-side-combined partial sum; the dangling
+    * mass is a 1-ROW aggregate riding a deliberate broadcast
+    * nested-loop cross (bounded — one row by construction); never a
+    * CartesianProduct. */
+  private[graft] def pageRankRound(nodes: DataFrame, edges: DataFrame,
+                                   outDeg: DataFrame,
+                                   danglingNodes: DataFrame,
+                                   rank: DataFrame, nc: Long): DataFrame = {
     // lit(double), NOT expr("0.85"): Spark parses a bare decimal
     // literal as DECIMAL(2,2), which would silently run the whole
     // iteration in decimal arithmetic while DuckDB runs ::DOUBLE
     val d = lit(Damping.toDouble)
     val t = lit(Teleport.toDouble)
-    var rank = nodes
-      .select(col("node"), (lit(1.0) / lit(nc)).as("r"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(rank, edges("src") === rank("node"))
-        .join(outDeg, "src")
-        .select(col("dst"), (col("r") / col("od")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      val dangling = rank.join(danglingNodes, "node")
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      rank = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-                (t / lit(nc) +
-                  d * (coalesce(col("contrib"), lit(0.0)) +
-                        col("dm") / lit(nc))).as("r"))
-        .localCheckpoint(false)
-    }
-    rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
+    val contrib = edges
+      .join(rank, edges("src") === rank("node"))
+      .join(outDeg, "src")
+      .select(col("dst"), (col("r") / col("od")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+    val dangling = rank.join(danglingNodes, "node")
+      .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+    nodes
+      .join(contrib, nodes("node") === contrib("dst"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("node"),
+              (t / lit(nc) +
+                d * (coalesce(col("contrib"), lit(0.0)) +
+                      col("dm") / lit(nc))).as("r"))
   }
 
   /** Personalized PageRank: [[pageRank]] with the teleport vector

@@ -363,4 +363,74 @@ class PlanShapeSpec extends AnyFunSuite {
       && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  // ---------------------------------------------------------------
+  // r8 sweep: the iterative graph family. The registered queries'
+  // final plans only show checkpointed ExistingRDD scans (lineage
+  // truncation is itself part of the contract), so the per-round
+  // shapes are pinned on the FACTORED round bodies — a Catalyst
+  // upgrade de-broadcasting or de-combining inside the loop fails
+  // here, not silently at 10x the round cost.
+  // ---------------------------------------------------------------
+
+  private def roundFixture = {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 4L))
+      .toDF("id", "label")
+    (edges, labels)
+  }
+
+  test("CC propagation round: two equi-joins + partial-agg min, no cartesian/window") {
+    val (edges, labels) = roundFixture
+    val p = graft.ops.Dedup.propagationRound(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("PageRank round: contrib is equi-join + partial sum; dangling mass is the 1-row broadcast cross") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val (edges, _) = roundFixture
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val outDeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("od"))
+    val dangling = nodes.join(outDeg, nodes("node") === outDeg("src"), "left_anti")
+    val rank = nodes.select(col("node"), lit(0.25).as("r"))
+    val p = graft.ops.Graph
+      .pageRankRound(nodes, edges, outDeg, dangling, rank, 4L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), p)
+    // the deliberate 1-row dangling-mass cross must ride a BROADCAST
+    // nested loop (bounded side), never a CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("iterative queries: checkpointed lineage + no cartesian in the final plans") {
+    // the full-query pin that IS visible post-checkpoint: iteration
+    // state arrives as ExistingRDD scans (lineage truncation intact —
+    // losing it doubles the plan per round and OOMs the driver by
+    // ~round 25), and no stage regressed to a cartesian
+    for (q <- Seq("q_page_rank", "q_hits", "q_ppr", "q_label_prop",
+                  "q_bfs_depth", "q_kcore", "q_dedup_cluster")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD") || p.contains("FileScan parquet"),
+        s"$q lost its checkpoint/materialization boundary:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_dedup_keep_best: reads the MATERIALIZED cluster table, one window over cluster keys") {
+    val p = plan("q_dedup_keep_best")
+    // the shared content-keyed cluster table arrives as a parquet
+    // scan (not a rebuilt pair join + CC fixpoint)
+    assert(p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
 }
