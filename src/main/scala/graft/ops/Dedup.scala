@@ -76,17 +76,43 @@ object Dedup {
     * length, not the corpus.
     */
   def qSimJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.docTokens(spark, dir))
+    finishJaccard(jaccardVerifiedFrom(corpusTokenSets(spark, dir), 0.9))
 
   /** [[qSimJaccard]]'s engine over any (doc_id, lang, toks) DataFrame —
     * the library entry point ([[graft.Graft.jaccardPairs]]). */
   def jaccardPairs(docToks: DataFrame, tau: Double = 0.9): DataFrame =
-    jaccardVerified(docToks, tau)
+    finishJaccard(jaccardVerified(docToks, tau))
+
+  private def finishJaccard(verified: DataFrame): DataFrame =
+    verified
       // duplicate candidate occurrences carry identical jac — dedup the
       // survivors (output-scale), not the candidate stream
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
+
+  /** Content-keyed MATERIALIZED [[rankedTokenSets]] table for the
+    * test corpus — the [[IndexCache]] lifecycle (re-fingerprint per
+    * get, rebuild iff the corpus changed). The table is
+    * tau-INDEPENDENT, so q_sim_jaccard, q_sim_containment and the
+    * near-dup cluster build all share one materialization instead of
+    * each re-paying the tokenize + vocab-rank + re-encode front half
+    * (~2 s each at sf0.1). At cluster scale this is the at-rest form
+    * of the set-similarity index: re-encoded rarest-first token
+    * arrays, partition-friendly, consumed by any threshold. */
+  private val tokenSetTablePaths =
+    new IndexCache[String]("documents", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_token_sets").toString +
+        "/token_sets.parquet"
+      rankedTokenSets(Tables.docTokens(s, d))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private[graft] def corpusTokenSets(spark: SparkSession,
+                                     dir: String): DataFrame =
+    spark.read.parquet(tokenSetTablePaths.get(spark, dir))
 
   /** Shared front half of the set-similarity joins: per-doc SORTED
     * arrays of rarest-first vocabulary ranks,
@@ -152,8 +178,16 @@ object Dedup {
     * propagation, EXISTS-style flags — read this directly and skip the
     * output-only dedup/round/sort ([[dedupClusters]] feed). */
   private[graft] def jaccardVerified(docToks: DataFrame,
-                                     tau: Double = 0.9): DataFrame = {
-    val d = rankedTokenSets(docToks)
+                                     tau: Double = 0.9): DataFrame =
+    jaccardVerifiedFrom(rankedTokenSets(docToks), tau)
+
+  /** [[jaccardVerified]] over a PREBUILT (doc_id, lang, hset, nset)
+    * set table — the materialized-index path ([[corpusTokenSets]]). */
+  private[graft] def jaccardVerifiedFrom(d: DataFrame,
+                                         tau: Double): DataFrame = {
+    // the verify kernel is a registered codegen function; the
+    // materialized-table path skips rankedTokenSets' registration site
+    SetFunctions.register(d.sparkSession, permA, permB, MersennePrime)
     val prefixLen = col("nset") - ceil(col("nset") * tau).cast("int") + 1
     // the rank array rides along: the candidate join feeds the verify
     // expression directly, no re-join for payloads
@@ -195,8 +229,14 @@ object Dedup {
     * codegen merge-intersect as the Jaccard join, on the arrays that
     * rode through the candidate join.
     */
-  def containmentPairs(docToks: DataFrame, tau: Double = 0.9): DataFrame = {
-    val d = rankedTokenSets(docToks)
+  def containmentPairs(docToks: DataFrame, tau: Double = 0.9): DataFrame =
+    containmentPairsFrom(rankedTokenSets(docToks), tau)
+
+  /** [[containmentPairs]] over a PREBUILT set table
+    * ([[corpusTokenSets]]). */
+  private[graft] def containmentPairsFrom(d: DataFrame,
+                                          tau: Double): DataFrame = {
+    SetFunctions.register(d.sparkSession, permA, permB, MersennePrime)
     val prefixLen = col("nset") - ceil(col("nset") * tau).cast("int") + 1
     val a = d.select(col("doc_id").as("doc_a"), col("lang"),
                      col("nset").as("n_a"), col("hset").as("hset_a"),
@@ -218,9 +258,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q_sim_containment: [[containmentPairs]] on the test corpus. */
+  /** q_sim_containment: [[containmentPairsFrom]] over the shared
+    * materialized set table. */
   def qSimContainment(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(Tables.docTokens(spark, dir))
+    containmentPairsFrom(corpusTokenSets(spark, dir), 0.9)
 
   // ---- MinHash + LSH (q_dedup_near, oracle-exempt) ----
 
@@ -359,7 +400,7 @@ object Dedup {
       val p = java.nio.file.Files
         .createTempDirectory("graft_dedup_clusters").toString +
         "/clusters.parquet"
-      dedupClusters(jaccardVerified(Tables.docTokens(s, d))
+      dedupClusters(jaccardVerifiedFrom(corpusTokenSets(s, d), 0.9)
         .dropDuplicates("doc_a", "doc_b"))
         .write.mode("overwrite").parquet(p)
       p

@@ -251,12 +251,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("o_orderkey:bigint,o_custkey"), p)
   }
 
-  test("q_sim_jaccard: the prefix self-join stays broadcast-hash (the persisted set table keeps its stats)") {
-    // regression pin: swapping the rankedTokenSets persist for a
-    // localCheckpoint strips the size estimate (LogicalRDD) and this
-    // join silently degrades to sort-merge — measured 2x wall at sf0.1
+  test("q_sim_jaccard: the prefix self-join stays broadcast-hash (the set table keeps its stats)") {
+    // regression pin: the set table must arrive with a size estimate
+    // (r8: a materialized parquet scan — file-size stats; before: a
+    // persist; a stats-less LogicalRDD here silently degrades the
+    // join to sort-merge — measured 2x wall at sf0.1)
     val p = plan("q_sim_jaccard")
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("FileScan parquet"), p)
   }
 
   test("q_url_filter: blocklist joins broadcast, corpus side never shuffles for the join") {
