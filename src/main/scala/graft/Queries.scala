@@ -76,9 +76,25 @@ object Queries {
     "q_except"         -> (Relational.qExcept _),
     "q_join_skew"      -> (Relational.qJoinSkew _),
     "q_join_interval"  -> (Relational.qJoinInterval _),
+    "q_skyline"        -> (Relational.qSkyline _),
   )
 
   val relationalOracle: Map[String, String] = Map(
+    // deliberately NOT the engine's sweep-line formulation: the oracle
+    // states the raw dominance definition (reduced only by "a dominator
+    // exists iff a (date, min-price-at-date) dominator exists" — the
+    // distinct-date table keeps DuckDB's NOT EXISTS off the O(n²)
+    // self-join)
+    "q_skyline" ->
+      """WITH d AS (SELECT l_shipdate AS dd, min(l_extendedprice) AS m
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d
+        |  WHERE (d.dd > l.l_shipdate AND d.m <= l.l_extendedprice)
+        |     OR (d.dd = l.l_shipdate AND d.m < l.l_extendedprice))
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -647,9 +663,26 @@ object Queries {
     "q_text_stats"   -> (Text.qTextStats _),
     "q_tfidf"        -> (Text.qTfidf _),
     "q_bm25"         -> (Text.qBm25 _),
+    "q_phrase_search" -> (Search.qPhraseSearch _),
   )
 
   val textOracle: Map[String, String] = Map(
+    // independent formulation: element-wise conjunction per start
+    // position (the engine compares a slice against the phrase array);
+    // the greatest(..., 1) clamp matches the engine's — position 1 on a
+    // too-short doc compares against out-of-bounds NULLs → filtered out
+    "q_phrase_search" -> {
+      val conj = Search.Phrase.zipWithIndex
+        .map { case (w, i) => s"toks[i + $i] = '$w'" }.mkString(" AND ")
+      val n = Search.Phrase.length
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        list_filter(generate_series(1, greatest(len(toks) - ${n - 1}, 1)),
+         |                    i -> $conj) AS pos
+         |      FROM t)
+         |SELECT doc_id, len(pos)::INT AS n_matches, pos[1]::INT AS first_pos
+         |FROM m WHERE len(pos) > 0 ORDER BY doc_id""".stripMargin
+    },
     "q_tokenize" ->
       s"""SELECT doc_id, array_to_string($TOKS, '|') AS toks,
          |  len($TOKS)::INT AS n_tokens
@@ -734,6 +767,8 @@ object Queries {
     "q_embed_outlier"   -> (Similarity.qEmbedOutlier _),
     "q_source_overlap"  -> (Dedup.qSourceOverlap _),
     "q_dup_rate"        -> (Dedup.qDupRate _),
+    "q_centroid_drift"  -> (Similarity.qCentroidDrift _),
+    "q_hybrid_rrf"      -> (Search.qHybridRrf _),
   )
 
   /** Shared oracle CTE for the mirrored-corpus queries — interpolated
@@ -755,6 +790,81 @@ object Queries {
       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n)""".stripMargin
 
   val dedupSimOracle: Map[String, String] = Map(
+    // exact DECIMAL(38,0) carrier at 2^50 (power-of-two scaling is
+    // exact on float32-origin doubles) — the per-(label, dim) sum is
+    // order-independent, so this query does NOT inherit q_kmeans's
+    // FP-order golden exemption
+    // RRF fusion: BM25 constants and the probe/pool/cut parameters are
+    // interpolated from ops.Search/ops.Text so both engines are
+    // guaranteed identical values; both pools rank on ROUNDED scores
+    // with a doc_id tiebreak, so rank assignment (and therefore the
+    // fused order) is reproducible across engines
+    "q_hybrid_rrf" -> {
+      val terms = Text.Bm25Query.map(t => s"'$t'").mkString(", ")
+      val k1 = Text.Bm25K1
+      val b  = Text.Bm25B
+      val kk = Search.RrfK
+      val pid = Search.HybridProbeId
+      val pk = Search.HybridPoolK
+      val tn = Search.HybridTopN
+      val fuse = s"(CASE WHEN lex_rank = 0 THEN 0.0::DOUBLE " +
+        s"ELSE 1.0::DOUBLE / (lex_rank + $kk) END + " +
+        s"CASE WHEN dense_rank = 0 THEN 0.0::DOUBLE " +
+        s"ELSE 1.0::DOUBLE / (dense_rank + $kk) END)"
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM t),
+         |e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+         |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |w AS (SELECT tf.doc_id,
+         |        ln(1.0::DOUBLE + (s.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+         |          * (tf.tf * ${k1 + 1.0}::DOUBLE)
+         |          / (tf.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE + $b::DOUBLE * tf.dl / s.avgdl)) AS wt
+         |      FROM tf JOIN dfq ON tf.term = dfq.term, s),
+         |bm AS (SELECT doc_id, ${rnd("sum(wt)", 6)} AS bm25 FROM w GROUP BY doc_id
+         |       ORDER BY bm25 DESC, doc_id LIMIT $pk),
+         |lr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank
+         |       FROM bm),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nn),
+         |pv AS (SELECT vn AS pvn FROM u WHERE vec_id = $pid),
+         |ds AS (SELECT u.vec_id AS doc_id,
+         |         ${rnd("list_sum(list_transform(generate_series(1, 64), i -> u.vn[i] * pv.pvn[i]))", 6)} AS cos_sim
+         |       FROM u, pv WHERE u.vec_id <> $pid
+         |       ORDER BY cos_sim DESC, doc_id LIMIT $pk),
+         |dr AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY cos_sim DESC, doc_id)::INT AS dense_rank
+         |       FROM ds),
+         |f AS (SELECT coalesce(lr.doc_id, dr.doc_id) AS doc_id,
+         |        coalesce(lex_rank, 0) AS lex_rank,
+         |        coalesce(dense_rank, 0) AS dense_rank
+         |      FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id)
+         |SELECT doc_id, lex_rank, dense_rank, ${rnd(fuse, 6)} AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT $tn""".stripMargin
+    },
+    "q_centroid_drift" ->
+      """WITH e AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
+        |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |s AS (SELECT label, dim,
+        |        sum(CAST(x * 1125899906842624.0 AS DECIMAL(38,0))) AS sm
+        |      FROM e GROUP BY label, dim),
+        |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |c AS (SELECT s.label, s.dim,
+        |        sm::DOUBLE / (1125899906842624.0 * cnt.n) AS mu
+        |      FROM s JOIN cnt USING (label)),
+        |arr AS (SELECT label, list(mu ORDER BY dim) AS cv FROM c GROUP BY label),
+        |j AS (SELECT arr.label, cv, n FROM arr JOIN cnt USING (label))
+        |SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+        |  round(CAST(CAST((
+        |    list_sum(list_transform(generate_series(1, len(a.cv)), i -> a.cv[i] * b.cv[i]))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(a.cv)), i -> a.cv[i] * a.cv[i])))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(b.cv)), i -> b.cv[i] * b.cv[i]))))
+        |  ) AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS centroid_cos
+        |FROM j a, j b WHERE a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,

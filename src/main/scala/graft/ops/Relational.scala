@@ -390,4 +390,45 @@ object Relational {
            count_distinct(col("user_id")).as("n_users"))
       .orderBy("inc_h")
   }
+
+  /** 2-D skyline (pareto frontier): rows not dominated on
+    * (minimize `priceCol`, maximize `dateCol`). A dominates B iff
+    * price_A ≤ price_B ∧ date_A ≥ date_B, strict in at least one —
+    * equal (price, date) pairs don't dominate each other and are all
+    * kept.
+    *
+    * Scale: the naive formulation is an O(n²) NOT-EXISTS self-join.
+    * This is the sweep-line reduction instead: per-date minimum price
+    * m(d) (one map-side-combined groupBy over the fact table), a
+    * strictly-later running minimum cm(d) over the DISTINCT-DATE table
+    * (bounded — dates grow like the calendar, not like the data; the
+    * single-partition window is over ~10³ rows at any corpus size),
+    * and one broadcast join back. A row survives iff
+    * `price == m(date)` (not dominated at its own date) and
+    * `price < cm(date)` (not dominated by any strictly-later date).
+    * Two scans of the fact table, one tiny broadcast, no pair join.
+    */
+  def skyline(rows: DataFrame, priceCol: String, dateCol: String): DataFrame = {
+    val perDate = rows.groupBy(col(dateCol))
+      .agg(min(col(priceCol)).as("m"))
+    val swept = perDate.withColumn("cm",
+      min(col("m")).over(
+        Window.orderBy(col(dateCol).desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    rows.join(broadcast(swept), dateCol)
+      .where(col(priceCol) === col("m") &&
+             (col("cm").isNull || col(priceCol) < col("cm")))
+      .drop("m", "cm")
+  }
+
+  /** q_skyline: pareto frontier of lineitem on (lowest
+    * l_extendedprice, most recent l_shipdate) — "no cheaper shipment
+    * exists at or after this date". */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame =
+    skyline(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"),
+      "l_extendedprice", "l_shipdate")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
 }

@@ -375,4 +375,70 @@ object Similarity {
   /** q_embed_outlier: [[embedOutliers]] on the test embeddings. */
   def qEmbedOutlier(spark: SparkSession, dir: String): DataFrame =
     embedOutliers(Tables.embeddings(spark, dir))
+
+  /** Exact power-of-two scale for the centroid sum carrier: a float32
+    * value x with |x| ≥ 2⁻²⁶ has at most 50 binary fraction bits, so
+    * x·2⁵⁰ (double arithmetic) is EXACT and integral — the per-element
+    * cast to DECIMAL(38,0) loses nothing and the distributed sum is
+    * order-independent (the boundary-audit discipline: a plain double
+    * sum's partial-aggregation order differs run-to-run and
+    * engine-to-engine, which is exactly why q_kmeans is golden-exempt;
+    * this operator doesn't have to be). */
+  private val CentroidScale: Double = 1125899906842624.0 // 2^50
+
+  /** Per-group embedding centroids and pairwise centroid cosine — the
+    * embedding-space drift report between corpus slices (labels,
+    * sources, time buckets): a falling inter-centroid cosine means the
+    * slices are pulling apart semantically.
+    *
+    * Scale: the only fact-table-sized stage is the (group, dim)
+    * partial-combined sum over the exact DECIMAL carrier — n·dims
+    * narrow rows, one shuffle bounded by |groups|·dims. Centroid
+    * assembly and the pairwise cosine run on |groups| rows (bounded:
+    * label/source cardinality doesn't grow with corpus size — the same
+    * contract as the k-means centroid table). `collect_list` per group
+    * sees exactly `dims` elements. The per-element integrality guard
+    * raises rather than silently rounding a sub-2⁻²⁶ value.
+    */
+  def centroidDrift(embeddings: DataFrame,
+                    groupCol: String = "label"): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val S = CentroidScale
+    val vals = embeddings
+      .select(col(groupCol).as("grp"),
+              posexplode(transform(col("embedding"), x => x.cast("double")))
+                .as(Seq("dim", "x")))
+      .withColumn("xs",
+        when(col("x") * S === floor(col("x") * S),
+             (col("x") * S).cast("decimal(38,0)"))
+          .otherwise(raise_error(concat(
+            lit("centroidDrift: value has >50 fraction bits: "),
+            col("x").cast("string")))))
+    val cent = vals.groupBy("grp", "dim")
+      .agg(sum(col("xs")).as("s"), count(lit(1)).as("n"))
+      .select(col("grp"), col("dim"),
+              (col("s").cast("double") / (lit(S) * col("n"))).as("mu"))
+    val arrs = cent.groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+                     s => s("mu")).as("c"))
+    val counts = embeddings.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+    val sized = arrs.join(counts, "grp")
+    val a = sized.select(col("grp").as("label_a"), col("c").as("ca"),
+                         col("n").as("n_a"))
+    val b = sized.select(col("grp").as("label_b"), col("c").as("cb"),
+                         col("n").as("n_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(VectorFunctions.dot(col("ca"), col("cb")) /
+              (sqrt(VectorFunctions.dot(col("ca"), col("ca"))) *
+               sqrt(VectorFunctions.dot(col("cb"), col("cb")))), 6)
+          .as("centroid_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** q_centroid_drift: [[centroidDrift]] of the test embeddings by
+    * `label`. */
+  def qCentroidDrift(spark: SparkSession, dir: String): DataFrame =
+    centroidDrift(Tables.embeddings(spark, dir))
 }
