@@ -104,6 +104,15 @@ object ScaleCheck {
     "q_dedup_span_cut" -> 1.0, // span-hash groupBy + equi-joins +
                               // one doc_id rebuild shuffle
     "q_perplexity_target" -> 1.0, // the q_perplexity one-shuffle shape
+    // r8 retrieval batch
+    "q_hybrid_rrf" -> 1.0,    // BM25 pool (overlap-pruned) + one probe
+                              // dot scan; fusion runs on ≤2·poolK rows
+    "q_phrase_search" -> 1.0, // single narrow in-row scan, no shuffle
+    "q_skyline" -> 1.0,       // per-date min + bounded distinct-date
+                              // sweep + broadcast join back
+    "q_centroid_drift" -> 1.0, // one (label, dim) decimal-sum shuffle;
+                              // pairwise stage is |labels|² on ≤dims
+                              // wide rows
   )
 
   def main(args: Array[String]): Unit = {
