@@ -602,6 +602,53 @@ object Graft {
   def spikeDetect(events: DataFrame, zThr: Double = 3.0): DataFrame =
     ops.Events.spikeDetect(events, zThr)
 
+  /** Densify a per-(event_type, hour) metric onto the full hourly
+    * spine; repair holes by forward fill and linear interpolation.
+    * Input: (event_type, ts, value). */
+  def gapFillHourly(events: DataFrame): DataFrame =
+    ops.Events.gapFillHourly(events)
+
+  /** Time-aware exponentially weighted moving average of the daily
+    * cent-rounded value sum per event type; the decay exponent is the
+    * calendar-day gap. Input: (event_type, ts, value). */
+  def ewmaDaily(events: DataFrame, decay: Double = 0.5): DataFrame =
+    ops.Events.ewmaDaily(events, decay)
+
+  /** Edit-distance similarity join: all row pairs whose strings are
+    * within Levenshtein distance [1, maxDist], via complete
+    * deletion-neighborhood candidates + exact verify. */
+  def fuzzyPairs(strs: DataFrame, idCol: String, strCol: String,
+                 maxDist: Int = 1, maxSigGroup: Int = 0): DataFrame =
+    ops.Fuzzy.fuzzyPairs(strs, idCol, strCol, maxDist, maxSigGroup)
+
+  /** Contingency-table association profile of two categorical
+    * columns: per-cell expected counts, χ² and mutual-information
+    * contributions, plus deterministic χ²/MI totals and Cramér's V. */
+  def assocStats(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    ops.Profile.assocStats(df, aCol, bCol)
+
+  /** Weighted single-source shortest paths (synchronous Bellman-Ford
+    * rounds; integer non-negative costs; −1 = not reached within the
+    * round budget). Input: (src, dst, cost) + seeds (node). */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int = 10): DataFrame =
+    ops.Graph.sssp(edges, seeds, rounds)
+
+  /** Newman modularity of a community assignment over the undirected
+    * simple graph: per-community terms + the deterministic global
+    * score. Inputs: (src, dst) edges and (node, community). */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame =
+    ops.Graph.modularity(edges, communities)
+
+  /** Rolling exact p50/p90 of the daily value sum per event type over
+    * the trailing `window`-observation frame. */
+  def rollingQuantilesDaily(events: DataFrame, window: Int = 7): DataFrame =
+    ops.Events.rollingQuantilesDaily(events, window)
+
+  /** Seasonal-profile anomaly detection: hours z-scored against their
+    * own (type, hour-of-day) baseline over the observed span. */
+  def seasonalAnomaly(events: DataFrame, zThr: Double = 2.0): DataFrame =
+    ops.Events.seasonalAnomaly(events, zThr)
+
   // ---- joins / session ----
 
   /** Backward as-of join through the native plan node (Inner or

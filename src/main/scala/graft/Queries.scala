@@ -522,9 +522,105 @@ object Queries {
     "q_paths"           -> (Events.qPaths _),
     "q_spike_detect"    -> (Events.qSpikeDetect _),
     "q_attribution"     -> (Events.qAttribution _),
+    "q_gap_fill"        -> (Events.qGapFill _),
+    "q_ewma"            -> (Events.qEwma _),
+    "q_rolling_median"  -> (Events.qRollingMedian _),
+    "q_seasonal_anomaly" -> (Events.qSeasonalAnomaly _),
   )
 
   val eventsOracle: Map[String, String] = Map(
+    // mirrors Events.gapFillHourly: cent-rounded integer-unit hourly
+    // sums (order-independent), ffill/lerp via IGNORE-NULLS windows,
+    // interpolation fraction on exact integer microsecond gaps
+    "q_gap_fill" ->
+      s"""WITH e AS (SELECT event_type, $TS AS ts, value FROM events),
+         |hy AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n,
+         |         sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS vc
+         |       FROM e GROUP BY 1, 2),
+         |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+         |             date_trunc('hour', max(ts)) AS h1 FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |sp AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+         |       FROM ty, b),
+         |j AS (SELECT sp.event_type, sp.hr, coalesce(hy.n, 0) AS n,
+         |        hy.vc::DOUBLE / 100 AS v
+         |      FROM sp LEFT JOIN hy ON sp.event_type = hy.event_type AND sp.hr = hy.hr),
+         |f AS (SELECT *,
+         |        last_value(v IGNORE NULLS) OVER wp AS pv,
+         |        last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wp AS ph,
+         |        first_value(v IGNORE NULLS) OVER wn AS nv,
+         |        first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER wn AS nh
+         |      FROM j
+         |      WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |             wn AS (PARTITION BY event_type ORDER BY hr
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, hr, n, ${rnd("v", 2)} AS v, ${rnd("pv", 2)} AS v_ffill,
+         |  ${rnd("CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv " +
+                  "WHEN nv IS NULL THEN pv ELSE pv + (nv - pv) " +
+                  "* (epoch_us(hr) - epoch_us(ph))::DOUBLE " +
+                  "/ (epoch_us(nh) - epoch_us(ph))::DOUBLE END", 6)} AS v_lerp
+         |FROM f ORDER BY event_type, hr""".stripMargin,
+    // mirrors Events.rollingQuantilesDaily: DuckDB's quantile_cont
+    // over the same ROWS frame IS Spark's percentile definition
+    // (h = (n-1)·q linear interpolation); frame contents are exact
+    // cent doubles
+    "q_rolling_median" ->
+      s"""WITH e AS (SELECT event_type, $TS AS ts, value FROM events),
+         |d AS (SELECT event_type, date_trunc('day', ts) AS dy,
+         |        sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS vc
+         |      FROM e GROUP BY 1, 2),
+         |x AS (SELECT event_type, dy::DATE AS dy, vc::DOUBLE / 100 AS x FROM d)
+         |SELECT event_type, dy, ${rnd("x", 2)} AS x,
+         |  ${rnd("quantile_cont(x, 0.5) OVER w", 6)} AS roll_p50,
+         |  ${rnd("quantile_cont(x, 0.9) OVER w", 6)} AS roll_p90,
+         |  count(x) OVER w AS roll_n
+         |FROM x WINDOW w AS (PARTITION BY event_type ORDER BY dy
+         |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, dy""".stripMargin,
+    // mirrors Events.seasonalAnomaly: per-(type, hour-of-day) baseline
+    // from exact integer Σn and Σn² over the densified spine; identical
+    // double expression trees on both engines
+    "q_seasonal_anomaly" ->
+      s"""WITH e AS (SELECT event_type, $TS AS ts FROM events),
+         |hy AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+         |       FROM e GROUP BY 1, 2),
+         |b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+         |             date_trunc('hour', max(ts)) AS h1 FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |sp AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+         |       FROM ty, b),
+         |f AS (SELECT sp.event_type, sp.hr, coalesce(hy.n, 0) AS n,
+         |        hour(sp.hr)::INT AS hod
+         |      FROM sp LEFT JOIN hy ON sp.event_type = hy.event_type AND sp.hr = hy.hr),
+         |pr AS (SELECT event_type, hod, count(*) AS cnt,
+         |         sum(n) AS s1, sum(n * n) AS s2
+         |       FROM f GROUP BY 1, 2),
+         |p2 AS (SELECT event_type, hod, s1::DOUBLE / cnt AS mu,
+         |         sqrt(s2::DOUBLE / cnt - (s1::DOUBLE / cnt) * (s1::DOUBLE / cnt)) AS sd
+         |       FROM pr),
+         |z AS (SELECT f.event_type, f.hr, f.hod, f.n, p2.mu, p2.sd,
+         |        ${rnd("CASE WHEN sd = 0 THEN 0.0::DOUBLE ELSE (n - mu) / sd END", 6)} AS z
+         |      FROM f JOIN p2 ON f.event_type = p2.event_type AND f.hod = p2.hod)
+         |SELECT event_type, hr, hod, n, ${rnd("mu", 6)} AS mu, ${rnd("sd", 6)} AS sd, z
+         |FROM z WHERE abs(z) > 2.0 ORDER BY event_type, hr""".stripMargin,
+    // mirrors Events.ewmaDaily: decay 0.5 → every weight a power of
+    // two, every product exact, fold order = day order on both engines
+    "q_ewma" ->
+      s"""WITH e AS (SELECT event_type, $TS AS ts, value FROM events),
+         |d AS (SELECT event_type, date_trunc('day', ts) AS dy,
+         |        sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS vc
+         |      FROM e GROUP BY 1, 2),
+         |x AS (SELECT event_type, dy, vc::DOUBLE / 100 AS x FROM d),
+         |h AS (SELECT event_type, dy, x,
+         |        list(struct_pack(dy := dy, x := x)) OVER (
+         |          PARTITION BY event_type ORDER BY dy
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+         |      FROM x)
+         |SELECT event_type, dy::DATE AS dy, ${rnd("x", 2)} AS x,
+         |  ${rnd("list_sum(list_transform(hist, s -> s.x * pow(0.5, date_diff('day', s.dy, dy)))) " +
+                  "/ list_sum(list_transform(hist, s -> pow(0.5, date_diff('day', s.dy, dy))))", 6)} AS ewma
+         |FROM h ORDER BY event_type, dy""".stripMargin,
     "q_stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', $TS) AS ws, event_type,
          |  count(*) AS n, ${rnd("sum(value)", 2)} AS sv
@@ -993,6 +1089,10 @@ object Queries {
     "q_sql_q20"             -> (Sql.qSqlQ20 _),
     "q_heavy_hitters"       -> (TextAnalysis.qHeavyHitters _),
     "q_profile"             -> (Profile.qProfile _),
+    "q_assoc_stats"         -> (Profile.qAssocStats _),
+    "q_fuzzy_join"          -> (Fuzzy.qFuzzyJoin _),
+    "q_sssp"                -> (Graph.qSssp _),
+    "q_modularity"          -> (Graph.qModularity _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "q_resample"            -> (Events.qResample _),
     "q_unpivot"             -> (Aggregates.qUnpivot _),
@@ -1096,7 +1196,51 @@ object Queries {
        |            * 2654435761) % 2001 - 1000)), 0)::BIGINT""".stripMargin
 
   val extrasOracle: Map[String, String] = Map(
+    // the raw all-pairs definition the engine's deletion-neighborhood
+    // filter must reproduce exactly (candidate filter is complete,
+    // verify is exact — Fuzzy.fuzzyPairs)
+    "q_fuzzy_join" ->
+      """WITH p AS (SELECT a.c_custkey AS id, a.c_name AS name, b.c_name AS m
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey <> b.c_custkey
+        |   AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 1)
+        |SELECT id, name, count(*) AS n_fuzzy, min(m) AS best_match
+        |FROM p GROUP BY id, name ORDER BY id""".stripMargin,
+    // mirrors Profile.assocStats: exact integer contingency cells,
+    // per-cell terms on identical doubles, totals as exact integer
+    // micro-unit sums of the ROUNDED terms (order-independent)
+    "q_assoc_stats" ->
+      s"""WITH o AS (SELECT lang AS a, source AS b, count(*) AS n
+         |           FROM documents GROUP BY 1, 2),
+         |c AS (SELECT da.a, db.b, coalesce(o.n, 0) AS n
+         |      FROM (SELECT DISTINCT a FROM o) da
+         |      CROSS JOIN (SELECT DISTINCT b FROM o) db
+         |      LEFT JOIN o ON da.a = o.a AND db.b = o.b),
+         |ma AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+         |mb AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+         |tt AS (SELECT sum(n) AS nn, count(DISTINCT a) AS ra,
+         |              count(DISTINCT b) AS rb FROM c),
+         |t0 AS (SELECT c.a, c.b, c.n, ma.na, mb.nb, tt.nn, tt.ra, tt.rb,
+         |         na::DOUBLE * nb / nn AS expected
+         |       FROM c JOIN ma ON c.a = ma.a JOIN mb ON c.b = mb.b, tt),
+         |t AS (SELECT a, b, n, expected,
+         |        ${rnd("(n - expected) * (n - expected) / expected", 6)} AS chi2_term,
+         |        CASE WHEN n = 0 THEN 0.0::DOUBLE ELSE
+         |          ${rnd("n::DOUBLE / nn * ln(n::DOUBLE * nn / (na::DOUBLE * nb))", 6)} END AS mi_term,
+         |        nn, least(ra, rb) AS minrc
+         |      FROM t0),
+         |tot AS (SELECT
+         |    sum(CAST(round(chi2_term * 1e6) AS DECIMAL(38,0)))::DOUBLE / 1e6 AS chi2_total,
+         |    sum(CAST(round(mi_term * 1e6) AS DECIMAL(38,0)))::DOUBLE / 1e6 AS mi_total,
+         |    first(nn) AS nn0, first(minrc) AS minrc0
+         |  FROM t)
+         |SELECT a, b, n, ${rnd("expected", 6)} AS expected, chi2_term, mi_term,
+         |  chi2_total, mi_total,
+         |  ${rnd("sqrt(chi2_total / (nn0 * (minrc0 - 1)))", 6)} AS cramers_v
+         |FROM t, tot ORDER BY a, b""".stripMargin,
     "q_html_extract" -> Html.oracleSql,
+    "q_sssp" -> Graph.ssspOracleSql(coocCtes),
+    "q_modularity" -> Graph.modularityOracleSql(),
     "q_url_canon" -> Url.oracleSql,
     "q_dedup_url" -> Url.dedupOracleSql,
     "q_url_filter" -> Url.filterOracleSql,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -377,4 +377,205 @@ object Events {
   def qAttribution(spark: SparkSession, dir: String): DataFrame =
     attribution(Tables.events(spark, dir), Seq("view", "click"),
                 "purchase", horizon = "1 HOUR")
+
+  /** Time-series gap fill: densify a per-(series, hour) metric onto
+    * the full hourly spine and repair the holes two ways — last
+    * observation carried forward (`v_ffill`) and linear interpolation
+    * between the nearest observed neighbors (`v_lerp`, falling back
+    * to the single available side at the edges).
+    *
+    * Scale design: the raw events reduce ONCE (partial-agg shuffle on
+    * (series, hour)); everything after runs on the spine, whose size
+    * is (hours in range) × (series) — a function of the time range,
+    * not the event volume, so the window passes cost the same at
+    * 100 TB as at sf0.01. The metric sums cent-rounded integer units
+    * (DECIMAL(38,0)) so `v` is order-independent and the interpolated
+    * values — computed from exact integer microsecond gaps — are
+    * bit-identical across engines and partitionings.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("decimal(38,0)")).as("vc"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = events.select("event_type").distinct()
+      .crossJoin(bounds) // 1-row bounds side: no real product
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val w = Window.partitionBy("event_type").orderBy(col("hr").asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    val us = (c: Column) =>
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("v", (col("vc").cast("double") / 100))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph",
+        last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nh",
+        first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+      .select(col("event_type"),
+        // date_trunc widens NTZ→LTZ; the fixture contract is NTZ
+        col("hr").cast(org.apache.spark.sql.types.TimestampNTZType).as("hr"),
+        col("n"),
+        round(col("v"), 2).as("v"),
+        round(col("pv"), 2).as("v_ffill"),
+        round(
+          when(col("v").isNotNull, col("v"))          // guards 0/0 at observed rows
+            .when(col("pv").isNull, col("nv"))        // leading hole → backfill
+            .when(col("nv").isNull, col("pv"))        // trailing hole → carry forward
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (us(col("hr")) - us(col("ph"))).cast("double")
+              / (us(col("nh")) - us(col("ph"))).cast("double")),
+          6).as("v_lerp"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** q_gap_fill: [[gapFillHourly]] over the events table — 3600
+    * hourly slots of which ~6% are empty at sf0.01. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillHourly(Tables.events(spark, dir))
+
+  /** Exponentially weighted moving average over a per-(series, day)
+    * metric: `ewma_t = Σ_i x_i·decay^(t−i) / Σ_i decay^(t−i)` over
+    * all observed days i ≤ t, with the exponent the CALENDAR day gap
+    * (missing days decay the past farther — the time-aware form, not
+    * the row-index form).
+    *
+    * Determinism: decay is fixed at 0.5, so every weight is a power
+    * of two and each product x·2^−k is EXACT in binary floating
+    * point; the fold runs in day order on both engines, so the
+    * result is bit-identical. The daily metric itself sums
+    * cent-rounded integer units, same as [[gapFillHourly]].
+    *
+    * Scale design: events reduce once to the (series, day) table —
+    * bounded by the calendar, not the corpus — then the quadratic
+    * window-history fold runs on that bounded table (30 days × 5
+    * series at any sf). For multi-year spines swap the in-row fold
+    * for the recursive one-pass form; at analytics granularities the
+    * fold is the simpler plan and its cost is corpus-independent.
+    */
+  def ewmaDaily(events: DataFrame, decay: Double = 0.5): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+      .agg(sum(round(col("value") * 100).cast("decimal(38,0)")).as("vc"))
+      .withColumn("x", col("vc").cast("double") / 100).drop("vc")
+    val w = Window.partitionBy("event_type").orderBy(col("dy").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("hist", collect_list(struct(col("dy"), col("x"))).over(w))
+      .select(col("event_type"), col("dy").cast("date").as("dy"),
+        round(col("x"), 2).as("x"),
+        round(
+          aggregate(col("hist"), lit(0.0d),
+            (acc, s) => acc + s.getField("x")
+              * pow(lit(decay), datediff(col("dy"), s.getField("dy"))))
+          / aggregate(col("hist"), lit(0.0d),
+            (acc, s) => acc + pow(lit(decay), datediff(col("dy"), s.getField("dy")))),
+          6).as("ewma"))
+      .orderBy("event_type", "dy")
+  }
+
+  /** q_ewma: [[ewmaDaily]] with decay 0.5 over the events table. */
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaDaily(Tables.events(spark, dir))
+
+  /** Rolling exact quantiles over the trailing `window`-observation
+    * frame of the daily cent-exact value sum per event type — the
+    * p50/p90 trend line every latency/volume dashboard draws. Exact,
+    * not sketched: Spark's `percentile` runs as a window aggregate
+    * over the ROWS frame, with the same linear-interpolation
+    * definition as DuckDB's `quantile_cont` (h = (n−1)·q between the
+    * two neighboring order statistics).
+    *
+    * Scale design: the corpus reduces once to the (type, day) table;
+    * rolling windows then run on calendar-bounded rows. The frame is
+    * "last k observations" (ROWS), deliberately not RANGE-by-days:
+    * on a gappy series a calendar frame can hold a single
+    * observation and the quantile degenerates; the observation frame
+    * is what monitoring systems plot.
+    *
+    * Determinism: frame contents are exact cent doubles; percentile
+    * sorts them (order-independent) and interpolates two order
+    * statistics — identical on both engines. */
+  def rollingQuantilesDaily(events: DataFrame, window: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+      .agg(sum(round(col("value") * 100).cast("decimal(38,0)")).as("vc"))
+      .withColumn("x", col("vc").cast("double") / 100).drop("vc")
+    val frame = s"ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW"
+    val over = s"OVER (PARTITION BY event_type ORDER BY dy $frame)"
+    daily.select(col("event_type"), col("dy").cast("date").as("dy"),
+        round(col("x"), 2).as("x"),
+        round(expr(s"percentile(x, 0.5) $over"), 6).as("roll_p50"),
+        round(expr(s"percentile(x, 0.9) $over"), 6).as("roll_p90"),
+        expr(s"count(x) $over").as("roll_n"))
+      .orderBy("event_type", "dy")
+  }
+
+  /** q_rolling_median: [[rollingQuantilesDaily]], 7-observation frame. */
+  def qRollingMedian(spark: SparkSession, dir: String): DataFrame =
+    rollingQuantilesDaily(Tables.events(spark, dir))
+
+  /** Seasonal-profile anomaly detection: each (type, hour-of-day)
+    * slot gets a seasonal baseline — the mean and population stddev
+    * of that slot's daily event counts across the observed days —
+    * and every concrete hour is z-scored against ITS OWN slot's
+    * baseline. Catches "3 AM looks like 3 PM" anomalies that a
+    * trailing-window detector ([[spikeDetect]]) normalizes away,
+    * because the trailing window mixes all hours of day.
+    *
+    * Determinism: counts are integers; mean and variance come from
+    * exact integer Σn and Σn² (computed as DECIMAL — n² overflows
+    * nothing at any scale), so both engines divide the same exact
+    * integers. Zero-count hours INSIDE each slot's observed span are
+    * included via the spine (an absent hour is an anomaly candidate,
+    * not a missing row).
+    *
+    * Scale: one (type, hour) reduction over the corpus; the spine,
+    * profile, and z-scoring are calendar-bounded. */
+  def seasonalAnomaly(events: DataFrame, zThr: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val filled = events.select("event_type").distinct()
+      .crossJoin(bounds) // 1-row bounds side
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("hod", hour(col("hr")))
+    val prof = filled.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("n").cast("decimal(38,0)")).as("s1"),
+           // cast BEFORE multiplying: long·long wraps past ~3e9/hour
+           sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("s2"))
+      .withColumn("mu", col("s1").cast("double") / col("cnt"))
+      // population variance from exact sums: E[n²] − E[n]²
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("cnt")
+                             - col("mu") * col("mu")))
+      .select("event_type", "hod", "mu", "sd")
+    filled.join(prof, Seq("event_type", "hod"))
+      .withColumn("z",
+        round(when(col("sd") === 0.0, 0.0)
+          .otherwise((col("n") - col("mu")) / col("sd")), 6))
+      .filter(abs(col("z")) > lit(zThr))
+      .select(col("event_type"),
+        col("hr").cast(org.apache.spark.sql.types.TimestampNTZType).as("hr"),
+        col("hod"), col("n"), round(col("mu"), 6).as("mu"),
+        round(col("sd"), 6).as("sd"), col("z"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** q_seasonal_anomaly: [[seasonalAnomaly]] at |z| > 2. */
+  def qSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomaly(Tables.events(spark, dir))
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Edit-distance similarity join (fuzzy join / approximate string
+  * matching) — the record-linkage primitive behind entity resolution,
+  * typo-tolerant key matching, and OCR/ASR text reconciliation.
+  *
+  * Candidate generation is the deletion-neighborhood scheme (FastSS,
+  * Bocek et al. 2007; popularized single-node as SymSpell): every
+  * string emits its ≤`maxDist`-character-deletion variants, and any
+  * pair within edit distance d is guaranteed to share a variant
+  * (align an optimal edit script, delete the substituted/inserted
+  * positions from each side — at most d deletions each — and both
+  * sides reach the same string). Candidates then verify with an exact
+  * `levenshtein` — the filter is complete, so the join equals the
+  * naive all-pairs definition while never materializing it.
+  *
+  * Scale design: one explode to |s|·C(|s|,≤d) signature rows per
+  * string, one equi-join shuffle on the signature, then a distinct on
+  * the surviving pairs. No cross join at any size; candidate volume
+  * is Σ over signatures of (group size)², the same contract as
+  * MinHash-LSH banding (`Dedup.nearDupPairs`). Adversarial inputs
+  * (many near-identical strings) can make a signature hot — the
+  * optional `maxSigGroup` cap drops signatures whose document
+  * frequency exceeds it (a disclosed recall tradeoff, mirroring the
+  * span-dedup hot-key bound); the default keeps the join exact.
+  *
+  * Determinism: integer edit distances, no floats anywhere.
+  */
+object Fuzzy {
+
+  /** All single-character-deletion variants of `s`, plus `s` itself. */
+  private def del1(s: Column): Column =
+    array_distinct(concat(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s))))))
+
+  /** Deletion neighborhood of order `d`: every string reachable from
+    * `s` by deleting at most `d` characters (d small — the variant
+    * count is C(|s|, ≤d)). */
+  private def delNeighborhood(s: Column, d: Int): Column = {
+    require(d >= 1, s"fuzzy join: maxDist must be >= 1, got $d")
+    var v = del1(s)
+    var k = 1
+    while (k < d) {
+      v = array_distinct(flatten(transform(v, x => del1(x))))
+      k += 1
+    }
+    v
+  }
+
+  /** All pairs of rows of `strs` whose `strCol` values are within
+    * Levenshtein distance [1, maxDist], as
+    * (id_a, s_a, id_b, s_b, dist) with id_a < id_b. Distance-0 pairs
+    * (equal strings) are deliberately excluded — exact duplication is
+    * [[Dedup]]'s job and including it would turn every duplicate
+    * group into a quadratic pair set.
+    *
+    * `maxSigGroup > 0` drops signatures shared by more than that many
+    * strings (bounded-recall mode for adversarially repetitive data);
+    * 0 (default) keeps the join exact.
+    */
+  def fuzzyPairs(strs: DataFrame, idCol: String, strCol: String,
+                 maxDist: Int = 1, maxSigGroup: Int = 0): DataFrame = {
+    val nParts = strs.sparkSession.sparkContext.defaultParallelism
+    val sigs0 = strs
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      // spread the explode + candidate verify across the cluster: the
+      // string table often arrives as a handful of files, and a
+      // broadcast signature join preserves input partitioning — without
+      // this the whole candidate stream runs on those few cores
+      // (measured 15.4 s → 1.9 s warm at sf0.1 on local[32])
+      .repartition(nParts)
+      .select(col("id"), col("s"),
+        explode(delNeighborhood(col("s"), maxDist)).as("sig"))
+    val sigs =
+      if (maxSigGroup <= 0) sigs0
+      else {
+        // signature df via one partial-agg shuffle; the hot ones are
+        // by definition few, so the df table stays broadcastable
+        val hot = sigs0.groupBy("sig").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxSigGroup).select("sig")
+        sigs0.join(broadcast(hot), Seq("sig"), "left_anti")
+      }
+    val a = sigs.select(col("id").as("id_a"), col("s").as("s_a"), col("sig"))
+    val b = sigs.select(col("id").as("id_b"), col("s").as("s_b"), col("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      // cheap guard before the O(len^2) verify: deletions change
+      // length by at most maxDist
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      // verify BEFORE the pair-dedup shuffle: the codegen'd
+      // levenshtein runs map-side on the (duplicated) candidate
+      // stream, so the distinct only shuffles TRUE pairs; the
+      // projection drops `sig` FIRST — leaving it in scope would make
+      // the distinct per-signature and silently overcount pairs
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist").between(1, maxDist))
+      .select("id_a", "s_a", "id_b", "s_b", "dist").distinct()
+  }
+
+  /** q_fuzzy_join: customer names within edit distance 1 of each
+    * other (single-digit typos in the `Customer#NNNNNNNNN` keyspace),
+    * reported per name: how many fuzzy neighbors, and the
+    * lexicographically smallest one. Symmetric — each surviving pair
+    * counts for both endpoints. */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val pairs = fuzzyPairs(names, "id", "s", maxDist = 1)
+    // symmetrize by exploding each pair into its two endpoint rows —
+    // a unionAll of two selects over `pairs` would EXECUTE the whole
+    // candidate join twice (measured: the entire 2× suite cost of
+    // this query); explode reuses the one pair stream
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("s_a").as("name"), col("s_b").as("m")),
+        struct(col("id_b").as("id"), col("s_b").as("name"), col("s_a").as("m"))))
+        .as("x"))
+      .select(col("x.id").as("id"), col("x.name").as("name"), col("x.m").as("m"))
+    sym.groupBy("id", "name")
+      .agg(count(lit(1)).as("n_fuzzy"), min(col("m")).as("best_match"))
+      .orderBy("id")
+  }
+}

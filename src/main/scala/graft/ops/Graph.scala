@@ -916,4 +916,208 @@ object Graph {
        |SELECT src AS node, count(*) AS core_deg
        |FROM e$rounds GROUP BY src ORDER BY node""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Weighted single-source shortest paths (Bellman-Ford rounds)
+  // ------------------------------------------------------------------
+
+  private[graft] val SsspRounds = 10
+
+  /** Weighted single-source shortest paths by synchronous Bellman-Ford
+    * relaxation: `rounds` rounds of
+    * `dist(v) ← min(dist(v), min_u dist(u) + cost(u,v))`, which is
+    * EXACT for every path of ≤ `rounds` edges (the fixed-round
+    * contract both engines share — same as PR/HITS/PPR). Costs must
+    * be non-negative integers: min over integers is order-independent,
+    * so no floats anywhere and no FP-order exemption.
+    *
+    * Scale shape per round: one equi-join of the reached table against
+    * the edge list (both hash-partitioned on the join key), one
+    * partial-agg min — shuffle volume is frontier-adjacent edges, not
+    * the graph; lazy localCheckpoint cuts the iterative lineage.
+    * Unreachable nodes report dist −1. */
+  def sssp(edgeDf: DataFrame, seeds: DataFrame,
+           rounds: Int = SsspRounds): DataFrame = {
+    val spark = edgeDf.sparkSession
+    val nParts = spark.sparkContext.defaultParallelism
+    val edges = edgeDf.select(col("src"), col("dst"), col("cost"))
+      .repartition(nParts, col("src"))
+      .localCheckpoint()
+    val seedNodes = seeds.select(col("node"))
+      .filter(col("node").isNotNull).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .unionAll(seedNodes)
+      .distinct()
+      .localCheckpoint()
+    var dist = seedNodes.withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy("node")
+  }
+
+  /** q_sssp: [[sssp]] over the token co-occurrence graph with
+    * integer edge costs INVERSELY tied to co-occurrence strength
+    * (`cost = floor(1000 / n_cooc)`, min 1): frequent collocations
+    * are cheap hops, rare ones expensive — "semantic distance" from
+    * the lexicographically first token. */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
+    val cost = greatest(floor(lit(1000.0) / col("n_cooc")).cast("long"), lit(1L))
+    val und = pairs.select(col("w1").as("src"), col("w2").as("dst"), cost.as("cost"))
+      .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst"), cost.as("cost")))
+    val seed = und.agg(min(col("src")).as("node"))
+    sssp(und, seed)
+  }
+
+  /** DuckDB oracle for q_sssp: the same fixed relaxation rounds
+    * unrolled as chained MATERIALIZED CTEs — all-integer arithmetic,
+    * min-aggregated per round exactly like the engine. */
+  private[graft] def ssspOracleSql(coocCtes: String,
+                                   rounds: Int = SsspRounds): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"d${k - 1}"
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM $p
+         |    UNION ALL
+         |    SELECT e.dst AS node, $p.dist + e.cost AS dist
+         |    FROM $p JOIN e ON e.src = $p.node) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coocCtes,
+       |e AS MATERIALIZED (SELECT src, dst,
+       |        greatest(CAST(floor(1000.0 / n_cooc) AS BIGINT), 1) AS cost
+       |      FROM (SELECT w1 AS src, w2 AS dst, n_cooc FROM cnt
+       |            UNION ALL SELECT w2, w1, n_cooc FROM cnt)),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |seed AS (SELECT min(src) AS node FROM e),
+       |d0 AS (SELECT node, 0::BIGINT AS dist FROM seed WHERE node IS NOT NULL),
+       |$steps
+       |SELECT n.node AS node, coalesce(d.dist, -1)::BIGINT AS dist
+       |FROM nodes n LEFT JOIN d$rounds d ON n.node = d.node
+       |ORDER BY n.node""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Community modularity
+  // ------------------------------------------------------------------
+
+  /** Newman modularity of a community assignment over the undirected
+    * SIMPLE graph (canonical distinct pairs, self-loops dropped):
+    * per community c, `q_term = m_c/m − (d_c/2m)²`, where m_c =
+    * intra-community edges, d_c = degree sum, m = total edges; the
+    * global score is Σ q_term. Communities: (node, community).
+    * Only nodes with ≥1 simple-graph edge count toward n_nodes/d_c.
+    *
+    * Determinism: m_c, d_c, m are exact integers, so each q_term is
+    * the same double on both engines; the TOTAL sums the 6-dp-ROUNDED
+    * terms in integer micro-units (order-independent — the
+    * [[Profile.assocStats]] discipline).
+    *
+    * Scale: simple-graph dedup + degree count ride one edge shuffle;
+    * everything after is community-bounded. */
+  def modularity(edgeDf: DataFrame, communities: DataFrame): DataFrame = {
+    val se = edgeDf.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val m = se.agg(count(lit(1)).as("m"))
+    val deg = se.select(col("u").as("node"))
+      .unionAll(se.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val comm = communities.select(col("node"), col("community"))
+    val ec = se
+      .join(comm.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), "u")
+      .join(comm.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("m_in"))
+    val dc = comm.join(deg, "node")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    val t = dc.join(ec, Seq("community"), "left")
+      .withColumn("m_in", coalesce(col("m_in"), lit(0L)))
+      .crossJoin(m) // 1-row side
+      .withColumn("q_term",
+        round(col("m_in").cast("double") / col("m")
+          - (col("d_tot").cast("double") / (col("m") * 2))
+            * (col("d_tot").cast("double") / (col("m") * 2)), 6))
+    val total = t.agg(
+      (sum(round(col("q_term") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6)
+        .as("modularity"))
+    t.select(col("community"), col("n_nodes"), col("m_in"), col("d_tot"),
+             col("q_term"))
+      .crossJoin(total) // 1-row side
+      .orderBy("community")
+  }
+
+  /** q_modularity: [[modularity]] of the label-propagation
+    * communities over the domain link graph — "how community-like
+    * did LPA's answer come out", the standard quality score read
+    * next to the assignment itself. */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = domainEdges(spark, dir)
+    modularity(edges, labelPropagation(edges))
+  }
+
+  /** DuckDB oracle for q_modularity: the LPA chain verbatim from
+    * [[lpOracleSql]]'s steps, then the same integer contingency. */
+  private[graft] def modularityOracleSql(iters: Int = 5): String = {
+    val steps = (1 to iters).map { k =>
+      val p = s"lp${k - 1}"
+      s"""c$k AS MATERIALIZED (
+         |  SELECT und.a, p.lbl, count(*)::BIGINT AS cnt
+         |  FROM und JOIN $p p ON und.b = p.node GROUP BY und.a, p.lbl),
+         |t$k AS MATERIALIZED (
+         |  SELECT a AS node, lbl FROM (
+         |    SELECT a, lbl, row_number() OVER
+         |      (PARTITION BY a ORDER BY cnt DESC, lbl ASC) AS rn FROM c$k)
+         |  WHERE rn = 1),
+         |lp$k AS MATERIALIZED (
+         |  SELECT p.node, coalesce(t.lbl, p.lbl) AS lbl
+         |  FROM $p p LEFT JOIN t$k t ON p.node = t.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $domainEdgeCtes,
+       |bid AS MATERIALIZED (SELECT src AS a, dst AS b FROM e
+       |      UNION ALL SELECT dst AS a, src AS b FROM e),
+       |und AS MATERIALIZED (SELECT a, b FROM bid
+       |      UNION ALL SELECT DISTINCT a, a AS b FROM bid),
+       |lp0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM bid),
+       |$steps,
+       |comm AS (SELECT node, lbl AS community FROM lp$iters),
+       |se AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM e WHERE src <> dst),
+       |mm AS (SELECT count(*) AS m FROM se),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |          SELECT u AS node FROM se UNION ALL SELECT v FROM se)
+       |        GROUP BY node),
+       |ec AS (SELECT ca.community, count(*) AS m_in
+       |       FROM se JOIN comm ca ON se.u = ca.node
+       |               JOIN comm cb ON se.v = cb.node
+       |       WHERE ca.community = cb.community GROUP BY 1),
+       |dc AS (SELECT c.community, count(*)::BIGINT AS n_nodes,
+       |              sum(d.deg)::BIGINT AS d_tot
+       |       FROM comm c JOIN deg d ON c.node = d.node GROUP BY 1),
+       |t0 AS (SELECT dc.community, dc.n_nodes,
+       |         coalesce(ec.m_in, 0)::BIGINT AS m_in, dc.d_tot
+       |       FROM dc LEFT JOIN ec ON dc.community = ec.community),
+       |t AS (SELECT t0.community, t0.n_nodes, t0.m_in, t0.d_tot,
+       |        round(CAST(CAST((t0.m_in::DOUBLE / mm.m
+       |          - (t0.d_tot::DOUBLE / (mm.m * 2)) * (t0.d_tot::DOUBLE / (mm.m * 2))
+       |          ) AS VARCHAR) AS DECIMAL(38,18)), 6)::DOUBLE AS q_term
+       |      FROM t0, mm),
+       |tot AS (SELECT
+       |    sum(CAST(round(q_term * 1e6) AS DECIMAL(38,0)))::DOUBLE / 1e6
+       |      AS modularity FROM t)
+       |SELECT community, n_nodes, m_in, d_tot, q_term, modularity
+       |FROM t, tot ORDER BY community""".stripMargin
+  }
 }

@@ -49,4 +49,75 @@ object Profile {
     profile(Tables.orders(spark, dir),
             Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                 "o_orderdate"))
+
+  /** Categorical association profile between two columns — the
+    * "is my corpus biased" readout (is `lang` independent of
+    * `source`?): the full contingency table with, per cell, the
+    * expected count under independence, the χ² contribution, and the
+    * mutual-information contribution (nats), plus the χ² total,
+    * MI total, and Cramér's V repeated on every row.
+    *
+    * Scale design: ONE partial-agg shuffle reduces the corpus to the
+    * contingency cells; everything downstream (margins via joins,
+    * totals) runs on the cell table, bounded by |A|·|B| categories —
+    * corpus-size-independent. The margin/total joins are 1-to-few-row
+    * sides that AQE broadcasts.
+    *
+    * Determinism: cells/margins are exact integers, so each cell term
+    * is the same double on both engines (ln on identical arguments).
+    * The TOTALS sum the 6-dp-ROUNDED terms in integer micro-units
+    * (DECIMAL(38,0)) — order-independent by construction, so the
+    * global χ²/MI/V cannot flip with partitioning, and V comes off an
+    * exact double via IEEE sqrt. */
+  def assocStats(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    // densify to the full |A|x|B| grid: χ² counts UNOBSERVED cells
+    // too ((0−e)²/e = e), and dropping them understates dependence —
+    // a perfectly dependent 2×2 would read 62.5 instead of N. The
+    // grid is category-cardinality-bounded, so the cross join is a
+    // dims-only product, never data-sized.
+    val cells = obs.select("a").distinct()
+      .crossJoin(obs.select("b").distinct())
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val ma = cells.groupBy("a").agg(sum("n").as("na"))
+    val mb = cells.groupBy("b").agg(sum("n").as("nb"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+                        countDistinct(col("a")).as("ra"),
+                        countDistinct(col("b")).as("rb"))
+    val t = cells.join(ma, "a").join(mb, "b").crossJoin(tot) // 1-row side
+      .withColumn("expected",
+        col("na").cast("double") * col("nb") / col("nn"))
+      .withColumn("chi2_term",
+        round((col("n") - col("expected")) * (col("n") - col("expected"))
+          / col("expected"), 6))
+      .withColumn("mi_term",
+        // double carriers throughout: na*nb as longs would overflow
+        // beyond ~1e9 total rows; empty cells contribute 0 (the
+        // n→0 limit of n/N·ln n)
+        when(col("n") === 0, lit(0.0d)).otherwise(
+          round(col("n").cast("double") / col("nn")
+            * log(col("n").cast("double") * col("nn")
+                  / (col("na").cast("double") * col("nb"))), 6)))
+    val totals = t.agg(
+      (sum(round(col("chi2_term") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6)
+        .as("chi2_total"),
+      (sum(round(col("mi_term") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6)
+        .as("mi_total"),
+      first(col("nn")).as("nn0"),
+      first(least(col("ra"), col("rb"))).as("minrc"))
+      .select(col("chi2_total"), col("mi_total"),
+        round(sqrt(col("chi2_total") / (col("nn0") * (col("minrc") - 1))), 6)
+          .as("cramers_v"))
+    t.select(col("a"), col("b"), col("n"),
+             round(col("expected"), 6).as("expected"),
+             col("chi2_term"), col("mi_term"))
+      .crossJoin(totals) // 1-row side
+      .orderBy("a", "b")
+  }
+
+  /** q_assoc_stats: [[assocStats]] of documents.lang × documents.source. */
+  def qAssocStats(spark: SparkSession, dir: String): DataFrame =
+    assocStats(Tables.documents(spark, dir), "lang", "source")
 }

@@ -113,6 +113,27 @@ object ScaleCheck {
     "q_centroid_drift" -> 1.0, // one (label, dim) decimal-sum shuffle;
                               // pairwise stage is |labels|² on ≤dims
                               // wide rows
+    // r8 fuzzy/time-series/association batch
+    "q_fuzzy_join" -> 2.0,    // deletion-signature equi-join: candidate
+                              // volume is Σ_sig df², quadratic on THIS
+                              // fixture (ScaleGen replicates c_name
+                              // verbatim → every replica collides);
+                              // near-linear on naturally-unique keys —
+                              // same contract as LSH banding
+    "q_gap_fill" -> 1.0,      // one (type, hour) partial-agg shuffle;
+                              // spine/windows are calendar-bounded
+    "q_ewma" -> 1.0,          // one (type, day) partial-agg shuffle;
+                              // fold runs on the calendar-bounded table
+    "q_assoc_stats" -> 1.0,   // one cell reduction; everything after is
+                              // category-bounded
+    "q_sssp" -> 1.0,          // fixed rounds; pair counting is the only
+                              // corpus-size term (vocab graph bounded)
+    "q_modularity" -> 1.0,    // LPA + one edge dedup/degree shuffle;
+                              // contingency is community-bounded
+    "q_rolling_median" -> 1.0, // one daily reduction; windows run on
+                              // calendar-bounded rows
+    "q_seasonal_anomaly" -> 1.0, // one hourly reduction; profile and
+                              // z-scoring calendar-bounded
   )
 
   def main(args: Array[String]): Unit = {

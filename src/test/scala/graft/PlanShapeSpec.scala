@@ -435,4 +435,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("q_fuzzy_join: signature equi-join, never a string cross join") {
+    val p = plan("q_fuzzy_join")
+    // candidate generation joins on the deletion signature (equi);
+    // the naive all-pairs definition must never appear in the plan
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_gap_fill: events reduce once (partial agg), spine join stays equi") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_sssp: relaxation rounds are checkpointed, final fill is an outer equi-join") {
+    val p = plan("q_sssp")
+    // the per-round min aggregates live BEHIND the localCheckpoint
+    // boundary (same contract as the other iterative pins): the final
+    // plan must read the checkpointed tables, join them equi-outer for
+    // the -1 fill, and never regress to a cartesian
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("q_modularity: simple-graph dedup + community joins, no data-sized cross join") {
+    val p = plan("q_modularity")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two 1-row scalar sides (m, total) are the only nested loops
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_rolling_median: one partial-agg reduction, quantiles run as window aggregates") {
+    val p = plan("q_rolling_median")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_assoc_stats: corpus reduces once; all post-cell joins are bounded sides") {
+    val p = plan("q_assoc_stats")
+    // exactly one scan family feeds the cell reduction; margins and
+    // totals join the CELL table (category-bounded) — the corpus
+    // itself is never crossed. The 1-row totals cross join is the
+    // only nested-loop allowed.
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
