@@ -649,6 +649,22 @@ object Graft {
   def seasonalAnomaly(events: DataFrame, zThr: Double = 2.0): DataFrame =
     ops.Events.seasonalAnomaly(events, zThr)
 
+  /** Robust (median/MAD, Iglewicz–Hoaglin) outlier scoring of the
+    * zero-filled daily counts per event type. */
+  def robustOutliers(events: DataFrame, zThr: Double = 3.5): DataFrame =
+    ops.Events.robustOutliers(events, zThr)
+
+  /** Winsorization report of `valCol` per `groupCol`: quantile clip
+    * bounds, clip counts, and cent-exact means before/after. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame =
+    ops.Profile.winsorize(df, groupCol, valCol, lo, hi)
+
+  /** Benford first-significant-digit audit of a positive numeric
+    * column: observed shares vs log10(1+1/d) with χ² contributions. */
+  def benford(df: DataFrame, valCol: String): DataFrame =
+    ops.Profile.benford(df, valCol)
+
   // ---- joins / session ----
 
   /** Backward as-of join through the native plan node (Inner or

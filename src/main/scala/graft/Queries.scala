@@ -526,6 +526,7 @@ object Queries {
     "q_ewma"            -> (Events.qEwma _),
     "q_rolling_median"  -> (Events.qRollingMedian _),
     "q_seasonal_anomaly" -> (Events.qSeasonalAnomaly _),
+    "q_robust_z"        -> (Events.qRobustZ _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -561,6 +562,28 @@ object Queries {
                   "* (epoch_us(hr) - epoch_us(ph))::DOUBLE " +
                   "/ (epoch_us(nh) - epoch_us(ph))::DOUBLE END", 6)} AS v_lerp
          |FROM f ORDER BY event_type, hr""".stripMargin,
+    // mirrors Events.robustOutliers: integer daily counts on the
+    // zero-filled spine, exact-half medians/MADs, one shared division
+    "q_robust_z" ->
+      s"""WITH e AS (SELECT event_type, $TS AS ts FROM events),
+         |dy AS (SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+         |       FROM e GROUP BY 1, 2),
+         |b AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM dy GROUP BY 1),
+         |sp AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+         |       FROM b),
+         |f AS (SELECT sp.event_type, sp.d, coalesce(dy.n, 0) AS n
+         |      FROM sp LEFT JOIN dy ON sp.event_type = dy.event_type AND sp.d = dy.d),
+         |md AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM f GROUP BY 1),
+         |dv AS (SELECT f.event_type, f.d, f.n, md.med, abs(f.n - md.med) AS ad
+         |       FROM f JOIN md ON f.event_type = md.event_type),
+         |ma AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dv GROUP BY 1),
+         |z AS (SELECT dv.event_type, dv.d, dv.n, dv.med, ma.mad,
+         |        ${rnd("CASE WHEN ma.mad = 0 THEN 0.0::DOUBLE " +
+                        "ELSE 0.6745 * (dv.n - dv.med) / ma.mad END", 6)} AS rz
+         |      FROM dv JOIN ma ON dv.event_type = ma.event_type)
+         |SELECT event_type, d::DATE AS d, n, ${rnd("med", 6)} AS med,
+         |  ${rnd("mad", 6)} AS mad, rz, abs(rz) > 3.5 AS outlier
+         |FROM z ORDER BY event_type, d""".stripMargin,
     // mirrors Events.rollingQuantilesDaily: DuckDB's quantile_cont
     // over the same ROWS frame IS Spark's percentile definition
     // (h = (n-1)·q linear interpolation); frame contents are exact
@@ -1093,6 +1116,8 @@ object Queries {
     "q_fuzzy_join"          -> (Fuzzy.qFuzzyJoin _),
     "q_sssp"                -> (Graph.qSssp _),
     "q_modularity"          -> (Graph.qModularity _),
+    "q_winsorize"           -> (Profile.qWinsorize _),
+    "q_benford"             -> (Profile.qBenford _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "q_resample"            -> (Events.qResample _),
     "q_unpivot"             -> (Aggregates.qUnpivot _),
@@ -1241,6 +1266,43 @@ object Queries {
     "q_html_extract" -> Html.oracleSql,
     "q_sssp" -> Graph.ssspOracleSql(coocCtes),
     "q_modularity" -> Graph.modularityOracleSql(),
+    // mirrors Profile.winsorize: quantile_cont bounds (same
+    // interpolation as Spark percentile), cent-rounded DECIMAL mean
+    // carriers before AND after the clip
+    "q_winsorize" ->
+      s"""WITH b AS (SELECT l_returnflag AS grp,
+         |        quantile_cont(l_extendedprice, 0.05) AS p_lo,
+         |        quantile_cont(l_extendedprice, 0.95) AS p_hi
+         |      FROM lineitem GROUP BY 1),
+         |j AS (SELECT l.l_returnflag, l.l_extendedprice AS v, b.p_lo, b.p_hi,
+         |        least(greatest(l.l_extendedprice, b.p_lo), b.p_hi) AS clipped
+         |      FROM lineitem l JOIN b ON l.l_returnflag = b.grp),
+         |a AS (SELECT l_returnflag, first(p_lo) AS lo_raw, first(p_hi) AS hi_raw,
+         |        count(*) AS n,
+         |        sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+         |        sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+         |        sum(CAST(round(v * 100) AS DECIMAL(38,0))) AS sb,
+         |        sum(CAST(round(clipped * 100) AS DECIMAL(38,0))) AS sa
+         |      FROM j GROUP BY l_returnflag)
+         |SELECT l_returnflag, ${rnd("lo_raw", 6)} AS p_lo, ${rnd("hi_raw", 6)} AS p_hi,
+         |  n, n_clip_lo, n_clip_hi,
+         |  ${rnd("sb::DOUBLE / 100 / n", 6)} AS mean_before,
+         |  ${rnd("sa::DOUBLE / 100 / n", 6)} AS mean_after
+         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // mirrors Profile.benford: first digit via the DECIMAL(18,2)
+    // string rendering (identical on both engines; floor(log10) is
+    // last-ulp implementation-defined at exact powers of ten)
+    "q_benford" ->
+      s"""WITH c AS (SELECT substr(o_totalprice::DECIMAL(18,2)::VARCHAR, 1, 1)::INT
+         |             AS digit, count(*) AS n
+         |           FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+         |t AS (SELECT sum(n) AS nn FROM c)
+         |SELECT digit, n, ${rnd("n::DOUBLE / nn", 6)} AS share,
+         |  ${rnd("log10(1.0::DOUBLE + 1.0::DOUBLE / digit)", 6)} AS expected,
+         |  ${rnd("(n - log10(1.0::DOUBLE + 1.0::DOUBLE / digit) * nn) " +
+                  "* (n - log10(1.0::DOUBLE + 1.0::DOUBLE / digit) * nn) " +
+                  "/ (log10(1.0::DOUBLE + 1.0::DOUBLE / digit) * nn)", 6)} AS chi2_term
+         |FROM c, t ORDER BY digit""".stripMargin,
     "q_url_canon" -> Url.oracleSql,
     "q_dedup_url" -> Url.dedupOracleSql,
     "q_url_filter" -> Url.filterOracleSql,

@@ -578,4 +578,47 @@ object Events {
   /** q_seasonal_anomaly: [[seasonalAnomaly]] at |z| > 2. */
   def qSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
     seasonalAnomaly(Tables.events(spark, dir))
+
+  /** Robust (median/MAD) outlier scoring of the daily event counts
+    * per type — the Iglewicz–Hoaglin modified z-score
+    * `0.6745·(n − median) / MAD`, flagged at |z| > 3.5. Mean/stddev
+    * detectors ([[spikeDetect]], [[seasonalAnomaly]]) let a single
+    * huge spike inflate its own baseline; median and MAD ignore it,
+    * which is why this is the detector of record for dirty series.
+    *
+    * Determinism: counts are integers (zero-filled spine), medians of
+    * integers are integers or exact halves, deviations likewise, and
+    * the one division + fixed 0.6745 literal evaluate identically on
+    * both engines. Scale: one daily reduction, then two
+    * median passes + joins on the calendar-bounded table. */
+  def robustOutliers(events: DataFrame, zThr: Double = 3.5): DataFrame = {
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val bounds = daily.groupBy("event_type")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val filled = bounds
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+      .join(daily, Seq("event_type", "d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val med = filled.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = filled.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("n") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("rz",
+        round(when(col("mad") === 0.0, 0.0)
+          .otherwise(lit(0.6745) * (col("n") - col("med")) / col("mad")), 6))
+      .select(col("event_type"), col("d").cast("date").as("d"), col("n"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("rz"), (abs(col("rz")) > lit(zThr)).as("outlier"))
+      .orderBy("event_type", "d")
+  }
+
+  /** q_robust_z: [[robustOutliers]] at the standard 3.5 cut. */
+  def qRobustZ(spark: SparkSession, dir: String): DataFrame =
+    robustOutliers(Tables.events(spark, dir))
 }

@@ -120,4 +120,80 @@ object Profile {
   /** q_assoc_stats: [[assocStats]] of documents.lang × documents.source. */
   def qAssocStats(spark: SparkSession, dir: String): DataFrame =
     assocStats(Tables.documents(spark, dir), "lang", "source")
+
+  /** Winsorization report: per group, the [lo, hi] quantile clip
+    * bounds of `valCol`, how many rows each side clips, and the mean
+    * before/after — the outlier-taming readout a feature pipeline
+    * checks before normalizing a heavy-tailed column.
+    *
+    * Scale: one percentile aggregate per group (single shuffle), the
+    * bounds joined back by BROADCAST (group-cardinality rows), one
+    * more partial-agg pass for the clipped stats. Means ride
+    * cent-rounded DECIMAL(38,0) carriers — the clipped mean is
+    * DEFINED as the mean of cent-rounded clipped values, so both
+    * engines sum identical integers in any order. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"winsorize: bad bounds [$lo, $hi]")
+    val g = col(groupCol)
+    val v = col(valCol)
+    val bounds = df.groupBy(g.as("__w_grp"))
+      .agg(expr(s"percentile($valCol, $lo)").as("p_lo"),
+           expr(s"percentile($valCol, $hi)").as("p_hi"))
+    val clipped = least(greatest(v, col("p_lo")), col("p_hi"))
+    df.join(broadcast(bounds), g === col("__w_grp")).drop("__w_grp")
+      .groupBy(g)
+      .agg(
+        first(col("p_lo")).as("lo_raw"),
+        first(col("p_hi")).as("hi_raw"),
+        count(lit(1)).as("n"),
+        sum(when(v < col("p_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(v > col("p_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(round(v * 100).cast("decimal(38,0)")).as("sb"),
+        sum(round(clipped * 100).cast("decimal(38,0)")).as("sa"))
+      .select(g, round(col("lo_raw"), 6).as("p_lo"),
+        round(col("hi_raw"), 6).as("p_hi"),
+        col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        round(col("sb").cast("double") / 100 / col("n"), 6).as("mean_before"),
+        round(col("sa").cast("double") / 100 / col("n"), 6).as("mean_after"))
+      .orderBy(groupCol)
+  }
+
+  /** q_winsorize: [[winsorize]] of l_extendedprice per returnflag at
+    * [p05, p95]. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice")
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * classic fabricated-data / unit-mix smoke test: observed
+    * first-significant-digit shares against Benford's log₁₀(1+1/d)
+    * expectation, with per-digit χ² contributions.
+    *
+    * The digit comes from the DECIMAL(18,2) string rendering (both
+    * engines print decimals identically), NOT from floor(log10):
+    * libm log10 at exact powers of ten is implementation-defined in
+    * the last ulp and could misclassify 100.00. One partial-agg
+    * count shuffle; everything after is 9 rows. */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val digit = substring(col(valCol).cast("decimal(18,2)").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.filter(col(valCol) >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("nn"))
+    val e = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    counts.crossJoin(total) // 1-row side
+      .withColumn("share", round(col("n").cast("double") / col("nn"), 6))
+      .withColumn("expected", round(e, 6))
+      // chi2 on the EXACT expectation, not the rounded display
+      // column: (o − e·N)²/(e·N); squared by multiply, not libm pow
+      .withColumn("chi2_term",
+        round((col("n") - e * col("nn")) * (col("n") - e * col("nn"))
+          / (e * col("nn")), 6))
+      .select("digit", "n", "share", "expected", "chi2_term")
+      .orderBy("digit")
+  }
+
+  /** q_benford: [[benford]] over o_totalprice. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    benford(Tables.orders(spark, dir), "o_totalprice")
 }

@@ -134,6 +134,11 @@ object ScaleCheck {
                               // calendar-bounded rows
     "q_seasonal_anomaly" -> 1.0, // one hourly reduction; profile and
                               // z-scoring calendar-bounded
+    "q_robust_z" -> 1.0,      // one daily reduction; median/MAD passes
+                              // calendar-bounded
+    "q_winsorize" -> 1.0,     // percentile agg + broadcast bounds join
+                              // + one more partial-agg pass
+    "q_benford" -> 1.0,       // one digit-count shuffle; 9 rows after
   )
 
   def main(args: Array[String]): Unit = {

@@ -477,6 +477,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_winsorize: bounds broadcast back, two partial-agg passes, no cartesian") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_benford: one digit-count reduction with map-side combine") {
+    val p = plan("q_benford")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_assoc_stats: corpus reduces once; all post-cell joins are bounded sides") {
     val p = plan("q_assoc_stats")
     // exactly one scan family feeds the cell reduction; margins and
