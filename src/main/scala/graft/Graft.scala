@@ -665,6 +665,21 @@ object Graft {
   def benford(df: DataFrame, valCol: String): DataFrame =
     ops.Profile.benford(df, valCol)
 
+  /** RFM quintile segmentation of purchase behavior per user:
+    * recency/frequency/monetary with 1–5 scores and the segment code. */
+  def rfm(events: DataFrame, purchaseType: String = "purchase"): DataFrame =
+    ops.Analytics.rfm(events, purchaseType)
+
+  /** Market-basket association rules over per-(user, day) baskets of
+    * distinct event types: support, both confidences, lift. */
+  def marketBasket(events: DataFrame): DataFrame =
+    ops.Analytics.marketBasket(events)
+
+  /** Two-sided CUSUM changepoint detection on the standardized daily
+    * count series per event type; alarm above `h`. */
+  def cusum(events: DataFrame, k: Double = 0.5, h: Double = 5.0): DataFrame =
+    ops.Analytics.cusum(events, k, h)
+
   // ---- joins / session ----
 
   /** Backward as-of join through the native plan node (Inner or

@@ -527,6 +527,9 @@ object Queries {
     "q_rolling_median"  -> (Events.qRollingMedian _),
     "q_seasonal_anomaly" -> (Events.qSeasonalAnomaly _),
     "q_robust_z"        -> (Events.qRobustZ _),
+    "q_rfm"             -> (Analytics.qRfm _),
+    "q_market_basket"   -> (Analytics.qMarketBasket _),
+    "q_cusum"           -> (Analytics.qCusum _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -562,6 +565,81 @@ object Queries {
                   "* (epoch_us(hr) - epoch_us(ph))::DOUBLE " +
                   "/ (epoch_us(nh) - epoch_us(ph))::DOUBLE END", 6)} AS v_lerp
          |FROM f ORDER BY event_type, hr""".stripMargin,
+    // mirrors Analytics.rfm: deterministic (metric, user_id) ntile
+    // orderings; both engines assign ntile remainder to the FIRST
+    // buckets; cent-exact monetary
+    "q_rfm" ->
+      s"""WITH p AS (SELECT user_id, $TS AS ts, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |hz AS (SELECT max(date_trunc('day', ts)) AS h FROM p),
+         |per AS (SELECT user_id,
+         |          max(date_trunc('day', ts)) AS last_d,
+         |          count(*) AS frequency,
+         |          sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS mc
+         |        FROM p GROUP BY user_id),
+         |m AS (SELECT user_id,
+         |        date_diff('day', last_d, hz.h)::BIGINT AS recency_days,
+         |        frequency, mc::DOUBLE / 100 AS monetary
+         |      FROM per, hz),
+         |sc AS (SELECT user_id, recency_days, frequency, monetary,
+         |        (6 - ntile(5) OVER (ORDER BY recency_days, user_id))::INT AS r_score,
+         |        ntile(5) OVER (ORDER BY frequency, user_id)::INT AS f_score,
+         |        ntile(5) OVER (ORDER BY monetary, user_id)::INT AS m_score
+         |      FROM m)
+         |SELECT user_id, recency_days, frequency, ${rnd("monetary", 2)} AS monetary,
+         |  r_score, f_score, m_score,
+         |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+         |FROM sc ORDER BY user_id""".stripMargin,
+    // mirrors Analytics.marketBasket: integer basket/item/pair counts,
+    // ratios computed on identical doubles
+    "q_market_basket" ->
+      s"""WITH it AS (SELECT DISTINCT user_id, date_trunc('day', $TS) AS d,
+         |              event_type AS item FROM events),
+         |nb AS (SELECT count(*) AS n_baskets FROM
+         |         (SELECT DISTINCT user_id, d FROM it)),
+         |im AS (SELECT item, count(*) AS n_item FROM it GROUP BY item),
+         |pr AS (SELECT a.item AS x, b.item AS y, count(*) AS n_xy
+         |       FROM it a JOIN it b ON a.user_id = b.user_id AND a.d = b.d
+         |       WHERE a.item < b.item GROUP BY 1, 2)
+         |SELECT pr.x, pr.y, pr.n_xy, ix.n_item AS n_x, iy.n_item AS n_y,
+         |  nb.n_baskets,
+         |  ${rnd("pr.n_xy::DOUBLE / nb.n_baskets", 6)} AS support,
+         |  ${rnd("pr.n_xy::DOUBLE / ix.n_item", 6)} AS conf_x_y,
+         |  ${rnd("pr.n_xy::DOUBLE / iy.n_item", 6)} AS conf_y_x,
+         |  ${rnd("pr.n_xy::DOUBLE * nb.n_baskets / (ix.n_item::DOUBLE * iy.n_item)", 6)} AS lift
+         |FROM pr JOIN im ix ON pr.x = ix.item JOIN im iy ON pr.y = iy.item, nb
+         |ORDER BY pr.x, pr.y""".stripMargin,
+    // mirrors Analytics.cusum: the sequential max(0, ...) recursion as
+    // list_reduce with a prepended 0 sentinel (DuckDB's reduce seeds
+    // from the first element; the sentinel makes it Spark's
+    // aggregate(hist, 0.0, ...) exactly), fold order = day order
+    "q_cusum" ->
+      s"""WITH e AS (SELECT event_type, $TS AS ts FROM events),
+         |dy AS (SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+         |       FROM e GROUP BY 1, 2),
+         |st AS (SELECT event_type, count(*) AS cnt, sum(n) AS s1, sum(n * n) AS s2
+         |       FROM dy GROUP BY 1),
+         |st2 AS (SELECT event_type, s1::DOUBLE / cnt AS mu,
+         |          sqrt(s2::DOUBLE / cnt - (s1::DOUBLE / cnt) * (s1::DOUBLE / cnt)) AS sd
+         |        FROM st),
+         |sz AS (SELECT dy.event_type, dy.d, dy.n,
+         |         CASE WHEN st2.sd = 0 THEN 0.0::DOUBLE
+         |              ELSE (dy.n - st2.mu) / st2.sd END AS s
+         |       FROM dy JOIN st2 ON dy.event_type = st2.event_type),
+         |hh AS (SELECT event_type, d, n, s,
+         |         list(s) OVER (PARTITION BY event_type ORDER BY d
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+         |       FROM sz)
+         |SELECT event_type, d::DATE AS d, n, ${rnd("s", 6)} AS s,
+         |  ${rnd("list_reduce(list_prepend(0.0::DOUBLE, hist), " +
+                  "(acc, x) -> greatest(0.0::DOUBLE, acc + x - 0.5::DOUBLE))", 6)} AS cusum_pos,
+         |  ${rnd("list_reduce(list_prepend(0.0::DOUBLE, hist), " +
+                  "(acc, x) -> greatest(0.0::DOUBLE, acc - x - 0.5::DOUBLE))", 6)} AS cusum_neg,
+         |  (${rnd("list_reduce(list_prepend(0.0::DOUBLE, hist), " +
+                  "(acc, x) -> greatest(0.0::DOUBLE, acc + x - 0.5::DOUBLE))", 6)} > 5.0
+         |   OR ${rnd("list_reduce(list_prepend(0.0::DOUBLE, hist), " +
+                  "(acc, x) -> greatest(0.0::DOUBLE, acc - x - 0.5::DOUBLE))", 6)} > 5.0) AS alarm
+         |FROM hh ORDER BY event_type, d""".stripMargin,
     // mirrors Events.robustOutliers: integer daily counts on the
     // zero-filled spine, exact-half medians/MADs, one shared division
     "q_robust_z" ->

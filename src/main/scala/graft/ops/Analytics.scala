@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Customer/product analytics operators: RFM segmentation, market-
+  * basket association rules, CUSUM changepoint detection. All exact
+  * and oracle-checkable: integer count/cent carriers, deterministic
+  * ntile orderings (id tiebreaks), and sequential folds whose order
+  * both engines share. */
+object Analytics {
+
+  /** RFM segmentation of purchase behavior: per user, recency (days
+    * from last purchase to the corpus horizon), frequency (purchase
+    * count), monetary (cent-exact value sum), each quintiled into a
+    * 1–5 score (5 = best) with a deterministic (metric, user_id)
+    * ntile ordering, concatenated into the classic `rfm` segment
+    * code.
+    *
+    * Scale: one filter + partial-agg per-user reduction, one 1-row
+    * horizon aggregate, three ntile windows over the USER table
+    * (user-cardinality, not event-cardinality). ntile is exact and
+    * deterministic under the total ordering; both engines assign
+    * remainder rows to the first buckets. */
+  def rfm(events: DataFrame, purchaseType: String = "purchase"): DataFrame = {
+    val p = events.filter(col("event_type") === purchaseType)
+    val horizon = p.agg(max(date_trunc("day", col("ts"))).as("h"))
+    val per = p.groupBy("user_id")
+      .agg(max(date_trunc("day", col("ts"))).as("last_d"),
+           count(lit(1)).as("frequency"),
+           sum(round(col("value") * 100).cast("decimal(38,0)")).as("mc"))
+      .crossJoin(horizon) // 1-row side
+      .select(col("user_id"),
+        datediff(col("h").cast("date"), col("last_d").cast("date"))
+          .cast("long").as("recency_days"),
+        col("frequency"),
+        (col("mc").cast("double") / 100).as("monetary"))
+    val wR = Window.orderBy(col("recency_days").asc, col("user_id").asc)
+    val wF = Window.orderBy(col("frequency").asc, col("user_id").asc)
+    val wM = Window.orderBy(col("monetary").asc, col("user_id").asc)
+    // single-partition ntile windows are fine HERE because the input
+    // is the per-user aggregate (users ≪ events); for a billion-user
+    // table swap in the parallel-rank discipline (range sort +
+    // zipWithIndex) used by TextAnalysis.qualityTiers
+    per
+      .withColumn("r_score", (lit(6) - ntile(5).over(wR)).cast("int"))
+      .withColumn("f_score", ntile(5).over(wF))
+      .withColumn("m_score", ntile(5).over(wM))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy("user_id")
+  }
+
+  /** q_rfm: [[rfm]] over purchase events. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame =
+    rfm(Tables.events(spark, dir))
+
+  /** Market-basket association rules over per-(user, day) baskets of
+    * distinct event types: for each unordered type pair, support,
+    * both conditional confidences, and lift — the co-engagement
+    * readout behind "users who X also Y".
+    *
+    * Scale: baskets reduce by one distinct shuffle; the within-basket
+    * self-join fans out ≤|types|² per basket (bounded by the type
+    * vocabulary, not data volume); margins and the final report are
+    * type-bounded. All ratios derive from exact integer counts. */
+  def marketBasket(events: DataFrame): DataFrame = {
+    val items = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"),
+              col("event_type").as("item"))
+      .distinct()
+    val nBaskets = items.select("user_id", "d").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemN = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"), Seq("user_id", "d"))
+      .filter(col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    pairs
+      .join(itemN.withColumnRenamed("item", "x").withColumnRenamed("n_item", "n_x"), "x")
+      .join(itemN.withColumnRenamed("item", "y").withColumnRenamed("n_item", "n_y"), "y")
+      .crossJoin(nBaskets) // 1-row side
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("n_baskets"),
+        round(col("n_xy").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("n_xy").cast("double") / col("n_x"), 6).as("conf_x_y"),
+        round(col("n_xy").cast("double") / col("n_y"), 6).as("conf_y_x"),
+        round(col("n_xy").cast("double") * col("n_baskets")
+          / (col("n_x").cast("double") * col("n_y")), 6).as("lift"))
+      .orderBy("x", "y")
+  }
+
+  /** q_market_basket: [[marketBasket]] over the events table. */
+  def qMarketBasket(spark: SparkSession, dir: String): DataFrame =
+    marketBasket(Tables.events(spark, dir))
+
+  /** Two-sided CUSUM changepoint detection on the daily count series
+    * per event type: counts standardized against the per-type global
+    * mean/population-sd (both from exact integer Σn/Σn²), then the
+    * classic recursions `c⁺ = max(0, c⁺ + s − k)` and
+    * `c⁻ = max(0, c⁻ − s − k)` with slack k, alarm at > h. The
+    * recursion is a SEQUENTIAL fold — implemented as an in-row
+    * `aggregate` over the window-collected history, whose order (day
+    * order) and operations both engines share exactly, so the result
+    * is bit-identical without an FP exemption.
+    *
+    * Scale: one daily reduction; folds run on the calendar-bounded
+    * table (same quadratic-in-days contract as [[Events.ewmaDaily]],
+    * declared there). */
+  def cusum(events: DataFrame, k: Double = 0.5, h: Double = 5.0): DataFrame = {
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("n").cast("decimal(38,0)")).as("s1"),
+           sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("s2"))
+      .withColumn("mu", col("s1").cast("double") / col("cnt"))
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("cnt")
+                             - col("mu") * col("mu")))
+      .select("event_type", "mu", "sd")
+    val w = Window.partitionBy("event_type").orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("s",
+        when(col("sd") === 0.0, 0.0).otherwise((col("n") - col("mu")) / col("sd")))
+      .withColumn("hist", collect_list(col("s")).over(w))
+      .select(col("event_type"), col("d").cast("date").as("d"), col("n"),
+        round(col("s"), 6).as("s"),
+        round(aggregate(col("hist"), lit(0.0d),
+          (acc, x) => greatest(lit(0.0d), acc + x - lit(k))), 6).as("cusum_pos"),
+        round(aggregate(col("hist"), lit(0.0d),
+          (acc, x) => greatest(lit(0.0d), acc - x - lit(k))), 6).as("cusum_neg"))
+      .withColumn("alarm",
+        col("cusum_pos") > lit(h) || col("cusum_neg") > lit(h))
+      .orderBy("event_type", "d")
+  }
+
+  /** q_cusum: [[cusum]] with the conventional k=0.5, h=5. */
+  def qCusum(spark: SparkSession, dir: String): DataFrame =
+    cusum(Tables.events(spark, dir))
+}

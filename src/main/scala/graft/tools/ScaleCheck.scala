@@ -139,6 +139,10 @@ object ScaleCheck {
     "q_winsorize" -> 1.0,     // percentile agg + broadcast bounds join
                               // + one more partial-agg pass
     "q_benford" -> 1.0,       // one digit-count shuffle; 9 rows after
+    "q_rfm" -> 1.0,           // per-user reduction; ntile windows on the
+                              // user table
+    "q_market_basket" -> 1.0, // basket distinct + type-bounded fanout
+    "q_cusum" -> 1.0,         // one daily reduction; folds calendar-bounded
   )
 
   def main(args: Array[String]): Unit = {

@@ -489,6 +489,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_market_basket: within-basket self-join stays equi on (user, day)") {
+    val p = plan("q_market_basket")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_cusum: stats broadcast back; one daily reduction feeds the folds") {
+    val p = plan("q_cusum")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_assoc_stats: corpus reduces once; all post-cell joins are bounded sides") {
     val p = plan("q_assoc_stats")
     // exactly one scan family feeds the cell reduction; margins and
