@@ -680,6 +680,30 @@ object Graft {
   def cusum(events: DataFrame, k: Double = 0.5, h: Double = 5.0): DataFrame =
     ops.Analytics.cusum(events, k, h)
 
+  /** Two-proportion z-test between the variants of `variantExpr`
+    * ('A'/'B'), conversion = "user has ≥1 event satisfying
+    * `convExpr`"; pooled-variance z with a degenerate guard. */
+  def abTest(events: DataFrame, variantExpr: org.apache.spark.sql.Column,
+             convExpr: org.apache.spark.sql.Column): DataFrame =
+    ops.Analytics.abTest(events, variantExpr, convExpr)
+
+  /** Gini concentration of a cent-exact metric per group (rank
+    * formula on the (value, id) total order). */
+  def gini(df: DataFrame, groupCol: String, idCol: String,
+           valCol: String): DataFrame =
+    ops.Profile.gini(df, groupCol, idCol, valCol)
+
+  /** Join-key skew profile: rows, distinct keys, top-1/top-10 shares,
+    * order-independent entropy, effective key count. */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame =
+    ops.Profile.keySkew(df, cols)
+
+  /** Native Jaro–Winkler similarity column (codegen expression;
+    * register functions first or build with GraftExtensions). */
+  def jaroWinkler(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.StringSimilarity.jaroWinkler(a, b)
+
   // ---- joins / session ----
 
   /** Backward as-of join through the native plan node (Inner or

@@ -530,6 +530,7 @@ object Queries {
     "q_rfm"             -> (Analytics.qRfm _),
     "q_market_basket"   -> (Analytics.qMarketBasket _),
     "q_cusum"           -> (Analytics.qCusum _),
+    "q_ab_test"         -> (Analytics.qAbTest _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -565,6 +566,32 @@ object Queries {
                   "* (epoch_us(hr) - epoch_us(ph))::DOUBLE " +
                   "/ (epoch_us(nh) - epoch_us(ph))::DOUBLE END", 6)} AS v_lerp
          |FROM f ORDER BY event_type, hr""".stripMargin,
+    // mirrors Analytics.abTest: integer conversion counts, one shared
+    // pooled-z division/sqrt tree
+    "q_ab_test" ->
+      s"""WITH pu AS (SELECT user_id,
+         |              max(CASE WHEN event_type = 'purchase' AND value > 90
+         |                  THEN 1 ELSE 0 END) AS conv
+         |            FROM events GROUP BY user_id),
+         |v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         |        conv FROM pu),
+         |ag AS (SELECT variant, count(*) AS n, sum(conv)::BIGINT AS k
+         |       FROM v GROUP BY variant),
+         |ab AS (SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+         |       FROM (SELECT n, k FROM ag WHERE variant = 'A') a,
+         |            (SELECT n, k FROM ag WHERE variant = 'B') b),
+         |s AS (SELECT n_a, k_a, n_b, k_b,
+         |        k_a::DOUBLE / n_a AS p_a, k_b::DOUBLE / n_b AS p_b,
+         |        (k_a + k_b)::DOUBLE / (n_a + n_b) AS p_pool
+         |      FROM ab),
+         |z AS (SELECT n_a, k_a, n_b, k_b, p_a, p_b,
+         |        CASE WHEN p_pool = 0 OR p_pool = 1 THEN 0.0::DOUBLE
+         |             ELSE (p_a - p_b) / sqrt(p_pool * (1.0::DOUBLE - p_pool)
+         |               * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)) END AS z
+         |      FROM s)
+         |SELECT n_a, k_a, n_b, k_b, ${rnd("p_a", 6)} AS p_a, ${rnd("p_b", 6)} AS p_b,
+         |  ${rnd("z", 6)} AS z, abs(${rnd("z", 6)}) > 1.96 AS significant
+         |FROM z""".stripMargin,
     // mirrors Analytics.rfm: deterministic (metric, user_id) ntile
     // orderings; both engines assign ntile remainder to the FIRST
     // buckets; cent-exact monetary
@@ -1196,6 +1223,9 @@ object Queries {
     "q_modularity"          -> (Graph.qModularity _),
     "q_winsorize"           -> (Profile.qWinsorize _),
     "q_benford"             -> (Profile.qBenford _),
+    "q_jaro_sim"            -> (Fuzzy.qJaroSim _),
+    "q_gini"                -> (Profile.qGini _),
+    "q_key_skew"            -> (Profile.qKeySkew _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "q_resample"            -> (Events.qResample _),
     "q_unpivot"             -> (Aggregates.qUnpivot _),
@@ -1344,6 +1374,53 @@ object Queries {
     "q_html_extract" -> Html.oracleSql,
     "q_sssp" -> Graph.ssspOracleSql(coocCtes),
     "q_modularity" -> Graph.modularityOracleSql(),
+    // mirrors Fuzzy.qJaroSim: DuckDB's jaro_winkler_similarity shares
+    // the engine expression's definition (0.7 boost threshold, prefix
+    // <= 4, p = 0.1) — verified value-for-value on the textbook pairs
+    "q_jaro_sim" ->
+      s"""WITH p AS (SELECT a.c_custkey AS id, a.c_name AS name, b.c_name AS m
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey <> b.c_custkey
+         |   AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 1),
+         |s AS (SELECT id, name, m,
+         |        ${rnd("jaro_winkler_similarity(name, m)", 6)} AS jw FROM p),
+         |r AS (SELECT id, name, m, jw, row_number() OVER
+         |        (PARTITION BY id ORDER BY jw DESC, m ASC) AS rn FROM s)
+         |SELECT id, name, m AS best_match, jw FROM r WHERE rn = 1
+         |ORDER BY id""".stripMargin,
+    // mirrors Profile.gini: exact DECIMAL rank-weighted sums, one
+    // shared division tree
+    "q_gini" ->
+      s"""WITH u AS (SELECT event_type, user_id,
+         |             sum(CAST(round(value * 100) AS DECIMAL(38,0)))::DOUBLE / 100 AS v
+         |           FROM events GROUP BY 1, 2),
+         |x AS (SELECT event_type, user_id, v,
+         |        CAST(round(v * 100) AS DECIMAL(38,0)) AS xc FROM u),
+         |rk AS (SELECT event_type, xc, row_number() OVER
+         |         (PARTITION BY event_type ORDER BY v ASC, user_id ASC) AS r
+         |       FROM x),
+         |a AS (SELECT event_type, count(*) AS n, sum(xc) AS sx,
+         |        sum(xc * r::DECIMAL(19,0)) AS six
+         |      FROM rk GROUP BY event_type)
+         |SELECT event_type, n, ${rnd("sx::DOUBLE / 100", 2)} AS total,
+         |  ${rnd("2.0 * six::DOUBLE / (n * sx::DOUBLE) - (n + 1)::DOUBLE / n", 6)} AS gini
+         |FROM a ORDER BY event_type""".stripMargin,
+    // mirrors Profile.keySkew: entropy on integer micro-unit carriers
+    // (order-independent), top-k by (count, key) total order
+    "q_key_skew" -> Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+      s"""SELECT '$c' AS key_col, tt.n_rows, tt.n_keys,
+         |  ${rnd("tp.top1::DOUBLE / tt.n_rows", 6)} AS top1_share,
+         |  ${rnd("tp.top10::DOUBLE / tt.n_rows", 6)} AS top10_share,
+         |  ${rnd("ln(tt.n_rows::DOUBLE) - tt.slnc / tt.n_rows", 6)} AS entropy,
+         |  ${rnd("exp(ln(tt.n_rows::DOUBLE) - tt.slnc / tt.n_rows)", 6)} AS eff_keys
+         |FROM
+         |  (SELECT sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys,
+         |     sum(CAST(round(cnt::DOUBLE * ln(cnt::DOUBLE) * 1e6) AS DECIMAL(38,0)))::DOUBLE / 1e6 AS slnc
+         |   FROM (SELECT $c, count(*) AS cnt FROM lineitem GROUP BY $c)) tt,
+         |  (SELECT max(cnt)::BIGINT AS top1, sum(cnt)::BIGINT AS top10 FROM
+         |     (SELECT $c, count(*) AS cnt FROM lineitem GROUP BY $c
+         |      ORDER BY cnt DESC, $c ASC LIMIT 10)) tp""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col"),
     // mirrors Profile.winsorize: quantile_cont bounds (same
     // interpolation as Spark percentile), cent-rounded DECIMAL mean
     // carriers before AND after the clip

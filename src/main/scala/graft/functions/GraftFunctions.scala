@@ -47,6 +47,8 @@ object GraftFunctions {
       (e => TopKPairs(e(0), e(1), intLit(e(2)).toInt, boolLit(e(3)))),
     "graft_nfc" ->
       (e => NfcNormalize(e.head)),
+    "graft_jaro_winkler" ->
+      (e => JaroWinklerSim(e(0), e(1))),
   )
 
   /** Registers every graft function on the session (idempotent). */

@@ -146,4 +146,55 @@ object Analytics {
   /** q_cusum: [[cusum]] with the conventional k=0.5, h=5. */
   def qCusum(spark: SparkSession, dir: String): DataFrame =
     cusum(Tables.events(spark, dir))
+
+  /** Two-proportion z-test between two user cohorts: conversion =
+    * "user has ≥1 event satisfying `convExpr`", compared across the
+    * variant assignment with the pooled-variance z statistic
+    * `z = (p₁−p₂) / sqrt(p̂(1−p̂)(1/n₁+1/n₂))` and the 1.96 two-sided
+    * significance cut — the experiment readout every event store
+    * ships. All inputs are exact integer counts; the z expression is
+    * one shared division/sqrt tree, so both engines agree bitwise.
+    *
+    * Scale: one per-user reduction (partial-agg on user_id), then a
+    * 2-row aggregate — no joins at data size. `variantExpr` is any
+    * deterministic user→variant rule (hash-bucketing in production;
+    * parity here). */
+  def abTest(events: DataFrame, variantExpr: org.apache.spark.sql.Column,
+             convExpr: org.apache.spark.sql.Column): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(convExpr, 1).otherwise(0)).as("conv"))
+      .withColumn("variant", variantExpr)
+    val agg = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val a = agg.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("k").as("k_a"))
+    val b = agg.filter(col("variant") === "B")
+      .select(col("n").as("n_b"), col("k").as("k_b"))
+    a.crossJoin(b) // two 1-row sides
+      .withColumn("p_a", col("k_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("k_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("k_a") + col("k_b")).cast("double") / (col("n_a") + col("n_b")))
+      // degenerate guard: p̂ ∈ {0, 1} (nobody / everybody converts)
+      // zeroes the pooled variance — report z = 0, don't divide by it
+      // (this build's ANSI mode faults even DOUBLE division by zero)
+      .withColumn("z",
+        when(col("p_pool") === 0.0 || col("p_pool") === 1.0, lit(0.0))
+          .otherwise((col("p_a") - col("p_b"))
+            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+                   * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("z"), 6).as("z"),
+        (abs(round(col("z"), 6)) > 1.96).as("significant"))
+  }
+
+  /** q_ab_test: [[abTest]] with the parity variant rule and
+    * "high-value purchase" conversion (plain purchase saturates to
+    * p̂ = 1 on this fixture — no variance to test). */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame =
+    abTest(Tables.events(spark, dir),
+           when(col("user_id") % 2 === 0, "A").otherwise("B"),
+           col("event_type") === "purchase" && col("value") > 90)
 }

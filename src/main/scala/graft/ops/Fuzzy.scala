@@ -104,6 +104,33 @@ object Fuzzy {
       .select("id_a", "s_a", "id_b", "s_b", "dist").distinct()
   }
 
+  /** q_jaro_sim: the [[fuzzyPairs]] candidates re-scored by the
+    * native Jaro–Winkler expression
+    * ([[graft.functions.JaroWinklerSim]]): per name, its best fuzzy
+    * neighbor by (jw DESC, neighbor ASC) — the record-linkage rank
+    * step (Levenshtein gates, Jaro–Winkler ranks). The window runs on
+    * the symmetric PAIR table (pair-cardinality, not corpus), keyed
+    * per name. */
+  def qJaroSim(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val names = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val pairs = fuzzyPairs(names, "id", "s", maxDist = 1)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("s_a").as("name"), col("s_b").as("m")),
+        struct(col("id_b").as("id"), col("s_b").as("name"), col("s_a").as("m"))))
+        .as("x"))
+      .select(col("x.id").as("id"), col("x.name").as("name"), col("x.m").as("m"))
+      .withColumn("jw",
+        round(graft.functions.StringSimilarity.jaroWinkler(col("name"), col("m")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("jw").desc, col("m").asc)
+    sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("name"), col("m").as("best_match"), col("jw"))
+      .orderBy("id")
+  }
+
   /** q_fuzzy_join: customer names within edit distance 1 of each
     * other (single-digit typos in the `Customer#NNNNNNNNN` keyspace),
     * reported per name: how many fuzzy neighbors, and the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -196,4 +197,84 @@ object Profile {
   /** q_benford: [[benford]] over o_totalprice. */
   def qBenford(spark: SparkSession, dir: String): DataFrame =
     benford(Tables.orders(spark, dir), "o_totalprice")
+
+  /** Gini concentration coefficient of a non-negative cent-exact
+    * metric per group — "do 1% of the users drive 99% of the value",
+    * the inequality readout next to [[keySkew]]'s join-key version.
+    * Rank formula on the ascending (value, id) total order:
+    * `G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` — every sum an exact
+    * DECIMAL(38,0) over integers, the final expression one division
+    * tree both engines share.
+    *
+    * Scale: one per-entity reduction, then a rank over entities. The
+    * within-group rank uses a keyed window (one shuffle on the
+    * group); Σ i·xᵢ is a partial-agg decimal sum. */
+  def gini(df: DataFrame, groupCol: String, idCol: String,
+           valCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(valCol).asc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol), col(valCol),
+        round(col(valCol) * 100).cast("decimal(38,0)").as("xc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+           sum(col("xc")).as("sx"),
+           sum(col("xc") * col("rk").cast("decimal(19,0)")).as("six"))
+      .select(col(groupCol), col("n"),
+        round(col("sx").cast("double") / 100, 2).as("total"),
+        round(
+          lit(2.0) * col("six").cast("double") / (col("n") * col("sx").cast("double"))
+            - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+      .orderBy(groupCol)
+  }
+
+  /** q_gini: [[gini]] of per-user purchase value within each event
+    * type — concentration of spend. */
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    gini(Tables.events(spark, dir)
+           .groupBy(col("event_type"), col("user_id"))
+           .agg((sum(round(col("value") * 100).cast("decimal(38,0)"))
+                  .cast("double") / 100).as("v")),
+         "event_type", "user_id", "v")
+
+  /** Join-key skew profile of one or more key columns — the readout
+    * that decides salting/AQE-skew handling before a 100 TB join:
+    * per column, row count, distinct keys, the share carried by the
+    * heaviest key and the top 10, Shannon entropy of the key
+    * distribution, and the effective key count `exp(H)`.
+    *
+    * Entropy is DEFINED on integer micro-unit carriers
+    * (Σ round(c·ln c·10⁶) as DECIMAL) so the vocabulary-scale sum is
+    * order-independent — same discipline as the assoc/modularity
+    * totals; `H = ln N − Σc·ln c / N` needs no per-key division.
+    *
+    * Scale: one partial-agg count per column over a single-column
+    * pruned scan; top-k via a count-ordered limit (TakeOrdered), the
+    * entropy sum a 1-row decimal aggregate. */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keySkew: need at least one column")
+    cols.map { c =>
+      val counts = df.select(col(c)).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        (sum(round(col("cnt").cast("double") * log(col("cnt").cast("double")) * 1e6)
+          .cast("decimal(38,0)")).cast("double") / 1e6).as("slnc"))
+      val top = counts.orderBy(col("cnt").desc, col(c).asc).limit(10)
+        .agg(max(col("cnt")).as("top1"), sum(col("cnt")).as("top10"))
+      tot.crossJoin(top) // two 1-row sides
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          round(col("top1").cast("double") / col("n_rows"), 6).as("top1_share"),
+          round(col("top10").cast("double") / col("n_rows"), 6).as("top10_share"),
+          round(log(col("n_rows").cast("double"))
+            - col("slnc") / col("n_rows"), 6).as("entropy"),
+          round(exp(log(col("n_rows").cast("double"))
+            - col("slnc") / col("n_rows")), 6).as("eff_keys"))
+    }.reduce(_ unionAll _).orderBy("key_col")
+  }
+
+  /** q_key_skew: [[keySkew]] of the lineitem join keys. */
+  def qKeySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkew(Tables.lineitem(spark, dir),
+            Seq("l_orderkey", "l_partkey", "l_suppkey"))
 }

@@ -143,6 +143,12 @@ object ScaleCheck {
                               // user table
     "q_market_basket" -> 1.0, // basket distinct + type-bounded fanout
     "q_cusum" -> 1.0,         // one daily reduction; folds calendar-bounded
+    "q_jaro_sim" -> 2.0,      // the q_fuzzy_join candidate stream + one
+                              // pair-table window (same fixture-collision
+                              // caveat as q_fuzzy_join)
+    "q_gini" -> 1.0,          // per-user reduction + keyed rank window
+    "q_key_skew" -> 1.0,      // three single-column count reductions
+    "q_ab_test" -> 1.0,       // per-user reduction + 2-row aggregate
   )
 
   def main(args: Array[String]): Unit = {

@@ -503,6 +503,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_jaro_sim: native JW in a plain Project; top-1 prunes BEFORE the window shuffle") {
+    val p = plan("q_jaro_sim")
+    // the native expression evaluates in a Project (no UDF/Python
+    // eval node), and Spark's rank-limit pushdown keeps only each
+    // name's best candidate ahead of the window exchange
+    assert(!p.contains("CartesianProduct") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("jarowinklersim"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_key_skew: single-column pruned scans, one count reduction each") {
+    val p = plan("q_key_skew")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // column pruning: the wide lineitem columns never load
+    assert(!p.contains("l_comment") && !p.contains("l_extendedprice"), p)
+  }
+
   test("q_assoc_stats: corpus reduces once; all post-cell joins are bounded sides") {
     val p = plan("q_assoc_stats")
     // exactly one scan family feeds the cell reduction; margins and
