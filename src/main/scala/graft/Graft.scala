@@ -698,6 +698,23 @@ object Graft {
   def keySkew(df: DataFrame, cols: Seq[String]): DataFrame =
     ops.Profile.keySkew(df, cols)
 
+  /** End-to-end entity resolution: fuzzy blocking + Jaro–Winkler
+    * scoring + connected-components merge; minimum member canonical. */
+  def resolveEntities(strs: DataFrame, idCol: String, strCol: String,
+                      maxDist: Int = 1, minJw: Double = 0.9): DataFrame =
+    ops.Fuzzy.resolveEntities(strs, idCol, strCol, maxDist, minJw)
+
+  /** Smoothed target encoding of a categorical column:
+    * (Σtarget + m·prior)/(n + m) with the global-mean prior. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   m: Double = 100.0): DataFrame =
+    ops.Profile.targetEncode(df, catCol, targetCol, m)
+
+  /** Population Stability Index drift report between a reference and
+    * a current sample of a numeric column (reference-decile buckets). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String): DataFrame =
+    ops.Profile.psiDrift(ref, cur, valCol)
+
   /** Native Jaro–Winkler similarity column (codegen expression;
     * register functions first or build with GraftExtensions). */
   def jaroWinkler(a: org.apache.spark.sql.Column,

@@ -1226,6 +1226,9 @@ object Queries {
     "q_jaro_sim"            -> (Fuzzy.qJaroSim _),
     "q_gini"                -> (Profile.qGini _),
     "q_key_skew"            -> (Profile.qKeySkew _),
+    "q_entity_resolution"   -> (Fuzzy.qEntityResolution _),
+    "q_target_encoding"     -> (Profile.qTargetEncoding _),
+    "q_psi_drift"           -> (Profile.qPsiDrift _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "q_resample"            -> (Events.qResample _),
     "q_unpivot"             -> (Aggregates.qUnpivot _),
@@ -1388,6 +1391,79 @@ object Queries {
          |        (PARTITION BY id ORDER BY jw DESC, m ASC) AS rn FROM s)
          |SELECT id, name, m AS best_match, jw FROM r WHERE rn = 1
          |ORDER BY id""".stripMargin,
+    // mirrors Fuzzy.resolveEntities: the SAME edge set (levenshtein
+    // gate + 6-dp-rounded JW threshold — bit-identical scores on both
+    // engines), closed by a recursive-CTE reachability with min-label
+    // entities; engine side is O(log d) pointer-jumping CC
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.c_custkey AS ia, b.c_custkey AS ib
+         |  FROM customer a JOIN customer b
+         |    ON a.c_custkey < b.c_custkey
+         |   AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 1
+         |   AND ${rnd("jaro_winkler_similarity(a.c_name, b.c_name)", 6)} >= 0.9),
+         |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, anc) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, r.anc FROM reach r JOIN e ON e.u = r.id),
+         |lab AS (SELECT id, min(anc) AS entity FROM reach GROUP BY id),
+         |sz AS (SELECT entity, count(*) AS entity_size FROM lab GROUP BY entity)
+         |SELECT c.c_custkey AS id, c.c_name AS s,
+         |  coalesce(l.entity, c.c_custkey) AS entity,
+         |  coalesce(sz.entity_size, 1) AS entity_size,
+         |  coalesce(l.entity, c.c_custkey) = c.c_custkey AS is_canonical
+         |FROM customer c
+         |LEFT JOIN lab l ON c.c_custkey = l.id
+         |LEFT JOIN sz ON l.entity = sz.entity
+         |ORDER BY id""".stripMargin,
+    // mirrors Profile.targetEncode: cent-exact sums, shared prior
+    "q_target_encoding" ->
+      s"""WITH j AS (SELECT p.p_brand, l.l_extendedprice
+         |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         |per AS (SELECT p_brand, count(*) AS n,
+         |          sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS sc
+         |        FROM j GROUP BY p_brand),
+         |g AS (SELECT sum(n) AS gn, sum(sc) AS gsc FROM per),
+         |t AS (SELECT per.p_brand, per.n, per.sc,
+         |        g.gsc::DOUBLE / 100 / g.gn AS prior FROM per, g)
+         |SELECT p_brand, n, ${rnd("sc::DOUBLE / 100 / n", 6)} AS cat_mean,
+         |  ${rnd("prior", 6)} AS prior,
+         |  ${rnd("(sc::DOUBLE / 100 + 100.0 * prior) / (n + 100.0)", 6)} AS encoded
+         |FROM t ORDER BY p_brand""".stripMargin,
+    // mirrors Profile.psiDrift: reference-decile buckets (identical
+    // quantile doubles), Laplace-smoothed shares, micro-unit total
+    "q_psi_drift" -> {
+      val eds = (1 to 9).map(d => s"quantile_cont(value, 0.$d) AS e$d").mkString(", ")
+      val bexpr = "1 + " + (1 to 9)
+        .map(d => s"(CASE WHEN value > e$d THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ev AS (SELECT value, day($TS) AS dom FROM events),
+         |r0 AS (SELECT value FROM ev WHERE dom <= 15),
+         |c0 AS (SELECT value FROM ev WHERE dom > 15),
+         |ed AS (SELECT $eds FROM r0),
+         |rb AS (SELECT bucket, count(*) AS c_ref FROM
+         |         (SELECT $bexpr AS bucket FROM r0, ed) GROUP BY bucket),
+         |cb AS (SELECT bucket, count(*) AS c_cur FROM
+         |         (SELECT $bexpr AS bucket FROM c0, ed) GROUP BY bucket),
+         |tt AS (SELECT (SELECT sum(c_ref) FROM rb) AS n_ref,
+         |              (SELECT sum(c_cur) FROM cb) AS n_cur),
+         |grid AS (SELECT unnest(generate_series(1, 10))::INT AS bucket),
+         |t AS (SELECT g.bucket, coalesce(rb.c_ref, 0) AS c_ref,
+         |        coalesce(cb.c_cur, 0) AS c_cur,
+         |        (coalesce(rb.c_ref, 0) + 1)::DOUBLE / (tt.n_ref + 10) AS p,
+         |        (coalesce(cb.c_cur, 0) + 1)::DOUBLE / (tt.n_cur + 10) AS q
+         |      FROM grid g LEFT JOIN rb ON g.bucket = rb.bucket
+         |                  LEFT JOIN cb ON g.bucket = cb.bucket, tt),
+         |t2 AS (SELECT bucket, c_ref, c_cur, p, q,
+         |         ${rnd("(p - q) * ln(p / q)", 6)} AS psi_term FROM t),
+         |tot AS (SELECT
+         |    sum(CAST(round(psi_term * 1e6) AS DECIMAL(38,0)))::DOUBLE / 1e6 AS psi
+         |  FROM t2)
+         |SELECT bucket, c_ref, c_cur, ${rnd("p", 6)} AS p, ${rnd("q", 6)} AS q,
+         |  psi_term, psi
+         |FROM t2, tot ORDER BY bucket""".stripMargin
+    },
     // mirrors Profile.gini: exact DECIMAL rank-weighted sums, one
     // shared division tree
     "q_gini" ->

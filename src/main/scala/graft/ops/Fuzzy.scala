@@ -131,6 +131,44 @@ object Fuzzy {
       .orderBy("id")
   }
 
+  /** End-to-end entity resolution — the composition the library's
+    * pieces exist for: [[fuzzyPairs]] blocks candidates (complete
+    * deletion-neighborhood filter + levenshtein gate), the native
+    * Jaro–Winkler expression scores them, pairs at `minJw`+ become
+    * edges, and [[Graph.connectedComponents]] (O(log d)
+    * pointer-jumping) merges them into entities with the minimum
+    * member as canonical. Rows that match nothing stay their own
+    * entity.
+    *
+    * Output: (id, s, entity, entity_size, is_canonical), ordered.
+    * The JW threshold applies to the 6-dp ROUNDED score — the edge
+    * set is bit-identical across engines, so the clustering is too. */
+  def resolveEntities(strs: DataFrame, idCol: String, strCol: String,
+                      maxDist: Int = 1, minJw: Double = 0.9): DataFrame = {
+    val spark = strs.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark)
+    val ids = strs.select(col(idCol).as("id"), col(strCol).as("s"))
+    val edges = fuzzyPairs(ids, "id", "s", maxDist)
+      .filter(round(graft.functions.StringSimilarity
+        .jaroWinkler(col("s_a"), col("s_b")), 6) >= minJw)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = Graph.connectedComponents(edges)
+      .select(col("node").as("id"), col("component"),
+              col("component_size"))
+    ids.join(cc, Seq("id"), "left")
+      .select(col("id"), col("s"),
+        coalesce(col("component"), col("id")).as("entity"),
+        coalesce(col("component_size"), lit(1L)).as("entity_size"))
+      .withColumn("is_canonical", col("entity") === col("id"))
+      .orderBy("id")
+  }
+
+  /** q_entity_resolution: [[resolveEntities]] over customer names. */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame =
+    resolveEntities(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
+      "c_custkey", "c_name")
+
   /** q_fuzzy_join: customer names within edit distance 1 of each
     * other (single-digit typos in the `Customer#NNNNNNNNN` keyspace),
     * reported per name: how many fuzzy neighbors, and the

@@ -277,4 +277,91 @@ object Profile {
   def qKeySkew(spark: SparkSession, dir: String): DataFrame =
     keySkew(Tables.lineitem(spark, dir),
             Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
+  /** Smoothed target encoding of a categorical column — the
+    * leakage-aware ML feature: per category,
+    * `enc = (Σtarget + m·prior) / (n + m)` with the global mean as
+    * prior, so rare categories shrink toward it. Cent-exact integer
+    * sums; one shared division tree; the prior is computed from the
+    * SAME exact totals.
+    *
+    * Scale: one partial-agg reduction to category cardinality + a
+    * 1-row global aggregate. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   m: Double = 100.0): DataFrame = {
+    val cents = round(col(targetCol) * 100).cast("decimal(38,0)")
+    val per = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"))
+    val glob = per.agg(sum(col("n")).as("gn"), sum(col("sc")).as("gsc"))
+    per.crossJoin(glob) // 1-row side
+      .withColumn("prior", col("gsc").cast("double") / 100 / col("gn"))
+      .select(col(catCol), col("n"),
+        round(col("sc").cast("double") / 100 / col("n"), 6).as("cat_mean"),
+        round(col("prior"), 6).as("prior"),
+        round((col("sc").cast("double") / 100 + lit(m) * col("prior"))
+          / (col("n") + lit(m)), 6).as("encoded"))
+      .orderBy(catCol)
+  }
+
+  /** q_target_encoding: [[targetEncode]] of p_brand against
+    * l_extendedprice (part joined to lineitem). */
+  def qTargetEncoding(spark: SparkSession, dir: String): DataFrame =
+    targetEncode(
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)
+                .select("p_partkey", "p_brand")),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_extendedprice")),
+      "p_brand", "l_extendedprice")
+
+  /** Population Stability Index between a reference and a current
+    * sample of a numeric column — the drift monitor every deployed
+    * model runs: 10 buckets from the REFERENCE deciles, Laplace-
+    * smoothed shares ((c+1)/(n+10), so empty buckets stay finite),
+    * per-bucket `(p−q)·ln(p/q)` contributions and the
+    * order-independent micro-unit total. PSI < 0.1 stable, > 0.25
+    * action.
+    *
+    * Determinism: decile edges are `percentile` ≡ `quantile_cont`
+    * doubles; bucket assignment is `1 + Σ(v > edge)` on identical
+    * comparisons; counts integers. Scale: one percentile pass over
+    * the reference, one bucket-count reduction per side, 10-row
+    * report. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String): DataFrame = {
+    val es = (1 to 9).map(d => expr(s"percentile($valCol, 0.${d})").as(s"e$d"))
+    val edges = ref.agg(es.head, es.tail: _*)
+    def bucketed(df: DataFrame) = df.crossJoin(edges) // 1-row side
+      .select((lit(1) + (1 to 9).map(d =>
+        when(col(valCol) > col(s"e$d"), 1).otherwise(0)).reduce(_ + _))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val r = bucketed(ref).withColumnRenamed("c", "c_ref")
+    val c = bucketed(cur).withColumnRenamed("c", "c_cur")
+    val grid = ref.sparkSession.range(1, 11).select(col("id").cast("int").as("bucket"))
+    val tot = r.agg(sum(col("c_ref")).as("n_ref"))
+      .crossJoin(c.agg(sum(col("c_cur")).as("n_cur")))
+    val t = grid.join(r, Seq("bucket"), "left").join(c, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+      .crossJoin(tot) // 1-row side
+      .withColumn("p", (col("c_ref") + 1).cast("double") / (col("n_ref") + 10))
+      .withColumn("q", (col("c_cur") + 1).cast("double") / (col("n_cur") + 10))
+      .withColumn("psi_term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+    val total = t.agg(
+      (sum(round(col("psi_term") * 1e6).cast("decimal(38,0)")).cast("double") / 1e6)
+        .as("psi"))
+    t.select(col("bucket"), col("c_ref"), col("c_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        col("psi_term"))
+      .crossJoin(total) // 1-row side
+      .orderBy("bucket")
+  }
+
+  /** q_psi_drift: [[psiDrift]] of event value, first half of the
+    * month (day ≤ 15) as reference vs the rest as current. */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("value"), dayofmonth(col("ts")).as("dom"))
+    psiDrift(e.filter(col("dom") <= 15), e.filter(col("dom") > 15), "value")
+  }
 }

@@ -45,6 +45,18 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** XML round-trip via Spark 4's BUILT-IN xml source (the former
+    * spark-xml package merged into core): each row one `rowTag`
+    * element. XML is the interchange format feeds/dumps still arrive
+    * in (sitemaps, wiki dumps, PubMed) — schema-on-read with the same
+    * projection machinery as JSON. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).xml(path)
+
   /** Hive-style partitioned parquet: a filter on the partition column
     * prunes directories at planning time (PartitionFilters in the scan),
     * reading only matching files — the at-rest layout for selective

@@ -149,6 +149,10 @@ object ScaleCheck {
     "q_gini" -> 1.0,          // per-user reduction + keyed rank window
     "q_key_skew" -> 1.0,      // three single-column count reductions
     "q_ab_test" -> 1.0,       // per-user reduction + 2-row aggregate
+    "q_entity_resolution" -> 2.0, // fuzzy candidates (fixture-collision
+                              // caveat) + O(log d) CC on the pair graph
+    "q_target_encoding" -> 1.0, // one broadcast join + category reduction
+    "q_psi_drift" -> 1.0,     // percentile pass + two bucket reductions
   )
 
   def main(args: Array[String]): Unit = {

@@ -521,6 +521,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("l_comment") && !p.contains("l_extendedprice"), p)
   }
 
+  test("q_target_encoding: dim broadcast, one category reduction, 1-row prior side") {
+    val p = plan("q_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_psi_drift: bucket assignment rides the 1-row edges side, two count reductions") {
+    val p = plan("q_psi_drift")
+    assert(p.contains("partial_count"), p)
+    // the only nested loops are the 1-row edge/total sides
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_assoc_stats: corpus reduces once; all post-cell joins are bounded sides") {
     val p = plan("q_assoc_stats")
     // exactly one scan family feeds the cell reduction; margins and

@@ -34,6 +34,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(checksum(back) == checksum(li))
   }
 
+  test("xml round-trip preserves rows and sums (Spark 4 built-in source)") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val dir = Files.createTempDirectory("graft_xml").toString + "/li"
+    Formats.writeXml(li, dir)
+    val back = Formats.readXml(spark, dir, li.schema)
+    assert(checksum(back) == checksum(li))
+  }
+
   test("orc round-trip preserves rows and sums, with predicate pushdown") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
       .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")

@@ -56,6 +56,50 @@ class StringSimStatsSpec extends AnyFunSuite {
     assert(c.getDouble(5) == 0.0 && c.getDouble(6) == 1.0) // zero entropy
   }
 
+  test("resolveEntities: typo cluster merges transitively, stranger stays alone") {
+    val strs = Seq(
+      (1L, "kitten"), (2L, "mitten"), (3L, "mittens"), // chain: 1-2, 2-3
+      (5L, "zebra")
+    ).toDF("id", "s")
+    val r = ops.Fuzzy.resolveEntities(strs, "id", "s", minJw = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    // transitive closure: kitten~mitten~mittens one entity (canonical 1)
+    assert(r.filter(_._1 <= 3).forall(x => x._2 == 1L && x._3 == 3L))
+    assert(r.find(_._1 == 1L).get._4 && !r.find(_._1 == 2L).get._4)
+    assert(r.find(_._1 == 5L).get == ((5L, 5L, 1L, true)))
+  }
+
+  test("resolveEntities: the JW threshold splits what levenshtein alone would merge") {
+    // 'cat'~'cot' lev 1 but JW 0.777... < 0.9 → separate entities
+    val strs = Seq((1L, "cat"), (2L, "cot")).toDF("id", "s")
+    val r = ops.Fuzzy.resolveEntities(strs, "id", "s", minJw = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("targetEncode: rare category shrinks toward the prior") {
+    val df = (Seq.fill(1000)(("common", 10.0)) :+ ("rare", 1000.0))
+      .toDF("cat", "v")
+    val r = Graft.targetEncode(df, "cat", "v", m = 100.0).collect()
+      .map(x => x.getString(0) -> (x.getDouble(2), x.getDouble(4))).toMap
+    val prior = (1000 * 10.0 + 1000.0) / 1001
+    assert(math.abs(r("rare")._1 - 1000.0) < 1e-9)       // raw mean
+    val exp = (1000.0 + 100 * prior) / (1 + 100)
+    assert(math.abs(r("rare")._2 - exp) < 1e-4)           // shrunk hard
+    assert(math.abs(r("common")._2 - 10.0) < 0.2)         // barely moves
+  }
+
+  test("psiDrift: identical distributions score ~0, a shifted one doesn't") {
+    val ref = (1 to 1000).map(i => ("r", i.toDouble)).toDF("g", "v")
+    val same = ops.Profile.psiDrift(ref, ref, "v").collect()
+    assert(same.head.getDouble(same.head.fieldIndex("psi")) == 0.0)
+    val shifted = (1 to 1000).map(i => ("c", i.toDouble + 500)).toDF("g", "v")
+    val drift = ops.Profile.psiDrift(ref, shifted, "v").collect()
+    assert(drift.head.getDouble(drift.head.fieldIndex("psi")) > 0.25)
+    assert(drift.length == 10)
+  }
+
   private def ts(s: String) = Timestamp.valueOf(s)
 
   test("abTest: hand-computed z on a 2x2 and the degenerate guard") {
