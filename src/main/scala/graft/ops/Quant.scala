@@ -250,10 +250,15 @@ object Quant {
     * quantize, integer dot, identical descale association), so the
     * integer columns hash-match exactly and the double ranking is
     * bit-identical. */
+  // every 127.0 literal is ::DOUBLE — DuckDB otherwise types it
+  // DECIMAL and runs the FLOAT max_abs arithmetic in single
+  // precision, which diverged from Spark's double math by 2e-8 at
+  // sf1 and flipped a 6-dp rounding (CORRECTNESS-sf1 round-8 find)
   val oracleSql: String =
     """WITH q AS (
       |  SELECT vec_id, max_abs,
-      |    CASE WHEN max_abs > 0 THEN 127.0 / max_abs ELSE 0.0 END AS scale,
+      |    CASE WHEN max_abs > 0 THEN 127.0::DOUBLE / max_abs
+      |         ELSE 0.0::DOUBLE END AS scale,
       |    embedding
       |  FROM (SELECT vec_id, embedding,
       |          list_max(list_transform(embedding, x -> abs(x))) AS max_abs
@@ -261,7 +266,7 @@ object Quant {
       |qv AS (
       |  SELECT vec_id, max_abs,
       |    list_transform(embedding,
-      |      x -> CAST(floor(x * scale + 0.5) AS INT)) AS qvec
+      |      x -> CAST(floor(x * scale + 0.5::DOUBLE) AS INT)) AS qvec
       |  FROM q),
       |p AS (SELECT vec_id AS probe_id, qvec AS pvec, max_abs AS max_abs_p
       |      FROM qv WHERE vec_id < 5),
@@ -269,7 +274,8 @@ object Quant {
       |  SELECT probe_id, vec_id,
       |    CAST(list_dot_product(pvec, qvec) AS BIGINT) AS qdot,
       |    CAST(list_dot_product(pvec, qvec) AS DOUBLE)
-      |      * (max_abs_p / 127.0) * (max_abs / 127.0) AS approx
+      |      * (CAST(max_abs_p AS DOUBLE) / 127.0::DOUBLE)
+      |      * (CAST(max_abs AS DOUBLE) / 127.0::DOUBLE) AS approx
       |  FROM qv CROSS JOIN p WHERE vec_id <> probe_id),
       |r AS (
       |  SELECT probe_id, vec_id, qdot, approx,

@@ -364,13 +364,21 @@ object Sql {
     * and year — the 6-relation join where lineitem joins partsupp on
     * the COMPOSITE (partkey, suppkey) key, the only two-column join
     * key in the suite. */
+  /** Profit is summed in INTEGER CENTS (the q11 discipline): each
+    * per-row amount rounds to 2 dp on identical doubles, scales ×100
+    * into DECIMAL(38,0), and the sum is order-independent. The raw
+    * `round(sum(amount), 2)` form flipped a half-cent at sf1
+    * (−4695860.18 vs .19 — the 9-digit sum's last ulps straddle the
+    * boundary), the exact failure q_sql_q11 had at sf0.01. */
   def q9Template(rnd: String => String): String =
     s"""WITH $psCte
-       |SELECT nation, o_year, ${rnd("sum(amount)")} AS sum_profit
+       |SELECT nation, o_year,
+       |       CAST(sum(amount_cents) AS DOUBLE) / 100 AS sum_profit
        |FROM (
        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       |         l_extendedprice * (1 - l_discount)
-       |           - ps_supplycost * l_quantity AS amount
+       |         CAST(round(${rnd("l_extendedprice * (1 - l_discount)" +
+                                  " - ps_supplycost * l_quantity")} * 100)
+       |              AS DECIMAL(38,0)) AS amount_cents
        |  FROM part, supplier, lineitem, partsupp, orders, nation
        |  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
        |    AND ps_partkey = l_partkey AND p_partkey = l_partkey
