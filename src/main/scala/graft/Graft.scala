@@ -715,6 +715,24 @@ object Graft {
   def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String): DataFrame =
     ops.Profile.psiDrift(ref, cur, valCol)
 
+  /** Interval union per key: merged-island count + total covered
+    * microseconds from overlapping [s, e] timestamp intervals. */
+  def intervalUnion(iv: DataFrame): DataFrame =
+    ops.Relational.intervalUnion(iv)
+
+  /** Exact equi-join cardinality prediction from the two key-count
+    * tables (Σ c_l(k)·c_r(k)) plus the heaviest key's contribution —
+    * the pre-shuffle salting diagnostic. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      withActual: Boolean = true): DataFrame =
+    ops.Profile.joinCardinality(left, leftKey, right, rightKey, withActual)
+
+  /** Equi-depth decile binning of a numeric column with per-bin
+    * cent-exact target means. */
+  def quantileBins(df: DataFrame, valCol: String, targetCol: String): DataFrame =
+    ops.Profile.quantileBins(df, valCol, targetCol)
+
   /** Native Jaro–Winkler similarity column (codegen expression;
     * register functions first or build with GraftExtensions). */
   def jaroWinkler(a: org.apache.spark.sql.Column,

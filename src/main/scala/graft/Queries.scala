@@ -77,9 +77,31 @@ object Queries {
     "q_join_skew"      -> (Relational.qJoinSkew _),
     "q_join_interval"  -> (Relational.qJoinInterval _),
     "q_skyline"        -> (Relational.qSkyline _),
+    "q_interval_union" -> (Relational.qIntervalUnion _),
   )
 
   val relationalOracle: Map[String, String] = Map(
+    // mirrors Relational.intervalUnion: integer-µs window arithmetic,
+    // running-max island detection, identical (su, eu) order
+    "q_interval_union" ->
+      s"""WITH iv AS (SELECT user_id AS key, epoch_us($TS) AS su,
+         |              epoch_us($TS + INTERVAL 5 MINUTE) AS eu FROM events),
+         |m AS (SELECT key, su, eu,
+         |        max(eu) OVER (PARTITION BY key ORDER BY su, eu
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |      FROM iv),
+         |b AS (SELECT key, su, eu,
+         |        CASE WHEN pme IS NULL OR su > pme THEN 1 ELSE 0 END AS brk
+         |      FROM m),
+         |i AS (SELECT key, su, eu,
+         |        sum(brk) OVER (PARTITION BY key ORDER BY su, eu
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM b),
+         |g AS (SELECT key, island, min(su) AS i_start, max(eu) AS i_end
+         |      FROM i GROUP BY 1, 2)
+         |SELECT key, count(*) AS n_islands,
+         |  sum(i_end - i_start)::BIGINT AS covered_us
+         |FROM g GROUP BY key ORDER BY key""".stripMargin,
     // deliberately NOT the engine's sweep-line formulation: the oracle
     // states the raw dominance definition (reduced only by "a dominator
     // exists iff a (date, min-price-at-date) dominator exists" — the
@@ -1229,6 +1251,8 @@ object Queries {
     "q_entity_resolution"   -> (Fuzzy.qEntityResolution _),
     "q_target_encoding"     -> (Profile.qTargetEncoding _),
     "q_psi_drift"           -> (Profile.qPsiDrift _),
+    "q_join_cardinality"    -> (Profile.qJoinCardinality _),
+    "q_quantile_bins"       -> (Profile.qQuantileBins _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "q_resample"            -> (Events.qResample _),
     "q_unpivot"             -> (Aggregates.qUnpivot _),
@@ -1391,6 +1415,41 @@ object Queries {
          |        (PARTITION BY id ORDER BY jw DESC, m ASC) AS rn FROM s)
          |SELECT id, name, m AS best_match, jw FROM r WHERE rn = 1
          |ORDER BY id""".stripMargin,
+    // mirrors Profile.joinCardinality: all-integer key-count algebra
+    "q_join_cardinality" ->
+      """WITH lc AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1),
+        |rc AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1),
+        |j AS (SELECT lc.k, cl * cr AS contrib FROM lc JOIN rc ON lc.k = rc.k),
+        |p AS (SELECT sum(contrib)::BIGINT AS predicted_rows,
+        |        count(*) AS overlap_keys, max(contrib)::BIGINT AS max_key_contrib
+        |      FROM j),
+        |s AS (SELECT (SELECT sum(cl)::BIGINT FROM lc) AS n_left,
+        |             (SELECT count(*) FROM lc) AS keys_left,
+        |             (SELECT sum(cr)::BIGINT FROM rc) AS n_right,
+        |             (SELECT count(*) FROM rc) AS keys_right),
+        |a AS (SELECT count(*) AS actual_rows
+        |      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT n_left, keys_left, n_right, keys_right, overlap_keys,
+        |       predicted_rows, max_key_contrib, actual_rows
+        |FROM p, s, a""".stripMargin,
+    // mirrors Profile.quantileBins: reference-decile bin edges, cent-
+    // exact target sums
+    "q_quantile_bins" -> {
+      val eds = (1 to 9).map(d => s"quantile_cont(l_quantity, 0.$d) AS e$d")
+        .mkString(", ")
+      val bexpr = "1 + " + (1 to 9)
+        .map(d => s"(CASE WHEN l_quantity > e$d THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ed AS (SELECT $eds FROM lineitem),
+         |b AS (SELECT $bexpr AS bin, l_quantity AS v, l_extendedprice AS t
+         |      FROM lineitem, ed),
+         |g AS (SELECT bin, count(*) AS n, min(v) AS vmin, max(v) AS vmax,
+         |        sum(CAST(round(t * 100) AS DECIMAL(38,0)))::DOUBLE / 100 AS ts
+         |      FROM b GROUP BY bin)
+         |SELECT bin, n, ${rnd("vmin", 6)} AS v_min, ${rnd("vmax", 6)} AS v_max,
+         |  ${rnd("ts / n", 6)} AS target_mean
+         |FROM g ORDER BY bin""".stripMargin
+    },
     // mirrors Fuzzy.resolveEntities: the SAME edge set (levenshtein
     // gate + 6-dp-rounded JW threshold — bit-identical scores on both
     // engines), closed by a recursive-CTE reachability with min-label

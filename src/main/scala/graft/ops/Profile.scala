@@ -364,4 +364,78 @@ object Profile {
       .select(col("value"), dayofmonth(col("ts")).as("dom"))
     psiDrift(e.filter(col("dom") <= 15), e.filter(col("dom") > 15), "value")
   }
+
+  /** Exact join-cardinality prediction — the planner diagnostic that
+    * pairs with [[keySkew]]: the equi-join's output size is EXACTLY
+    * `Σ_k c_left(k)·c_right(k)`, computable from the two key-count
+    * tables (each a partial-agg reduction) without running the join.
+    * Reports predicted rows, both sides' totals/distinct keys, the
+    * overlap key count, and the single heaviest key's contribution —
+    * the number that says "salt this" before a 100 TB shuffle.
+    *
+    * The verification column `actual_rows` (the real join count)
+    * makes the query self-checking; a production caller reads only
+    * the prediction side. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+                      right: DataFrame, rightKey: String,
+                      withActual: Boolean = true): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    val j = lc.join(rc, "k")
+      .select(col("k"), (col("cl") * col("cr")).as("contrib"))
+    val pred = j.agg(
+      sum(col("contrib")).as("predicted_rows"),
+      count(lit(1)).as("overlap_keys"),
+      max(col("contrib")).as("max_key_contrib"))
+    val sides = lc.agg(sum("cl").as("n_left"), count(lit(1)).as("keys_left"))
+      .crossJoin(rc.agg(sum("cr").as("n_right"), count(lit(1)).as("keys_right")))
+    val base = pred.crossJoin(sides) // 1-row sides
+    val out = if (withActual) {
+      val actual = left.join(right, col(leftKey) === col(rightKey))
+        .agg(count(lit(1)).as("actual_rows"))
+      base.crossJoin(actual)
+    } else base.withColumn("actual_rows", col("predicted_rows"))
+    out.select(col("n_left"), col("keys_left"), col("n_right"),
+      col("keys_right"), col("overlap_keys"), col("predicted_rows"),
+      col("max_key_contrib"), col("actual_rows"))
+  }
+
+  /** q_join_cardinality: [[joinCardinality]] of orders ⨝ lineitem on
+    * the order key, with the actual count as the in-query check. */
+  def qJoinCardinality(spark: SparkSession, dir: String): DataFrame =
+    joinCardinality(Tables.orders(spark, dir), "o_orderkey",
+                    Tables.lineitem(spark, dir), "l_orderkey")
+
+  /** Equi-depth binning report of a numeric column against a target —
+    * the "feature vs target" table read before any model fit: decile
+    * edges from `percentile`, per-bin row count and cent-exact target
+    * mean. Bin edges are shared-quantile doubles; assignment is the
+    * same `1 + Σ(v > edge)` comparison chain on both engines.
+    *
+    * Scale: one percentile pass + one binned reduction; the report is
+    * 10 rows. */
+  def quantileBins(df: DataFrame, valCol: String, targetCol: String): DataFrame = {
+    val es = (1 to 9).map(d => expr(s"percentile($valCol, 0.${d})").as(s"e$d"))
+    val edges = df.agg(es.head, es.tail: _*)
+    df.crossJoin(edges) // 1-row side
+      .select(
+        (lit(1) + (1 to 9).map(d =>
+          when(col(valCol) > col(s"e$d"), 1).otherwise(0)).reduce(_ + _))
+          .as("bin"),
+        col(valCol).as("v"), col(targetCol).as("t"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+           round(min(col("v")), 6).as("v_min"),
+           round(max(col("v")), 6).as("v_max"),
+           (sum(round(col("t") * 100).cast("decimal(38,0)"))
+             .cast("double") / 100).as("ts"))
+      .select(col("bin"), col("n"), col("v_min"), col("v_max"),
+              round(col("ts") / col("n"), 6).as("target_mean"))
+      .orderBy("bin")
+  }
+
+  /** q_quantile_bins: [[quantileBins]] of l_quantity vs
+    * l_extendedprice — price read along quantity deciles. */
+  def qQuantileBins(spark: SparkSession, dir: String): DataFrame =
+    quantileBins(Tables.lineitem(spark, dir), "l_quantity", "l_extendedprice")
 }

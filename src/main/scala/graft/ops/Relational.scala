@@ -431,4 +431,42 @@ object Relational {
       "l_extendedprice", "l_shipdate")
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
       .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+
+  /** Interval union (coverage) per key — the OTHER gaps-and-islands
+    * problem next to sessionization: merge overlapping [start, end]
+    * intervals and report, per key, how many merged islands remain
+    * and the total covered microseconds. The classic window solution:
+    * a running max of interval ends ordered by start detects island
+    * breaks (an interval whose start exceeds every previous end
+    * opens a new island), a running sum of breaks numbers them, and
+    * one aggregate per island measures it — one shuffle on the key,
+    * two window passes, integer-µs arithmetic end to end.
+    *
+    * Input: (key, s, e) timestamps with s ≤ e. */
+  def intervalUnion(iv: DataFrame): DataFrame = {
+    val us = (c: org.apache.spark.sql.Column) =>
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    val w = Window.partitionBy("key").orderBy(col("su").asc, col("eu").asc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    iv.select(col("key"), us(col("s")).as("su"), us(col("e")).as("eu"))
+      .withColumn("prev_max_e", max(col("eu")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull || col("su") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("key", "island")
+      .agg(min(col("su")).as("i_start"), max(col("eu")).as("i_end"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_islands"),
+           sum(col("i_end") - col("i_start")).as("covered_us"))
+      .orderBy("key")
+  }
+
+  /** q_interval_union: per user, total engaged time when every event
+    * opens a 5-minute activity window — overlapping windows merge. */
+  def qIntervalUnion(spark: SparkSession, dir: String): DataFrame =
+    intervalUnion(graft.Tables.events(spark, dir)
+      .select(col("user_id").as("key"), col("ts").as("s"),
+              (col("ts") + expr("INTERVAL 5 MINUTES")).as("e")))
 }

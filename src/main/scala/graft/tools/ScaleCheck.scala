@@ -153,6 +153,9 @@ object ScaleCheck {
                               // caveat) + O(log d) CC on the pair graph
     "q_target_encoding" -> 1.0, // one broadcast join + category reduction
     "q_psi_drift" -> 1.0,     // percentile pass + two bucket reductions
+    "q_interval_union" -> 1.0, // one key shuffle + two windows
+    "q_join_cardinality" -> 1.0, // two count reductions + actual join
+    "q_quantile_bins" -> 1.0, // percentile pass + one binned reduction
   )
 
   def main(args: Array[String]): Unit = {

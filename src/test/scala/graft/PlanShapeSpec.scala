@@ -535,6 +535,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_interval_union: one key shuffle, two window passes, no join at all") {
+    val p = plan("q_interval_union")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_join_cardinality: prediction runs on the two REDUCED count tables") {
+    val p = plan("q_join_cardinality")
+    // both sides partial-agg to key counts before the prediction join
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_assoc_stats: corpus reduces once; all post-cell joins are bounded sides") {
     val p = plan("q_assoc_stats")
     // exactly one scan family feeds the cell reduction; margins and
