@@ -715,6 +715,11 @@ object Graft {
   def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String): DataFrame =
     ops.Profile.psiDrift(ref, cur, valCol)
 
+  /** Rolling distinct actives: DAU plus trailing `window`-day active
+    * users per report day (WAU/MAU), via bounded fan-out explode. */
+  def rollingActives(events: DataFrame, window: Int = 7): DataFrame =
+    ops.Events.rollingActives(events, window)
+
   /** Interval union per key: merged-island count + total covered
     * microseconds from overlapping [s, e] timestamp intervals. */
   def intervalUnion(iv: DataFrame): DataFrame =

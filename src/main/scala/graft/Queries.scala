@@ -549,6 +549,7 @@ object Queries {
     "q_rolling_median"  -> (Events.qRollingMedian _),
     "q_seasonal_anomaly" -> (Events.qSeasonalAnomaly _),
     "q_robust_z"        -> (Events.qRobustZ _),
+    "q_rolling_active"  -> (Events.qRollingActive _),
     "q_rfm"             -> (Analytics.qRfm _),
     "q_market_basket"   -> (Analytics.qMarketBasket _),
     "q_cusum"           -> (Analytics.qCusum _),
@@ -588,6 +589,20 @@ object Queries {
                   "* (epoch_us(hr) - epoch_us(ph))::DOUBLE " +
                   "/ (epoch_us(nh) - epoch_us(ph))::DOUBLE END", 6)} AS v_lerp
          |FROM f ORDER BY event_type, hr""".stripMargin,
+    // mirrors Events.rollingActives: bounded fan-out explode of
+    // user-day facts, all-integer counts
+    "q_rolling_active" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', $TS) AS d
+         |            FROM events),
+         |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+         |sp AS (SELECT date_trunc('day', max($TS)) AS d1 FROM events),
+         |co AS (SELECT DISTINCT user_id,
+         |         unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS rd
+         |       FROM ud),
+         |ag AS (SELECT rd AS d, count(*) AS active_w FROM co GROUP BY rd)
+         |SELECT ag.d::DATE AS d, coalesce(dau.dau, 0) AS dau, ag.active_w
+         |FROM ag CROSS JOIN sp LEFT JOIN dau ON ag.d = dau.d
+         |WHERE ag.d <= sp.d1 ORDER BY d""".stripMargin,
     // mirrors Analytics.abTest: integer conversion counts, one shared
     // pooled-z division/sqrt tree
     "q_ab_test" ->

@@ -621,4 +621,47 @@ object Events {
   /** q_robust_z: [[robustOutliers]] at the standard 3.5 cut. */
   def qRobustZ(spark: SparkSession, dir: String): DataFrame =
     robustOutliers(Tables.events(spark, dir))
+
+  /** Rolling distinct active users — DAU plus trailing `windows`-day
+    * actives (the WAU/MAU product metric). A naive per-day
+    * `count(distinct)` over a RANGE frame re-scans the window per
+    * day; the scale shape instead EXPLODES each (user, active-day)
+    * fact into the ≤w report days it contributes to (bounded
+    * fan-out w), then one distinct + one count per report day —
+    * shuffle volume w × user-day facts, independent of raw event
+    * volume after the first reduction.
+    *
+    * Report days cover the observed span only; a trailing window may
+    * extend before the first day (partial by definition, like every
+    * production dashboard's left edge). */
+  def rollingActives(events: DataFrame, window: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val dau = userDays.groupBy("d").agg(count(lit(1)).as("dau"))
+    val span = events.agg(date_trunc("day", min(col("ts"))).as("d0"),
+                          date_trunc("day", max(col("ts"))).as("d1"))
+    // each active day contributes to the next `window` report days;
+    // days past the observed span are pruned by the 1-row span join
+    val contrib = userDays
+      .select(col("user_id"),
+        explode(sequence(col("d"),
+          col("d") + expr(s"INTERVAL ${window - 1} DAYS"),
+          expr("INTERVAL 1 DAY"))).as("rd"))
+      .distinct()
+    contrib.groupBy(col("rd").as("d"))
+      .agg(count(lit(1)).as("active_w"))
+      .crossJoin(span) // 1-row side
+      .filter(col("d") <= col("d1"))
+      .join(dau, Seq("d"), "left")
+      .select(col("d").cast("date").as("d"),
+              coalesce(col("dau"), lit(0L)).as("dau"),
+              col("active_w"))
+      .orderBy("d")
+  }
+
+  /** q_rolling_active: [[rollingActives]] with the 7-day window —
+    * DAU + WAU per day. */
+  def qRollingActive(spark: SparkSession, dir: String): DataFrame =
+    rollingActives(Tables.events(spark, dir))
 }

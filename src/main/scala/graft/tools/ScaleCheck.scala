@@ -156,6 +156,7 @@ object ScaleCheck {
     "q_interval_union" -> 1.0, // one key shuffle + two windows
     "q_join_cardinality" -> 1.0, // two count reductions + actual join
     "q_quantile_bins" -> 1.0, // percentile pass + one binned reduction
+    "q_rolling_active" -> 1.0, // user-day reduction + bounded w fan-out
   )
 
   def main(args: Array[String]): Unit = {

@@ -36,6 +36,25 @@ class IntervalCardSpec extends AnyFunSuite {
     assert(r.getLong(1) == 1L && r.getLong(2) == 20L * 60 * 1000000)
   }
 
+  test("rollingActives: WAU unions the trailing week's distinct users") {
+    // u1 active day 1; u2 active days 1 and 9; u3 active day 3
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "x", 1.0, 1L),
+      (2L, ts("2024-01-01 11:00:00"), "x", 1.0, 2L),
+      (3L, ts("2024-01-03 10:00:00"), "x", 1.0, 3L),
+      (4L, ts("2024-01-09 10:00:00"), "x", 1.0, 2L),
+      (5L, ts("2024-01-09 12:00:00"), "x", 1.0, 2L) // same user-day: no double count
+    ).toDF("event_id", "ts", "event_type", "value", "user_id")
+    val r = Graft.rollingActives(e, window = 7).collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("2024-01-01") == ((2L, 2L)))
+    assert(r("2024-01-03") == ((1L, 3L))) // u1+u2 (day1) + u3
+    assert(r("2024-01-07") == ((0L, 3L))) // day1+day3 still in window
+    assert(r("2024-01-08") == ((0L, 1L))) // day1 aged out; u3 remains
+    assert(r("2024-01-09") == ((1L, 2L))) // u3 (day3) + u2 returning
+    assert(!r.contains("2024-01-10"))     // past the observed span
+  }
+
   test("joinCardinality: prediction equals the actual join size exactly") {
     val l = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w")).toDF("k", "p")
     val r = Seq((1L, "a"), (1L, "b"), (1L, "c"), (3L, "d"), (9L, "e"))
