@@ -1411,7 +1411,8 @@ object Queries {
          |  FROM t)
          |SELECT a, b, n, ${rnd("expected", 6)} AS expected, chi2_term, mi_term,
          |  chi2_total, mi_total,
-         |  ${rnd("sqrt(chi2_total / (nn0 * (minrc0 - 1)))", 6)} AS cramers_v
+         |  CASE WHEN minrc0 <= 1 THEN 0.0::DOUBLE ELSE
+         |    ${rnd("sqrt(chi2_total / (nn0 * (minrc0 - 1)))", 6)} END AS cramers_v
          |FROM t, tot ORDER BY a, b""".stripMargin,
     "q_html_extract" -> Html.oracleSql,
     "q_sssp" -> Graph.ssspOracleSql(coocCtes),

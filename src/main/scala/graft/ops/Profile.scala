@@ -109,7 +109,10 @@ object Profile {
       first(col("nn")).as("nn0"),
       first(least(col("ra"), col("rb"))).as("minrc"))
       .select(col("chi2_total"), col("mi_total"),
-        round(sqrt(col("chi2_total") / (col("nn0") * (col("minrc") - 1))), 6)
+        // single-category input: min(R,C) = 1 zeroes the denominator
+        // (and χ² is definitionally 0) — report V = 0, don't divide
+        when(col("minrc") <= 1, lit(0.0)).otherwise(
+          round(sqrt(col("chi2_total") / (col("nn0") * (col("minrc") - 1))), 6))
           .as("cramers_v"))
     t.select(col("a"), col("b"), col("n"),
              round(col("expected"), 6).as("expected"),

@@ -267,4 +267,64 @@ class EdgeCasesSpec extends AnyFunSuite {
     val (model, default) = Graft.dsirModel(docs, never)
     assert(!default.isNaN && model.values.forall(v => !v.isNaN))
   }
+
+  // ---- r8 operators on empty / degenerate inputs ----
+
+  private def emptyEvents =
+    Seq.empty[(Long, java.sql.Timestamp, String, Double, Long)]
+      .toDF("event_id", "ts", "event_type", "value", "user_id")
+
+  test("r8 event-time family: empty event stream -> empty reports, no crash") {
+    assert(Graft.gapFillHourly(emptyEvents).count() === 0)
+    assert(Graft.ewmaDaily(emptyEvents).count() === 0)
+    assert(Graft.rollingQuantilesDaily(emptyEvents).count() === 0)
+    assert(Graft.seasonalAnomaly(emptyEvents).count() === 0)
+    assert(Graft.robustOutliers(emptyEvents).count() === 0)
+    assert(Graft.cusum(emptyEvents).count() === 0)
+    assert(Graft.rollingActives(emptyEvents).count() === 0)
+    assert(Graft.rfm(emptyEvents).count() === 0)
+    assert(Graft.marketBasket(emptyEvents).count() === 0)
+  }
+
+  test("r8 fuzzy family: empty and single-string inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(Graft.fuzzyPairs(empty, "id", "s").count() === 0)
+    assert(Graft.resolveEntities(empty, "id", "s").count() === 0)
+    val one = Seq((1L, "alone")).toDF("id", "s")
+    assert(Graft.fuzzyPairs(one, "id", "s").count() === 0)
+    val r = Graft.resolveEntities(one, "id", "s").collect()
+    assert(r.length == 1 && r.head.getLong(2) == 1L && r.head.getBoolean(4))
+  }
+
+  test("r8 profile family: empty and constant inputs behave") {
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    assert(Graft.assocStats(empty, "a", "b").count() === 0)
+    val emptyNum = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(Graft.gini(emptyNum, "g", "id", "v").count() === 0)
+    assert(Graft.winsorize(emptyNum, "g", "v").count() === 0)
+    assert(Graft.benford(Seq.empty[Double].toDF("v"), "v").count() === 0)
+    // single-category association: minrc = 1 → V divides by zero →
+    // must be null/NaN-free handling or a defined degenerate
+    val mono = Seq(("x", "y"), ("x", "y")).toDF("a", "b")
+    val m = Graft.assocStats(mono, "a", "b").collect()
+    assert(m.length == 1 && m.head.getDouble(m.head.fieldIndex("chi2_total")) == 0.0)
+  }
+
+  test("r8 sssp/modularity: empty graphs") {
+    val e = Seq.empty[(String, String, Long)].toDF("src", "dst", "cost")
+    assert(Graft.sssp(e, Seq.empty[String].toDF("node")).count() === 0)
+    assert(Graft.modularity(
+      Seq.empty[(String, String)].toDF("src", "dst"),
+      Seq.empty[(String, String)].toDF("node", "community")).count() === 0)
+  }
+
+  test("r8 binning/drift: constant column degenerates cleanly") {
+    // all-equal values: every quantile edge identical → one bin
+    val const = Seq.fill(100)((5.0, 1.0)).toDF("v", "t")
+    val bins = Graft.quantileBins(const, "v", "t").collect()
+    assert(bins.map(_.getLong(1)).sum == 100L)
+    assert(bins.length == 1 && bins.head.getInt(0) == 1)
+    val psi = Graft.psiDrift(const, const, "v").collect()
+    assert(psi.head.getDouble(psi.head.fieldIndex("psi")) == 0.0)
+  }
 }
