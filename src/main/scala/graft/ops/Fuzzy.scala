@@ -104,6 +104,31 @@ object Fuzzy {
       .select("id_a", "s_a", "id_b", "s_b", "dist").distinct()
   }
 
+  /** The customer fuzzy-pair table, MATERIALIZED once per corpus —
+    * the [[Dedup]] token-set-table discipline: q_fuzzy_join,
+    * q_jaro_sim and q_entity_resolution all consume the same
+    * d=1 pair stream, and each independently re-paying the
+    * deletion-signature join (~1.5 s at sf0.1, ~70 s at the sf1
+    * collision fixture) triples the suite cost for identical bytes.
+    * Content-keyed: mutating the customer table re-fingerprints and
+    * rebuilds ([[IndexCache]]). */
+  private val customerPairPaths =
+    new IndexCache[String]("customer", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_fuzzy_pairs").toString +
+        "/fuzzy_pairs.parquet"
+      fuzzyPairs(
+        Tables.customer(s, d).select(col("c_custkey").as("id"),
+                                     col("c_name").as("s")),
+        "id", "s", maxDist = 1)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private[graft] def customerFuzzyPairs(spark: SparkSession,
+                                        dir: String): DataFrame =
+    spark.read.parquet(customerPairPaths.get(spark, dir))
+
   /** q_jaro_sim: the [[fuzzyPairs]] candidates re-scored by the
     * native Jaro–Winkler expression
     * ([[graft.functions.JaroWinklerSim]]): per name, its best fuzzy
@@ -113,9 +138,7 @@ object Fuzzy {
     * per name. */
   def qJaroSim(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
-    val names = Tables.customer(spark, dir)
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
-    val pairs = fuzzyPairs(names, "id", "s", maxDist = 1)
+    val pairs = customerFuzzyPairs(spark, dir)
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("s_a").as("name"), col("s_b").as("m")),
         struct(col("id_b").as("id"), col("s_b").as("name"), col("s_a").as("m"))))
@@ -145,10 +168,18 @@ object Fuzzy {
     * set is bit-identical across engines, so the clustering is too. */
   def resolveEntities(strs: DataFrame, idCol: String, strCol: String,
                       maxDist: Int = 1, minJw: Double = 0.9): DataFrame = {
-    val spark = strs.sparkSession
-    graft.functions.GraftFunctions.registerAll(spark)
     val ids = strs.select(col(idCol).as("id"), col(strCol).as("s"))
-    val edges = fuzzyPairs(ids, "id", "s", maxDist)
+    resolveEntitiesFromPairs(ids, fuzzyPairs(ids, "id", "s", maxDist), minJw)
+  }
+
+  /** [[resolveEntities]] over a PRE-BUILT pair stream (e.g. the
+    * materialized per-corpus table) — blocking paid once, shared by
+    * every consumer. */
+  def resolveEntitiesFromPairs(ids: DataFrame, pairs: DataFrame,
+                               minJw: Double): DataFrame = {
+    val spark = ids.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark)
+    val edges = pairs
       .filter(round(graft.functions.StringSimilarity
         .jaroWinkler(col("s_a"), col("s_b")), 6) >= minJw)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -163,11 +194,13 @@ object Fuzzy {
       .orderBy("id")
   }
 
-  /** q_entity_resolution: [[resolveEntities]] over customer names. */
+  /** q_entity_resolution: [[resolveEntitiesFromPairs]] over the
+    * MATERIALIZED customer pair table. */
   def qEntityResolution(spark: SparkSession, dir: String): DataFrame =
-    resolveEntities(
-      Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
-      "c_custkey", "c_name")
+    resolveEntitiesFromPairs(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("s")),
+      customerFuzzyPairs(spark, dir), minJw = 0.9)
 
   /** q_fuzzy_join: customer names within edit distance 1 of each
     * other (single-digit typos in the `Customer#NNNNNNNNN` keyspace),
@@ -175,9 +208,7 @@ object Fuzzy {
     * lexicographically smallest one. Symmetric — each surviving pair
     * counts for both endpoints. */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.customer(spark, dir)
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
-    val pairs = fuzzyPairs(names, "id", "s", maxDist = 1)
+    val pairs = customerFuzzyPairs(spark, dir)
     // symmetrize by exploding each pair into its two endpoint rows —
     // a unionAll of two selects over `pairs` would EXECUTE the whole
     // candidate join twice (measured: the entire 2× suite cost of

@@ -436,10 +436,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
-  test("q_fuzzy_join: signature equi-join, never a string cross join") {
+  test("q_fuzzy_join: reads the MATERIALIZED pair table; no cross join anywhere") {
     val p = plan("q_fuzzy_join")
-    // candidate generation joins on the deletion signature (equi);
-    // the naive all-pairs definition must never appear in the plan
+    // the pair stream is built once per corpus (IndexCache) and
+    // arrives as a parquet scan shared with q_jaro_sim and
+    // q_entity_resolution
+    assert(p.contains("FileScan parquet"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("fuzzyPairs BUILD: signature equi-join, never a string cross join") {
+    // the pair-table build itself (what the cache materializes): the
+    // candidate join must be equi on the deletion signature — the
+    // naive all-pairs definition must never appear
+    import spark.implicits._
+    val strs = Seq((1L, "kitten"), (2L, "mitten")).toDF("id", "s")
+    val p = graft.ops.Fuzzy.fuzzyPairs(strs, "id", "s")
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), p)
