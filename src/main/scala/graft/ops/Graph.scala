@@ -951,13 +951,30 @@ object Graph {
       .distinct()
       .localCheckpoint()
     var dist = seedNodes.withColumn("dist", lit(0L)).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // convergence scalar: reached-count and total distance; distances
+    // only DECREASE and the reached set only GROWS under min
+    // relaxation, so an unchanged (count, sum) pair means a fixpoint —
+    // and a fixpoint is final (further rounds are idempotent), so
+    // early exit returns EXACTLY the fixed-round result. Sum carried
+    // in DECIMAL(38,0): the CC overflow-safe discipline.
+    def scalar(d: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+      val r = d.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = scalar(dist)
+    var done = false
+    var k = 0
+    while (k < rounds && !done) {
       val relaxed = dist
         .join(edges, dist("node") === edges("src"))
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint(false)
+      val cur = scalar(dist)
+      if (cur == prev) done = true
+      prev = cur
+      k += 1
     }
     nodes.join(dist, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
