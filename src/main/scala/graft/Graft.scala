@@ -720,6 +720,11 @@ object Graft {
   def rollingActives(events: DataFrame, window: Int = 7): DataFrame =
     ops.Events.rollingActives(events, window)
 
+  /** Lag-k autocorrelation (k = 1..maxLag) of the daily cent-exact
+    * value series per event type; NULL on zero variance. */
+  def autocorrDaily(events: DataFrame, maxLag: Int = 7): DataFrame =
+    ops.Events.autocorrDaily(events, maxLag)
+
   /** Interval union per key: merged-island count + total covered
     * microseconds from overlapping [s, e] timestamp intervals. */
   def intervalUnion(iv: DataFrame): DataFrame =

@@ -550,6 +550,7 @@ object Queries {
     "q_seasonal_anomaly" -> (Events.qSeasonalAnomaly _),
     "q_robust_z"        -> (Events.qRobustZ _),
     "q_rolling_active"  -> (Events.qRollingActive _),
+    "q_autocorr"        -> (Events.qAutocorr _),
     "q_rfm"             -> (Analytics.qRfm _),
     "q_market_basket"   -> (Analytics.qMarketBasket _),
     "q_cusum"           -> (Analytics.qCusum _),
@@ -589,6 +590,30 @@ object Queries {
                   "* (epoch_us(hr) - epoch_us(ph))::DOUBLE " +
                   "/ (epoch_us(nh) - epoch_us(ph))::DOUBLE END", 6)} AS v_lerp
          |FROM f ORDER BY event_type, hr""".stripMargin,
+    // mirrors Events.autocorrDaily: Pearson r from exact integer-cent
+    // sums, one closed-form double expression, NULL on zero variance
+    "q_autocorr" ->
+      s"""WITH d AS (SELECT event_type, date_trunc('day', $TS) AS dy,
+         |             sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS vc
+         |           FROM events GROUP BY 1, 2),
+         |ks AS (SELECT unnest(generate_series(1, 7))::INT AS k),
+         |p AS (SELECT a.event_type, ks.k, a.vc AS x, b.vc AS y
+         |      FROM d a CROSS JOIN ks
+         |      JOIN d b ON a.event_type = b.event_type
+         |              AND b.dy = a.dy + to_days(ks.k)),
+         |g AS (SELECT event_type, k, count(*) AS n,
+         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |        sum(x * x) AS sxx, sum(y * y) AS syy
+         |      FROM p GROUP BY 1, 2),
+         |v AS (SELECT event_type, k, n,
+         |        (n * sxy - sx * sy)::DOUBLE AS cov,
+         |        (n * sxx - sx * sx)::DOUBLE AS vx,
+         |        (n * syy - sy * sy)::DOUBLE AS vy
+         |      FROM g)
+         |SELECT event_type, k, n,
+         |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+         |       ELSE ${rnd("cov / sqrt(vx * vy)", 6)} END AS r
+         |FROM v ORDER BY event_type, k""".stripMargin,
     // mirrors Events.rollingActives: bounded fan-out explode of
     // user-day facts, all-integer counts
     "q_rolling_active" ->

@@ -664,4 +664,49 @@ object Events {
     * DAU + WAU per day. */
   def qRollingActive(spark: SparkSession, dir: String): DataFrame =
     rollingActives(Tables.events(spark, dir))
+
+  /** Lag-k autocorrelation of the daily cent-exact value series per
+    * event type — the seasonality/trend diagnostic read before any
+    * forecast: Pearson r between (x_t, x_{t−k}) for k = 1..`maxLag`,
+    * computed from EXACT integer-cent sums (Σx, Σy, Σxy, Σx², Σy², n
+    * — all DECIMAL(38,0) carriers), so the one closed-form double
+    * expression is identical on both engines. r is NULL when either
+    * side of the pairing is constant (zero variance).
+    *
+    * Scale: one daily reduction; each lag is a self-join of the
+    * calendar-bounded daily table shifted by k days — lag-pair
+    * volume is maxLag × days × types, corpus-size-independent. */
+  def autocorrDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+      .agg(sum(round(col("value") * 100).cast("decimal(38,0)")).as("vc"))
+    val lags = (1 to maxLag).map(lit(_)).toArray
+    val pairs = daily.select(col("event_type"), col("dy"), col("vc"))
+      .withColumn("k", explode(array(lags: _*)))
+      .withColumn("dy2", col("dy") + expr("make_interval(0, 0, 0, k)"))
+      .as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.dy2") === col("b.dy"))
+      .select(col("a.event_type").as("event_type"), col("a.k").as("k"),
+              col("a.vc").as("x"), col("b.vc").as("y"))
+    pairs.groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"),
+           sum(col("y") * col("y")).as("syy"))
+      .withColumn("vx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("vy", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .select(col("event_type"), col("k"), col("n"),
+        when(col("vx") === 0.0 || col("vy") === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / sqrt(col("vx") * col("vy")), 6)).as("r"))
+      .orderBy("event_type", "k")
+  }
+
+  /** q_autocorr: [[autocorrDaily]] for lags 1..7. */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorrDaily(Tables.events(spark, dir))
 }

@@ -157,6 +157,8 @@ object ScaleCheck {
     "q_join_cardinality" -> 1.0, // two count reductions + actual join
     "q_quantile_bins" -> 1.0, // percentile pass + one binned reduction
     "q_rolling_active" -> 1.0, // user-day reduction + bounded w fan-out
+    "q_autocorr" -> 1.0,      // one daily reduction; lag pairs
+                              // calendar-bounded
   )
 
   def main(args: Array[String]): Unit = {

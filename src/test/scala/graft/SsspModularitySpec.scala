@@ -73,6 +73,23 @@ class SsspModularitySpec extends AnyFunSuite {
                         ("2024-01-03", 5.0, 3L)))
   }
 
+  test("autocorrDaily: a perfect 2-cycle series scores r = -1 at lag 1, +1 at lag 2") {
+    val e = (1 to 10).flatMap { d =>
+      val v = if (d % 2 == 0) 10.0 else 20.0
+      Seq((d.toLong, ts(f"2024-01-$d%02d 12:00:00"), "a", v))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val r = ops.Events.autocorrDaily(e, maxLag = 2).collect()
+      .map(x => x.getInt(1) -> x.getDouble(3)).toMap
+    assert(r(1) == -1.0 && r(2) == 1.0)
+  }
+
+  test("autocorrDaily: constant series reports NULL r, not a fault") {
+    val e = (1 to 5).map(d => (d.toLong, ts(f"2024-01-0$d 12:00:00"), "b", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = ops.Events.autocorrDaily(e, maxLag = 2).collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(3)))
+  }
+
   test("seasonalAnomaly: a 3AM burst flags against its own hour-of-day baseline") {
     // type 'a': hour-03 slot has counts 0,0,0,...,0 across 9 days and
     // 90 on day 10 → that hour z-scores far out; steady hours don't
