@@ -743,6 +743,17 @@ object Graft {
   def quantileBins(df: DataFrame, valCol: String, targetCol: String): DataFrame =
     ops.Profile.quantileBins(df, valCol, targetCol)
 
+  /** Equi-width 2-D histogram with cent-exact per-cell measure means
+    * (the heatmap feed; the equi-depth complement is quantileBins). */
+  def histogram2d(df: DataFrame, xCol: String, xWidth: Double,
+                  yCol: String, yWidth: Double, measureCol: String): DataFrame =
+    ops.Profile.histogram2d(df, xCol, xWidth, yCol, yWidth, measureCol)
+
+  /** Fano factor (variance/mean of zero-filled daily counts) per
+    * event type — the burstiness diagnostic. */
+  def burstiness(events: DataFrame): DataFrame =
+    ops.Profile.burstiness(events)
+
   /** Native Jaro–Winkler similarity column (codegen expression;
     * register functions first or build with GraftExtensions). */
   def jaroWinkler(a: org.apache.spark.sql.Column,

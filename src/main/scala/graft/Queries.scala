@@ -1293,6 +1293,8 @@ object Queries {
     "q_psi_drift"           -> (Profile.qPsiDrift _),
     "q_join_cardinality"    -> (Profile.qJoinCardinality _),
     "q_quantile_bins"       -> (Profile.qQuantileBins _),
+    "q_histogram_2d"        -> (Profile.qHistogram2d _),
+    "q_burstiness"          -> (Profile.qBurstiness _),
     "q_dedup_incremental"   -> (Dedup.qDedupIncremental _),
     "q_resample"            -> (Events.qResample _),
     "q_unpivot"             -> (Aggregates.qUnpivot _),
@@ -1456,6 +1458,36 @@ object Queries {
          |        (PARTITION BY id ORDER BY jw DESC, m ASC) AS rn FROM s)
          |SELECT id, name, m AS best_match, jw FROM r WHERE rn = 1
          |ORDER BY id""".stripMargin,
+    // mirrors Profile.histogram2d: floor-bin cell ids on identical
+    // doubles, cent-exact measure means
+    "q_histogram_2d" ->
+      s"""WITH c AS (SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bx,
+         |             CAST(floor(l_discount / 0.02) AS BIGINT) AS by,
+         |             l_extendedprice AS m
+         |           FROM lineitem),
+         |g AS (SELECT bx, by, count(*) AS n,
+         |        sum(CAST(round(m * 100) AS DECIMAL(38,0)))::DOUBLE / 100 AS ms
+         |      FROM c GROUP BY 1, 2)
+         |SELECT bx, by, ${rnd("bx * 10.0", 6)} AS x_lo, ${rnd("by * 0.02", 6)} AS y_lo,
+         |  n, ${rnd("ms / n", 6)} AS measure_mean
+         |FROM g ORDER BY bx, by""".stripMargin,
+    // mirrors Profile.burstiness: exact integer moment sums over the
+    // zero-filled daily span
+    "q_burstiness" ->
+      s"""WITH dy AS (SELECT event_type, date_trunc('day', $TS) AS d, count(*) AS n
+         |            FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM dy GROUP BY 1),
+         |sp AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+         |       FROM b),
+         |f AS (SELECT sp.event_type, coalesce(dy.n, 0) AS n
+         |      FROM sp LEFT JOIN dy ON sp.event_type = dy.event_type AND sp.d = dy.d),
+         |g AS (SELECT event_type, count(*) AS days, sum(n) AS s1, sum(n * n) AS s2
+         |      FROM f GROUP BY 1),
+         |v AS (SELECT event_type, days, s1::DOUBLE / days AS mu, s2 FROM g)
+         |SELECT event_type, days, ${rnd("mu", 6)} AS mean_daily,
+         |  CASE WHEN mu = 0 THEN 0.0::DOUBLE ELSE
+         |    ${rnd("(s2::DOUBLE / days - mu * mu) / mu", 6)} END AS fano
+         |FROM v ORDER BY event_type""".stripMargin,
     // mirrors Profile.joinCardinality: all-integer key-count algebra
     "q_join_cardinality" ->
       """WITH lc AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1),

@@ -441,4 +441,67 @@ object Profile {
     * l_extendedprice — price read along quantity deciles. */
   def qQuantileBins(spark: SparkSession, dir: String): DataFrame =
     quantileBins(Tables.lineitem(spark, dir), "l_quantity", "l_extendedprice")
+
+  /** Equi-width 2-D histogram — the heatmap feed: fixed-width cells
+    * over two numeric columns with count and cent-exact mean of a
+    * measure per cell. Cell ids are `floor(v / width)` on identical
+    * doubles (exact for the in-range magnitudes both engines see);
+    * one partial-agg reduction, report rows = occupied cells.
+    *
+    * Deliberately equi-WIDTH (the [[quantileBins]] complement):
+    * heatmaps want stable, interpretable cell edges, not data-driven
+    * ones. */
+  def histogram2d(df: DataFrame, xCol: String, xWidth: Double,
+                  yCol: String, yWidth: Double,
+                  measureCol: String): DataFrame = {
+    val bx = floor(col(xCol) / xWidth).cast("long")
+    val by = floor(col(yCol) / yWidth).cast("long")
+    df.groupBy(bx.as("bx"), by.as("by"))
+      .agg(count(lit(1)).as("n"),
+           (sum(round(col(measureCol) * 100).cast("decimal(38,0)"))
+             .cast("double") / 100).as("ms"))
+      .select(col("bx"), col("by"),
+        round(col("bx") * xWidth, 6).as("x_lo"),
+        round(col("by") * yWidth, 6).as("y_lo"),
+        col("n"), round(col("ms") / col("n"), 6).as("measure_mean"))
+      .orderBy("bx", "by")
+  }
+
+  /** q_histogram_2d: [[histogram2d]] of quantity × discount with the
+    * mean extended price per cell. */
+  def qHistogram2d(spark: SparkSession, dir: String): DataFrame =
+    histogram2d(Tables.lineitem(spark, dir), "l_quantity", 10.0,
+                "l_discount", 0.02, "l_extendedprice")
+
+  /** Index of dispersion (Fano factor, variance/mean) of the daily
+    * event counts per type — the burstiness diagnostic: ≈1 Poisson,
+    * ≫1 bursty, <1 regular. Population variance from exact integer
+    * Σn/Σn² over the zero-filled span. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val filled = daily.groupBy("event_type")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+      .join(daily, Seq("event_type", "d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    filled.groupBy("event_type")
+      .agg(count(lit(1)).as("days"),
+           sum(col("n").cast("decimal(38,0)")).as("s1"),
+           sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+             .as("s2"))
+      .withColumn("mu", col("s1").cast("double") / col("days"))
+      .select(col("event_type"), col("days"),
+        round(col("mu"), 6).as("mean_daily"),
+        when(col("mu") === 0.0, lit(0.0)).otherwise(
+          round((col("s2").cast("double") / col("days")
+                 - col("mu") * col("mu")) / col("mu"), 6)).as("fano"))
+      .orderBy("event_type")
+  }
+
+  /** q_burstiness: [[burstiness]] of the event stream. */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame =
+    burstiness(Tables.events(spark, dir))
 }

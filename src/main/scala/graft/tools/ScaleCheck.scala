@@ -159,6 +159,8 @@ object ScaleCheck {
     "q_rolling_active" -> 1.0, // user-day reduction + bounded w fan-out
     "q_autocorr" -> 1.0,      // one daily reduction; lag pairs
                               // calendar-bounded
+    "q_histogram_2d" -> 1.0,  // one cell reduction
+    "q_burstiness" -> 1.0,    // one daily reduction + moment sums
   )
 
   def main(args: Array[String]): Unit = {

@@ -102,6 +102,30 @@ class StringSimStatsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("histogram2d: cells land on floor edges with exact means") {
+    val df = Seq((5.0, 0.01, 100.0), (15.0, 0.01, 200.0), (17.0, 0.01, 300.0))
+      .toDF("x", "y", "m")
+    val r = Graft.histogram2d(df, "x", 10.0, "y", 0.02, "m").collect()
+      .map(c => (c.getLong(0), c.getLong(1)) -> (c.getLong(4), c.getDouble(5)))
+      .toMap
+    assert(r((0L, 0L)) == ((1L, 100.0)))
+    assert(r((1L, 0L)) == ((2L, 250.0)))
+  }
+
+  test("burstiness: constant daily counts score Fano 0; a burst scores high") {
+    val steady = (1 to 10).flatMap(d => (1 to 3).map(i =>
+      (d.toLong * 10 + i, ts(f"2024-01-$d%02d 12:00:00"), "s", 1.0)))
+    val bursty = (1 to 30).map(i =>
+      (900L + i, ts("2024-01-05 12:00:00"), "b", 1.0)) ++
+      Seq((999L, ts("2024-01-01 12:00:00"), "b", 1.0),
+          (998L, ts("2024-01-10 12:00:00"), "b", 1.0))
+    val r = ops.Profile.burstiness(
+        (steady ++ bursty).toDF("event_id", "ts", "event_type", "value"))
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r("s") == 0.0)
+    assert(r("b") > 10.0)
+  }
+
   test("abTest: hand-computed z on a 2x2 and the degenerate guard") {
     // A: 4 users, 3 convert; B: 4 users, 1 converts
     val e = (1 to 8).map { i =>
