@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query on
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+  * `SPARK_GRAFT_SF_DIR`; prints the full JSON line, then a compact
+  * headline-only JSON line (tail-capture-safe), and writes the full
+  * JSON to `BENCH_FULL.json`.
   *
   * r8 measurement discipline (the r7 verdict found 3-6x sequential
   * carry-over noise in the in-suite numbers — enough to mask a real 2x
@@ -115,7 +117,24 @@ object Bench {
     val baselineSubset = Seq("q_agg_scan", "q_join_left", "q_window_topk",
       "q_ngram_count", "q_sim_cosine_topk", "q_stream_tumbling", "q_dedup_exact")
     val subsetTotal = baselineSubset.flatMap(steadyMap.get).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"queries_cold":$qsCold,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_queries":${results.size},"n_failed":${results.count(!_._4)},"failed":$failed}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"queries_cold":$qsCold,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_queries":${results.size},"n_failed":${results.count(!_._4)},"failed":$failed}"""
+    // r9 artifact hygiene (r8 verdict: the driver snapshots a BOUNDED
+    // TAIL of stdout, and the one huge JSON line put the headline
+    // fields first — they were truncated away and the artifact could
+    // not prove the perf gate). Three-way defense:
+    //  1. the full JSON (per-query maps included) goes to a FILE the
+    //     repo snapshots whole (BENCH_FULL.json, overridable),
+    //  2. the full line still prints for whole-stdout consumers,
+    //  3. a compact headline-only line prints LAST — small enough to
+    //     land complete inside any bounded tail capture, so the
+    //     steady total / subset total / disagreement always parse.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    println(fullJson)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_queries":${results.size},"n_failed":${results.count(!_._4)},"failed":$failed,"full_json_file":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -18,7 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `max(|a|,|b|)/2 − 1` window, half-counted transpositions,
   * `jaro = (m/|a| + m/|b| + (m−t)/m) / 3`, Winkler boost
   * `jaro + ℓ·0.1·(1−jaro)` with common-prefix ℓ ≤ 4 applied only
-  * above the 0.7 threshold, and 0.0 when either side is empty.
+  * above the 0.7 threshold, and 0.0 when either side is empty —
+  * INCLUDING the both-empty edge, which this DuckDB build also scores
+  * 0.0 (verified: `jaro_winkler_similarity('','') = 0.0` on the
+  * oracle's DuckDB; some implementations, e.g. rapidfuzz, define
+  * both-empty as 1.0 — the bit-identity claim is scoped to DuckDB's
+  * convention, which the fixture's never-empty names exercise).
   *
   * Codegen: one static call per pair (the levenshtein pattern —
   * no boxing, no UDF serialization); O(|a|·|b|) worst case on two

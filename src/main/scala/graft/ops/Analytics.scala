@@ -21,11 +21,16 @@ object Analytics {
     * code.
     *
     * Scale: one filter + partial-agg per-user reduction, one 1-row
-    * horizon aggregate, three ntile windows over the USER table
-    * (user-cardinality, not event-cardinality). ntile is exact and
-    * deterministic under the total ordering; both engines assign
-    * remainder rows to the first buckets. */
+    * horizon aggregate, then three PARALLEL global ranks over the
+    * USER table (r9: range-partitioned sort + zipWithIndex — the
+    * [[TextAnalysis.qualityTiers]] discipline — instead of
+    * single-partition ntile windows: at the design point the user
+    * table is itself billion-row, and a global `Window.orderBy` would
+    * funnel it through one task). The quintile comes from the exact
+    * closed-form ntile formula on the rank (remainder rows in the
+    * FIRST buckets — byte-identical to SQL ntile on both engines). */
   def rfm(events: DataFrame, purchaseType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
     val p = events.filter(col("event_type") === purchaseType)
     val horizon = p.agg(max(date_trunc("day", col("ts"))).as("h"))
     val per = p.groupBy("user_id")
@@ -38,17 +43,45 @@ object Analytics {
           .cast("long").as("recency_days"),
         col("frequency"),
         (col("mc").cast("double") / 100).as("monetary"))
-    val wR = Window.orderBy(col("recency_days").asc, col("user_id").asc)
-    val wF = Window.orderBy(col("frequency").asc, col("user_id").asc)
-    val wM = Window.orderBy(col("monetary").asc, col("user_id").asc)
-    // single-partition ntile windows are fine HERE because the input
-    // is the per-user aggregate (users ≪ events); for a billion-user
-    // table swap in the parallel-rank discipline (range sort +
-    // zipWithIndex) used by TextAnalysis.qualityTiers
+      // consumed four times (count + three rank sorts + final join):
+      // materialize once, cut the event-scan lineage
+      .localCheckpoint(false)
+    val n = per.count()
+    if (n == 0)
+      return per.select(col("user_id"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        lit(0).as("r_score"), lit(0).as("f_score"), lit(0).as("m_score"),
+        lit("").as("segment")).limit(0)
+    // exact SQL-ntile bucket from a 1-based global rank: the first
+    // (n mod k) buckets take ceil(n/k) rows, the rest floor(n/k)
+    val k = 5L
+    val fl = n / k
+    val rem = n % k
+    def tileExpr(rank: String): String =
+      if (fl == 0L) rank // fewer rows than buckets: bucket = rank
+      else s"(case when $rank <= ${rem * (fl + 1)}L" +
+           s" then ($rank - 1) div ${fl + 1}L + 1" +
+           s" else $rem + ($rank - 1 - ${rem * (fl + 1)}L) div ${fl}L + 1 end)"
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val idField = per.schema("user_id")
+    // one parallel global rank per metric: range sort (all partitions
+    // participate) + zipWithIndex per-partition offsets; the id column
+    // keeps whatever type the caller supplied
+    def rankOf(metric: String, out: String): DataFrame =
+      spark.createDataFrame(
+        per.select(col("user_id"), col(metric))
+          .orderBy(col(metric).asc, col("user_id").asc)
+          .rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row(r.get(0), i + 1L) },
+        StructType(Seq(idField.copy(name = "user_id"),
+                       StructField(out, LongType))))
     per
-      .withColumn("r_score", (lit(6) - ntile(5).over(wR)).cast("int"))
-      .withColumn("f_score", ntile(5).over(wF))
-      .withColumn("m_score", ntile(5).over(wM))
+      .join(rankOf("recency_days", "rk_r"), Seq("user_id"))
+      .join(rankOf("frequency", "rk_f"), Seq("user_id"))
+      .join(rankOf("monetary", "rk_m"), Seq("user_id"))
+      .withColumn("r_score", expr(s"cast(6 - ${tileExpr("rk_r")} as int)"))
+      .withColumn("f_score", expr(s"cast(${tileExpr("rk_f")} as int)"))
+      .withColumn("m_score", expr(s"cast(${tileExpr("rk_m")} as int)"))
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .select(col("user_id"), col("recency_days"), col("frequency"),

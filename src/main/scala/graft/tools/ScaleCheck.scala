@@ -114,12 +114,14 @@ object ScaleCheck {
                               // pairwise stage is |labels|² on ≤dims
                               // wide rows
     // r8 fuzzy/time-series/association batch
-    "q_fuzzy_join" -> 2.0,    // deletion-signature equi-join: candidate
-                              // volume is Σ_sig df², quadratic on THIS
-                              // fixture (ScaleGen replicates c_name
-                              // verbatim → every replica collides);
-                              // near-linear on naturally-unique keys —
-                              // same contract as LSH banding
+    "q_fuzzy_join" -> 1.0,    // r9 distinct-value collapse: the
+                              // deletion-signature join runs on
+                              // DISTINCT names (duplication-immune —
+                              // ScaleGen's verbatim ×10 replication
+                              // adds only the linear id join-back);
+                              // genuinely-distinct near-variant
+                              // clusters stay quadratic in TRUE pair
+                              // volume (inherent; maxSigGroup caps)
     "q_gap_fill" -> 1.0,      // one (type, hour) partial-agg shuffle;
                               // spine/windows are calendar-bounded
     "q_ewma" -> 1.0,          // one (type, day) partial-agg shuffle;
@@ -143,14 +145,15 @@ object ScaleCheck {
                               // user table
     "q_market_basket" -> 1.0, // basket distinct + type-bounded fanout
     "q_cusum" -> 1.0,         // one daily reduction; folds calendar-bounded
-    "q_jaro_sim" -> 2.0,      // the q_fuzzy_join candidate stream + one
-                              // pair-table window (same fixture-collision
-                              // caveat as q_fuzzy_join)
+    "q_jaro_sim" -> 1.0,      // the distinct-pair stream + a window at
+                              // distinct-name cardinality + linear id
+                              // join-back (r9)
     "q_gini" -> 1.0,          // per-user reduction + keyed rank window
     "q_key_skew" -> 1.0,      // three single-column count reductions
     "q_ab_test" -> 1.0,       // per-user reduction + 2-row aggregate
-    "q_entity_resolution" -> 2.0, // fuzzy candidates (fixture-collision
-                              // caveat) + O(log d) CC on the pair graph
+    "q_entity_resolution" -> 1.0, // distinct-pair candidates + O(log d)
+                              // CC on the distinct-name graph + linear
+                              // id join-back (r9)
     "q_target_encoding" -> 1.0, // one broadcast join + category reduction
     "q_psi_drift" -> 1.0,     // percentile pass + two bucket reductions
     "q_interval_union" -> 1.0, // one key shuffle + two windows

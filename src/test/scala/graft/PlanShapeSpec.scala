@@ -548,6 +548,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_rfm: parallel ranks — no single-partition global window anywhere") {
+    // r9: the three quintile ranks are range-sort + zipWithIndex
+    // (ExistingRDD), never a Window.orderBy that would funnel a
+    // billion-user table through one task
+    val p = plan("q_rfm")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_interval_union: one key shuffle, two window passes, no join at all") {
     val p = plan("q_interval_union")
     assert(p.contains("Window"), p)
