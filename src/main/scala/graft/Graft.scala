@@ -418,6 +418,19 @@ object Graft {
                           k: Int = 99): DataFrame =
     TextAnalysis.heavyHittersByGroup(tokenize(docs), groupCol, k)
 
+  /** Heavy hitters with corpus-derived support: tokens above HALF THE
+    * MODE's count (and the MG-certifiable floor N/(k+1)) — the form
+    * that stays non-empty when corpus growth dilutes absolute
+    * shares. */
+  def heavyHittersNearMax(docs: DataFrame, k: Int = 1999): DataFrame =
+    TextAnalysis.heavyHittersNearMax(tokenize(docs), k)
+
+  /** Per-group [[heavyHittersNearMax]]. */
+  def heavyHittersByGroupNearMax(docs: DataFrame,
+                                 groupCol: String = "lang",
+                                 k: Int = 999): DataFrame =
+    TextAnalysis.heavyHittersByGroupNearMax(tokenize(docs), groupCol, k)
+
   /** Column-level profile of any DataFrame:
     * (col_name, n_rows, n_null, n_distinct, min_s, max_s). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -282,7 +282,7 @@ object Queries {
          |h AS (SELECT date_trunc('hour', $TS) AS inc_h, count(*) AS n_err
          |      FROM events WHERE event_type = 'error' GROUP BY 1),
          |inc AS (SELECT inc_h, n_err FROM h
-         |        WHERE n_err > 2.0::DOUBLE * (SELECT avg(n_err) FROM h))
+         |        ORDER BY n_err DESC, inc_h ASC LIMIT 5)
          |SELECT inc.inc_h, inc.n_err, count(*) AS n_sessions,
          |       count(DISTINCT sess.user_id) AS n_users
          |FROM inc JOIN sess
@@ -1823,22 +1823,29 @@ object Queries {
     "q_sql_q16" -> Sql.q16Template(e => rnd(e, 2)),
     "q_sql_q20" -> Sql.q20Template(e => rnd(e, 2)),
     // exact two-pass heavy hitters: the sketch only bounds the
-    // candidate set, so the oracle is the plain exact HAVING form
+    // candidate set, so the oracle is the plain exact HAVING form.
+    // r9 support is corpus-derived (2·cnt > mode count, AND the
+    // MG-certifiable integer floor (k+1)·cnt > N) so the report
+    // stays non-empty when scale dilutes absolute shares
     "q_heavy_hitters_by_lang" ->
       s"""WITH tok AS (SELECT lang AS g, unnest($TOKS) AS t FROM documents),
-         |tot AS (SELECT g, count(*)::DOUBLE AS n FROM tok GROUP BY g)
-         |SELECT tok.g AS lang, t AS token, count(*)::BIGINT AS cnt
-         |FROM tok JOIN tot USING (g)
-         |GROUP BY tok.g, t, n
-         |HAVING count(*) > n / 100.0
+         |tot AS (SELECT g, count(*)::BIGINT AS n FROM tok GROUP BY g),
+         |c AS (SELECT tok.g, t, n, count(*)::BIGINT AS cnt
+         |      FROM tok JOIN tot USING (g) GROUP BY tok.g, t, n),
+         |m AS (SELECT g, max(cnt) AS max_cnt FROM c GROUP BY g)
+         |SELECT c.g AS lang, t AS token, cnt
+         |FROM c JOIN m USING (g)
+         |WHERE cnt * 2 > max_cnt AND cnt * 1000 > n
          |ORDER BY lang, cnt DESC, token""".stripMargin,
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($TOKS) AS t FROM documents),
-         |tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
-         |SELECT t AS token, count(*)::BIGINT AS cnt
-         |FROM tok, tot
-         |GROUP BY t, n
-         |HAVING count(*) > n / 200.0
+         |tot AS (SELECT count(*)::BIGINT AS n FROM tok),
+         |c AS (SELECT t, n, count(*)::BIGINT AS cnt FROM tok, tot
+         |      GROUP BY t, n),
+         |m AS (SELECT max(cnt) AS max_cnt FROM c)
+         |SELECT t AS token, cnt
+         |FROM c, m
+         |WHERE cnt * 2 > max_cnt AND cnt * 2000 > n
          |ORDER BY cnt DESC, token""".stripMargin,
     "q_profile" ->
       Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
@@ -2407,4 +2414,92 @@ object Queries {
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++
       curationOracle
+
+  /** sf1-gate oracle OVERRIDES (r9, verdict ask #4: shrink the 10×
+    * oracle-budget skip list): for queries whose primary oracle is
+    * deliberately naive-quadratic in DuckDB (the independence the
+    * sf0.01 gate wants) and therefore un-runnable at 10×, a
+    * still-faithful but affordable form for `tools/sf1_gate.py`:
+    *
+    *  - FULL rewrites factored through DISTINCT values (fuzzy family —
+    *    levenshtein/JW depend only on the value, so grouping verbatim
+    *    duplicates first is definitionally equivalent; the naive form
+    *    stays the sf0.01 oracle);
+    *  - SLICED forms (`sparkWhere` non-empty): the oracle restricts
+    *    the probe/lead side to a deterministic ~1% id slice and the
+    *    gate applies `sparkWhere` to the engine dump before
+    *    comparing — per-row-complete value verification of the slice
+    *    (ADVICE r8: "value-verify at least a sample of sf1 pairs").
+    *
+    * Each entry: name -> (duckdbSql, sparkWhere); empty sparkWhere =
+    * compare the full dump. */
+  val oracleSf1: Map[String, (String, String)] = Map(
+    "q_fuzzy_join" -> ((
+      """WITH dn AS (SELECT c_name AS s, count(*)::BIGINT AS cnt
+        |            FROM customer GROUP BY 1),
+        |dp AS (SELECT a.s AS sa, b.s AS sb FROM dn a JOIN dn b
+        |       ON a.s < b.s AND levenshtein(a.s, b.s) BETWEEN 1 AND 1),
+        |sym AS (SELECT sa AS name, sb AS m FROM dp
+        |        UNION ALL SELECT sb, sa FROM dp),
+        |per AS (SELECT sym.name, sum(dn.cnt)::BIGINT AS n_fuzzy,
+        |          min(sym.m) AS best_match
+        |        FROM sym JOIN dn ON sym.m = dn.s GROUP BY sym.name)
+        |SELECT c.c_custkey AS id, c.c_name AS name, per.n_fuzzy, per.best_match
+        |FROM customer c JOIN per ON c.c_name = per.name
+        |ORDER BY id""".stripMargin, "")),
+    "q_jaro_sim" -> ((
+      s"""WITH dn AS (SELECT DISTINCT c_name AS s FROM customer),
+         |dp AS (SELECT a.s AS sa, b.s AS sb FROM dn a JOIN dn b
+         |       ON a.s < b.s AND levenshtein(a.s, b.s) BETWEEN 1 AND 1),
+         |sym AS (SELECT sa AS name, sb AS m FROM dp
+         |        UNION ALL SELECT sb, sa FROM dp),
+         |s2 AS (SELECT name, m,
+         |         ${rnd("jaro_winkler_similarity(name, m)", 6)} AS jw FROM sym),
+         |r AS (SELECT name, m, jw, row_number() OVER
+         |        (PARTITION BY name ORDER BY jw DESC, m ASC) AS rn FROM s2)
+         |SELECT c.c_custkey AS id, c.c_name AS name, r.m AS best_match, r.jw
+         |FROM customer c JOIN r ON c.c_name = r.name AND r.rn = 1
+         |ORDER BY id""".stripMargin, "")),
+    "q_knn" -> ((
+      s"""$NORMVEC,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${rnd("list_sum(list_transform(generate_series(1, 64), i -> a.vn[i] * b.vn[i]))", 6)} AS cos_sim
+         |  FROM u a, u b WHERE a.vec_id % 100 = 7 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT id_a, id_b, cos_sim,
+         |  row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b ASC)::INT AS rn
+         |  FROM p)
+         |SELECT id_a, rn, id_b, cos_sim FROM r WHERE rn <= 3
+         |ORDER BY id_a, rn""".stripMargin, "id_a % 100 = 7")),
+    "q_dedup_embed" -> ((
+      s"""$NORMVEC
+         |SELECT id_a, id_b, cos_sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${rnd("list_sum(list_transform(generate_series(1, 64), i -> a.vn[i] * b.vn[i]))", 6)} AS cos_sim
+         |  FROM u a, u b
+         |  WHERE a.vec_id % 100 = 7 AND a.vec_id < b.vec_id) p
+         |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+      "id_a % 100 = 7 AND id_a < id_b")),
+    "q_sim_jaccard" -> ((
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
+         |SELECT doc_a, doc_b, ${rnd("jac", 6)} AS jac FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
+         |      / len(list_distinct(a.tset || b.tset)) AS jac
+         |  FROM d a, d b
+         |  WHERE a.lang = b.lang AND a.doc_id % 100 = 7
+         |    AND a.doc_id < b.doc_id) p
+         |WHERE jac >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+      "doc_a % 100 = 7")),
+    "q_sim_containment" -> ((
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
+         |SELECT doc_a, doc_b, ${rnd("cont", 6)} AS cont FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_distinct(list_intersect(a.tset, b.tset)))::DOUBLE
+         |      / len(list_distinct(a.tset)) AS cont
+         |  FROM d a, d b
+         |  WHERE a.lang = b.lang AND a.doc_id % 100 = 7
+         |    AND a.doc_id <> b.doc_id) p
+         |WHERE cont >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+      "doc_a % 100 = 7")),
+  )
 }

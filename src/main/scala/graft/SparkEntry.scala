@@ -12,4 +12,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracle
+  /** sf1-gate oracle overrides (distinct-factored / sliced forms for
+    * oracles that are deliberately quadratic at sf0.01) —
+    * name -> (duckdbSql, sparkResultWhere). See [[Queries.oracleSf1]]. */
+  def oracleSqlSf1: Map[String, (String, String)] = Queries.oracleSf1
 }

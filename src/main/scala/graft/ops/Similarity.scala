@@ -173,7 +173,7 @@ object Similarity {
   /** q_ann_ivf: approximate nearest neighbour via OR-amplified
     * hyperplane LSH — the sub-quadratic scale path for [[qKnn]].
     *
-    * Index: T = 4 independent tables of h seeded random hyperplanes
+    * Index: T = 8 independent tables of h seeded random hyperplanes
     * (h scales with the corpus: h ≈ log2(√n) ⇒ ~√n buckets of ~√n
     * vectors per table — the classic IVF sizing; no data column is
     * assumed). A vector's bucket in table t is its h-bit sign pattern
@@ -190,8 +190,8 @@ object Similarity {
     * rather than all h flips, cutting the candidate stream ~h/(q+1)×
     * at nearly the same recall. A neighbour missed by one table is
     * caught by another (OR-amplification: per-table miss rates
-    * multiply, P(hit) = 1-(1-p₁)^T; measured 0.38 single-table →
-    * 0.85 at T = 4, sf0.1). The inverted list carries the vector (the
+    * multiply, P(hit) = 1-(1-p₁)^T; measured 0.82 at T = 4 →
+    * 0.95 at T = 8, sf0.1 — the AnnTune sweep). The inverted list carries the vector (the
     * IVF posting-list layout), so the (table, bucket) join feeds the
     * codegen dot directly — one shuffle, one codegen stage, no
     * re-join for vectors. The same pair colliding in several
@@ -268,8 +268,14 @@ object Similarity {
               col("s.b").as("bucket"), col("s.pm").as("pm"))
   }
 
-  private val NumTables = 4
-  private val DefaultProbeFlips = 4
+  // r9 retune (AnnTune sweep at sf0.1, recall@3 vs exact kNN):
+  //   T=4 q=4 (the r3-r8 config): 2.57M cands, recall 0.816
+  //   T=8 q=3: 4.18M cands (1.6x), recall 0.948
+  // More OR-amplified tables with a slightly narrower per-table probe
+  // beat wider probing of few tables at equal cost (independent miss
+  // rates multiply; extra flips just re-read correlated buckets).
+  private val NumTables = 8
+  private val DefaultProbeFlips = 3
   private val Dim = 64
 
   /** Materialized posting table per corpus dir, built once per JVM —

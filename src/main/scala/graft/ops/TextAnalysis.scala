@@ -758,10 +758,42 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
   }
 
-  /** q_heavy_hitters: [[heavyHitters]] (k = 199 → tokens above 0.5%
-    * of the corpus token stream). */
+  /** Heavy hitters with CORPUS-DERIVED support (r9): tokens whose
+    * exact count exceeds HALF THE MODE's count — `2·cnt > maxCnt` —
+    * AND the Misra–Gries-certifiable floor `(k+1)·cnt > N`. The
+    * absolute-fraction form ([[heavyHitters]]) goes vacuously empty
+    * when corpus growth dilutes every token's share below 1/(k+1)
+    * (exactly what ScaleGen's per-replica vocabulary salt does at
+    * 10×); anchoring support to the mode keeps the report non-empty
+    * at any scale the floor permits, with the floor making the MG
+    * completeness argument airtight: an admitted token has
+    * cnt > N/(k+1), so it is in the sketch; and whenever any token
+    * passes the floor the true mode does too, so `maxCnt` computed
+    * from the recounted candidates is the true mode count. All
+    * comparisons are integer (2·cnt, (k+1)·cnt) — no float
+    * thresholds to diverge between engines. */
+  def heavyHittersNearMax(docToks: DataFrame, k: Int = 1999): DataFrame = {
+    val toks = docToks.select(explode(col("toks")).as("t"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    val row = toks.agg(mg(col("t")).as("mg"), count(lit(1)).as("n")).head()
+    val candidates = row.getMap[String, Long](0).keys.toSeq
+    val n = row.getLong(1)
+    val exact = toks.filter(col("t").isin(candidates: _*))
+      .groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = exact.agg(max(col("cnt")).as("max_cnt"))
+    exact.crossJoin(broadcast(mx)) // 1-row side
+      .filter(col("cnt") * 2 > col("max_cnt") &&
+              col("cnt") * (k + 1) > n)
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** q_heavy_hitters: [[heavyHittersNearMax]] (k = 1999: tokens with
+    * more than half the mode's count, certifiable down to 0.05% of
+    * the stream). */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    heavyHitters(Tables.docTokens(spark, dir))
+    heavyHittersNearMax(Tables.docTokens(spark, dir))
 
   /** PER-GROUP exact heavy hitters ("top terms per language/domain"):
     * the grouped form of [[heavyHitters]], fully distributed — the
@@ -790,10 +822,34 @@ object TextAnalysis {
       .orderBy(col(groupCol), col("cnt").desc, col("token"))
   }
 
-  /** q_heavy_hitters_by_lang: [[heavyHittersByGroup]] per language
-    * (k = 99 → tokens above 1% of each language's token stream). */
+  /** Per-group [[heavyHittersNearMax]]: tokens above half their
+    * group's mode count AND the per-group MG floor. Fully
+    * distributed — same shape as [[heavyHittersByGroup]] plus one
+    * group-bounded max join. */
+  def heavyHittersByGroupNearMax(docToks: DataFrame,
+                                 groupCol: String = "lang",
+                                 k: Int = 999): DataFrame = {
+    val toks = docToks.select(col(groupCol).as("g"), explode(col("toks")).as("t"))
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k))
+    val sketches = toks.groupBy("g")
+      .agg(mg(col("t")).as("mg"), count(lit(1)).as("n"))
+    val cands = sketches
+      .select(col("g"), col("n"), explode(map_keys(col("mg"))).as("t"))
+    val exact = toks.join(broadcast(cands), Seq("g", "t"))
+      .groupBy("g", "t", "n")
+      .agg(count(lit(1)).as("cnt"))
+    val mx = exact.groupBy("g").agg(max(col("cnt")).as("max_cnt"))
+    exact.join(broadcast(mx), Seq("g"))
+      .filter(col("cnt") * 2 > col("max_cnt") &&
+              col("cnt") * (k + 1) > col("n"))
+      .select(col("g").as(groupCol), col("t").as("token"), col("cnt"))
+      .orderBy(col(groupCol), col("cnt").desc, col("token"))
+  }
+
+  /** q_heavy_hitters_by_lang: [[heavyHittersByGroupNearMax]] per
+    * language (k = 999). */
   def qHeavyHittersByLang(spark: SparkSession, dir: String): DataFrame =
-    heavyHittersByGroup(Tables.docTokens(spark, dir))
+    heavyHittersByGroupNearMax(Tables.docTokens(spark, dir))
 
   /** Unicode text normalization — the canonical first pass of every
     * corpus pipeline, BEFORE tokenizing/hashing/dedup: NFC compose

@@ -68,13 +68,18 @@ object ScaleGen {
 
     // documents: per-replica token salt keeps each replica's internal
     // dup structure but disjoins vocabularies across replicas; the
-    // trailing-space convention of the fixture text is preserved
+    // trailing-space convention of the fixture text is preserved.
+    // Replica 0 keeps its tokens VERBATIM (r9): fixed query literals
+    // (BM25 terms, the search phrase) must exist at every scale, and
+    // an unsalted replica stays vocabulary-disjoint from the salted
+    // ones, so no cross-replica pair can appear
     write(replicate(read("documents"))
       .withColumn("text",
-        concat(array_join(
-          transform(split(trim(col("text")), " "),
-                    t => concat(lit("r"), col("rep"), lit("x"), t)), " "),
-          lit(" ")))
+        when(col("rep") === 0, col("text")).otherwise(
+          concat(array_join(
+            transform(split(trim(col("text")), " "),
+                      t => concat(lit("r"), col("rep"), lit("x"), t)), " "),
+            lit(" "))))
       .withColumn("doc_id", col("doc_id") + col("rep") * KD)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("rep"), "documents")

@@ -158,15 +158,15 @@ class GoldenSpec extends AnyFunSuite {
     val knnScores = knn.map(t => (t._1, t._3) -> t._4).toMap
     ann.foreach { case (a, _, b, s) =>
       knnScores.get((a, b)).foreach(exact => assert(exact == s)) }
-    // recall floor: 4 OR-amplified tables with radius-1 multiprobe give
-    // 1-(1-p)^4 hit probability per true neighbour — ~0.97 expected at
-    // this n (h=4); measured 0.82+ at sf0.1, so 0.8 is the CI floor —
+    // recall floor: 8 OR-amplified tables with 3-flip multiprobe
+    // (the r9 AnnTune retune) measure 0.95 at sf0.1 and higher here
+    // (fewer buckets per table at this n), so 0.85 is the CI floor —
     // a recall regression (plane seeding, probe selection, top-k dedup)
     // fails here rather than shipping
     val kset = knn.map(t => (t._1, t._3)).toSet
     val aset = ann.map(t => (t._1, t._3)).toSet
     val recall = (kset & aset).size.toDouble / kset.size
-    assert(recall >= 0.8, s"recall@3 = $recall")
+    assert(recall >= 0.85, s"recall@3 = $recall")
   }
 
   test("q_multimodal_features: deterministic, fixed shape") {

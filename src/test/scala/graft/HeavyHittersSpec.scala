@@ -83,6 +83,55 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length > 1)
   }
 
+  test("heavyHittersNearMax == exact half-the-mode HAVING on sf0.001") {
+    val docToks = Tables.docTokens(spark, TestSpark.sf0001)
+    val k = 1999
+    val got = ops.TextAnalysis.heavyHittersNearMax(docToks, k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = docToks.select(explode(col("toks")).as("t"))
+    val n = toks.count()
+    val cnts = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val mx = cnts.agg(max(col("cnt"))).head().getLong(0)
+    val expected = cnts
+      .filter(col("cnt") * 2 > mx && col("cnt") * (k + 1) > n)
+      .orderBy(col("cnt").desc, col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    assert(got.nonEmpty, "degenerate test: no near-max hitters in corpus")
+  }
+
+  test("heavyHittersNearMax: support scales with the mode, not the stream") {
+    val spark0 = spark
+    import spark0.implicits._
+    // mode 'a'×40; 'b'×25 is above mx/2, 'c'×15 below; fillers rare.
+    // An absolute 1/(k+1) threshold with k=9 (10%) would also admit
+    // 'c' (15%) — the near-max form must not
+    val docs = Seq((1L,
+      (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(15)("c") ++
+       (1 to 20).map(i => s"f$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val hh = ops.TextAnalysis.heavyHittersNearMax(docs, k = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == Seq(("a", 40L), ("b", 25L)))
+  }
+
+  test("heavyHittersByGroupNearMax: per-group modes set per-group supports") {
+    val spark0 = spark
+    import spark0.implicits._
+    // group g1: mode x×10, y×6 qualifies, z×4 doesn't;
+    // group g2: mode z×8 — z qualifies HERE despite failing in g1
+    val docs = Seq(
+      ("g1", (Seq.fill(10)("x") ++ Seq.fill(6)("y") ++ Seq.fill(4)("z")).mkString(" ")),
+      ("g2", Seq.fill(8)("z").mkString(" "))
+    ).toDF("lang", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("toks", split(col("text"), " "))
+    val hh = ops.TextAnalysis.heavyHittersByGroupNearMax(docs, "lang", k = 99)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(hh.toSeq == Seq(("g1", "x", 10L), ("g1", "y", 6L), ("g2", "z", 8L)))
+  }
+
   test("heavyHitters: planted skew dominates") {
     val spark0 = spark
     import spark0.implicits._

@@ -23,9 +23,17 @@ Each value is checked against EVERY rounding scale the query uses
 so mixed-scale queries may over-flag — a human filters; they can
 never under-flag the scale a column is actually rounded at.
 
-Usage: tools/boundary_audit.py <sfDir> <verifyOutDir> [ulps=200]
+r9: runs at sf1 too (VERDICT r8 ask #8 — the q_sql_q11 flip was
+scale-dependent, so auditing only sf0.01 misses the next one). For
+that: parquet views accept part-file DIRECTORIES, the sf1 override
+oracles (oracle_sql_sf1.json — distinct-factored/sliced forms) replace
+their quadratic primaries, and each unrounded oracle runs in a
+subprocess under a wall budget (quadratic stragglers report TIMEOUT
+instead of hanging the audit).
+
+Usage: tools/boundary_audit.py <sfDir> <verifyOutDir> [ulps=200] [budget_sec=300]
 """
-import duckdb, json, math, re, sys, glob, os
+import duckdb, json, math, multiprocessing as mp, re, sys, glob, os
 
 PREFIX = "round(CAST(CAST(("
 MID = ") AS VARCHAR) AS DECIMAL(38,18)), "
@@ -60,25 +68,52 @@ def unround(sql):
     return "".join(out), scales
 
 
+def run_unrounded(sf_dir, usql, q):
+    import duckdb
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.sql("SET threads=6")
+    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(f).replace(".parquet", "")
+        pat = f"{f}/*.parquet" if os.path.isdir(f) else f
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    try:
+        q.put((con.execute(usql).fetchall(), None))
+    except Exception as e:
+        q.put((None, str(e)[:100]))
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     max_ulps = float(sys.argv[3]) if len(sys.argv) > 3 else 200.0
-    sql_map = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    con = duckdb.connect()
-    for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
-        t = os.path.basename(f).replace(".parquet", "")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{f}')")
-    flagged = 0
+    budget = float(sys.argv[4]) if len(sys.argv) > 4 else 300.0
+    sql_map = dict(json.load(open(os.path.join(out_dir, "oracle_sql.json"))))
+    sf1_path = os.path.join(out_dir, "oracle_sql_sf1.json")
+    if os.path.exists(sf1_path):
+        for name, ov in json.load(open(sf1_path)).items():
+            sql_map[name] = ov["sql"]
+    flagged = timeouts = 0
     for name, sql in sorted(sql_map.items()):
         if PREFIX not in sql:
             continue
         usql, scales = unround(sql)
         if usql is None:
             print(f"{name}: UNPARSED rnd() shape"); continue
+        q = mp.Queue()
+        p = mp.Process(target=run_unrounded, args=(sf_dir, usql, q))
+        p.start()
+        p.join(budget)
+        if p.is_alive():
+            p.terminate(); p.join()
+            print(f"{name}: TIMEOUT over {budget}s (quadratic oracle at this SF)")
+            timeouts += 1
+            continue
         try:
-            rows = con.execute(usql).fetchall()
-        except Exception as e:
-            print(f"{name}: ERR {str(e)[:100]}"); continue
+            rows, err = q.get(timeout=5)
+        except Exception:
+            rows, err = None, "audit process died"
+        if err is not None:
+            print(f"{name}: ERR {err}"); continue
         # a mixed-scale query (e.g. q_agg_scan rounds at 2 AND 4) must be
         # checked at EVERY scale it rounds at — a scale-2 column sitting
         # on a half-cent boundary is invisible at scale 4
@@ -98,7 +133,8 @@ def main():
             print(f"{name}: boundary within {hits[0][0]} ulps "
                   f"({len(hits)} value(s); closest v={hits[0][1]!r}) — "
                   f"order-dependent aggregate? then sum in integer units")
-    print(f"== {flagged} queries flagged (<{max_ulps} ulps) ==")
+    print(f"== {flagged} queries flagged (<{max_ulps} ulps), "
+          f"{timeouts} timed out ==")
 
 
 if __name__ == "__main__":

@@ -18,12 +18,31 @@ Differences from compare.py (the sf0.01 driver mirror):
   - emits a machine-readable CORRECTNESS-sf1.json next to the human
     report, committed per round.
 
+r9 additions (VERDICT r8 ask #4 + ADVICE):
+  - `<verifyOutDir>/oracle_sql_sf1.json` (written by graft.Verify)
+    carries per-query OVERRIDE oracles for this gate: distinct-factored
+    full rewrites (fuzzy family) and deterministic ~1% probe-slice
+    forms (similarity family, `spark_where` applied to the engine dump
+    before comparing) — per-row-complete value verification where the
+    naive quadratic oracle cannot run at 10x.
+  - per-query budget multipliers for linear-but-slow oracles (full
+    lineitem fetch, 256M-lambda projections) that are not quadratic
+    and deserve the time.
+  - every report entry records elapsed_sec so budget flips between
+    rounds are auditable (ADVICE r8).
+
 Usage: python3 tools/sf1_gate.py <sf1Dir> <verifyOutDir> [budget_sec]
 """
 import glob, json, multiprocessing as mp, os, sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from compare import TABLES, cells_eq, norm_cell
+
+# linear-but-slow oracles (NOT quadratic): a bigger slice of the wall
+# budget instead of a skip. Elapsed lands in the report either way.
+BUDGET_MULT = {"q_math_funcs": 4.0, "q_embed_project": 4.0,
+               "q_fuzzy_join": 2.0, "q_jaro_sim": 2.0,
+               "q_sim_jaccard": 2.0, "q_sim_containment": 2.0}
 
 
 def run_oracle(sf, sql, q):
@@ -54,7 +73,12 @@ def main():
     budget = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
     import duckdb, time
     scon = duckdb.connect()
+    # engine dumps are compared in their written (total-order) row
+    # order; sliced compares filter them, so pin order preservation
+    scon.sql("SET preserve_insertion_order=true")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    sf1_path = f"{out}/oracle_sql_sf1.json"
+    overrides = json.load(open(sf1_path)) if os.path.exists(sf1_path) else {}
     report = {}
     n_pass = n_fail = n_budget = n_exempt = n_missing = 0
 
@@ -62,45 +86,55 @@ def main():
     # its own wall budget; compare on the parent as results land
     pending = []
     for name in sorted(oracle):
-        sql = oracle[name]
+        ov = overrides.get(name)
+        sql = ov["sql"] if ov else oracle[name]
+        where = (ov.get("spark_where") or "") if ov else ""
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
             report[name] = {"status": "no_spark_result"}
             print(f"MISS {name}: no spark result")
             n_missing += 1
             continue
-        pending.append((name, sql, files))
+        pending.append((name, sql, files, where, bool(ov)))
 
-    running = {}  # name -> (proc, queue, deadline, files)
+    running = {}  # name -> (proc, queue, deadline, files, where, ov, t0)
 
-    def launch(name, sql, files):
+    def launch(name, sql, files, where, ov):
         q = mp.Queue()
         p = mp.Process(target=run_oracle, args=(sf, sql, q))
         p.start()
-        running[name] = (p, q, time.monotonic() + budget, files)
+        b = budget * BUDGET_MULT.get(name, 1.0)
+        running[name] = (p, q, time.monotonic() + b, files, where, ov,
+                         time.monotonic())
 
-    def compare(name, res, files):
+    def compare(name, res, files, where, ov, elapsed):
         # compare one finished oracle immediately — result rows are
         # freed as soon as the verdict lands, never buffered fleet-wide
         nonlocal n_pass, n_fail, n_budget
+        extra = {"elapsed_sec": round(elapsed, 1)}
+        if ov:
+            extra["oracle"] = "sf1_override" + (" (sliced)" if where else "")
         if res == "budget":
+            b = budget * BUDGET_MULT.get(name, 1.0)
             report[name] = {"status": "oracle_budget",
-                            "note": f"oracle exceeded {budget}s at sf1"}
-            print(f"SKIP {name}: oracle over {budget}s budget", flush=True)
+                            "note": f"oracle exceeded {b}s at sf1", **extra}
+            print(f"SKIP {name}: oracle over {b}s budget", flush=True)
             n_budget += 1
             return
         ocols, orows, err = res
         if err is not None:
-            report[name] = {"status": "oracle_error", "err": err}
+            report[name] = {"status": "oracle_error", "err": err, **extra}
             print(f"FAIL {name}: oracle error: {err}", flush=True)
             n_fail += 1
             return
-        s = scon.sql(f"SELECT * FROM read_parquet({files!r})")
+        wsql = f" WHERE {where}" if where else ""
+        s = scon.sql(f"SELECT * FROM read_parquet({files!r}){wsql}")
         scols = [c.lower() for c in s.columns]
         srows = s.fetchall()
         if sorted(ocols) != sorted(scols):
             report[name] = {"status": "schema_mismatch",
-                            "oracle": sorted(ocols), "spark": sorted(scols)}
+                            "oracle": sorted(ocols), "spark": sorted(scols),
+                            **extra}
             print(f"FAIL {name}: columns oracle={sorted(ocols)} spark={sorted(scols)}",
                   flush=True)
             n_fail += 1
@@ -111,7 +145,8 @@ def main():
         srows = [tuple(norm_cell(r[i]) for i in sperm) for r in srows]
         if len(orows) != len(srows):
             report[name] = {"status": "rowcount_mismatch",
-                            "oracle": len(orows), "spark": len(srows)}
+                            "oracle": len(orows), "spark": len(srows),
+                            **extra}
             print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}",
                   flush=True)
             n_fail += 1
@@ -122,24 +157,25 @@ def main():
             i, a, b = bad[0]
             report[name] = {"status": "value_mismatch", "n_bad": len(bad),
                             "first": {"row": i, "oracle": repr(a)[:300],
-                                      "spark": repr(b)[:300]}}
+                                      "spark": repr(b)[:300]}, **extra}
             print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ (first at {i})",
                   flush=True)
             n_fail += 1
         else:
-            report[name] = {"status": "pass", "rows": len(orows)}
-            print(f"PASS {name}: {len(orows)} rows", flush=True)
+            report[name] = {"status": "pass", "rows": len(orows), **extra}
+            tag = " [sliced]" if where else (" [override]" if ov else "")
+            print(f"PASS {name}: {len(orows)} rows{tag}", flush=True)
             n_pass += 1
 
     idx = 0
     while idx < len(pending) or running:
         while idx < len(pending) and len(running) < WORKERS:
-            n, s, f = pending[idx]
-            launch(n, s, f)
+            n, s, f, w, o = pending[idx]
+            launch(n, s, f, w, o)
             idx += 1
         time.sleep(0.2)
         for name in list(running):
-            p, q, deadline, files = running[name]
+            p, q, deadline, files, where, ov, t0 = running[name]
             if not q.empty() or not p.is_alive():
                 try:
                     res = q.get(timeout=5)
@@ -147,11 +183,12 @@ def main():
                     res = (None, None, "oracle process died")
                 p.join()
                 del running[name]
-                compare(name, res, files)
+                compare(name, res, files, where, ov, time.monotonic() - t0)
             elif time.monotonic() > deadline:
                 p.terminate(); p.join()
                 del running[name]
-                compare(name, "budget", files)
+                compare(name, "budget", files, where, ov,
+                        time.monotonic() - t0)
 
     # queries with no oracle (golden-exempt) appear in neither map;
     # record them from the dump dir for a complete artifact
@@ -163,6 +200,8 @@ def main():
     summary = {"sf_dir": sf, "budget_sec": budget, "n_pass": n_pass,
                "n_fail": n_fail, "n_oracle_budget": n_budget,
                "n_golden_exempt": n_exempt, "n_no_result": n_missing,
+               "n_sf1_override": len(overrides),
+               "budget_mult": BUDGET_MULT,
                "float_tolerance": "rel_tol=1e-9, abs_tol=1e-9 (compare.cells_eq)"}
     print(f"== {json.dumps(summary)} ==")
     with open("CORRECTNESS-sf1.json", "w") as f:
