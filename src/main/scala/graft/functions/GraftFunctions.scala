@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** One registry of every graft SQL function, so the whole surface is
   * installable in one call — used both by ad-hoc session registration
@@ -49,6 +50,12 @@ object GraftFunctions {
       (e => NfcNormalize(e.head)),
     "graft_jaro_winkler" ->
       (e => JaroWinklerSim(e(0), e(1))),
+    "graft_phrase_positions" ->
+      (e => PhrasePositions(e.head, e.tail.map {
+        case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"expected literal string phrase tokens, got $other")
+      })),
   )
 
   /** Registers every graft function on the session (idempotent). */

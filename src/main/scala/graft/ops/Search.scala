@@ -93,26 +93,26 @@ object Search {
   /** Positional phrase search: documents where `phrase` occurs as
     * CONSECUTIVE tokens, with occurrence count and first match
     * position (1-based). The match is evaluated entirely inside the
-    * row with array expressions — `filter(sequence(1, n−|p|+1),
-    * i -> slice(toks, i, |p|) == phrase)` — so the operator is a
-    * narrow codegen'd projection + filter: no explode, no positional
-    * self-join, no shuffle before the output sort. Overlapping
-    * occurrences count individually (positions advance by 1, not by
-    * |p|). A 100 TB corpus scans once; the phrase literal rides the
-    * plan, not a join.
+    * row by a native expression ([[graft.functions.PhrasePositions]],
+    * one tight UTF8String scan per doc — r9; the higher-order-function
+    * form paid Spark's interpreted per-element lambda dispatch), so
+    * the operator is a narrow projection + filter: no explode, no
+    * positional self-join, no shuffle before the output sort.
+    * Overlapping occurrences count individually (positions advance by
+    * 1, not by |p|). A 100 TB corpus scans once; the phrase literal
+    * rides the plan, not a join.
     */
   def phraseSearch(docToks: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
-    val p = lit(phrase.toArray)
-    val n = phrase.length
-    // clamp the upper bound to ≥1: Spark's sequence(1, 0) yields a
-    // DESCENDING [1, 0] (not an empty array), and slice at start 0
-    // throws. Position 1 on a too-short doc compares a short slice
-    // against the full phrase — always false — so the clamp is safe.
-    val upper = greatest(size(col("toks")) - lit(n - 1), lit(1))
-    val positions = filter(
-      sequence(lit(1), upper),
-      i => slice(col("toks"), i, lit(n)) === p)
+    // one tight per-row scan via the native expression
+    // (graft.functions.PhrasePositions): the original
+    // `filter(sequence(1, n), i -> slice(toks, i, |p|) == p)`
+    // higher-order-function form ran each position through Spark's
+    // INTERPRETED lambda path (~9 µs/position — 30 s for the sf1
+    // corpus scan vs ~2 s here); same semantics, same outputs
+    graft.functions.PhraseFunctions.register(docToks.sparkSession)
+    val positions =
+      graft.functions.PhraseFunctions.phrasePositions(col("toks"), phrase)
     docToks
       .select(col("doc_id"), positions.as("pos"))
       .where(size(col("pos")) > 0)
