@@ -57,7 +57,20 @@ object Bench {
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     spark.catalog.clearCache()
 
-    def settle(): Unit = { spark.catalog.clearCache(); System.gc() }
+    // r9: clearCache() drops SQL-cached plans but NOT rdd-level
+    // persists — the iterative queries' lazy localCheckpoint blocks
+    // (dozens of rounds × partitions per graph query) linger until the
+    // async ContextCleaner notices their plans are unreachable, and by
+    // suite end the accumulated live set inflates every GC pause (the
+    // r9 repeat_disagreement spike: q_hits retimed 67% slower AFTER
+    // 200 queries than in its own slot). Explicitly unpersisting all
+    // persistent RDDs between queries keeps the heap flat.
+    def settle(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     def timeOnce(name: String): Option[Double] =
       try {
         val t0 = System.nanoTime()
