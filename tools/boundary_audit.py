@@ -72,7 +72,9 @@ def run_unrounded(sf_dir, usql, q):
     import duckdb
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
-    con.sql("SET threads=6")
+    # the audit runs oracles SEQUENTIALLY — give each the whole box
+    # (capping at 6 threads made the heavy unrounded oracles 5x slower
+    # than the r8 shared-connection audit and tripped false timeouts)
     for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(f).replace(".parquet", "")
         pat = f"{f}/*.parquet" if os.path.isdir(f) else f
@@ -102,16 +104,38 @@ def main():
         q = mp.Queue()
         p = mp.Process(target=run_unrounded, args=(sf_dir, usql, q))
         p.start()
-        p.join(budget)
-        if p.is_alive():
+        # DRAIN the queue BEFORE joining (the sf1_gate discipline): a
+        # child whose result exceeds the ~64KB pipe buffer blocks in
+        # q.put until the parent reads, and a parent blocked in
+        # p.join() never reads — every large-result oracle would
+        # "time out" regardless of budget (found live in r9)
+        import time as _time
+        deadline = _time.monotonic() + budget
+        rows, err, got = None, None, False
+        while _time.monotonic() < deadline:
+            if not q.empty():
+                try:
+                    rows, err = q.get(timeout=30)
+                except Exception:
+                    err = "audit result unreadable"
+                got = True
+                break
+            if not p.is_alive():
+                try:
+                    rows, err = q.get(timeout=5)
+                except Exception:
+                    err = "audit process died"
+                got = True
+                break
+            _time.sleep(0.2)
+        if not got:
             p.terminate(); p.join()
             print(f"{name}: TIMEOUT over {budget}s (quadratic oracle at this SF)")
             timeouts += 1
             continue
-        try:
-            rows, err = q.get(timeout=5)
-        except Exception:
-            rows, err = None, "audit process died"
+        p.join(10)
+        if p.is_alive():
+            p.terminate(); p.join()
         if err is not None:
             print(f"{name}: ERR {err}"); continue
         # a mixed-scale query (e.g. q_agg_scan rounds at 2 AND 4) must be
