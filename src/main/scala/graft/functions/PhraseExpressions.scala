@@ -56,18 +56,29 @@ case class PhrasePositions(child: Expression, phrase: Seq[String])
 }
 
 object PhraseFunctions {
+  /** The ONE builder for `graft_phrase_positions`, shared with
+    * [[GraftFunctions.builders]] (the r9 advisor flagged the two
+    * registries carrying divergent copies). Phrase tokens must be
+    * plan-time string constants; FOLDABLE non-Literal expressions
+    * (e.g. `concat('big', ' data')`) are constant-folded here rather
+    * than rejected. */
+  private[functions] val builder: Seq[Expression] => Expression = exprs => {
+    val toks = exprs.tail.map { e =>
+      val folded =
+        if (e.foldable && e.dataType == StringType) Literal(e.eval(), StringType)
+        else e
+      folded match {
+        case Literal(s: UTF8String, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_phrase_positions expects constant string phrase tokens, got $other")
+      }
+    }
+    PhrasePositions(exprs.head, toks)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_phrase_positions",
-      exprs => {
-        val toks = exprs.tail.map {
-          case Literal(s: UTF8String, StringType) => s.toString
-          case other => throw new IllegalArgumentException(
-            s"graft_phrase_positions expects literal string phrase tokens, got $other")
-        }
-        PhrasePositions(exprs.head, toks)
-      },
-      "built-in")
+      "graft_phrase_positions", builder, "built-in")
 
   /** Column API: positions of `phrase` in the token-array column. */
   def phrasePositions(toks: Column, phrase: Seq[String]): Column =

@@ -122,13 +122,17 @@ object Curation {
     * lacks). Keep-prob = w/1000 exactly; no float ever enters the
     * decision, so the oracle matches bit-for-bit. Narrow filter:
     * at 100 TB this is one scan, no shuffle before the output sort. */
-  def weightedSample(docToks: DataFrame): DataFrame = {
-    val stop = typedLit(TextAnalysis.stopwords)
-    docToks
+  def weightedSample(docToks: DataFrame): DataFrame =
+    weightedSampleFromStats(TextAnalysis.qualityStats(docToks))
+
+  /** [[weightedSample]] as a pure derivation of the
+    * [[TextAnalysis.qualityStats]] integers — the corpus wrapper feeds
+    * the MATERIALIZED stats table so the tokenize scan is paid once
+    * per corpus, not once per consumer. */
+  private[graft] def weightedSampleFromStats(stats: DataFrame): DataFrame = {
+    stats
       .select(col("doc_id"), col("lang"), col("source"),
-        size(col("toks")).as("n_toks"),
-        size(array_distinct(col("toks"))).as("n_distinct"),
-        size(filter(col("toks"), t => array_contains(stop, t))).as("n_stop"))
+        col("n_toks"), col("n_distinct"), col("n_stop"))
       .withColumn("w_milli",
         // empty toks ⇒ weight 0 (never sampled): without the guard the
         // two ratio terms divide by zero — an ANSI-mode crash, and with
@@ -148,9 +152,10 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** q_sample_weighted: [[weightedSample]] on the test corpus. */
+  /** q_sample_weighted: [[weightedSample]] on the test corpus
+    * (materialized stats). */
   def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
-    weightedSample(Tables.docTokens(spark, dir))
+    weightedSampleFromStats(TextAnalysis.corpusQualityStats(spark, dir))
 
   /** Temperature-smoothed language rebalancing — the multilingual
     * corpus-mixing standard (sampling rate ∝ count^α, α = 1/2, so

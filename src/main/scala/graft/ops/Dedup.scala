@@ -559,10 +559,12 @@ object Dedup {
     * ([[qDedupCluster]]'s graph) scored by the composite quality
     * ([[TextAnalysis.qualityScore]]). */
   def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame =
-    // shares [[corpusClusters]] with q_dedup_cluster — this query
-    // pays only the quality join + per-cluster window
+    // shares [[corpusClusters]] with q_dedup_cluster and the
+    // materialized quality-stats table with the quality family — this
+    // query pays only the quality join + per-cluster window
     keepBest(corpusClusters(spark, dir),
-             TextAnalysis.qualityScore(Tables.docTokens(spark, dir))
+             TextAnalysis.qualityFromStats(
+               TextAnalysis.corpusQualityStats(spark, dir))
                .select("doc_id", "quality"))
 
   /** Substring-dedup REWRITE (the action half of [[sharedSpans]]'

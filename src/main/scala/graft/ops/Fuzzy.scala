@@ -130,7 +130,11 @@ object Fuzzy {
     */
   def fuzzyPairs(strs: DataFrame, idCol: String, strCol: String,
                  maxDist: Int = 1, maxSigGroup: Int = 0): DataFrame = {
-    val ids = strs.select(col(idCol).as("id"), col(strCol).as("s"))
+    // (id, s) deduped up front (one linear shuffle): a non-unique idCol
+    // (duplicate input rows) would otherwise fan the join-back out into
+    // duplicate output pairs — the row-level contract is one row per
+    // distinct (id_a, id_b, value-pair)
+    val ids = strs.select(col(idCol).as("id"), col(strCol).as("s")).distinct()
     val dp = distinctFuzzyPairs(ids, "s", maxDist, maxSigGroup)
     val l = ids.select(col("id").as("ia"), col("s").as("s_a"))
     val r = ids.select(col("id").as("ib"), col("s").as("s_b"))

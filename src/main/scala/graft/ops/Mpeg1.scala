@@ -214,9 +214,22 @@ object Mpeg1 {
     } else if (r.bit() == 1) {                                // '000001' ESCAPE
       val run = r.bits(6)
       val l8 = r.bits(8)
+      // extension-byte range check (ISO 11172-2 table B.5g): after
+      // l8==0 the next byte must be 128..255, after l8==128 it must be
+      // 1..127 — anything else is not an encodable level; fail the
+      // parse cleanly (stub fallback) instead of decoding wrong pixels
       val level =
-        if (l8 == 0) r.bits(8)                                // +128..255
-        else if (l8 == 128) -(256 - r.bits(8))                // -256..-129
+        if (l8 == 0) {
+          val e = r.bits(8)
+          if (e < 128) throw new Mpeg1ParseException(
+            s"escape level extension byte $e out of range 128..255")
+          e                                                   // +128..255
+        } else if (l8 == 128) {
+          val e = r.bits(8)
+          if (e < 1 || e > 127) throw new Mpeg1ParseException(
+            s"escape level extension byte $e out of range 1..127")
+          -(256 - e)                                          // -255..-129
+        }
         else if (l8 > 128) -(256 - l8)                        // -127..-1
         else l8                                               // 1..127
       (run, level)
@@ -376,6 +389,13 @@ object Mpeg1 {
                           mbW: Int, intraQ: Array[Int],
                           luma: Array[Int], lw: Int): Unit = {
     val r = new BitReader(bytes, sliceAt + 4)
+    // bound every write to the picture's macroblock plane: a corrupt
+    // slice_vertical_position or runaway mb_address_increment must be
+    // a clean parse failure (stub fallback), not a silently
+    // part-gray frame skipped by the per-pixel guard
+    val mbH = luma.length / lw / 16
+    if (code > mbH) throw new Mpeg1ParseException(
+      s"slice_vertical_position $code beyond picture height ($mbH rows)")
     var qScale = r.bits(5)
     while (r.bit() == 1) r.bits(8)  // extra_information_slice
     // DC predictors (recon units, reset 1024); address from slice row
@@ -392,6 +412,8 @@ object Mpeg1 {
         val inc = mbAddressIncrement(r)
         if (inc != 1) { dcY = 1024; dcCb = 1024; dcCr = 1024 }
         mbAddr += inc
+        if (mbAddr >= mbW * mbH) throw new Mpeg1ParseException(
+          s"macroblock address $mbAddr beyond picture (${mbW * mbH} MBs)")
         val newQ = mbTypeIntra(r)
         if (newQ) qScale = r.bits(5)
         val mbX = (mbAddr % mbW) * 16

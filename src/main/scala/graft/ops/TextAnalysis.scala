@@ -60,35 +60,80 @@ object TextAnalysis {
   private[graft] val stopwords: Seq[String] =
     markers.flatMap(_._2).distinct.sorted
 
+  /** The INTEGER-EXACT per-document token stats every quality-family
+    * consumer derives from: (doc_id, lang, source, n_toks, n_distinct,
+    * sum_tok_len, n_stop). One narrow tokenize+count scan; every
+    * downstream ratio/composite is a pure projection over these four
+    * integers, so deriving from the stats is bit-identical to deriving
+    * from the raw tokens. */
+  def qualityStats(docToks: DataFrame): DataFrame = {
+    val stop = typedLit(stopwords)
+    docToks.select(
+      col("doc_id"), col("lang"), col("source"),
+      size(col("toks")).as("n_toks"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+        .as("sum_tok_len"),
+      size(filter(col("toks"), t => array_contains(stop, t))).as("n_stop"))
+  }
+
+  /** Content-keyed MATERIALIZED [[qualityStats]] table for the test
+    * corpus — the [[IndexCache]] lifecycle the ANN posting / token-set
+    * / fuzzy-pair tables already use (re-fingerprint per get, rebuild
+    * iff the corpus changed). ~8 registered queries consume the
+    * quality composite or its token counts (q_quality_score/z/tiers,
+    * q_curate, q_sample_weighted, q_domain_stats, q_dedup_keep_best);
+    * before r10 each re-paid the tokenize + distinct + stopword scan
+    * from raw text. At 100 TB this is the standing per-doc feature
+    * table a curation run materializes once per crawl snapshot. */
+  private val qualityStatsPaths =
+    new IndexCache[String]("documents", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_quality_stats").toString +
+        "/quality_stats.parquet"
+      qualityStats(Tables.docTokens(s, d))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private[graft] def corpusQualityStats(spark: SparkSession,
+                                        dir: String): DataFrame =
+    spark.read.parquet(qualityStatsPaths.get(spark, dir))
+
   /** q_quality_score: length / type-token-ratio / stopword-ratio
-    * composite quality score per document. */
+    * composite quality score per document — derived from the
+    * materialized [[corpusQualityStats]] table. */
   def qQualityScore(spark: SparkSession, dir: String): DataFrame =
-    qualityScore(Tables.docTokens(spark, dir))
+    qualityFromStats(corpusQualityStats(spark, dir))
+
+  /** The quality composite derived from a [[qualityStats]] projection
+    * — identical arithmetic (the composite reads the RAW double
+    * ratios; rounding applies only to the reported columns). */
+  private[graft] def qualityFromStats(stats: DataFrame): DataFrame = {
+    val ttr = col("n_distinct").cast("double") / col("n_toks")
+    val avgLen = col("sum_tok_len").cast("double") / col("n_toks")
+    val stopR = col("n_stop").cast("double") / col("n_toks")
+    stats.select(
+      col("doc_id"), col("n_toks"),
+      round(ttr, 6).as("ttr"),
+      round(avgLen, 6).as("avg_tok_len"),
+      round(stopR, 6).as("stop_ratio"),
+      round(least(col("n_toks") / 100.0, lit(1.0)) * 0.3
+            + ttr * 0.3 + (lit(1.0) - stopR) * 0.4, 6)
+        .as("quality"))
+      .orderBy("doc_id")
+  }
 
   /** [[qQualityScore]]'s engine over any (doc_id, toks) DataFrame —
     * the library entry point ([[graft.Graft.qualityScore]]). */
-  def qualityScore(docToks: DataFrame): DataFrame = {
-    val stop = typedLit(stopwords)
-    docToks
-      .select(
-        col("doc_id"),
-        size(col("toks")).as("n_toks"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-          .as("ttr"),
-        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / size(col("toks"))).as("avg_tok_len"),
-        (size(filter(col("toks"), t => array_contains(stop, t))).cast("double")
-          / size(col("toks"))).as("stop_ratio"))
-      .select(
-        col("doc_id"), col("n_toks"),
-        round(col("ttr"), 6).as("ttr"),
-        round(col("avg_tok_len"), 6).as("avg_tok_len"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(least(col("n_toks") / 100.0, lit(1.0)) * 0.3
-              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.4, 6)
-          .as("quality"))
-      .orderBy("doc_id")
-  }
+  def qualityScore(docToks: DataFrame): DataFrame =
+    // tolerate inputs without lang/source (qualityStats carries them
+    // for the corpus table; the composite needs only doc_id + toks)
+    qualityFromStats(qualityStats(
+      Seq("lang", "source").foldLeft(docToks) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast("string"))
+      }))
 
   /** Per-language quality calibration: z-score of the quality
     * composite WITHIN each language — absolute quality cuts
@@ -98,18 +143,18 @@ object TextAnalysis {
     * narrow quality projection, plus one per-lang window pass (avg +
     * sample stddev over the unbounded frame); a degenerate
     * single-doc/constant language yields z = 0, not a NaN. */
-  def qualityZ(docToks: DataFrame): DataFrame = {
-    val stop = typedLit(stopwords)
-    val q = docToks
-      .select(col("doc_id"), col("lang"),
-        size(col("toks")).as("n_toks"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-          .as("ttr"),
-        (size(filter(col("toks"), t => array_contains(stop, t))).cast("double")
-          / size(col("toks"))).as("stop_ratio"))
+  def qualityZ(docToks: DataFrame): DataFrame =
+    qualityZFromStats(qualityStats(
+      if (docToks.columns.contains("source")) docToks
+      else docToks.withColumn("source", lit(null).cast("string"))))
+
+  private[graft] def qualityZFromStats(stats: DataFrame): DataFrame = {
+    val ttr = col("n_distinct").cast("double") / col("n_toks")
+    val stopR = col("n_stop").cast("double") / col("n_toks")
+    val q = stats
       .select(col("doc_id"), col("lang"),
         round(least(col("n_toks") / 100.0, lit(1.0)) * 0.3
-              + col("ttr") * 0.3 + (lit(1.0) - col("stop_ratio")) * 0.4, 6)
+              + ttr * 0.3 + (lit(1.0) - stopR) * 0.4, 6)
           .as("quality"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
     q.withColumn("mu", avg(col("quality")).over(w))
@@ -121,9 +166,10 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** q_quality_z: [[qualityZ]] on the test corpus. */
+  /** q_quality_z: [[qualityZ]] on the test corpus (materialized
+    * stats). */
   def qQualityZ(spark: SparkSession, dir: String): DataFrame =
-    qualityZ(Tables.docTokens(spark, dir))
+    qualityZFromStats(corpusQualityStats(spark, dir))
 
   /** Quality-tier report: the corpus split into `tiers` rank buckets
     * of the [[qualityScore]] composite (tier 1 = best), with per-tier
@@ -139,13 +185,20 @@ object TextAnalysis {
     * touches in the codebase (dense global indexing is a genuine
     * per-partition-offset computation Catalyst has no operator for).
     * The n scalar rides a broadcast 1-row DF. */
-  def qualityTiers(docToks: DataFrame, tiers: Int = 4): DataFrame = {
-    val spark = docToks.sparkSession
+  def qualityTiers(docToks: DataFrame, tiers: Int = 4): DataFrame =
+    qualityTiersOf(qualityScore(docToks), tiers)
+
+  /** [[qualityTiers]] over an already-scored (doc_id, quality)
+    * DataFrame — the corpus wrappers feed the materialized
+    * [[corpusQualityStats]] derivation here. */
+  private[graft] def qualityTiersOf(quality: DataFrame,
+                                    tiers: Int = 4): DataFrame = {
+    val spark = quality.sparkSession
     // doc_id normalized to long (any integral id type works in the
     // typed RDD map below) and null-quality docs EXCLUDED — a doc
     // with no score (null text) has no tier; silently NPE-ing the
     // whole job on one bad row is not an option for a library report
-    val q = qualityScore(docToks)
+    val q = quality
       .select(col("doc_id").cast("long").as("doc_id"), col("quality"))
       .where(col("quality").isNotNull)
       // materialized ONCE: the sort below is consumed twice
@@ -179,9 +232,10 @@ object TextAnalysis {
       .orderBy("tier")
   }
 
-  /** q_quality_tiers: [[qualityTiers]] quartiles on the test corpus. */
+  /** q_quality_tiers: [[qualityTiers]] quartiles on the test corpus
+    * (materialized stats). */
   def qQualityTiers(spark: SparkSession, dir: String): DataFrame =
-    qualityTiers(Tables.docTokens(spark, dir))
+    qualityTiersOf(qualityFromStats(corpusQualityStats(spark, dir)))
 
   /** q_token_count: whitespace tokens vs BPE-ish regex tokens
     * ([a-z]+ | digit-runs | single non-space residue) vs chars. */
@@ -271,16 +325,20 @@ object TextAnalysis {
     * (AQE picks the strategy); no driver state. The filter is on the
     * ROUNDED quality so the cut is reproducible across engines. */
   def qCurate(spark: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(spark, dir), Tables.docTokens(spark, dir))
+    curateScored(Tables.documents(spark, dir),
+                 qualityFromStats(corpusQualityStats(spark, dir)))
 
   /** [[qCurate]]'s engine over any (doc_id, text, lang) + tokenized
     * DataFrames — the library entry point ([[graft.Graft.curate]]). */
-  def curate(docs: DataFrame, docToks: DataFrame): DataFrame = {
+  def curate(docs: DataFrame, docToks: DataFrame): DataFrame =
+    curateScored(docs, qualityScore(docToks))
+
+  private def curateScored(docs: DataFrame, quality: DataFrame): DataFrame = {
     val keepers = docs
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    qualityScore(docToks)
+    quality
       .join(keepers, "doc_id")
       .join(docs.select("doc_id", "lang"), "doc_id")
       .filter(col("quality") >= 0.70 && col("n_toks").between(20, 1000))
@@ -621,20 +679,31 @@ object TextAnalysis {
     * At 100 TB this is the daily corpus dashboard: group cardinality
     * is the source list, so shuffle volume is counters, not rows. */
   def qDomainStats(spark: SparkSession, dir: String): DataFrame =
-    domainStats(Tables.docTokens(spark, dir))
+    domainStatsFromStats(corpusQualityStats(spark, dir))
 
   /** [[qDomainStats]]'s engine over any (doc_id, source, lang, toks)
     * DataFrame — the library entry point
     * ([[graft.Graft.domainStats]]). */
-  def domainStats(docToks: DataFrame): DataFrame = {
-    val q = qualityScore(docToks).select(col("doc_id"), col("quality"))
-    docToks
-      .join(q, "doc_id")
+  def domainStats(docToks: DataFrame): DataFrame =
+    domainStatsFromStats(qualityStats(docToks))
+
+  /** [[domainStats]] as a pure derivation of the [[qualityStats]]
+    * integers: every reported figure (token totals/means, the quality
+    * composite mean) is a projection of (n_toks, n_distinct, n_stop)
+    * — one |sources|-cardinality partial-agg shuffle, NO join and no
+    * second tokenize pass. */
+  private[graft] def domainStatsFromStats(stats: DataFrame): DataFrame = {
+    val ttr = col("n_distinct").cast("double") / col("n_toks")
+    val stopR = col("n_stop").cast("double") / col("n_toks")
+    val quality = round(least(col("n_toks") / 100.0, lit(1.0)) * 0.3
+                        + ttr * 0.3 + (lit(1.0) - stopR) * 0.4, 6)
+    stats
+      .withColumn("quality", quality)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            countDistinct(col("lang")).as("n_langs"),
-           sum(size(col("toks"))).as("total_toks"),
-           round(avg(size(col("toks"))), 6).as("avg_toks"),
+           sum(col("n_toks")).as("total_toks"),
+           round(avg(col("n_toks")), 6).as("avg_toks"),
            round(avg(col("quality")), 6).as("avg_quality"))
       .orderBy("source")
   }
