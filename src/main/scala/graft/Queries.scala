@@ -2429,11 +2429,182 @@ object Queries {
     *    the probe/lead side to a deterministic ~1% id slice and the
     *    gate applies `sparkWhere` to the engine dump before
     *    comparing — per-row-complete value verification of the slice
-    *    (ADVICE r8: "value-verify at least a sample of sf1 pairs").
+    *    (ADVICE r8: "value-verify at least a sample of sf1 pairs");
+    *  - MULTI-STATEMENT scripts (r10, verdict ask #3): the closure
+    *    family (q_dedup_cluster / q_dedup_keep_best /
+    *    q_entity_resolution) materializes its pair graph and a
+    *    star-contraction closure through TEMP TABLEs — duckdb's
+    *    `con.sql` executes the script and returns the final SELECT.
+    *    Temp tables sidestep two DuckDB 1.0 pathologies measured at
+    *    sf1: the 3-relation relabel join + DISTINCT optimizes into a
+    *    ~200 s plan (0.15 s as two single-join steps), and a
+    *    recursive CTE re-evaluates its whole upstream CTE chain once
+    *    per iteration (~5 × 52 s for the jaccard pair pipeline).
     *
     * Each entry: name -> (duckdbSql, sparkWhere); empty sparkWhere =
-    * compare the full dump. */
+    * compare the full dump. Every override is proven identical to its
+    * primary at sf0.01/sf0.1 by `tools/override_equiv.py` before
+    * adoption. */
+  /** sf1-override building block: exact connected components of the
+    * symmetric temp edge table `<p>edges`(u, v) into `<p>lab`(id,
+    * cluster), as a multi-statement TEMP TABLE script. Two rounds of
+    * min-label star contraction — every node merges into
+    * least(self, min(neighbors)), always a same-component node, so
+    * each quotient preserves components exactly — then an exact
+    * reachability recursive CTE on the residual quotient
+    * (unconditional correctness for any residual shape; after two
+    * contractions the planted near-clique components have collapsed,
+    * so the CTE's per-component-quadratic cost is trivial). The final
+    * label is the component MINIMUM: the min node is its own label at
+    * every level, so the composed chain bottoms out at it — the same
+    * min-label semantics as the primaries' `min(anc)` reachability.
+    * Relabel steps are deliberately single-join. */
+  private def ccScript(p: String): String =
+    s"""CREATE TEMP TABLE ${p}l1 AS
+       |  SELECT u AS id, least(u, min(v)) AS lab FROM ${p}edges GROUP BY u;
+       |CREATE TEMP TABLE ${p}j1 AS
+       |  SELECT e.v, a.lab AS la FROM ${p}edges e JOIN ${p}l1 a ON e.u = a.id;
+       |CREATE TEMP TABLE ${p}e1 AS
+       |  SELECT DISTINCT j.la AS u, b.lab AS v
+       |  FROM ${p}j1 j JOIN ${p}l1 b ON j.v = b.id WHERE j.la <> b.lab;
+       |CREATE TEMP TABLE ${p}l2 AS
+       |  SELECT u AS id, least(u, min(v)) AS lab FROM ${p}e1 GROUP BY u;
+       |CREATE TEMP TABLE ${p}j2 AS
+       |  SELECT e.v, a.lab AS la FROM ${p}e1 e JOIN ${p}l2 a ON e.u = a.id;
+       |CREATE TEMP TABLE ${p}e2 AS
+       |  SELECT DISTINCT j.la AS u, b.lab AS v
+       |  FROM ${p}j2 j JOIN ${p}l2 b ON j.v = b.id WHERE j.la <> b.lab;
+       |CREATE TEMP TABLE ${p}lab3 AS
+       |  WITH RECURSIVE n2 AS (SELECT DISTINCT u AS id FROM ${p}e2),
+       |  reach(id, anc) AS (
+       |    SELECT id, id FROM n2
+       |    UNION
+       |    SELECT e.v, r.anc FROM reach r JOIN ${p}e2 e ON e.u = r.id)
+       |  SELECT id, min(anc) AS lab FROM reach GROUP BY id;
+       |CREATE TEMP TABLE ${p}lab AS
+       |  SELECT ${p}l1.id, coalesce(${p}lab3.lab, ${p}l2.lab, ${p}l1.lab) AS cluster
+       |  FROM ${p}l1 LEFT JOIN ${p}l2 ON ${p}l1.lab = ${p}l2.id
+       |       LEFT JOIN ${p}lab3 ON coalesce(${p}l2.lab, ${p}l1.lab) = ${p}lab3.id;""".stripMargin
+
+  /** sf1-override building block: the exact jaccard≥0.9 pair graph of
+    * `documents` (the dedup closure primaries' `pairs` CTE) as a temp
+    * table script ending in `g_edges`/`g_lab`. The pair set is
+    * IDENTICAL to the primaries' within-lang all-pairs form: prefix
+    * filtering on the (doc-frequency, token)-ordered token prefix of
+    * length |set| − ⌈0.9·|set|⌉ + 1 is complete for jaccard ≥ 0.9
+    * (any qualifying pair shares a prefix token under a common total
+    * order — Chaudhuri et al.'s SSJoin bound), as is the
+    * 10·min ≥ 9·max size filter (jac ≥ 0.9 ⟹ |A|/|B| ∈ [0.9, 1/0.9]);
+    * every candidate is then verified with the primaries' exact jac
+    * expression. */
+  private def dedupPairsScript: String =
+    s"""CREATE TEMP TABLE g_d AS
+       |  SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents;
+       |CREATE TEMP TABLE g_tok AS
+       |  SELECT doc_id, lang, unnest(tset) AS t, len(tset) AS sz FROM g_d;
+       |CREATE TEMP TABLE g_df AS SELECT t, count(*) AS dfc FROM g_tok GROUP BY t;
+       |CREATE TEMP TABLE g_pre AS
+       |  SELECT doc_id, lang, t, sz FROM (
+       |    SELECT g_tok.doc_id, g_tok.lang, g_tok.t, g_tok.sz,
+       |      row_number() OVER (PARTITION BY g_tok.doc_id
+       |                         ORDER BY g_df.dfc, g_tok.t) AS rn
+       |    FROM g_tok JOIN g_df ON g_tok.t = g_df.t) r
+       |  WHERE rn <= sz - ceil(0.9 * sz)::BIGINT + 1;
+       |CREATE TEMP TABLE g_cand AS
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM g_pre a JOIN g_pre b
+       |    ON a.lang = b.lang AND a.t = b.t AND a.doc_id < b.doc_id
+       |   AND 10 * least(a.sz, b.sz) >= 9 * greatest(a.sz, b.sz);
+       |CREATE TEMP TABLE g_pairs AS
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      len(list_distinct(list_intersect(da.tset, db.tset)))::DOUBLE
+       |        / len(list_distinct(da.tset || db.tset)) AS jac
+       |    FROM g_cand c JOIN g_d da ON c.doc_a = da.doc_id
+       |                  JOIN g_d db ON c.doc_b = db.doc_id) p
+       |  WHERE jac >= 0.9;
+       |CREATE TEMP TABLE g_edges AS
+       |  SELECT doc_a AS u, doc_b AS v FROM g_pairs
+       |  UNION SELECT doc_b, doc_a FROM g_pairs;
+       |${ccScript("g_")}""".stripMargin
+
   val oracleSf1: Map[String, (String, String)] = Map(
+    "q_dedup_cluster" -> ((
+      s"""$dedupPairsScript
+         |CREATE TEMP TABLE g_sz AS
+         |  SELECT cluster, count(*) AS cluster_size FROM g_lab GROUP BY cluster;
+         |SELECT g_lab.id AS doc_id, g_lab.cluster, g_sz.cluster_size,
+         |       (g_lab.id = g_lab.cluster) AS is_keeper
+         |FROM g_lab JOIN g_sz USING (cluster) ORDER BY doc_id""".stripMargin, "")),
+    "q_dedup_keep_best" -> ((
+      s"""$dedupPairsScript
+         |CREATE TEMP TABLE g_sz AS
+         |  SELECT cluster, count(*) AS cluster_size FROM g_lab GROUP BY cluster;
+         |CREATE TEMP TABLE g_q AS
+         |  WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |  $qualityCtes
+         |  SELECT doc_id, quality FROM q;
+         |SELECT cluster, cluster_size, id AS best_doc,
+         |       quality AS best_quality, worst_quality
+         |FROM (
+         |  SELECT g_lab.cluster, g_sz.cluster_size, g_lab.id, g_q.quality,
+         |    row_number() OVER (PARTITION BY g_lab.cluster
+         |                       ORDER BY g_q.quality DESC NULLS LAST, g_lab.id) AS rn,
+         |    min(g_q.quality) OVER (PARTITION BY g_lab.cluster) AS worst_quality
+         |  FROM g_lab JOIN g_sz USING (cluster)
+         |       LEFT JOIN g_q ON g_q.doc_id = g_lab.id) m
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin, "")),
+    // distinct-name factoring (edges depend only on the name value) +
+    // the customer expansion: every customer whose name is in the
+    // value graph shares its value-component — any neighbor name has
+    // >= 1 customer, so same-name customers connect through it — and
+    // the entity label is min(c_custkey) over the expanded component,
+    // exactly the primary's id-graph min label
+    "q_entity_resolution" -> ((
+      s"""CREATE TEMP TABLE g_dn AS SELECT c_name AS s FROM customer GROUP BY 1;
+         |CREATE TEMP TABLE g_vp AS
+         |  SELECT a.s AS sa, b.s AS sb FROM g_dn a JOIN g_dn b
+         |  ON a.s < b.s AND levenshtein(a.s, b.s) BETWEEN 1 AND 1
+         |   AND ${rnd("jaro_winkler_similarity(a.s, b.s)", 6)} >= 0.9;
+         |CREATE TEMP TABLE gv_edges AS
+         |  SELECT sa AS u, sb AS v FROM g_vp UNION SELECT sb, sa FROM g_vp;
+         |${ccScript("gv_")}
+         |CREATE TEMP TABLE g_ent AS
+         |  SELECT v.cluster, min(c.c_custkey) AS entity, count(*) AS entity_size
+         |  FROM customer c JOIN gv_lab v ON c.c_name = v.id GROUP BY v.cluster;
+         |SELECT c.c_custkey AS id, c.c_name AS s,
+         |  coalesce(e.entity, c.c_custkey) AS entity,
+         |  coalesce(e.entity_size, 1) AS entity_size,
+         |  coalesce(e.entity, c.c_custkey) = c.c_custkey AS is_canonical
+         |FROM customer c
+         |LEFT JOIN gv_lab v ON c.c_name = v.id
+         |LEFT JOIN g_ent e ON v.cluster = e.cluster
+         |ORDER BY id""".stripMargin, "")),
+    // the primary's exact global top-100, with the dot product as
+    // DuckDB's native list_dot_product instead of a 64-lambda
+    // list_transform sum — verified bit-identical at 6 dp on all
+    // sf0.01/sf0.1 pairs and a 1%-probe sf1 slice (4.2M pairs, 0
+    // diffs); 200M pairs run in ~15 s vs hours for the lambda form
+    "q_sim_cosine_topk" -> ((
+      s"""$NORMVEC
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${rnd("list_dot_product(a.vn, b.vn)", 6)} AS cos_sim
+         |FROM u a, u b WHERE a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 100""".stripMargin, "")),
+    // suffix-min sweep form of the primary's NOT-EXISTS dominance:
+    // survive iff the row's price is the min at its own date AND
+    // strictly under the min over all later dates (32.7 s -> 0.6 s at
+    // sf1, rows verified identical)
+    "q_skyline" -> ((
+      """WITH d AS (SELECT l_shipdate AS dd, min(l_extendedprice) AS m
+        |           FROM lineitem GROUP BY 1),
+        |w AS (SELECT dd, m, min(m) OVER (ORDER BY dd ROWS BETWEEN
+        |        1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mf FROM d)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, l.l_shipdate
+        |FROM lineitem l JOIN w ON l.l_shipdate = w.dd
+        |WHERE l.l_extendedprice = w.m
+        |  AND (w.mf IS NULL OR l.l_extendedprice < w.mf)
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin, "")),
     "q_fuzzy_join" -> ((
       """WITH dn AS (SELECT c_name AS s, count(*)::BIGINT AS cnt
         |            FROM customer GROUP BY 1),

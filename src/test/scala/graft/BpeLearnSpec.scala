@@ -65,6 +65,38 @@ class BpeLearnSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("batched rounds == one-merge-per-round == reference (r10)") {
+    val d = Tables.docTokens(spark, TestSpark.sf0001)
+    val batched = BpeTrain.learnBpeMerges(d, nMerges = 20, batchMax = 64)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val oneAtATime = BpeTrain.learnBpeMerges(d, nMerges = 20, batchMax = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(batched == oneAtATime)
+  }
+
+  test("greedyBatch: stops at first conflict, trims count ties, never empty") {
+    // top-2 conflict (share 'b'): fall back to the argmax alone
+    assert(BpeTrain.greedyBatch(
+      Seq(("a", "b", 10L), ("b", "c", 9L), ("d", "e", 8L)), 20)
+      == Seq(("a", "b", 10L)))
+    // disjoint prefix accepted, conflicting tail excluded
+    assert(BpeTrain.greedyBatch(
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("ab", "x", 8L)), 20)
+      == Seq(("a", "b", 10L), ("c", "d", 9L)))
+    // tie with the first excluded candidate is trimmed (its merged
+    // instances could feed an equal-count new pair)
+    assert(BpeTrain.greedyBatch(
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("a", "x", 9L)), 20)
+      == Seq(("a", "b", 10L)))
+    // all-tied window: trim would empty the batch -> argmax survives
+    assert(BpeTrain.greedyBatch(
+      Seq(("a", "b", 5L), ("a", "c", 5L)), 20) == Seq(("a", "b", 5L)))
+    // limit cap applies and the next candidate's count still trims
+    assert(BpeTrain.greedyBatch(
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)), 2)
+      == Seq(("a", "b", 10L), ("c", "d", 9L)))
+  }
+
   test("planted dominant digraph is learned first, then its trigram") {
     val docs = Seq(
       (1L, Seq("thth", "ththth", "the", "xy")),

@@ -42,7 +42,11 @@ from compare import TABLES, cells_eq, norm_cell
 # budget instead of a skip. Elapsed lands in the report either way.
 BUDGET_MULT = {"q_math_funcs": 4.0, "q_embed_project": 4.0,
                "q_fuzzy_join": 2.0, "q_jaro_sim": 2.0,
-               "q_sim_jaccard": 2.0, "q_sim_containment": 2.0}
+               "q_sim_jaccard": 2.0, "q_sim_containment": 2.0,
+               # r10 closure-family override scripts: ~50-140 s measured
+               # solo at sf1; 2x headroom for gate-worker contention
+               "q_dedup_cluster": 2.0, "q_dedup_keep_best": 2.0,
+               "q_entity_resolution": 2.0}
 
 
 def run_oracle(sf, sql, q):
