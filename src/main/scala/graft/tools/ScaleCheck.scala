@@ -169,6 +169,9 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val big = if (args.length > 1) args(1) else "/root/repo/tmpdata/sf1"
+    // optional 4th arg: the big/base data ratio the exponent divides by
+    // (default 10; the sf10 proof-run passes 100)
+    val ratio = if (args.length > 3) args(3).toDouble else 10.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -188,14 +191,16 @@ object ScaleCheck {
     // one warmup absorbs session/codegen startup
     time("q_agg_scan", base)
 
-    val only = if (args.length > 2) Some(args(2)) else None
+    // comma-separated substrings: a query runs if it contains ANY
+    val only = if (args.length > 2 && args(2).nonEmpty)
+      Some(args(2).split(',').toSeq) else None
     println(f"${"query"}%-22s ${"t_base"}%8s ${"t_10x"}%8s ${"rows_b"}%9s ${"rows_10x"}%9s ${"exp"}%6s decl")
-    Subset.filter(q => only.forall(q._1.contains)).foreach { case (name, decl) =>
+    Subset.filter(q => only.forall(_.exists(q._1.contains))).foreach { case (name, decl) =>
       val (tb, nb) = time(name, base)
       val roundsB = graft.ops.Dedup.lastPropagationRounds
       val (tx, nx) = time(name, big)
       val roundsX = graft.ops.Dedup.lastPropagationRounds
-      val e = math.log(tx / tb) / math.log(10.0)
+      val e = math.log(tx / tb) / math.log(ratio)
       val extra = if (name == "q_dedup_cluster")
         s"  rounds $roundsB -> $roundsX" else ""
       println(f"$name%-22s $tb%8.2f $tx%8.2f $nb%9d $nx%9d $e%6.2f $decl%4.1f$extra")

@@ -46,7 +46,9 @@ BUDGET_MULT = {"q_math_funcs": 4.0, "q_embed_project": 4.0,
                # r10 closure-family override scripts: ~50-140 s measured
                # solo at sf1; 2x headroom for gate-worker contention
                "q_dedup_cluster": 2.0, "q_dedup_keep_best": 2.0,
-               "q_entity_resolution": 2.0}
+               "q_entity_resolution": 2.0,
+               # 103 s solo at the gate's 6 threads (200M raw dots)
+               "q_sim_cosine_topk": 2.0}
 
 
 def run_oracle(sf, sql, q):
