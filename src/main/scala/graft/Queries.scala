@@ -1321,6 +1321,10 @@ object Queries {
     "q_anchor_text"         -> (Links.qAnchorText _),
     "q_page_rank"           -> (Graph.qPageRank _),
     "q_link_degree"         -> (Graph.qLinkDegree _),
+    "q_graph_reciprocity"   -> (Graph.qGraphReciprocity _),
+    "q_assortativity"       -> (Graph.qAssortativity _),
+    "q_zipf_fit"            -> (CorpusLaws.qZipfFit _),
+    "q_heaps_fit"           -> (CorpusLaws.qHeapsFit _),
     "q_hits"                -> (Graph.qHits _),
     "q_label_prop"          -> (Graph.qLabelProp _),
     "q_triangle_count"      -> (Graph.qTriangleCount _),
@@ -1387,6 +1391,23 @@ object Queries {
        |  SELECT e.v, r.anc FROM reach r JOIN edges e ON e.u = r.id),
        |lab AS (SELECT id, min(anc) AS cluster FROM reach GROUP BY id),
        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)""".stripMargin
+
+  /** Closed-form least-squares (slope, intercept, r²) SQL over
+    * micro-unit integer regression sums named (sx, sy, sxy, sxx, syy)
+    * with row count `n` — the oracle twin of
+    * [[ops.CorpusLaws]]'s `fit`: identical integer sums in, the
+    * identical one double expression out. Degenerate variance fits
+    * slope 0 / r² 0, matching the Spark side. */
+  private def lsqExprs(n: String): (String, String, String) = {
+    val cov = s"($n::HUGEINT * sxy - sx * sy)::DOUBLE"
+    val vx = s"($n::HUGEINT * sxx - sx * sx)::DOUBLE"
+    val vy = s"($n::HUGEINT * syy - sy * sy)::DOUBLE"
+    val slope = s"CASE WHEN $vx = 0 THEN 0.0::DOUBLE ELSE $cov / $vx END"
+    val intercept = s"(sy::DOUBLE - ($slope) * sx::DOUBLE) / ($n * 1e6)"
+    val r2 = s"CASE WHEN $vx = 0 OR $vy = 0 THEN 0.0::DOUBLE" +
+      s" ELSE $cov * $cov / ($vx * $vy) END"
+    (slope, intercept, r2)
+  }
 
   private def bigramFeatsSql(toks: String): String =
     s"""list_concat($toks, list_transform(
@@ -1672,6 +1693,49 @@ object Queries {
     "q_anchor_text" -> Links.oracleSql,
     "q_page_rank" -> Graph.oracleSql(),
     "q_link_degree" -> Graph.degreeOracleSql,
+    "q_graph_reciprocity" -> Graph.reciprocityOracleSql,
+    "q_assortativity" -> Graph.assortativityOracleSql,
+    // Zipf/Heaps least-squares: micro-unit integer regression sums
+    // (HUGEINT here ≡ the Spark side's DECIMAL(38,0) carriers), the
+    // one closed-form double expression shared via lsqExprs
+    "q_zipf_fit" -> {
+      val (slope, intercept, r2) = lsqExprs("n_ranks")
+      s"""WITH t AS (SELECT unnest($TOKS) AS w FROM documents),
+         |c AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+         |tot AS (SELECT count(*)::BIGINT AS n_types,
+         |          sum(c)::BIGINT AS n_tokens FROM c),
+         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+         |       FROM c QUALIFY rank <= ${ops.CorpusLaws.ZipfTopK}),
+         |m AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x,
+         |             CAST(round(ln(c) * 1e6) AS BIGINT) AS y FROM rk),
+         |s AS (SELECT count(*)::BIGINT AS n_ranks,
+         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |        sum(x * x) AS sxx, sum(y * y) AS syy FROM m)
+         |SELECT tot.n_types, tot.n_tokens, s.n_ranks,
+         |  ${rnd(slope, 6)} AS slope,
+         |  ${rnd(intercept, 6)} AS intercept,
+         |  ${rnd(r2, 6)} AS r2
+         |FROM s, tot""".stripMargin
+    },
+    "q_heaps_fit" -> {
+      val (slope, intercept, r2) = lsqExprs("n_docs")
+      s"""WITH t AS (SELECT doc_id, source, unnest($TOKS) AS w FROM documents),
+         |d AS (SELECT doc_id, source, count(*)::BIGINT AS n_toks,
+         |        count(DISTINCT w)::BIGINT AS n_types
+         |      FROM t GROUP BY doc_id, source),
+         |m AS (SELECT source,
+         |        CAST(round(ln(n_toks) * 1e6) AS BIGINT) AS x,
+         |        CAST(round(ln(n_types) * 1e6) AS BIGINT) AS y FROM d),
+         |s AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |        sum(x * x) AS sxx, sum(y * y) AS syy
+         |      FROM m GROUP BY source)
+         |SELECT source, n_docs,
+         |  ${rnd(slope, 6)} AS beta,
+         |  ${rnd(s"exp($intercept)", 6)} AS k,
+         |  ${rnd(r2, 6)} AS r2
+         |FROM s ORDER BY source""".stripMargin
+    },
     "q_hits" -> Graph.hitsOracleSql(),
     "q_label_prop" -> Graph.lpOracleSql(),
     "q_ppr" -> Graph.pprOracleSql(),

@@ -1,10 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Queries, Tables}
 
 /** PageRank over the crawl link graph — the classic web quality
   * signal for corpus curation (rank-weighted sampling, spam
@@ -1136,5 +1136,156 @@ object Graph {
        |      AS modularity FROM t)
        |SELECT community, n_nodes, m_in, d_tot, q_term, modularity
        |FROM t, tot ORDER BY community""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_graph_reciprocity / q_assortativity: the two remaining classic
+  // link-structure READOUTS (next to degree stats, clustering
+  // coefficient, and modularity) — reciprocity tells a crawler how
+  // mutual the citation structure is (link farms reciprocate,
+  // editorial links mostly don't); degree assortativity says whether
+  // hubs link to hubs (assortative, r > 0) or to the periphery
+  // (disassortative, r < 0), which drives sampling and spam priors.
+  // ------------------------------------------------------------------
+
+  /** Per-node edge reciprocity over a directed (src, dst) edge list:
+    * for each node with out-edges, how many of its distinct non-self
+    * out-edges are reciprocated (the reverse edge exists), as
+    * (node, out_deg, recip, recip_ratio) ordered by node.
+    *
+    * Scale: the edge list is deduped once (one shuffle), the
+    * reciprocation test is ONE self-equi-join on the reversed key
+    * pair (same hash partitioning both sides — a co-partitioned
+    * shuffle join, never broadcast-dependent), and both counts are
+    * map-side-combined groupBys on src. No per-node adjacency is ever
+    * collected. */
+  def reciprocity(edgeDf: DataFrame): DataFrame = {
+    val ed = edgeDf.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val out = ed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = ed.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("recip"))
+    out.join(recip, Seq("node"), "left")
+      .select(col("node"), col("out_deg"),
+              coalesce(col("recip"), lit(0L)).as("recip"),
+              round(coalesce(col("recip"), lit(0L)).cast("double") /
+                      col("out_deg"), 6).as("recip_ratio"))
+      .orderBy("node")
+  }
+
+  /** q_graph_reciprocity: [[reciprocity]] over the DOMAIN-level link
+    * graph ([[domainEdges]] — the q_link_degree granularity). */
+  def qGraphReciprocity(spark: SparkSession, dir: String): DataFrame =
+    reciprocity(domainEdges(spark, dir))
+
+  private[graft] def reciprocityOracleSql: String =
+    s"""WITH $domainEdgeCtes,
+       |ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+       |o AS (SELECT src AS node, count(*)::BIGINT AS out_deg
+       |      FROM ed GROUP BY src),
+       |r AS (SELECT e1.src AS node, count(*)::BIGINT AS recip
+       |      FROM ed e1 JOIN ed e2 ON e2.src = e1.dst AND e2.dst = e1.src
+       |      GROUP BY e1.src)
+       |SELECT o.node AS node, o.out_deg,
+       |  coalesce(r.recip, 0)::BIGINT AS recip,
+       |  ${Queries.rnd("coalesce(r.recip, 0)::DOUBLE / o.out_deg", 6)}
+       |    AS recip_ratio
+       |FROM o LEFT JOIN r ON o.node = r.node
+       |ORDER BY node""".stripMargin
+
+  /** Directed degree assortativity (Foster et al. 2010): the Pearson
+    * correlation, over distinct non-self edges, between a degree of
+    * the source and a degree of the target — all four mode
+    * combinations (in-in, in-out, out-in, out-out) as
+    * (mode, n_edges, r) ordered by mode. r > 0: high-degree nodes
+    * attach to high-degree nodes.
+    *
+    * Determinism discipline (the keySkew/modularity carrier rule):
+    * degrees are INTEGERS, so every regression sum (Σx, Σy, Σxy,
+    * Σx², Σy²) is carried as DECIMAL(38,0) — order-independent and
+    * bit-exact against the oracle's identical integer sums; doubles
+    * appear only in the one final closed-form expression.
+    *
+    * Scale: two groupBy degree counts, two equi-joins edge→degree
+    * (both keyed on the node — broadcastable when the node set is
+    * small, plain shuffle joins otherwise), then a 4-row explode +
+    * one map-side-combined aggregate. Nothing global but the 4-row
+    * result. */
+  def assortativity(edgeDf: DataFrame): DataFrame = {
+    val ed = edgeDf.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val od = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("odeg"))
+    val id = ed.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ideg"))
+    val deg = od.join(id, Seq("node"), "full")
+      .select(col("node"), coalesce(col("odeg"), lit(0L)).as("odeg"),
+              coalesce(col("ideg"), lit(0L)).as("ideg"))
+    val sd = deg.select(col("node").as("src"), col("odeg").as("s_od"),
+                        col("ideg").as("s_id"))
+    val dd = deg.select(col("node").as("dst"), col("odeg").as("d_od"),
+                        col("ideg").as("d_id"))
+    val pairs = ed.join(sd, "src").join(dd, "dst")
+      .select(explode(array(
+        struct(lit("in_in").as("mode"), col("s_id").as("x"), col("d_id").as("y")),
+        struct(lit("in_out").as("mode"), col("s_id").as("x"), col("d_od").as("y")),
+        struct(lit("out_in").as("mode"), col("s_od").as("x"), col("d_id").as("y")),
+        struct(lit("out_out").as("mode"), col("s_od").as("x"), col("d_od").as("y"))
+      )).as("p"))
+      .select(col("p.mode").as("mode"), col("p.x").as("x"), col("p.y").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums = pairs.groupBy(col("mode")).agg(
+      count(lit(1)).as("n_edges"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val n = dec(col("n_edges"))
+    val cov = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.select(col("mode"), col("n_edges"),
+      when(vx === 0.0 || vy === 0.0, lit(0.0))
+        .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("r"))
+      .orderBy("mode")
+  }
+
+  /** q_assortativity: [[assortativity]] over the DOMAIN-level link
+    * graph ([[domainEdges]]). */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativity(domainEdges(spark, dir))
+
+  /** Integer sums ride HUGEINT on the DuckDB side (sum(BIGINT) is
+    * exact int128 there — NOT decimal: DuckDB widens a
+    * DECIMAL(38,0)×DECIMAL(38,0) product to DOUBLE); the Spark side
+    * carries the same sums as DECIMAL(38,0). Same exact integers →
+    * the same one final double expression on both engines. */
+  private[graft] def assortativityOracleSql: String = {
+    val cov = "(n_edges::HUGEINT * sxy - sx * sy)::DOUBLE"
+    val vx = "(n_edges::HUGEINT * sxx - sx * sx)::DOUBLE"
+    val vy = "(n_edges::HUGEINT * syy - sy * sy)::DOUBLE"
+    s"""WITH $domainEdgeCtes,
+       |ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+       |dg AS (SELECT node, coalesce(sum(o), 0)::BIGINT AS odeg,
+       |         coalesce(sum(i), 0)::BIGINT AS ideg
+       |       FROM (SELECT src AS node, 1 AS o, 0 AS i FROM ed
+       |             UNION ALL SELECT dst, 0, 1 FROM ed)
+       |       GROUP BY node),
+       |j AS (SELECT s.ideg AS si, s.odeg AS so, d.ideg AS di, d.odeg AS dd
+       |      FROM ed JOIN dg s ON ed.src = s.node
+       |              JOIN dg d ON ed.dst = d.node),
+       |p AS (SELECT 'in_in' AS mode, si AS x, di AS y FROM j
+       |      UNION ALL SELECT 'in_out', si, dd FROM j
+       |      UNION ALL SELECT 'out_in', so, di FROM j
+       |      UNION ALL SELECT 'out_out', so, dd FROM j),
+       |s AS (SELECT mode, count(*)::BIGINT AS n_edges,
+       |        sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |        sum(x * x) AS sxx, sum(y * y) AS syy
+       |      FROM p GROUP BY mode)
+       |SELECT mode, n_edges,
+       |  CASE WHEN $vx = 0 OR $vy = 0 THEN 0.0::DOUBLE
+       |       ELSE ${Queries.rnd(s"$cov / (sqrt($vx) * sqrt($vy))", 6)}
+       |  END AS r
+       |FROM s ORDER BY mode""".stripMargin
   }
 }
