@@ -60,6 +60,11 @@ object Bench {
       }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
 
+    // INVARIANT: cross-query state reused across settle() calls must
+    // be DISK-backed (IndexCache stores parquet paths, never a live
+    // cached/localCheckpoint'ed DataFrame) — this unpersists EVERY
+    // persistent RDD including localCheckpoint blocks, so an in-memory
+    // handle held across queries would fail with missing-block errors.
     def settle(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
