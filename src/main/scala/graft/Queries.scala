@@ -946,6 +946,7 @@ object Queries {
     "q_ngram_bigram" -> (Text.qNgramBigram _),
     "q_ngram_n"      -> (Text.qNgramN _),
     "q_ngram_count"  -> (Text.qNgramCount _),
+    "q_ngram_novelty" -> (Text.qNgramNovelty _),
     "q_text_stats"   -> (Text.qTextStats _),
     "q_tfidf"        -> (Text.qTfidf _),
     "q_bm25"         -> (Text.qBm25 _),
@@ -995,6 +996,24 @@ object Queries {
          |                    i -> toks[i] || ' ' || toks[i+1])) AS ngram FROM t)
          |SELECT ngram, count(*) AS cnt FROM g
          |GROUP BY ngram ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(generate_series(1, greatest(len(toks)-1,0)),
+         |                              i -> toks[i] || ' ' || toks[i+1])) AS g
+         |      FROM t),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+         |p AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         |        sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_novel
+         |      FROM g JOIN f USING (g) GROUP BY g.doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+         |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0::DOUBLE
+         |       ELSE ${rnd("p.n_novel::DOUBLE / p.n_grams", 6)} END AS novelty
+         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (SELECT lang, $TOKS AS toks, length(trim(text)) AS nc FROM documents)
          |SELECT lang, count(*) AS n_docs,
@@ -1291,6 +1310,7 @@ object Queries {
     "q_entity_resolution"   -> (Fuzzy.qEntityResolution _),
     "q_target_encoding"     -> (Profile.qTargetEncoding _),
     "q_psi_drift"           -> (Profile.qPsiDrift _),
+    "q_ks_test"             -> (Profile.qKsTest _),
     "q_join_cardinality"    -> (Profile.qJoinCardinality _),
     "q_quantile_bins"       -> (Profile.qQuantileBins _),
     "q_histogram_2d"        -> (Profile.qHistogram2d _),
@@ -1617,6 +1637,45 @@ object Queries {
          |  psi_term, psi
          |FROM t2, tot ORDER BY bucket""".stripMargin
     },
+    // mirrors Profile.ksBySource: exact integer ECDF-gap numerators
+    // (HUGEINT ≡ the Spark side's DECIMAL(38,0)); one double division
+    // on identical operands
+    "q_ks_test" ->
+      s"""WITH t AS (SELECT source, len($TOKS) AS v FROM documents),
+         |vc AS (SELECT source, v, count(*)::BIGINT AS c FROM t GROUP BY source, v),
+         |pv AS (SELECT v, sum(c)::BIGINT AS ct FROM vc GROUP BY v),
+         |st AS (SELECT source, sum(c)::BIGINT AS n_src FROM vc GROUP BY source),
+         |na AS (SELECT sum(ct)::BIGINT AS n_all FROM pv),
+         |grid AS (SELECT s.source, p.v FROM
+         |           (SELECT DISTINCT source FROM vc) s,
+         |           (SELECT DISTINCT v FROM pv) p),
+         |cum AS (SELECT g.source, g.v,
+         |          sum(coalesce(vc.c, 0)) OVER
+         |            (PARTITION BY g.source ORDER BY g.v
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum_src,
+         |          sum(pv.ct) OVER
+         |            (PARTITION BY g.source ORDER BY g.v
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS cum_all
+         |        FROM grid g LEFT JOIN vc ON g.source = vc.source AND g.v = vc.v
+         |                    JOIN pv ON g.v = pv.v),
+         |nm AS (SELECT c.source, c.v,
+         |         abs(c.cum_src::HUGEINT * (na.n_all - st.n_src)
+         |             - (c.cum_all - c.cum_src)::HUGEINT * st.n_src) AS num,
+         |         st.n_src, (na.n_all - st.n_src)::BIGINT AS n_rest
+         |       FROM cum c JOIN st ON c.source = st.source, na),
+         |mx AS (SELECT source, max(num) AS num_max,
+         |         min(n_src) AS n_src, min(n_rest) AS n_rest
+         |       FROM nm GROUP BY source)
+         |SELECT mx.source, mx.n_src, mx.n_rest,
+         |  min(nm.v)::INT AS ks_at,
+         |  CASE WHEN mx.n_rest = 0 THEN 0.0::DOUBLE
+         |       ELSE ${rnd("mx.num_max::DOUBLE / (mx.n_src * mx.n_rest)::DOUBLE", 6)}
+         |  END AS ks_d
+         |FROM nm JOIN mx ON nm.source = mx.source AND nm.num = mx.num_max
+         |GROUP BY mx.source, mx.n_src, mx.n_rest, mx.num_max
+         |ORDER BY mx.source""".stripMargin,
     // mirrors Profile.gini: exact DECIMAL rank-weighted sums, one
     // shared division tree
     "q_gini" ->
@@ -2286,6 +2345,7 @@ object Queries {
     "q_sample_stratified" -> (Curation.qSampleStratified _),
     "q_mix_weighted"      -> (Curation.qMixWeighted _),
     "q_sample_weighted"   -> (Curation.qSampleWeighted _),
+    "q_token_budget"      -> (Curation.qTokenBudget _),
     "q_pack_chunks"       -> (Curation.qPackChunks _),
     "q_decontaminate"     -> (Curation.qDecontaminate _),
     "q_rep_filter"        -> (Curation.qRepFilter _),
@@ -2375,6 +2435,19 @@ object Queries {
          |WHERE bucket < lpad(lower(to_hex((w_milli * 65536) // 1000)), 4, '0')
          |ORDER BY doc_id""".stripMargin
     },
+    // mirrors Curation.tokenBudget: the oracle's single global window
+    // cumsum over (quality desc, doc_id) equals the engine's banded
+    // two-level prefix sum exactly (integer token counts)
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |$qualityCtes,
+         |c AS (SELECT doc_id, n_toks, quality,
+         |  sum(n_toks::BIGINT) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS cum_toks
+         |FROM q)
+         |SELECT doc_id, n_toks, quality, cum_toks FROM c
+         |WHERE cum_toks <= 12000 ORDER BY doc_id""".stripMargin,
     "q_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS n_toks FROM documents),
          |o AS (SELECT doc_id, n_toks,

@@ -246,6 +246,47 @@ object Curation {
     * window over a bounded table, broadcast back. offset = bucket
     * prefix + within-bucket cumsum.
     */
+  /** Greedy QUALITY-FIRST selection under a token budget — the "best
+    * B tokens of this corpus" curation primitive: rank documents by
+    * (quality desc, doc_id) and keep each while its INCLUSIVE running
+    * token total stays within the budget. Output: the kept documents
+    * with their running totals, ordered by doc_id.
+    *
+    * Scale: the global quality-ordered cumsum is the [[packChunks]]
+    * two-level prefix sum with QUALITY-BAND buckets (floor(q·50) — a
+    * monotone coarsening of the ordering key, so band-major order ≡
+    * global order): per-band windows run in parallel, the band-offset
+    * window sees ≤ 51 rows, and the band table is broadcast. No
+    * corpus-sized single-partition window; the cumsum is exact
+    * integer arithmetic regardless of banding. */
+  def tokenBudget(q: DataFrame, budget: Long = 12000L): DataFrame = {
+    val banded = q.select(col("doc_id"), col("n_toks"), col("quality"))
+      .withColumn("qb", floor(col("quality") * 50).cast("long"))
+    val wIn = Window.partitionBy("qb")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = banded.withColumn("cum_in",
+      coalesce(sum(col("n_toks").cast("long")).over(wIn), lit(0L)))
+    val bands = banded.groupBy("qb")
+      .agg(sum(col("n_toks").cast("long")).as("btot"))
+      .withColumn("boff",
+        coalesce(sum(col("btot")).over(
+          Window.orderBy(col("qb").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("qb", "boff")
+    within.join(broadcast(bands), "qb")
+      .withColumn("cum_toks", col("boff") + col("cum_in") + col("n_toks"))
+      .filter(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("n_toks"), col("quality"), col("cum_toks"))
+      .orderBy("doc_id")
+  }
+
+  /** q_token_budget: [[tokenBudget]] (B = 12 000 tokens) over the
+    * materialized quality-stats composite. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(TextAnalysis.qualityFromStats(
+      TextAnalysis.corpusQualityStats(spark, dir)))
+
   def packChunks(docToks: DataFrame, budget: Long = 2048,
                  bucketSpan: Long = 1000,
                  tokenCount: Column = size(col("toks"))): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -359,6 +359,73 @@ object Profile {
       .crossJoin(total) // 1-row side
       .orderBy("bucket")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic, each source vs
+    * the REST of the corpus, over an integer-valued per-doc statistic
+    * (token count here) — the nonparametric complement to
+    * [[psiDrift]]'s binned PSI: no binning choice, exact D.
+    * Reports (source, n_src, n_rest, ks_at, ks_d): D = max over
+    * values x of |ECDF_src(x) − ECDF_rest(x)|, ks_at the smallest x
+    * attaining it.
+    *
+    * Integer-exact discipline: with integer values the ECDF gap is
+    * the rational |cum_src·n_rest − cum_rest·n_src| / (n_src·n_rest);
+    * the numerator is carried as DECIMAL(38,0) (cum·n products
+    * overflow longs at ~1e10 docs), so max-finding and the tie-break
+    * are exact integer comparisons on both engines, and the one
+    * double division happens once on identical operands.
+    *
+    * Scale: one (source, value) count reduce (map-side combined), a
+    * bounded grid of |sources| × |distinct values| (both bounded —
+    * values are doc token counts, capped by max doc length, NOT
+    * corpus-sized), per-source window cumsums over that bounded grid,
+    * and a per-source max. Nothing corpus-sized passes a window. */
+  def ksBySource(perDoc: DataFrame, valCol: String = "n_toks"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vc = perDoc.groupBy(col("source"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val perVal = vc.groupBy("v").agg(sum(col("c")).as("ct"))
+    val srcTot = vc.groupBy("source").agg(sum(col("c")).as("n_src"))
+    val allTot = perVal.agg(sum(col("ct")).as("n_all"))
+    // every (source, value) grid cell: the per-source partition then
+    // holds EVERY distinct value once, so the same per-source window
+    // yields both cum_src and the global cum — no global window
+    val grid = vc.select("source").distinct()
+      .crossJoin(vc.select("v").distinct())
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = grid.join(vc, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+      .join(perVal, "v")
+      .withColumn("cum_src", sum(col("c")).over(w))
+      .withColumn("cum_all", sum(col("ct")).over(w))
+      .join(srcTot, "source").crossJoin(allTot) // 1-row side
+      .withColumn("n_rest", col("n_all") - col("n_src"))
+      .withColumn("num",
+        abs(dec(col("cum_src")) * dec(col("n_rest")) -
+            dec(col("cum_all") - col("cum_src")) * dec(col("n_src"))))
+    val mx = t.groupBy("source").agg(max(col("num")).as("num_max"),
+      first(col("n_src")).as("n_src"), first(col("n_rest")).as("n_rest"))
+    t.select(col("source"), col("v"), col("num"))
+      .join(mx, "source").filter(col("num") === col("num_max"))
+      .groupBy(col("source"))
+      .agg(first(col("n_src")).as("n_src"),
+           first(col("n_rest")).as("n_rest"),
+           min(col("v")).as("ks_at"),
+           first(col("num_max")).as("num_max"))
+      // single-source corpus: n_rest = 0 -> D is undefined; report 0
+      .select(col("source"), col("n_src"), col("n_rest"), col("ks_at"),
+        when(col("n_rest") === 0L, lit(0.0)).otherwise(
+          round(col("num_max").cast("double") /
+                  (col("n_src") * col("n_rest")).cast("double"), 6))
+          .as("ks_d"))
+      .orderBy("source")
+  }
+
+  /** q_ks_test: [[ksBySource]] over per-document token counts from
+    * the materialized quality-stats table. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame =
+    ksBySource(TextAnalysis.corpusQualityStats(spark, dir)
+                 .select(col("source"), col("n_toks")))
 
   /** q_psi_drift: [[psiDrift]] of event value, first half of the
     * month (day ≤ 15) as reference vs the rest as current. */

@@ -141,6 +141,43 @@ object Text {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(50)
 
+  /** Per-document n-gram NOVELTY — the memorization/redundancy
+    * curation readout: of each document's distinct bigrams, what
+    * fraction is INTRODUCED by this document (no document with a
+    * smaller doc_id contains it)? A crawl segment full of boilerplate
+    * scores near 0; fresh prose scores near 1. Corpus-order here is
+    * doc_id (ingestion order); any total order works the same way.
+    *
+    * Scale: one (doc_id, bigram)-distinct explode (the n-gram table a
+    * dedup pass builds anyway), one map-side-combined min(doc_id)
+    * reduce per bigram, one equi-join back on the bigram, one per-doc
+    * count — all linear in total bigram volume, nothing collected.
+    * Docs with < 2 tokens report 0 bigrams / ratio 0 (not NaN). */
+  def ngramNovelty(docToks: DataFrame, n: Int = 2): DataFrame = {
+    val grams = docToks
+      .select(col("doc_id"),
+              explode(array_distinct(ngramCol(col("toks"), n))).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("n_novel"))
+    // left join back to ALL docs so <n-token docs still report a row
+    docToks.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+              coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+              when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+                .otherwise(round(col("n_novel").cast("double") /
+                                   col("n_grams"), 6)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** q_ngram_novelty: [[ngramNovelty]] (bigrams) over the corpus. */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.docTokens(spark, dir))
+
   /** q_text_stats: per-lang doc count, avg token count, avg chars,
     * avg distinct-token ratio.
     */
