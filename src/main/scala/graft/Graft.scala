@@ -743,6 +743,43 @@ object Graft {
   def intervalUnion(iv: DataFrame): DataFrame =
     ops.Relational.intervalUnion(iv)
 
+  /** Per-node edge reciprocity over a directed (src, dst) edge list:
+    * (node, out_deg, recip, recip_ratio). */
+  def reciprocity(edges: DataFrame): DataFrame =
+    ops.Graph.reciprocity(edges)
+
+  /** Four-mode directed degree assortativity (in-in/in-out/out-in/
+    * out-out Pearson r over distinct non-self edges). */
+  def assortativity(edges: DataFrame): DataFrame =
+    ops.Graph.assortativity(edges)
+
+  /** Zipf's-law log-log least-squares fit over the top-1000 token
+    * ranks of a (w) token DataFrame: one row
+    * (n_types, n_tokens, n_ranks, slope, intercept, r2). */
+  def zipfFit(tokens: DataFrame): DataFrame = ops.CorpusLaws.zipfFit(tokens)
+
+  /** Heaps'-law vocabulary-growth fit per source over
+    * (doc_id, source, w) tokens: (source, n_docs, beta, k, r2). */
+  def heapsFit(tokens: DataFrame): DataFrame = ops.CorpusLaws.heapsFit(tokens)
+
+  /** Per-document n-gram novelty in doc_id order: of each doc's
+    * distinct n-grams, the share no smaller doc_id contains —
+    * (doc_id, n_grams, n_novel, novelty) from a (doc_id, toks) frame. */
+  def ngramNovelty(docToks: DataFrame, n: Int = 2): DataFrame =
+    ops.Text.ngramNovelty(docToks, n)
+
+  /** Exact two-sample KS drift statistic, each source vs the rest,
+    * over an integer per-row statistic: (source, n_src, n_rest,
+    * ks_at, ks_d) from a (source, <valCol>) frame. */
+  def ksBySource(perRow: DataFrame, valCol: String = "n_toks"): DataFrame =
+    ops.Profile.ksBySource(perRow, valCol)
+
+  /** Greedy quality-first selection under an inclusive token budget
+    * over a (doc_id, n_toks, quality) frame: the kept docs with
+    * running totals. */
+  def tokenBudget(q: DataFrame, budget: Long = 12000L): DataFrame =
+    ops.Curation.tokenBudget(q, budget)
+
   /** Exact equi-join cardinality prediction from the two key-count
     * tables (Σ c_l(k)·c_r(k)) plus the heaviest key's contribution —
     * the pre-shuffle salting diagnostic. */

@@ -596,6 +596,28 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(by("en").toDouble / by("fr") < 32.0 / 8)
   }
 
+  test("r10 facade batch: laws, link readouts, novelty, drift, budget") {
+    val toks = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("w")
+    assert(Graft.zipfFit(toks).collect()(0).getAs[Long]("n_types") == 3L)
+    val dToks = Seq((1L, "s", "a"), (1L, "s", "b"), (2L, "s", "a"))
+      .toDF("doc_id", "source", "w")
+    assert(Graft.heapsFit(dToks).collect()(0).getAs[Long]("n_docs") == 2L)
+    val edges = Seq("a" -> "b", "b" -> "a", "a" -> "c").toDF("src", "dst")
+    assert(Graft.reciprocity(edges).count() == 2L)
+    assert(Graft.assortativity(edges).count() == 4L)
+    val docs = Seq((1L, Seq("x", "y")), (2L, Seq("x", "y")))
+      .toDF("doc_id", "toks")
+    val nov = Graft.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov == Map(1L -> 1.0, 2L -> 0.0))
+    val ks = Graft.ksBySource(
+      Seq(("A", 1), ("B", 9)).toDF("source", "n_toks")).collect()
+    assert(ks.forall(_.getDouble(4) == 1.0)) // disjoint supports: D = 1
+    val q = Seq((1L, 10, 0.9), (2L, 10, 0.1)).toDF("doc_id", "n_toks", "quality")
+    assert(Graft.tokenBudget(q, budget = 10L).collect()
+             .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("pair-query tuning loop over distinct inputs leaves no cached plans behind") {
     val base = Seq(
       (1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)),

@@ -580,4 +580,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_token_budget: the corpus-sized window is banded; band offsets broadcast") {
+    val p = plan("q_token_budget")
+    // the per-doc cumsum window is PARTITIONED on the quality band —
+    // never a corpus-sized Window.orderBy through one task; the
+    // band-offset table (≤ 51 rows) is the only single-partition
+    // window and it joins back by broadcast
+    assert(p.contains("windowspecdefinition(qb"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ks_test: grid windows are per-source; corpus reduces before any window") {
+    val p = plan("q_ks_test")
+    // the cumsum windows run over the bounded sources × values grid,
+    // partitioned by source — the raw corpus passes only one
+    // partial-agg count reduction
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q_ngram_novelty: one min-reduce per gram, equi-join back, no window") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
