@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   *    the 0.75 s floor is GONE — every query gets two timed samples.
   *  - reproducibility audit: the 5 slowest re-run min-of-2 at suite
   *    end; repeat_disagreement = max relative gap vs recorded steady.
-  *    If it exceeds 0.25, ANOTHER full pass runs automatically and
+  *    If it exceeds 0.2, ANOTHER full pass runs automatically and
   *    per-query minima are re-taken (up to 2 extra passes) — a loaded
   *    machine buys more samples instead of a corrupted artifact.
   *  - settle() between every execution: clearCache() plus an explicit
@@ -121,11 +121,14 @@ object Bench {
     var passes = Seq(fullPass(), fullPass())
     var (retimed, repeatDisagreement) = audit(minOf(passes))
     // loaded machine → buy more samples (min over passes) until the
-    // audit reproduces, bounded at 2 extra passes
+    // audit reproduces, bounded at 2 extra passes. Trigger at the
+    // 0.2 reproducibility TARGET itself, not above it: with a 0.25
+    // trigger, a 0.20-0.25 run would ship as final without buying
+    // the extra pass that usually settles it
     var extra = 0
-    while (repeatDisagreement > 0.25 && extra < 2) {
+    while (repeatDisagreement > 0.2 && extra < 2) {
       System.err.println(
-        f"[bench] repeat_disagreement $repeatDisagreement%.3f > 0.25 — extra pass")
+        f"[bench] repeat_disagreement $repeatDisagreement%.3f > 0.2 — extra pass")
       passes = passes :+ fullPass()
       val a = audit(minOf(passes))
       retimed = a._1; repeatDisagreement = a._2

@@ -164,6 +164,17 @@ object ScaleCheck {
                               // calendar-bounded
     "q_histogram_2d" -> 1.0,  // one cell reduction
     "q_burstiness" -> 1.0,    // one daily reduction + moment sums
+    // r10 operator batch
+    "q_graph_reciprocity" -> 1.0, // edge dedup + reversed-key semi-join
+    "q_assortativity" -> 1.0, // degree reductions + node-keyed joins +
+                              // 4-row-per-edge explode, all linear
+    "q_zipf_fit" -> 1.0,      // one token-count shuffle; regression on
+                              // the bounded top-1000 (measures ≈ count)
+    "q_heaps_fit" -> 1.0,     // per-doc agg + per-source 1-row regression
+    "q_ngram_novelty" -> 1.0, // bigram min-reduce + equi-join back
+    "q_ks_test" -> 1.0,       // one (source, value) reduction; grid is
+                              // sources × max-doc-len bounded
+    "q_token_budget" -> 1.0,  // banded two-level prefix sum
   )
 
   def main(args: Array[String]): Unit = {
@@ -183,7 +194,15 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String, dir: String): (Double, Long) = {
+      // full settle, the Bench r9 lesson: clearCache() alone leaves
+      // rdd-level blocks (iterative queries' localCheckpoints) live;
+      // across a long suite the bloated heap inflates every later
+      // query's GC time and corrupts the exponents (chunked runs of
+      // this tool measured a 30x inflation on late slots)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       val t0 = System.nanoTime()
       val n = graft.Queries.all(name)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)

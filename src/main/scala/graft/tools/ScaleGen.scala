@@ -34,9 +34,27 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional 4th arg: output part-files per table (0 = preserve the
+    // source layout). The driver fixtures are single-file/single-row-
+    // group, and narrow replication preserves that — so every scan of
+    // an unrepartitioned clone runs in ONE task regardless of
+    // maxPartitionBytes (a 1-row-group parquet cannot split). A real
+    // 100x corpus arrives as many KEY-SORTED shards; parts > 0 range-
+    // partitions on each table's natural key before writing — splits
+    // for scan parallelism while PRESERVING key clustering (a plain
+    // round-robin repartition measured 12x faster doc scans but 7x
+    // slower TPC-H joins: it shreds RLE encoding and key locality).
+    val parts = if (args.length > 3) args(3).toInt else 0
+    val sortKey = Map(
+      "customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      (sortKey.get(t).filter(_ => parts > 0) match {
+        case Some(k) => df.repartitionByRange(parts, col(k))
+        case None    => df
+      }).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     def replicate(df: DataFrame): DataFrame =
       df.withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
 
