@@ -555,6 +555,7 @@ object Queries {
     "q_market_basket"   -> (Analytics.qMarketBasket _),
     "q_cusum"           -> (Analytics.qCusum _),
     "q_ab_test"         -> (Analytics.qAbTest _),
+    "q_auc"             -> (Analytics.qAuc _),
   )
 
   val eventsOracle: Map[String, String] = Map(
@@ -654,6 +655,35 @@ object Queries {
          |SELECT n_a, k_a, n_b, k_b, ${rnd("p_a", 6)} AS p_a, ${rnd("p_b", 6)} AS p_b,
          |  ${rnd("z", 6)} AS z, abs(${rnd("z", 6)}) > 1.96 AS significant
          |FROM z""".stripMargin,
+    // mirrors Analytics.auc: per-distinct-score (pos, neg) counts,
+    // exact HUGEINT pair numerator (= the Spark side's DECIMAL(38,0)),
+    // one double division on identical operands
+    "q_auc" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |$qualityCtes,
+         |hh AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |g AS (SELECT h, count(*)::BIGINT AS gn FROM hh GROUP BY h),
+         |l AS (SELECT hh.doc_id, (g.gn > 1) AS label
+         |      FROM hh JOIN g USING (h)),
+         |sc AS (SELECT q.quality AS s, l.label
+         |       FROM q JOIN l ON q.doc_id = l.doc_id),
+         |vc AS (SELECT s,
+         |         sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS pos,
+         |         sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS neg
+         |       FROM sc GROUP BY s),
+         |c AS (SELECT s, pos, neg,
+         |        coalesce(sum(neg) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cneg
+         |      FROM vc),
+         |a AS (SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+         |        sum(pos::HUGEINT * (2 * cneg::HUGEINT + neg)) AS num2
+         |      FROM c)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5::DOUBLE
+         |       ELSE ${rnd("num2::DOUBLE / (2::HUGEINT * n_pos * n_neg)::DOUBLE", 6)}
+         |  END AS auc
+         |FROM a""".stripMargin,
     // mirrors Analytics.rfm: deterministic (metric, user_id) ntile
     // orderings; both engines assign ntile remainder to the FIRST
     // buckets; cent-exact monetary

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -230,4 +230,68 @@ object Analytics {
     abTest(Tables.events(spark, dir),
            when(col("user_id") % 2 === 0, "A").otherwise("B"),
            col("event_type") === "purchase" && col("value") > 90)
+
+  /** Exact ROC AUC of a (score, label) frame — the tie-corrected
+    * Mann-Whitney formulation: AUC = P(score⁺ > score⁻) +
+    * ½·P(score⁺ = score⁻), evaluated WITHOUT enumerating pairs from
+    * per-distinct-score (pos, neg) counts: num2 = Σ_v pos_v ·
+    * (2·negBelow_v + neg_v), AUC = num2 / (2·n_pos·n_neg). One row
+    * (n_pos, n_neg, auc); an all-one-class input reports the
+    * uninformative 0.5, not a division by zero.
+    *
+    * Integer-exact discipline: num2 and the denominator ride
+    * DECIMAL(38,0) (pair counts overflow longs at ~10⁵ docs of each
+    * class squared... at ~3·10⁹ each), so the ONE double division
+    * happens on identical operands in both engines.
+    *
+    * Scale: one (score) count reduction (map-side combined), then the
+    * [[Curation.tokenBudget]] banded two-level prefix sum over
+    * DISTINCT scores (score-band partitioned windows, ≤51-row band
+    * offsets broadcast back) — a near-continuous score means
+    * ~corpus-many distinct values, so a global Window.orderBy here
+    * would be the classic single-partition killer. */
+  def auc(scored: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val vc = scored.groupBy(col("score").as("s"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+           sum(when(col("label"), 0L).otherwise(1L)).as("neg"))
+    val banded = vc.withColumn("sb", floor(col("s") * 50).cast("long"))
+    val wIn = Window.partitionBy("sb").orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = banded.withColumn("cneg_in",
+      coalesce(sum(col("neg")).over(wIn), lit(0L)))
+    val bands = banded.groupBy("sb").agg(sum(col("neg")).as("bneg"))
+      .withColumn("boff",
+        coalesce(sum(col("bneg")).over(
+          Window.orderBy(col("sb").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("sb", "boff")
+    within.join(broadcast(bands), "sb")
+      .select(col("pos"), col("neg"),
+        (dec(col("pos")) *
+          (dec(col("boff") + col("cneg_in")) * 2 + dec(col("neg"))))
+          .as("t"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+           sum(col("t")).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(0.5))
+          .otherwise(round(col("num2").cast("double") /
+            (dec(col("n_pos")) * dec(col("n_neg")) * 2).cast("double"), 6))
+          .as("auc"))
+  }
+
+  /** q_auc: does the quality composite separate DUPLICATED content
+    * (md5 group size > 1 — the planted near-free label every corpus
+    * has) from unique content? Score = quality, label = duplicated. */
+  def qAuc(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val labeled = h.join(
+        h.groupBy("h").agg(count(lit(1)).as("gn")), "h")
+      .select(col("doc_id"), (col("gn") > 1L).as("label"))
+    val q = TextAnalysis.qualityFromStats(
+        TextAnalysis.corpusQualityStats(spark, dir))
+      .select(col("doc_id"), col("quality").as("score"))
+    auc(q.join(labeled, "doc_id").select(col("score"), col("label")))
+  }
 }
