@@ -1383,7 +1383,7 @@ object Queries {
     "q_ppr"                 -> (Graph.qPpr _),
   )
 
-  private val langLists: Seq[(String, Seq[String])] = Seq(
+  private lazy val langLists: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "nicht", "ist"),
     "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),

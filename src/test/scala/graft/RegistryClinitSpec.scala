@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry class-initialization smoke test (r10 verdict ask #2).
+  *
+  * Round 10 shipped a forward reference inside `Queries.<clinit>`:
+  * an oracle entry in an early map interpolated `qualityCtes`, which
+  * read `langLists` — a `val` declared *after* that map — and got
+  * `null` mid-initialization, killing the entire 208-query registry
+  * with `ExceptionInInitializerError` before any gate could run.
+  *
+  * This spec forces full evaluation of every registry map and every
+  * oracle SQL string, so any future initialization-order bug fails
+  * `sbt test` immediately instead of surfacing in the driver's
+  * Verify/Bench run. No SparkSession needed — this is pure clinit.
+  */
+class RegistryClinitSpec extends AnyFunSuite {
+
+  test("Queries registry initializes and is non-trivial") {
+    assert(Queries.all.size >= 200, s"registry shrank: ${Queries.all.size}")
+  }
+
+  test("every oracle SQL string materializes non-null and non-empty") {
+    // Interpolations like $qualityCtes run at map construction; a
+    // forward-referenced null val would leave the literal "null" (or
+    // throw). Assert both never happen.
+    Queries.oracle.foreach { case (name, sql) =>
+      assert(sql != null && sql.trim.nonEmpty, s"$name oracle is empty")
+      assert(!sql.contains("null,") || !sql.startsWith("null"),
+        s"$name oracle embeds a null interpolation")
+    }
+    Queries.oracleSf1.foreach { case (name, (sql, where)) =>
+      assert(sql != null && sql.trim.nonEmpty, s"$name sf1 oracle is empty")
+      assert(where != null, s"$name sf1 where is null")
+    }
+  }
+
+  test("oracle-exempt set matches the declared exemption list") {
+    val exempt = Queries.all.keySet -- Queries.oracle.keySet
+    val declared = Set(
+      "q_agg_approx", "q_dedup_near", "q_dedup_simhash", "q_ann_ivf",
+      "q_multimodal_features", "q_kmeans", "q_bloom_decontaminate",
+      "q_percentiles_approx", "q_token_bpe", "q_bpe_learn", "q_ann_quant",
+      "q_hll_users", "q_dedup_incr_near")
+    // Exemptions may grow only deliberately: fail on silent drift so a
+    // lost oracle entry is caught at test time, not in the driver gate.
+    assert(exempt == declared,
+      s"exempt drift: undeclared=${exempt -- declared} missing=${declared -- exempt}")
+  }
+
+  test("SparkEntry surface loads without a SparkSession") {
+    assert(SparkEntry.queries.size == Queries.all.size)
+    assert(SparkEntry.oracleSql.size == Queries.oracle.size)
+  }
+}
