@@ -249,13 +249,16 @@ object Analytics {
     * DISTINCT scores (score-band partitioned windows, ≤51-row band
     * offsets broadcast back) — a near-continuous score means
     * ~corpus-many distinct values, so a global Window.orderBy here
-    * would be the classic single-partition killer. */
+    * would be the classic single-partition killer. Bands come from
+    * [[Curation.withBoundedBand]] (min-max normalized), so the ≤51
+    * bound holds for ANY score domain — probabilities, logits, raw
+    * counts — not just [0,1] (r10 advice). */
   def auc(scored: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val vc = scored.groupBy(col("score").as("s"))
       .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
            sum(when(col("label"), 0L).otherwise(1L)).as("neg"))
-    val banded = vc.withColumn("sb", floor(col("s") * 50).cast("long"))
+    val banded = Curation.withBoundedBand(vc, "s", "sb")
     val wIn = Window.partitionBy("sb").orderBy(col("s").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = banded.withColumn("cneg_in",

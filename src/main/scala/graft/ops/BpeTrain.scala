@@ -61,11 +61,19 @@ object BpeTrain {
   /** Greedy-equivalent batch from the sorted top candidates: the
     * maximal pairwise-disjoint prefix (concatenations count as
     * symbols), trimmed to counts strictly above the first excluded
-    * candidate's (or the window tail's, when nothing in-window
-    * conflicts — out-of-window pairs are bounded by it). Never empty
-    * when `top` isn't: the argmax alone is always greedy-safe. */
+    * candidate's (or the window tail's, whenever the collected window
+    * may be TRUNCATED — `top.size == windowMax` — since out-of-window
+    * pairs are bounded by the tail count but could tie it and rank
+    * earlier lexicographically). Never empty when `top` isn't: the
+    * argmax alone is always greedy-safe.
+    *
+    * `windowMax` is the `limit(...)` used to collect `top`; callers
+    * must pass it so the truncation trim fires independently of
+    * `limit` (r10 advice: with `limit > windowMax` a conflict-free
+    * full window previously escaped the trim). */
   private[graft] def greedyBatch(
-      top: Seq[(String, String, Long)], limit: Int): Seq[(String, String, Long)] = {
+      top: Seq[(String, String, Long)], limit: Int,
+      windowMax: Int = Int.MaxValue): Seq[(String, String, Long)] = {
     val used = mutable.Set.empty[String]
     val prefix = mutable.Buffer.empty[(String, String, Long)]
     var cutoff = Option.empty[Long]
@@ -76,9 +84,11 @@ object BpeTrain {
       else { prefix += cand; used ++= Seq(a, b, a + b) }
     }
     if (cutoff.isEmpty && prefix.size < top.size) cutoff = Some(top(prefix.size)._3)
-    // window exhausted without a conflict: pairs beyond the window are
-    // bounded by the last collected count — trim to strictly above it
-    if (cutoff.isEmpty && top.size >= limit) cutoff = Some(top.last._3)
+    // window possibly truncated by the collect limit: pairs beyond it
+    // are bounded by the last collected count — trim to strictly above
+    // it (keyed on windowMax, NOT limit: a conflict-free full window
+    // with limit > windowMax is still truncated)
+    if (cutoff.isEmpty && top.size >= windowMax) cutoff = Some(top.last._3)
     val trimmed = cutoff match {
       case Some(c) => prefix.takeWhile(_._3 > c)
       case None    => prefix // candidate list exhausted: nothing below
@@ -129,7 +139,7 @@ object BpeTrain {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) exhausted = true
       else {
-        val batch = greedyBatch(top, nMerges - merges.size)
+        val batch = greedyBatch(top, nMerges - merges.size, batchMax)
         merges ++= batch
         words = words
           .select(mergeBatch(col("syms"),

@@ -253,15 +253,38 @@ object Curation {
     * with their running totals, ordered by doc_id.
     *
     * Scale: the global quality-ordered cumsum is the [[packChunks]]
-    * two-level prefix sum with QUALITY-BAND buckets (floor(q·50) — a
-    * monotone coarsening of the ordering key, so band-major order ≡
-    * global order): per-band windows run in parallel, the band-offset
-    * window sees ≤ 51 rows, and the band table is broadcast. No
-    * corpus-sized single-partition window; the cumsum is exact
-    * integer arithmetic regardless of banding. */
+    * two-level prefix sum with QUALITY-BAND buckets
+    * ([[withBoundedBand]]: min-max-normalized floor(q̂·50), ≤ 51 bands
+    * for ANY quality domain — a monotone coarsening of the ordering
+    * key, so band-major order ≡ global order): per-band windows run in
+    * parallel, the band-offset window sees ≤ 51 rows, and the band
+    * table is broadcast. No corpus-sized single-partition window; the
+    * cumsum is exact integer arithmetic regardless of banding. */
+  /** Append a BOUNDED banding key for the two-level prefix-sum
+    * pattern: `floor` of the min-max-normalized `score` × 50, i.e.
+    * ≤ 51 bands for ANY score domain (r10 advice: `floor(score·50)`
+    * is bounded only for scores in [0,1] — logits or counts make the
+    * band table unbounded and the band-offset window + broadcast
+    * single-partition again). Min/max is one map-side-combined scalar
+    * aggregate broadcast back as a 1-row cross join; normalization is
+    * monotone, so the band key remains a monotone coarsening of the
+    * ordering key and results are unchanged. A constant-score input
+    * degenerates to one band — correct, and no worse than any
+    * ordering on a constant key. */
+  private[ops] def withBoundedBand(df: DataFrame, score: String,
+                                   bandCol: String): DataFrame = {
+    val rng = df.agg(min(col(score)).as("_bmin"), max(col(score)).as("_bmax"))
+    df.crossJoin(broadcast(rng))
+      .withColumn(bandCol,
+        when(col("_bmax") <= col("_bmin"), lit(0L))
+          .otherwise(floor((col(score) - col("_bmin")) /
+            (col("_bmax") - col("_bmin")) * 50).cast("long")))
+      .drop("_bmin", "_bmax")
+  }
+
   def tokenBudget(q: DataFrame, budget: Long = 12000L): DataFrame = {
-    val banded = q.select(col("doc_id"), col("n_toks"), col("quality"))
-      .withColumn("qb", floor(col("quality") * 50).cast("long"))
+    val banded = withBoundedBand(
+      q.select(col("doc_id"), col("n_toks"), col("quality")), "quality", "qb")
     val wIn = Window.partitionBy("qb")
       .orderBy(col("quality").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -39,16 +39,18 @@ object StreamThroughput {
 
     // the q_curate_web batch composition's page rendering, replayed as
     // a stream: one row per document, event time 1 s apart in doc_id
-    // order (in-order arrival; the watermark trails the max by 10 min)
+    // order (in-order arrival; the watermark trails the max by 10 min).
+    // Rendered pages stream to the driver ONE PARTITION AT A TIME
+    // (`toLocalIterator`) and each MemoryStream batch materializes
+    // lazily — r10 advice: a whole-corpus `collect()` of rendered HTML
+    // is already the full corpus in driver memory at sf1 and OOMs at
+    // the larger tmpdata scale factors this tool targets. Only the
+    // feed/process time is on the clock, so the throughput semantics
+    // match the old pre-rendered-collect protocol.
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val pages: Array[(Long, String, Timestamp)] =
-      graft.Tables.documents(spark, dir)
-        .select(col("doc_id"), Html.renderPlainPage.as("html"))
-        .orderBy("doc_id")
-        .collect()
-        .zipWithIndex
-        .map { case (r, i) =>
-          (r.getLong(0), r.getString(1), new Timestamp(base + i * 1000L)) }
+    val rendered = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), Html.renderPlainPage.as("html"))
+      .orderBy("doc_id")
 
     val ms = MemoryStream[(Long, String, Timestamp)](spark)
     val curated = EventStreams.curateWebStream(
@@ -56,20 +58,29 @@ object StreamThroughput {
     val q = curated.writeStream.format("memory").queryName("st_curate")
       .outputMode("append").start()
 
-    val t0 = System.nanoTime()
-    pages.grouped(batchRows).foreach { b =>
-      ms.addData(b.toSeq); q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    var rowsIn = 0L
+    var procNs = 0L
+    rendered.toLocalIterator().asScala.grouped(batchRows).foreach { chunk =>
+      val batch = chunk.map { r =>
+        val row = (r.getLong(0), r.getString(1),
+                   new Timestamp(base + rowsIn * 1000L))
+        rowsIn += 1; row
+      }
+      val t0 = System.nanoTime()
+      ms.addData(batch); q.processAllAvailable()
+      procNs += System.nanoTime() - t0
     }
-    val wallSec = (System.nanoTime() - t0) / 1e9
+    val wallSec = procNs / 1e9
     val outRows = spark.table("st_curate").count()
     val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
     val stateRows = st.map(_.numRowsTotal).sum
     val stateBytes = st.map(_.memoryUsedBytes).sum
     q.stop()
 
-    println(f"STREAM_THROUGHPUT dir=$dir rows_in=${pages.length} " +
+    println(f"STREAM_THROUGHPUT dir=$dir rows_in=$rowsIn " +
       f"rows_out=$outRows batch_rows=$batchRows wall_sec=$wallSec%.1f " +
-      f"rows_per_sec=${pages.length / wallSec}%.0f " +
+      f"rows_per_sec=${rowsIn / wallSec}%.0f " +
       f"state_rows=$stateRows state_mb=${stateBytes / 1e6}%.1f")
     spark.stop()
   }

@@ -28,6 +28,17 @@ class AucSpec extends AnyFunSuite {
     assert(run(Seq(0.4 -> true, 0.6 -> true)).getDouble(2) == 0.5)
   }
 
+  test("auc on an arbitrary score domain (logits) matches the naive statistic") {
+    // r10 advice: banding must stay bounded AND correct outside [0,1]
+    val rows = (1 to 40).map(i => (((i * 7) % 19).toDouble * 3.5 - 30.0, i % 4 == 0))
+    val got = run(rows).getDouble(2)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val num = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    assert(got == math.rint(num / (pos.size * neg.size) * 1e6) / 1e6)
+  }
+
   test("auc banded prefix sum equals the naive pairwise statistic") {
     val rows = (1 to 60).map(i => ((i % 13).toDouble / 13.0, i % 3 == 0))
     val got = run(rows).getDouble(2)

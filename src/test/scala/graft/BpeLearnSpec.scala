@@ -97,6 +97,23 @@ class BpeLearnSpec extends AnyFunSuite {
       == Seq(("a", "b", 10L), ("c", "d", 9L)))
   }
 
+  test("greedyBatch: conflict-free full window trims on windowMax, not limit") {
+    // r10 advice (medium): window collected with limit(3) comes back
+    // full and conflict-free while limit(=remaining merges) is larger
+    // — out-of-window pairs can tie the tail count, so the tail-count
+    // trim MUST fire. Before the fix this returned all 3 untrimmed.
+    val top = Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L))
+    assert(BpeTrain.greedyBatch(top, 20, windowMax = 3)
+      == Seq(("a", "b", 10L), ("c", "d", 9L)))
+    // tie at the tail: both tail-tied members trimmed
+    val tied = Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 8L))
+    assert(BpeTrain.greedyBatch(tied, 20, windowMax = 3)
+      == Seq(("a", "b", 10L)))
+    // fully-enumerated window (size < windowMax): nothing beyond
+    // exists, nothing is trimmed
+    assert(BpeTrain.greedyBatch(top, 20, windowMax = 64) == top)
+  }
+
   test("planted dominant digraph is learned first, then its trigram") {
     val docs = Seq(
       (1L, Seq("thth", "ththth", "the", "xy")),

@@ -27,6 +27,18 @@ class FuzzyGapSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(r.fieldIndex("id_a")),
                            r.getLong(r.fieldIndex("id_b")))).toSet
 
+  test("fuzzyPairs: duplicate input rows do not duplicate output pairs") {
+    // r9/r10 advice: a non-unique idCol (verbatim duplicate rows) must
+    // not fan the join-back out — contract is ONE row per distinct
+    // (id_a, id_b, value-pair)
+    val dup = strs.union(Seq((1L, "kitten"), (2L, "mitten")).toDF("id", "s"))
+    val rows = ops.Fuzzy.fuzzyPairs(dup, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+                           r.getLong(2), r.getString(3)))
+    assert(rows.length == rows.distinct.length, "duplicate pairs emitted")
+    assert(rows.length == pairSet(1).size, "row count changed under input dup")
+  }
+
   test("fuzzyPairs d=1: substitutions, insertions, deletions; no d=0, no d=2") {
     val p = pairSet(1)
     assert(p == Set((1L, 2L), (2L, 3L), (1L, 4L), (2L, 4L),

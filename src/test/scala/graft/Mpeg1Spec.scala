@@ -197,6 +197,59 @@ class Mpeg1Spec extends AnyFunSuite {
         s"row $y: got ${f.luma(y * 32)}")
   }
 
+  test("corrupt escape-level extension byte is a clean parse failure") {
+    // r9/r10 advice pin: ISO 11172-2 table B.5g — after l8==0 the
+    // extension byte must be 128..255; a value below that is not an
+    // encodable level and must fall back to the stub (None), never
+    // decode wrong pixels
+    def streamWithExt(l8: Int, ext: Int): Array[Byte] = {
+      val w = new BitWriter
+      w.startCode(0xB3)
+      w.put(32, 12); w.put(32, 12); w.put(1, 4); w.put(1, 4)
+      w.put(0x3FFFF, 18); w.put(1, 1); w.put(0, 10); w.put(0, 1)
+      w.put(0, 1); w.put(0, 1)
+      w.startCode(0x00)
+      w.put(0, 10); w.put(1, 3); w.put(0xFFFF, 16); w.put(0, 1)
+      w.startCode(0x01)
+      w.put(8, 5); w.put(0, 1)
+      w.putBits("1"); w.putBits("1")
+      for (blk <- 0 until 6) {
+        if (blk == 0) {
+          writeDc(w, 0, chroma = false)
+          w.putBits("000001"); w.put(2, 6); w.put(l8, 8); w.put(ext, 8)
+          w.putBits(Eob)
+        } else if (blk < 4) { writeDc(w, 0, chroma = false); w.putBits(Eob) }
+        else { writeDc(w, 0, chroma = true); w.putBits(Eob) }
+      }
+      w.startCode(0xB7)
+      w.bytes
+    }
+    assert(Mpeg1.decodeFirstIFrame(streamWithExt(0, 5)).isEmpty,
+      "l8=0 ext<128 must fail the parse")
+    assert(Mpeg1.decodeFirstIFrame(streamWithExt(128, 200)).isEmpty,
+      "l8=128 ext>127 must fail the parse")
+    // sanity: a VALID extension byte on the same stream shape decodes
+    assert(Mpeg1.decodeFirstIFrame(streamWithExt(0, 130)).nonEmpty)
+  }
+
+  test("slice_vertical_position beyond the picture is a clean parse failure") {
+    // r9/r10 advice pin: a corrupt slice start code addressing a row
+    // past the declared height must not silently skip writes
+    val good = makeStream(Seq(50, 200, 100, 150), withAc = false)
+    // slice start code 0x01 (row 1) -> 0x07 (row 7 of a 2-mb-row pic)
+    val bad = good.clone()
+    var i = 0
+    var patched = false
+    while (i + 3 < bad.length && !patched) {
+      if (bad(i) == 0 && bad(i + 1) == 0 && bad(i + 2) == 1 &&
+          bad(i + 3) == 1) { bad(i + 3) = 7; patched = true }
+      i += 1
+    }
+    assert(patched, "slice start code not found in fixture")
+    assert(Mpeg1.decodeFirstIFrame(bad).isEmpty)
+    assert(Mpeg1.decodeFirstIFrame(good).nonEmpty)
+  }
+
   test("non-MPEG1 bytes and truncated streams return None (stub fallback)") {
     assert(Mpeg1.decodeFirstIFrame(Array[Byte](1, 2, 3)).isEmpty)
     assert(Mpeg1.decodeFirstIFrame(
