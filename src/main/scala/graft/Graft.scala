@@ -700,6 +700,40 @@ object Graft {
              convExpr: org.apache.spark.sql.Column): DataFrame =
     ops.Analytics.abTest(events, variantExpr, convExpr)
 
+  /** Exact tie-corrected ROC AUC of a (score, label) frame: one row
+    * (n_pos, n_neg, auc). Never enumerates pairs — per-distinct-score
+    * counts + a banded prefix sum, bounded for any score domain. */
+  def auc(scored: DataFrame): DataFrame = ops.Analytics.auc(scored)
+
+  /** Hybrid retrieval: RRF fusion of a BM25 pool and a dense
+    * cosine-vs-probe pool, each cut to `poolK` before fusion. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                queryTerms: Seq[String] = ops.Text.Bm25Query,
+                probeId: Long = ops.Search.HybridProbeId,
+                poolK: Int = ops.Search.HybridPoolK,
+                rrfK: Int = ops.Search.RrfK,
+                topN: Int = ops.Search.HybridTopN): DataFrame =
+    ops.Search.hybridRrf(tokenize(docs), embeddings, queryTerms,
+                         probeId, poolK, rrfK, topN)
+
+  /** Stage-2 feature reranking of the hybrid pool: coverage/query-tf/
+    * first-position/length-prior readout over ≤ topN broadcast
+    * candidates — one narrow pruned corpus pass. */
+  def rerank(docs: DataFrame, embeddings: DataFrame,
+             queryTerms: Seq[String] = ops.Text.Bm25Query,
+             probeId: Long = ops.Search.HybridProbeId,
+             poolK: Int = ops.Search.HybridPoolK,
+             rrfK: Int = ops.Search.RrfK,
+             topN: Int = ops.Search.HybridTopN): DataFrame =
+    ops.Search.rerank(tokenize(docs), embeddings, queryTerms,
+                      probeId, poolK, rrfK, topN)
+
+  /** Positional phrase search: docs containing `phrase` as consecutive
+    * tokens, with occurrence count and first position — one narrow
+    * native-expression scan, no explode or self-join. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    ops.Search.phraseSearch(tokenize(docs), phrase)
+
   /** Gini concentration of a cent-exact metric per group (rank
     * formula on the (value, id) total order). */
   def gini(df: DataFrame, groupCol: String, idCol: String,

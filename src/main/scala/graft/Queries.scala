@@ -1104,6 +1104,7 @@ object Queries {
     "q_dup_rate"        -> (Dedup.qDupRate _),
     "q_centroid_drift"  -> (Similarity.qCentroidDrift _),
     "q_hybrid_rrf"      -> (Search.qHybridRrf _),
+    "q_rerank"          -> (Search.qRerank _),
   )
 
   /** Shared oracle CTE for the mirrored-corpus queries — interpolated
@@ -1124,6 +1125,59 @@ object Queries {
       |      FROM v),
       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n)""".stripMargin
 
+  /** Shared stage-1 hybrid-retrieval CTE chain (BM25 pool + dense
+    * pool + RRF fusion), ending in `pool(doc_id, lex_rank,
+    * dense_rank, rrf)` — consumed by the q_hybrid_rrf readout and as
+    * the candidate set of q_rerank. A `def` (not a val): oracle maps
+    * interpolate it during `<clinit>`, and defs are immune to the
+    * initialization-order NPE class RegistryClinitSpec pins. */
+  private def hybridPoolCtes: String = {
+    val terms = Text.Bm25Query.map(t => s"'$t'").mkString(", ")
+    val k1 = Text.Bm25K1
+    val b  = Text.Bm25B
+    val kk = Search.RrfK
+    val pid = Search.HybridProbeId
+    val pk = Search.HybridPoolK
+    val tn = Search.HybridTopN
+    val fuse = s"(CASE WHEN lex_rank = 0 THEN 0.0::DOUBLE " +
+      s"ELSE 1.0::DOUBLE / (lex_rank + $kk) END + " +
+      s"CASE WHEN dense_rank = 0 THEN 0.0::DOUBLE " +
+      s"ELSE 1.0::DOUBLE / (dense_rank + $kk) END)"
+    s"""t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM t),
+       |e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+       |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |w AS (SELECT tf.doc_id,
+       |        ln(1.0::DOUBLE + (s.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
+       |          * (tf.tf * ${k1 + 1.0}::DOUBLE)
+       |          / (tf.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE + $b::DOUBLE * tf.dl / s.avgdl)) AS wt
+       |      FROM tf JOIN dfq ON tf.term = dfq.term, s),
+       |bm AS (SELECT doc_id, ${rnd("sum(wt)", 6)} AS bm25 FROM w GROUP BY doc_id
+       |       ORDER BY bm25 DESC, doc_id LIMIT $pk),
+       |lr AS (SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank
+       |       FROM bm),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nn),
+       |pv AS (SELECT vn AS pvn FROM u WHERE vec_id = $pid),
+       |ds AS (SELECT u.vec_id AS doc_id,
+       |         ${rnd("list_sum(list_transform(generate_series(1, 64), i -> u.vn[i] * pv.pvn[i]))", 6)} AS cos_sim
+       |       FROM u, pv WHERE u.vec_id <> $pid
+       |       ORDER BY cos_sim DESC, doc_id LIMIT $pk),
+       |dr AS (SELECT doc_id,
+       |         row_number() OVER (ORDER BY cos_sim DESC, doc_id)::INT AS dense_rank
+       |       FROM ds),
+       |f AS (SELECT coalesce(lr.doc_id, dr.doc_id) AS doc_id,
+       |        coalesce(lex_rank, 0) AS lex_rank,
+       |        coalesce(dense_rank, 0) AS dense_rank
+       |      FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id),
+       |pool AS (SELECT doc_id, lex_rank, dense_rank, ${rnd(fuse, 6)} AS rrf
+       |         FROM f ORDER BY rrf DESC, doc_id LIMIT $tn)""".stripMargin
+  }
+
   val dedupSimOracle: Map[String, String] = Map(
     // exact DECIMAL(38,0) carrier at 2^50 (power-of-two scaling is
     // exact on float32-origin doubles) — the per-(label, dim) sum is
@@ -1134,51 +1188,43 @@ object Queries {
     // guaranteed identical values; both pools rank on ROUNDED scores
     // with a doc_id tiebreak, so rank assignment (and therefore the
     // fused order) is reproducible across engines
-    "q_hybrid_rrf" -> {
-      val terms = Text.Bm25Query.map(t => s"'$t'").mkString(", ")
-      val k1 = Text.Bm25K1
-      val b  = Text.Bm25B
-      val kk = Search.RrfK
-      val pid = Search.HybridProbeId
-      val pk = Search.HybridPoolK
-      val tn = Search.HybridTopN
-      val fuse = s"(CASE WHEN lex_rank = 0 THEN 0.0::DOUBLE " +
-        s"ELSE 1.0::DOUBLE / (lex_rank + $kk) END + " +
-        s"CASE WHEN dense_rank = 0 THEN 0.0::DOUBLE " +
-        s"ELSE 1.0::DOUBLE / (dense_rank + $kk) END)"
-      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         |s AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM t),
-         |e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
-         |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |w AS (SELECT tf.doc_id,
-         |        ln(1.0::DOUBLE + (s.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE))
-         |          * (tf.tf * ${k1 + 1.0}::DOUBLE)
-         |          / (tf.tf + $k1::DOUBLE * (${1.0 - b}::DOUBLE + $b::DOUBLE * tf.dl / s.avgdl)) AS wt
-         |      FROM tf JOIN dfq ON tf.term = dfq.term, s),
-         |bm AS (SELECT doc_id, ${rnd("sum(wt)", 6)} AS bm25 FROM w GROUP BY doc_id
-         |       ORDER BY bm25 DESC, doc_id LIMIT $pk),
-         |lr AS (SELECT doc_id,
-         |         row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS lex_rank
-         |       FROM bm),
-         |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
-         |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM nn),
-         |pv AS (SELECT vn AS pvn FROM u WHERE vec_id = $pid),
-         |ds AS (SELECT u.vec_id AS doc_id,
-         |         ${rnd("list_sum(list_transform(generate_series(1, 64), i -> u.vn[i] * pv.pvn[i]))", 6)} AS cos_sim
-         |       FROM u, pv WHERE u.vec_id <> $pid
-         |       ORDER BY cos_sim DESC, doc_id LIMIT $pk),
-         |dr AS (SELECT doc_id,
-         |         row_number() OVER (ORDER BY cos_sim DESC, doc_id)::INT AS dense_rank
-         |       FROM ds),
-         |f AS (SELECT coalesce(lr.doc_id, dr.doc_id) AS doc_id,
-         |        coalesce(lex_rank, 0) AS lex_rank,
-         |        coalesce(dense_rank, 0) AS dense_rank
-         |      FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id)
-         |SELECT doc_id, lex_rank, dense_rank, ${rnd(fuse, 6)} AS rrf
-         |FROM f ORDER BY rrf DESC, doc_id LIMIT $tn""".stripMargin
+    "q_hybrid_rrf" ->
+      s"""WITH $hybridPoolCtes
+         |SELECT doc_id, lex_rank, dense_rank, rrf
+         |FROM pool ORDER BY rrf DESC, doc_id""".stripMargin,
+    // stage-2 reranking over the stage-1 pool: features are each
+    // rounded to 6 dp BEFORE the readout, so both engines combine
+    // identical operands; weights/terms interpolated from ops.Search
+    "q_rerank" -> {
+      val terms = Text.Bm25Query
+      val (wRrf, wCov, wQtf, wPos, wLen) = Search.RerankWeights
+      val covSql = terms.map(t =>
+        s"CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END").mkString(" + ")
+      val qtfSql = terms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t'))").mkString(" + ")
+      // DuckDB 1.0 list_position returns 0 when absent and least()
+      // ignores NULLs — exactly Spark's array_position/least contract,
+      // so the same nullif-absences-then-coalesce-0 shape works
+      val posSql = terms.map(t =>
+        s"nullif(list_position(toks, '$t'), 0)").mkString(", ")
+      s"""WITH $hybridPoolCtes,
+         |s2 AS (SELECT sum(len(toks))::DOUBLE / count(*) AS avgdl FROM t),
+         |ft AS (SELECT p.doc_id, p.rrf, t.toks, len(t.toks)::DOUBLE AS dl
+         |       FROM pool p JOIN t ON p.doc_id = t.doc_id),
+         |fx AS (SELECT doc_id, rrf,
+         |         round(($covSql)::DOUBLE / ${terms.size}, 6) AS cov,
+         |         round(($qtfSql)::DOUBLE / dl, 6) AS qtf,
+         |         coalesce(least($posSql), 0)::BIGINT AS first_pos,
+         |         ${rnd("abs(ln(dl / s2.avgdl))", 6)} AS len_prior
+         |       FROM ft, s2),
+         |fy AS (SELECT doc_id, rrf, cov, qtf, first_pos, len_prior,
+         |         CASE WHEN first_pos = 0 THEN 0.0::DOUBLE
+         |              ELSE round(1.0::DOUBLE / first_pos, 6) END AS pos_feat
+         |       FROM fx)
+         |SELECT doc_id, rrf, cov, qtf, first_pos, pos_feat, len_prior,
+         |  ${rnd(s"$wRrf::DOUBLE * rrf + $wCov::DOUBLE * cov + $wQtf::DOUBLE * qtf" +
+                 s" + $wPos::DOUBLE * pos_feat - $wLen::DOUBLE * len_prior", 6)} AS rerank
+         |FROM fy ORDER BY rerank DESC, doc_id""".stripMargin
     },
     "q_centroid_drift" ->
       """WITH e AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x

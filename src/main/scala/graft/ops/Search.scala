@@ -125,4 +125,90 @@ object Search {
   /** q_phrase_search: [[phraseSearch]] for [[Phrase]]. */
   def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearch(Tables.docTokens(spark, dir), Phrase)
+
+  /** Reranker readout weights: (rrf, coverage, query-tf, first-pos,
+    * length-prior). Fixed, documented constants — a deterministic
+    * feature-linear stand-in for the cross-encoder stage of a RAG
+    * stack (the learned weights would arrive the same way DSIR's do:
+    * as a tiny broadcast model artifact; the PIPELINE — pool join,
+    * feature extraction, readout sort — is the part that must scale). */
+  val RerankWeights: (Double, Double, Double, Double, Double) =
+    (30.0, 1.0, 2.0, 0.5, 0.25)
+
+  /** Feature-based reranking over the hybrid candidate pool — the
+    * second retrieval stage: [[hybridRrf]] proposes `topN` candidates
+    * cheaply, then each candidate is re-scored against richer
+    * per-document evidence and re-ordered.
+    *
+    * Features (each deterministic, each rounded to 6 dp BEFORE the
+    * readout so both engines combine identical operands):
+    *   - `rrf`      — the stage-1 fused score (already 6 dp);
+    *   - `cov`      — fraction of distinct query terms present;
+    *   - `qtf`      — total query-term occurrences / doc length;
+    *   - `pos_feat` — 1/first query-term position (0 if none: a
+    *                  missing term must not outrank a position-1 hit);
+    *   - `len_prior`— |ln(dl/avgdl)|, penalizing both stub-short and
+    *                  run-on docs (subtracted).
+    * rerank = w₁·rrf + w₂·cov + w₃·qtf + w₄·pos_feat − w₅·len_prior.
+    *
+    * Scale: the pool is ≤ `topN` rows and BROADCAST to the corpus
+    * scan, so feature extraction is one narrow pruned pass over
+    * docTokens (a broadcast hash join keeps only pool docs — no
+    * shuffle of the corpus); avgdl is a map-side-combined scalar
+    * broadcast back via 1-row cross join; the readout sort runs on
+    * ≤ topN rows. Per-term features are fixed-size expression trees
+    * (|query| is a plan-time constant), not per-element lambdas. */
+  def rerank(docToks: DataFrame, embeddings: DataFrame,
+             queryTerms: Seq[String] = Text.Bm25Query,
+             probeId: Long = HybridProbeId,
+             poolK: Int = HybridPoolK, rrfK: Int = RrfK,
+             topN: Int = HybridTopN): DataFrame = {
+    val (wRrf, wCov, wQtf, wPos, wLen) = RerankWeights
+    val pool = hybridRrf(docToks, embeddings, queryTerms, probeId,
+                         poolK, rrfK, topN)
+      .select("doc_id", "rrf")
+    // corpus-wide scalar: long lengths sum exactly in a double until
+    // 2^53, so avgdl is order-independent and engine-identical
+    val avg = docToks
+      .agg((sum(size(col("toks")).cast("long")).cast("double") /
+            count(lit(1))).as("avgdl"))
+    val nTerms = queryTerms.size
+    val covExpr = queryTerms
+      .map(t => when(array_contains(col("toks"), t), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / nTerms
+    val qtfExpr = queryTerms
+      .map(t => size(filter(col("toks"), x => x === lit(t))))
+      .reduce(_ + _).cast("double") / col("dl")
+    // array_position: 0 = absent; least() skips nulls, so nullif
+    // turns absences into nulls and coalesce restores the 0 sentinel
+    // (least itself requires >1 args — a 1-term query skips it)
+    val posCols = queryTerms.map(t =>
+      nullif(array_position(col("toks"), lit(t)), lit(0L)))
+    val firstPosExpr = coalesce(
+      if (posCols.size == 1) posCols.head else least(posCols: _*),
+      lit(0L))
+    docToks.join(broadcast(pool), Seq("doc_id"))
+      .crossJoin(broadcast(avg))
+      .withColumn("dl", size(col("toks")).cast("double"))
+      .withColumn("cov", round(covExpr, 6))
+      .withColumn("qtf", round(qtfExpr, 6))
+      .withColumn("first_pos", firstPosExpr)
+      .withColumn("len_prior", round(abs(log(col("dl") / col("avgdl"))), 6))
+      .withColumn("pos_feat",
+        when(col("first_pos") === 0L, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_pos"), 6)))
+      .withColumn("rerank",
+        round(lit(wRrf) * col("rrf") + lit(wCov) * col("cov") +
+              lit(wQtf) * col("qtf") + lit(wPos) * col("pos_feat") -
+              lit(wLen) * col("len_prior"), 6))
+      .select(col("doc_id"), col("rrf"), col("cov"), col("qtf"),
+              col("first_pos"), col("pos_feat"), col("len_prior"),
+              col("rerank"))
+      .orderBy(col("rerank").desc, col("doc_id").asc)
+  }
+
+  /** q_rerank: [[rerank]] of the hybrid pool — stage-2 of the
+    * retrieval path (pool → features → readout). */
+  def qRerank(spark: SparkSession, dir: String): DataFrame =
+    rerank(Tables.docTokens(spark, dir), Tables.embeddings(spark, dir))
 }

@@ -637,4 +637,24 @@ class GraftFacadeSpec extends AnyFunSuite {
     // regression under test is GROWTH (one new entry per call)
     assert(spark.sparkContext.getPersistentRDDs.size <= persisted0)
   }
+
+  test("retrieval path: hybridRrf pool feeds rerank; auc scores a labeled frame") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.436f), 0),
+      (2L, Array(0.8f, 0.6f), 0), (3L, Array(0.7f, 0.714f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pool = Graft.hybridRrf(docs.limit(4).union(
+        Seq((0L, "probe text", "en")).toDF("doc_id", "text", "lang")),
+      emb, queryTerms = Seq("fox", "spark"), probeId = 0L, poolK = 3, topN = 3)
+    assert(pool.count() > 0)
+    val rr = Graft.rerank(docs, emb, queryTerms = Seq("fox", "spark"),
+      probeId = 0L, poolK = 3, topN = 3).collect()
+    assert(rr.nonEmpty)
+    // rerank output is ordered by the readout score
+    val scores = rr.map(r => r.getDouble(r.fieldIndex("rerank"))).toList
+    assert(scores == scores.sorted.reverse)
+    val a = Graft.auc(Seq((0.9, true), (0.4, false), (0.6, true))
+      .toDF("score", "label")).collect()(0)
+    assert(a.getDouble(2) == 1.0)
+  }
 }

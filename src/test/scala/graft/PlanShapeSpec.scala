@@ -607,4 +607,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_rerank: pool broadcasts to the corpus scan; no corpus shuffle for features") {
+    val p = plan("q_rerank")
+    // the ≤ topN candidate pool joins the documents scan by BROADCAST
+    // hash join (feature extraction is one narrow pruned corpus pass);
+    // avgdl arrives as a 1-row broadcast side. A SortMergeJoin of the
+    // corpus against a 50-row pool would shuffle 100 TB to meet 50 rows.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-term features are fixed-size expression trees on the scan
+    // side: the only explodes are stage-1 BM25's own two (tf + df
+    // candidate gen) — the feature pass must not add a third
+    assert(p.sliding("Generate explode".length).count(_ == "Generate explode") == 2, p)
+  }
 }

@@ -94,6 +94,63 @@ class SearchSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // rerank
+  // ---------------------------------------------------------------
+
+  test("rerank: hand-computed features and readout on a 4-doc pool") {
+    // probe id 0; dense cosine order 1 > 2 > 3 > 4 by construction
+    val d = toks(
+      1L -> "term term term pad",  // cov 1/1, qtf 3/4, first_pos 1
+      2L -> "pad term pad pad",    // cov 1,   qtf 1/4, first_pos 2
+      3L -> "pad pad pad term",    // cov 1,   qtf 1/4, first_pos 4
+      4L -> "pad pad pad pad")     // cov 0,   qtf 0,   first_pos 0
+    def v(x: Double) = Array(x.toFloat, math.sqrt(1 - x * x).toFloat)
+    val e = Seq(
+      (0L, v(1.0), 0), (1L, v(0.9), 0), (2L, v(0.8), 0),
+      (3L, v(0.7), 0), (4L, v(0.6), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Search.rerank(d, e, queryTerms = Seq("term"),
+        probeId = 0L, poolK = 4, rrfK = 60, topN = 10)
+      .collect()
+    val byDoc = out.map(r => r.getLong(0) -> r).toMap
+    val (wRrf, wCov, wQtf, wPos, wLen) = Search.RerankWeights
+    def f(id: Long, c: String) = byDoc(id).getDouble(byDoc(id).fieldIndex(c))
+    // features: doc 1
+    assert(f(1L, "cov") == 1.0 && f(1L, "qtf") == 0.75)
+    assert(byDoc(1L).getLong(byDoc(1L).fieldIndex("first_pos")) == 1L)
+    assert(f(1L, "pos_feat") == 1.0)
+    // all docs have dl = 4 = avgdl → len_prior |ln 1| = 0
+    assert(out.forall(r => r.getDouble(r.fieldIndex("len_prior")) == 0.0))
+    // doc 4: dense-only — no query term
+    assert(f(4L, "cov") == 0.0 && f(4L, "qtf") == 0.0 && f(4L, "pos_feat") == 0.0)
+    // readout: doc 2 (ranks 2/2) vs hand formula
+    val rrf2 = math.rint((1.0 / 62 + 1.0 / 62) * 1e6) / 1e6
+    val want2 = math.rint(
+      (wRrf * rrf2 + wCov * 1.0 + wQtf * 0.25 + wPos * 0.5 - wLen * 0.0) * 1e6) / 1e6
+    assert(f(2L, "rerank") == want2)
+    // a missing term can never outrank a position-1 hit on pos_feat
+    assert(f(1L, "pos_feat") > f(4L, "pos_feat"))
+    // order: rerank desc
+    val scores = out.map(r => r.getDouble(r.fieldIndex("rerank"))).toList
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("rerank: length prior penalizes run-on and stub docs symmetrically") {
+    val d = toks(
+      1L -> "term pad",                      // dl 2
+      2L -> ("term " + ("pad " * 7)).trim)   // dl 8; avgdl 5
+    def v(x: Double) = Array(x.toFloat, math.sqrt(1 - x * x).toFloat)
+    val e = Seq((0L, v(1.0), 0), (1L, v(0.9), 0), (2L, v(0.8), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Search.rerank(d, e, queryTerms = Seq("term"),
+        probeId = 0L, poolK = 4, rrfK = 60, topN = 10).collect()
+    val byDoc = out.map(r => r.getLong(0) -> r).toMap
+    def lp(id: Long) = byDoc(id).getDouble(byDoc(id).fieldIndex("len_prior"))
+    assert(lp(1L) == math.rint(math.abs(math.log(2.0 / 5.0)) * 1e6) / 1e6)
+    assert(lp(2L) == math.rint(math.abs(math.log(8.0 / 5.0)) * 1e6) / 1e6)
+  }
+
+  // ---------------------------------------------------------------
   // skyline
   // ---------------------------------------------------------------
 
