@@ -175,6 +175,12 @@ object ScaleCheck {
     "q_ks_test" -> 1.0,       // one (source, value) reduction; grid is
                               // sources × max-doc-len bounded
     "q_token_budget" -> 1.0,  // banded two-level prefix sum
+    // r11 operator batch
+    "q_auc" -> 1.0,           // distinct-score count reduction + the
+                              // token_budget banded prefix sum
+    "q_rerank" -> 1.0,        // stage-1 hybrid pools (BM25 prune +
+                              // broadcast-probe dots, both linear) +
+                              // a bounded-pool broadcast feature pass
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,6 +34,10 @@ class RegistryClinitSpec extends AnyFunSuite {
       assert(sql != null && sql.trim.nonEmpty, s"$name sf1 oracle is empty")
       assert(where != null, s"$name sf1 where is null")
     }
+    // an sf1 override must override a PRIMARY oracle — an orphan entry
+    // would silently never run in either gate
+    val orphans = Queries.oracleSf1.keySet -- Queries.oracle.keySet
+    assert(orphans.isEmpty, s"sf1 overrides without a primary oracle: $orphans")
   }
 
   test("oracle-exempt set matches the declared exemption list") {
