@@ -734,6 +734,18 @@ object Graft {
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
     ops.Search.phraseSearch(tokenize(docs), phrase)
 
+  /** Exact upper-triangle covariance matrix of the embedding columns
+    * (di ≤ dj): order-independent integer carriers, one narrow pass,
+    * d²-bounded output. */
+  def covMatrix(embeddings: DataFrame): DataFrame =
+    Similarity.covMatrix(embeddings)
+
+  /** PCA projection onto the top-k principal components: deterministic
+    * power iteration over the [[covMatrix]] model artifact, then one
+    * broadcast-literal dot pass per component. */
+  def pcaProject(embeddings: DataFrame, k: Int = 2): DataFrame =
+    Similarity.pcaProject(embeddings, k)
+
   /** Gini concentration of a cent-exact metric per group (rank
     * formula on the (value, id) total order). */
   def gini(df: DataFrame, groupCol: String, idCol: String,

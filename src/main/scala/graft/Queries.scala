@@ -1105,6 +1105,8 @@ object Queries {
     "q_centroid_drift"  -> (Similarity.qCentroidDrift _),
     "q_hybrid_rrf"      -> (Search.qHybridRrf _),
     "q_rerank"          -> (Search.qRerank _),
+    "q_embed_cov"       -> (Similarity.qEmbedCov _),
+    "q_embed_pca"       -> (Similarity.qEmbedPca _),
   )
 
   /** Shared oracle CTE for the mirrored-corpus queries — interpolated
@@ -1226,6 +1228,33 @@ object Queries {
                  s" + $wPos::DOUBLE * pos_feat - $wLen::DOUBLE * len_prior", 6)} AS rerank
          |FROM fy ORDER BY rerank DESC, doc_id""".stripMargin
     },
+    // covariance on the centroid-drift integer-carrier discipline
+    // extended to second moments: per-row float32 products are exact
+    // in double and exact integers at scale 2^100, so every sum is
+    // order-independent and the one combining double expression sees
+    // identical operands in both engines
+    "q_embed_cov" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |           FROM embeddings),
+         |x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+         |      FROM v, unnest(generate_series(1, 64)) AS t(i)),
+         |sx AS (SELECT dim, sum(CAST(x * 1125899906842624.0 AS DECIMAL(38,0))) AS sx
+         |       FROM x GROUP BY dim),
+         |n AS (SELECT count(*)::BIGINT AS n FROM v),
+         |p AS (SELECT a.dim AS di, b.dim AS dj,
+         |        sum(CAST(a.x * b.x * 1267650600228229401496703205376.0
+         |                 AS DECIMAL(38,0))) AS sxy
+         |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+         |      GROUP BY 1, 2)
+         |SELECT di, dj,
+         |  ${rnd("sxy::DOUBLE / (1267650600228229401496703205376.0 * n.n)" +
+                 " - (si.sx::DOUBLE / (1125899906842624.0 * n.n))" +
+                 " * (sj.sx::DOUBLE / (1125899906842624.0 * n.n))", 6)} AS cov
+         |FROM p
+         |JOIN sx si ON p.di = si.dim
+         |JOIN sx sj ON p.dj = sj.dim
+         |CROSS JOIN n
+         |ORDER BY di, dj""".stripMargin,
     "q_centroid_drift" ->
       """WITH e AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
         |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
@@ -2622,7 +2651,9 @@ object Queries {
     * q_bpe_learn (iterative argmax-merge training loop; golden vs an
     * independent single-node learner in BpeLearnSpec), q_ann_quant
     * (approximate by construction; recall + at-rest-size goldens in
-    * QuantSpec). */
+    * QuantSpec), q_embed_pca (no eigensolver in SQL; the covariance
+    * INPUT is the oracle-green q_embed_cov, and PcaSpec pins
+    * planted-axis recovery, ordering, orthogonality, determinism). */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{TopKFunctions, VectorFunctions}
+import graft.functions.{CovAggregator, TopKFunctions, VectorFunctions}
 
 /** Embedding-similarity operators (SURVEY.md §2.2 dedup/similarity).
   *
@@ -447,4 +447,159 @@ object Similarity {
     * `label`. */
   def qCentroidDrift(spark: SparkSession, dir: String): DataFrame =
     centroidDrift(Tables.embeddings(spark, dir))
+
+  private val ProductScale: Double = CentroidScale * CentroidScale // 2^100
+
+  /** Exact upper-triangle covariance matrix of the embedding columns:
+    * (di, dj, cov) for di ≤ dj — the E[xy] − E[x]E[y] form on
+    * ORDER-INDEPENDENT integer carriers, the [[centroidDrift]]
+    * discipline extended to second moments: each per-row product
+    * x·y is exact in double (two 24-bit float32 mantissas → ≤ 48
+    * significant bits), and ×2^100 it is an exact integer whenever
+    * x·2^50 is (runtime-guarded) — so Σxy rides DECIMAL(38,0), and
+    * the one double expression combining Σxy, Σx, Σy, n is evaluated
+    * on identical operands by both engines. Magnitude: |Σxy·2^100| ≤
+    * n·2^100 — inside DECIMAL(38,0) to n ≈ 10^7 rows.
+    *
+    * Scale: ONE narrow pass — per row a single Generate of the
+    * d(d+1)/2 = 2080 upper-triangle products (a plan-time-constant
+    * array, no self-join, no d² explode), then one (di, dj) partial-agg
+    * reduction; the 64-row first-moment table joins back by broadcast.
+    * The output is d²-bounded (2080 rows), never corpus-sized. */
+  def covMatrix(embeddings: DataFrame): DataFrame = {
+    val S = CentroidScale
+    val P = ProductScale
+    val d = 64
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // one narrow distributed pass: the typed CovAggregator accumulates
+    // all d(d+1)/2 radix-split product sums per partition (partial agg)
+    // and merges 6 368-long buffers — no explode, no shuffle of a
+    // products stream, no per-row BigDecimal (the first cut generated
+    // the 2080 products as a nested higher-order-function struct array
+    // into a DECIMAL(38,0) sum: ~200 s at 100× where this pass is
+    // seconds). The finished buffer is a BOUNDED model artifact (the
+    // k-means-centroid pattern); the exact wide-integer reassembly and
+    // the one double combining expression per pair run on the driver
+    // over 2 080 entries, bit-identical to the oracle's DECIMAL path.
+    val buf = embeddings
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[Seq[Double]]
+      .select(new CovAggregator(d).toColumn)
+      .head()
+    val n = buf.n
+    require(n > 0, "covMatrix: empty embeddings input")
+    val big34 = java.math.BigDecimal.valueOf(17179869184L)
+    val big68 = big34.multiply(big34)
+    def firstMoment(i: Int): Double =
+      big34.multiply(java.math.BigDecimal.valueOf(buf.xa(i)))
+        .add(java.math.BigDecimal.valueOf(buf.xc(i)))
+        .doubleValue() / (S * n)
+    // Spark's round(double, 6) semantics exactly: HALF_UP on the
+    // shortest decimal representation (BigDecimal.valueOf)
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = {
+      var k = 0
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      for (i <- 0 until d; j <- i until d) {
+        val sxy = big68.multiply(java.math.BigDecimal.valueOf(buf.pa(k)))
+          .add(big34.multiply(java.math.BigDecimal.valueOf(buf.pb(k))))
+          .add(java.math.BigDecimal.valueOf(buf.pc(k)))
+        out += ((i.toLong, j.toLong,
+          rnd6(sxy.doubleValue() / (P * n) - firstMoment(i) * firstMoment(j))))
+        k += 1
+      }
+      out.result()
+    }
+    rows.toDF("di", "dj", "cov").orderBy("di", "dj")
+  }
+
+  /** q_embed_cov: [[covMatrix]] of the test embeddings. */
+  def qEmbedCov(spark: SparkSession, dir: String): DataFrame =
+    covMatrix(Tables.embeddings(spark, dir))
+
+  /** PCA projection of every embedding onto the top-`k` principal
+    * components: (vec_id, pc1 … pck) — the whitening/visualization/
+    * IVF-PQ-training primitive. The covariance matrix comes from
+    * [[covMatrix]] (deterministic integer carriers, d² = 4096 doubles
+    * — a BOUNDED model artifact collected to the driver, the k-means-
+    * centroid pattern, never corpus-scale); eigenvectors by fixed-
+    * iteration power iteration with deflation (deterministic: fixed
+    * start 1/√d, fixed 200 steps, no RNG), sign-canonicalized so each
+    * component's largest-|loading| coordinate is positive. The
+    * projection itself is the scale path: k broadcast literal vectors
+    * dotted against each row in one narrow codegen'd pass.
+    *
+    * Oracle-exempt (no eigensolver in SQL; the COVARIANCE input is the
+    * oracle-green q_embed_cov): PcaSpec pins planted-axis recovery,
+    * eigenvalue ordering, component orthogonality and determinism. */
+  def pcaProject(embeddings: DataFrame, k: Int = 2): DataFrame = {
+    val d = 64
+    require(k >= 1 && k <= d, s"pcaProject: k must be in [1, $d], got $k")
+    val spark = embeddings.sparkSession
+    // bounded model artifact: 2080 upper-triangle entries -> dense sym
+    val cov = Array.ofDim[Double](d, d)
+    covMatrix(embeddings).collect().foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * x(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      y
+    }
+    def norm(x: Array[Double]): Double = math.sqrt(x.map(a => a * a).sum)
+    val comps = Array.ofDim[Double](k, d)
+    val eigs = new Array[Double](k)
+    val m = cov.map(_.clone())
+    for (c <- 0 until k) {
+      var x = Array.fill(d)(1.0 / math.sqrt(d))
+      for (_ <- 0 until 200) {
+        val y = matVec(m, x)
+        val n = norm(y)
+        // a zero iterate (x in the null space) keeps the previous x:
+        // the component is then a zero-eigenvalue direction and the
+        // projection is constant 0 — degenerate but well-defined
+        if (n > 0) x = y.map(_ / n)
+      }
+      val lambda = {
+        val y = matVec(m, x)
+        var s = 0.0; var i = 0
+        while (i < d) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      // sign canon: largest-|loading| coordinate (lowest dim on ties)
+      // positive — removes the eigenvector's inherent sign ambiguity
+      val pivot = x.indices.maxBy(i => (math.abs(x(i)), -i))
+      val canon = if (x(pivot) < 0) x.map(-_) else x
+      comps(c) = canon; eigs(c) = lambda
+      // deflate: m -= lambda v v^T
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { m(i)(j) -= lambda * canon(i) * canon(j); j += 1 }
+        i += 1
+      }
+    }
+    VectorFunctions.register(spark)
+    val v = embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val projCols = (0 until k).map { c =>
+      val lits = array(comps(c).map(lit): _*)
+      round(VectorFunctions.dot(col("v"), lits), 6).as(s"pc${c + 1}")
+    }
+    v.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
+  }
+
+  /** q_embed_pca: [[pcaProject]] top-2 projections of the test
+    * embeddings. */
+  def qEmbedPca(spark: SparkSession, dir: String): DataFrame =
+    pcaProject(Tables.embeddings(spark, dir))
 }

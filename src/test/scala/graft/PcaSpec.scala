@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Goldens for the exact covariance matrix and the power-iteration PCA
+  * projection — planted structure with closed-form expectations, no
+  * reference solver. */
+class PcaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 64-dim float32 embeddings along a planted axis: vec i =
+    * a_i · u + b_i · w with u = e0, w = e1 and |a| spread ≫ |b|
+    * spread, all coordinates exact multiples of 2^-10 (well inside
+    * the 2^-50 carrier guard). */
+  private def planted(n: Int = 64): org.apache.spark.sql.DataFrame = {
+    (0 until n).map { i =>
+      val a = (i % 17).toFloat / 4f - 2f     // dominant spread on dim 0
+      val b = (i % 5).toFloat / 16f          // minor spread on dim 1
+      val v = new Array[Float](64)
+      v(0) = a; v(1) = b
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("covMatrix: hand-computed 2-active-dim covariance, zeros elsewhere") {
+    val df = planted()
+    val cov = Similarity.covMatrix(df).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(cov.size == 64 * 65 / 2)
+    val as = (0 until 64).map(i => ((i % 17).toDouble / 4 - 2))
+    val bs = (0 until 64).map(i => (i % 5).toDouble / 16)
+    def cv(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.size
+      math.rint((x.zip(y).map { case (p, q) => p * q }.sum / n
+        - x.sum / n * (y.sum / n)) * 1e6) / 1e6
+    }
+    assert(math.abs(cov((0, 0)) - cv(as, as)) <= 1e-6)
+    assert(math.abs(cov((1, 1)) - cv(bs, bs)) <= 1e-6)
+    assert(math.abs(cov((0, 1)) - cv(as, bs)) <= 1e-6)
+    // every dim not planted is exactly zero — integer carriers, no
+    // accumulated noise
+    assert(cov((2, 2)) == 0.0 && cov((0, 63)) == 0.0 && cov((5, 9)) == 0.0)
+  }
+
+  test("pcaProject: recovers the planted dominant axis; pc2 the minor one") {
+    val df = planted()
+    val out = Similarity.pcaProject(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val as = (0 until 64).map(i => ((i % 17).toDouble / 4 - 2))
+    val bs = (0 until 64).map(i => (i % 5).toDouble / 16)
+    // planted cross-covariance cov(a,b) is ~0 but not exactly 0, so
+    // the principal axes are u, w up to a tiny rotation: projections
+    // must correlate ≈1 with the planted coordinates
+    def corr(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.size
+      val (mx, my) = (x.sum / n, y.sum / n)
+      val cxy = x.zip(y).map { case (p, q) => (p - mx) * (q - my) }.sum
+      val sx = math.sqrt(x.map(p => (p - mx) * (p - mx)).sum)
+      val sy = math.sqrt(y.map(q => (q - my) * (q - my)).sum)
+      cxy / (sx * sy)
+    }
+    val pc1 = out.map(_._2).toSeq
+    val pc2 = out.map(_._3).toSeq
+    assert(math.abs(corr(pc1, as)) > 0.999, s"pc1 vs planted a: ${corr(pc1, as)}")
+    assert(math.abs(corr(pc2, bs)) > 0.999, s"pc2 vs planted b: ${corr(pc2, bs)}")
+    // sign canon: pc1's loading pivot is positive -> pc1 correlates
+    // POSITIVELY with the dominant planted coordinate
+    assert(corr(pc1, as) > 0)
+    // variance ordering: var(pc1) >= var(pc2)
+    def va(x: Seq[Double]) = { val m = x.sum / x.size; x.map(p => (p - m) * (p - m)).sum }
+    assert(va(pc1) >= va(pc2))
+  }
+
+  test("pcaProject is deterministic across runs") {
+    val df = planted()
+    val a = Similarity.pcaProject(df, k = 2).collect().toSeq
+    val b = Similarity.pcaProject(df, k = 2).collect().toSeq
+    assert(a == b)
+  }
+
+  test("pcaProject on the fixture corpus: finite, ordered, n rows") {
+    val out = Similarity.qEmbedPca(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.length > 0)
+    assert(rows.forall(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN))
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted)
+  }
+}

@@ -608,6 +608,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_embed_cov: aggregator pass done, result is the bounded local artifact") {
+    // the corpus pass runs ONCE inside the typed CovAggregator (partial
+    // per-partition buffers, one merge) during construction; the
+    // returned frame is the reassembled 2080-row model artifact — a
+    // local relation, never a re-executed corpus scan or a d² explode
+    val p = plan("q_embed_cov")
+    assert(p.contains("LocalTableScan") || p.contains("localtablescan"), p)
+    assert(!p.contains("Generate") && !p.contains("FileScan"), p)
+  }
+
   test("q_rerank: pool broadcasts to the corpus scan; no corpus shuffle for features") {
     val p = plan("q_rerank")
     // the ≤ topN candidate pool joins the documents scan by BROADCAST

@@ -46,7 +46,7 @@ class RegistryClinitSpec extends AnyFunSuite {
       "q_agg_approx", "q_dedup_near", "q_dedup_simhash", "q_ann_ivf",
       "q_multimodal_features", "q_kmeans", "q_bloom_decontaminate",
       "q_percentiles_approx", "q_token_bpe", "q_bpe_learn", "q_ann_quant",
-      "q_hll_users", "q_dedup_incr_near")
+      "q_hll_users", "q_dedup_incr_near", "q_embed_pca")
     // Exemptions may grow only deliberately: fail on silent drift so a
     // lost oracle entry is caught at test time, not in the driver gate.
     assert(exempt == declared,
