@@ -1214,14 +1214,14 @@ object Queries {
          |ft AS (SELECT p.doc_id, p.rrf, t.toks, len(t.toks)::DOUBLE AS dl
          |       FROM pool p JOIN t ON p.doc_id = t.doc_id),
          |fx AS (SELECT doc_id, rrf,
-         |         round(($covSql)::DOUBLE / ${terms.size}, 6) AS cov,
-         |         round(($qtfSql)::DOUBLE / dl, 6) AS qtf,
+         |         ${rnd(s"($covSql)::DOUBLE / ${terms.size}", 6)} AS cov,
+         |         ${rnd(s"($qtfSql)::DOUBLE / dl", 6)} AS qtf,
          |         coalesce(least($posSql), 0)::BIGINT AS first_pos,
          |         ${rnd("abs(ln(dl / s2.avgdl))", 6)} AS len_prior
          |       FROM ft, s2),
          |fy AS (SELECT doc_id, rrf, cov, qtf, first_pos, len_prior,
          |         CASE WHEN first_pos = 0 THEN 0.0::DOUBLE
-         |              ELSE round(1.0::DOUBLE / first_pos, 6) END AS pos_feat
+         |              ELSE ${rnd("1.0::DOUBLE / first_pos", 6)} END AS pos_feat
          |       FROM fx)
          |SELECT doc_id, rrf, cov, qtf, first_pos, pos_feat, len_prior,
          |  ${rnd(s"$wRrf::DOUBLE * rrf + $wCov::DOUBLE * cov + $wQtf::DOUBLE * qtf" +

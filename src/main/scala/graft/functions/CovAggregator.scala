@@ -50,6 +50,15 @@ class CovAggregator(d: Int) extends Aggregator[Seq[Double], CovBuf, CovBuf] {
       if (math.floor(xs) != xs)
         throw new IllegalArgumentException(
           s"covMatrix: value has >50 fraction bits: ${x(i)}")
+      // the PRODUCT-exactness proof needs ≤24-bit (float32) mantissas
+      // (48-bit products are exact in double); x·2^50 ∈ ℤ alone does
+      // not bound the mantissa, and the radix-split reconstruction
+      // check verifies the ALREADY-ROUNDED product against itself —
+      // so a wide-mantissa double input must be rejected here, not
+      // silently summed inexactly (r11 review)
+      if (x(i).toFloat.toDouble != x(i))
+        throw new IllegalArgumentException(
+          s"covMatrix: value is not float32-exact (>24-bit mantissa): ${x(i)}")
       val a = math.floor(xs / C34)
       b.xa(i) += a.toLong
       b.xc(i) += (xs - a * C34).toLong

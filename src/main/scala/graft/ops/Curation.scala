@@ -246,20 +246,6 @@ object Curation {
     * window over a bounded table, broadcast back. offset = bucket
     * prefix + within-bucket cumsum.
     */
-  /** Greedy QUALITY-FIRST selection under a token budget — the "best
-    * B tokens of this corpus" curation primitive: rank documents by
-    * (quality desc, doc_id) and keep each while its INCLUSIVE running
-    * token total stays within the budget. Output: the kept documents
-    * with their running totals, ordered by doc_id.
-    *
-    * Scale: the global quality-ordered cumsum is the [[packChunks]]
-    * two-level prefix sum with QUALITY-BAND buckets
-    * ([[withBoundedBand]]: min-max-normalized floor(q̂·50), ≤ 51 bands
-    * for ANY quality domain — a monotone coarsening of the ordering
-    * key, so band-major order ≡ global order): per-band windows run in
-    * parallel, the band-offset window sees ≤ 51 rows, and the band
-    * table is broadcast. No corpus-sized single-partition window; the
-    * cumsum is exact integer arithmetic regardless of banding. */
   /** Append a BOUNDED banding key for the two-level prefix-sum
     * pattern: `floor` of the min-max-normalized `score` × 50, i.e.
     * ≤ 51 bands for ANY score domain (r10 advice: `floor(score·50)`
@@ -282,6 +268,20 @@ object Curation {
       .drop("_bmin", "_bmax")
   }
 
+  /** Greedy QUALITY-FIRST selection under a token budget — the "best
+    * B tokens of this corpus" curation primitive: rank documents by
+    * (quality desc, doc_id) and keep each while its INCLUSIVE running
+    * token total stays within the budget. Output: the kept documents
+    * with their running totals, ordered by doc_id.
+    *
+    * Scale: the global quality-ordered cumsum is the [[packChunks]]
+    * two-level prefix sum with QUALITY-BAND buckets
+    * ([[withBoundedBand]]: min-max-normalized floor(q̂·50), ≤ 51 bands
+    * for ANY quality domain — a monotone coarsening of the ordering
+    * key, so band-major order ≡ global order): per-band windows run in
+    * parallel, the band-offset window sees ≤ 51 rows, and the band
+    * table is broadcast. No corpus-sized single-partition window; the
+    * cumsum is exact integer arithmetic regardless of banding. */
   def tokenBudget(q: DataFrame, budget: Long = 12000L): DataFrame = {
     val banded = withBoundedBand(
       q.select(col("doc_id"), col("n_toks"), col("quality")), "quality", "qb")

@@ -450,6 +450,16 @@ object Similarity {
 
   private val ProductScale: Double = CentroidScale * CentroidScale // 2^100
 
+  /** Embedding dimensionality from the first row (r11 review: the
+    * facade contract is ANY (vec_id, embedding) frame, not the
+    * fixture's 64 dims); uniform length is enforced per row by
+    * [[graft.functions.CovAggregator]]'s require. */
+  private def embedDim(embeddings: DataFrame): Int = {
+    val head = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(head.nonEmpty, "empty embeddings input")
+    head(0).getInt(0)
+  }
+
   /** Exact upper-triangle covariance matrix of the embedding columns:
     * (di, dj, cov) for di ≤ dj — the E[xy] − E[x]E[y] form on
     * ORDER-INDEPENDENT integer carriers, the [[centroidDrift]]
@@ -469,7 +479,7 @@ object Similarity {
   def covMatrix(embeddings: DataFrame): DataFrame = {
     val S = CentroidScale
     val P = ProductScale
-    val d = 64
+    val d = embedDim(embeddings)
     val spark = embeddings.sparkSession
     import spark.implicits._
     // one narrow distributed pass: the typed CovAggregator accumulates
@@ -536,7 +546,7 @@ object Similarity {
     * oracle-green q_embed_cov): PcaSpec pins planted-axis recovery,
     * eigenvalue ordering, component orthogonality and determinism. */
   def pcaProject(embeddings: DataFrame, k: Int = 2): DataFrame = {
-    val d = 64
+    val d = embedDim(embeddings)
     require(k >= 1 && k <= d, s"pcaProject: k must be in [1, $d], got $k")
     val spark = embeddings.sparkSession
     // bounded model artifact: 2080 upper-triangle entries -> dense sym
@@ -560,13 +570,22 @@ object Similarity {
     val eigs = new Array[Double](k)
     val m = cov.map(_.clone())
     for (c <- 0 until k) {
-      var x = Array.fill(d)(1.0 / math.sqrt(d))
+      // deterministic start cascade (r11 review): the all-ones start
+      // can be EXACTLY orthogonal to the dominant eigenvector (e.g. a
+      // corpus varying only along e0−e1), where a zero first iterate
+      // would silently stick on a null-space direction — fall through
+      // the basis vectors e0, e1, … until one escapes the null space;
+      // only a zero MATRIX leaves the (well-defined, zero-variance)
+      // all-ones direction standing
+      var x = (Iterator(Array.fill(d)(1.0 / math.sqrt(d))) ++
+               (0 until d).iterator.map { i =>
+                 val e = new Array[Double](d); e(i) = 1.0; e })
+        .find(s => norm(matVec(m, s)) > 0)
+        .getOrElse(Array.fill(d)(1.0 / math.sqrt(d)))
       for (_ <- 0 until 200) {
         val y = matVec(m, x)
         val n = norm(y)
-        // a zero iterate (x in the null space) keeps the previous x:
-        // the component is then a zero-eigenvalue direction and the
-        // projection is constant 0 — degenerate but well-defined
+        // deflated-to-zero residual matrix: keep the previous iterate
         if (n > 0) x = y.map(_ / n)
       }
       val lambda = {

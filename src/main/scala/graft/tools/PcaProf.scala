@@ -31,7 +31,10 @@ object PcaProf {
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val lits = array((0 until 64).map(i => lit(i * 0.01)): _*)
     time("transform-only") {
-      v.select(col("vec_id")).count()
+      // force the cast-transform to actually run: a vec_id-only count
+      // would let Catalyst prune `v` away entirely (the same pitfall
+      // SCALING.md §r11 records for the cov count() smoke)
+      v.agg(sum(element_at(col("v"), 1))).collect()
     }
     time("proj-dot") {
       v.select(col("vec_id"), round(VectorFunctions.dot(col("v"), lits), 6)

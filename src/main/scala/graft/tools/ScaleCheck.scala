@@ -181,8 +181,9 @@ object ScaleCheck {
     "q_rerank" -> 1.0,        // stage-1 hybrid pools (BM25 prune +
                               // broadcast-probe dots, both linear) +
                               // a bounded-pool broadcast feature pass
-    "q_embed_cov" -> 1.0,     // one 2080-products-per-row Generate +
-                              // one (di,dj) reduction; output d²-bounded
+    "q_embed_cov" -> 1.0,     // one CovAggregator pass (radix-split
+                              // long partials, 6368-long merge);
+                              // output d²-bounded
     "q_embed_pca" -> 1.0,     // covMatrix + a k-dot broadcast pass
   )
 

@@ -74,6 +74,29 @@ class PcaSpec extends AnyFunSuite {
     assert(va(pc1) >= va(pc2))
   }
 
+  test("pcaProject: start orthogonal to the dominant axis still recovers it") {
+    // r11 review regression: variance ONLY along u = (e0 − e1)/√2 —
+    // the all-ones start is exactly orthogonal to u (cov·1 = 0), so a
+    // stuck iteration would return a zero-variance pc1; the start
+    // cascade must fall through to a basis vector and recover u
+    val df = (0 until 32).map { i =>
+      val a = (i % 9).toFloat / 4f - 1f
+      val v = new Array[Float](64)
+      v(0) = a; v(1) = -a
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.pcaProject(df, k = 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val as = (0 until 32).map(i => ((i % 9).toDouble / 4 - 1))
+    // pc1 must carry the planted variance, not collapse to a constant
+    val pc1 = out.map(_._2)
+    assert(pc1.distinct.length > 1, s"pc1 collapsed: ${pc1.take(4).toSeq}")
+    // and must be exactly proportional to the planted coordinate
+    val pairs = out.map(_._1.toInt).map(as).zip(pc1)
+    val scale = pairs.collectFirst { case (a, p) if a != 0 => p / a }.get
+    assert(pairs.forall { case (a, p) => math.abs(p - a * scale) < 1e-5 })
+  }
+
   test("pcaProject is deterministic across runs") {
     val df = planted()
     val a = Similarity.pcaProject(df, k = 2).collect().toSeq

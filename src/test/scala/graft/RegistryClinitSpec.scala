@@ -25,9 +25,15 @@ class RegistryClinitSpec extends AnyFunSuite {
     // Interpolations like $qualityCtes run at map construction; a
     // forward-referenced null val would leave the literal "null" (or
     // throw). Assert both never happen.
+    // a null Scala string interpolates as the literal token "null":
+    // as the whole SQL, as a bare line (a null CTE-chain val), or
+    // glued to WITH/comma (inline interpolation). Legitimate SQL uses
+    // uppercase NULL, so the lowercase-token probes are safe.
+    val nullArtifact = java.util.regex.Pattern.compile(
+      "(?m)^\\s*null\\s*,?\\s*$|\\bWITH null\\b|,\\s*null\\s*,")
     Queries.oracle.foreach { case (name, sql) =>
       assert(sql != null && sql.trim.nonEmpty, s"$name oracle is empty")
-      assert(!sql.contains("null,") || !sql.startsWith("null"),
+      assert(!sql.startsWith("null") && !nullArtifact.matcher(sql).find(),
         s"$name oracle embeds a null interpolation")
     }
     Queries.oracleSf1.foreach { case (name, (sql, where)) =>
