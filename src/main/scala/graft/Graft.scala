@@ -518,13 +518,27 @@ object Graft {
   def normalizeEmbeddings(embeddings: DataFrame): DataFrame =
     Similarity.normalizeEmbeddings(embeddings)
 
-  /** Exact top-N most-similar pairs by cosine. */
+  /** Exact top-N most-similar pairs by cosine — certified two-phase
+    * (LSH-derived proven threshold + grid-blocked completion; no
+    * corpus broadcast, no nested-loop product). */
   def cosineTopK(embeddings: DataFrame, n: Int = 100): DataFrame =
     Similarity.cosineTopK(embeddings, n)
 
-  /** Exact per-vector k nearest neighbours: (id_a, rn, id_b, cos_sim). */
+  /** τ-free exact top-N pairs — the diagnostic twin of [[cosineTopK]]
+    * (identical results by construction). */
+  def cosineTopKExhaustive(embeddings: DataFrame, n: Int = 100): DataFrame =
+    Similarity.cosineTopKExhaustive(embeddings, n)
+
+  /** Exact per-vector k nearest neighbours: (id_a, rn, id_b, cos_sim)
+    * — certified two-phase (per-vector proven thresholds + grid
+    * completion). */
   def knn(embeddings: DataFrame, k: Int = 3): DataFrame =
     Similarity.knn(embeddings, k)
+
+  /** τ-free exact kNN — the diagnostic twin of [[knn]] (identical
+    * results by construction). */
+  def knnExhaustive(embeddings: DataFrame, k: Int = 3): DataFrame =
+    Similarity.knnExhaustive(embeddings, k)
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ minCos). */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame =

@@ -9,12 +9,40 @@ import graft.functions.{CovAggregator, TopKFunctions, VectorFunctions}
 /** Embedding-similarity operators (SURVEY.md §2.2 dedup/similarity).
   *
   * Shape discipline for scale: vectors are cast float→double ONCE and
-  * L2-normalized ONCE in a narrow projection, so the quadratic pair
-  * stage is a single codegen'd dot product per pair ([[graft.functions
-  * .DotProduct]]) — never norm arithmetic inside the join. The exact
-  * pair stage is O(n²) by definition (it IS the spec of these two
-  * queries); the sub-quadratic scale path (LSH bucketing / IVF over the
-  * same normalized vectors) is provided separately as q_ann_ivf.
+  * L2-normalized ONCE in a narrow projection, so the pair stage is a
+  * single codegen'd dot product per pair ([[graft.functions
+  * .DotProduct]]) — never norm arithmetic inside the join.
+  *
+  * EXACT top-k/kNN plan shape (r12, replacing the r1-r11 all-pairs
+  * theta join): exact top-k cosine over adversarial (near-orthogonal)
+  * vectors provably needs Ω(n²) dot products — no candidate scheme
+  * can certify it has seen every qualifying pair without a bound, and
+  * in high dimension angular/pivot bounds collapse under
+  * concentration of measure (the fixture corpus IS that worst case:
+  * 3rd-neighbour cosines sit at 0.25-0.32, within-label mean cosine ≈
+  * cross-label ≈ 0). What CAN be fixed is the execution shape, and
+  * both defaults now certify exactness without a scale-killing plan:
+  *
+  *  1. a LIGHT LSH candidate pass (2 tables, 1 probe flip — the
+  *     [[annIndex]] machinery) yields a PROVABLE lower bound τ on the
+  *     kth-best score (candidates are real pairs, so their kth-best
+  *     never exceeds the true kth-best; fewer than k candidates ⇒
+  *     τ = −2, i.e. no pruning, never a wrong answer);
+  *  2. a GRID-BLOCKED completion pass ([[gridPairs]]) scores every
+  *     remaining pair in a plain shuffled equi-join on a block key —
+  *     NO corpus-sized broadcast, NO BroadcastNestedLoopJoin /
+  *     CartesianProduct (the old theta join broadcast a whole side:
+  *     an OOM at 100 TB) — and the τ filter kills non-contenders
+  *     INSIDE the codegen stage, so the aggregate/sort downstream
+  *     sees ~k·n rows, not n². On a near-dup-heavy production corpus
+  *     τ is high and the surviving stream is tiny; on the adversarial
+  *     fixture the dots still all run (they must), spread evenly
+  *     across B(B+1)/2 block-pair tasks with O(n·B) replicated narrow
+  *     rows — the communication-optimal layout for dense pair scoring.
+  *
+  * The sub-quadratic path remains [[qAnnIvf]]/[[annNeighbors]]
+  * (documented recall < 1); [[cosineTopKExhaustive]]/[[knnExhaustive]]
+  * are the τ-free diagnostics of the same grid shape.
   */
 object Similarity {
 
@@ -39,22 +67,130 @@ object Similarity {
   private[graft] def normalized(spark: SparkSession, dir: String): DataFrame =
     normalizeEmbeddings(Tables.embeddings(spark, dir))
 
+  /** Light LSH config for the τ (certification-threshold) pass of the
+    * exact defaults: enough candidates for a useful bound, a fraction
+    * of the full ANN search cost. */
+  private val TauTables = 2
+  private val TauFlips = 0
+
+  /** Rounding to 6 dp displaces a value by < 5e-7, so two pairs whose
+    * unrounded scores differ by < 1e-6 can swap rank between the
+    * unrounded τ bound and the rounded presentation order. The
+    * completion filter subtracts this margin so a rounded-rank winner
+    * can never be cut by an unrounded τ. */
+  private val RoundMargin = 2e-6
+
+  /** Grid block sizing: ~256 rows per block (a 64-dim double block is
+    * ~130 KB — L2-resident for the inner pair loop), capped at 1024
+    * blocks so the block-pair task count B(B+1)/2 stays ≤ ~525k on an
+    * arbitrarily large corpus (beyond the cap, blocks grow instead —
+    * per-task work rises but the task grid, and the O(n·B) replicated
+    * shuffle volume, stay bounded). */
+  private[graft] def gridBlocks(n: Long): Int =
+    math.min(1024L, math.max(1L, (n + 255L) / 256L)).toInt
+
+  /** EVERY unordered pair of distinct vectors, scored exactly once
+    * with an UNROUNDED codegen dot — as a shuffled equi-join on a
+    * block key, never a theta/nested-loop join: side A replicates each
+    * row to block ids bi..B-1, side B keys rows by their own block, so
+    * block pair (i, j ≥ i) meets in exactly one task. Extra columns in
+    * `u` beyond (vec_id, vn) ride along as `<name>_a` / `<name>_b`.
+    * Output ids are NOT normalized to id_a < id_b across blocks (a
+    * cross-block pair keeps probe-side first); pair-symmetric
+    * consumers don't care, presentation layers normalize. */
+  private[graft] def gridPairs(u: DataFrame, blocks: Int): DataFrame = {
+    VectorFunctions.register(u.sparkSession)
+    val extras = u.columns.filterNot(c => c == "vec_id" || c == "vn").toSeq
+    val withB = u.withColumn("gb", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val a = withB.select(
+      Seq(col("vec_id").as("id_a"), col("vn").as("vn_a"), col("gb").as("ba"),
+          explode(sequence(col("gb"), lit(blocks - 1))).as("bj")) ++
+        extras.map(c => col(c).as(s"${c}_a")): _*)
+    val b = withB.select(
+      Seq(col("vec_id").as("id_b"), col("vn").as("vn_b"),
+          col("gb").as("bj")) ++
+        extras.map(c => col(c).as(s"${c}_b")): _*)
+    a.join(b, Seq("bj"))
+      // same-block pairs dedup/self-filter by id order; cross-block
+      // pairs are structurally unique (only the lower block probes up)
+      .filter(col("ba") =!= col("bj") || col("id_a") < col("id_b"))
+      .select(Seq(col("id_a"), col("id_b"),
+                  VectorFunctions.dot(col("vn_a"), col("vn_b")).as("cos_sim")) ++
+              extras.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+  }
+
+  /** (corpus size, dims) of any (vec_id, embedding) frame — the two
+    * driver-side scalars the exact defaults need for grid/plane
+    * sizing. `knownN ≥ 0` skips the count (registered queries pass the
+    * memoized [[corpusSize]]). */
+  private def sizeAndDim(embeddings: DataFrame, knownN: Long): (Long, Int) = {
+    val n = if (knownN >= 0) knownN else embeddings.count()
+    val head = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
+    (n, if (head.isEmpty) 0 else head(0).getInt(0))
+  }
+
+  private def emptyPairs(u: DataFrame): DataFrame =
+    u.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+             lit(0.0).as("cos_sim"))
+      .filter(lit(false))
+
   /** Exact top-N most-similar pairs (cosine) over any
-    * (vec_id, embedding) DataFrame ([[graft.Graft.cosineTopK]]). */
-  def cosineTopK(embeddings: DataFrame, n: Int = 100): DataFrame = {
+    * (vec_id, embedding) DataFrame ([[graft.Graft.cosineTopK]]) —
+    * certified two-phase (see the object scaladoc): LSH candidates
+    * bound the Nth-best score from below, the grid completion keeps
+    * exactly the contenders. Result is identical to
+    * [[cosineTopKExhaustive]] on ANY input (the τ bound is proven,
+    * not probabilistic). */
+  def cosineTopK(embeddings: DataFrame, n: Int = 100): DataFrame =
+    cosineTopKSized(embeddings, n, -1L)
+
+  private[graft] def cosineTopKSized(embeddings: DataFrame, n: Int,
+                                     knownN: Long): DataFrame = {
+    val (sz, dim) = sizeAndDim(embeddings, knownN)
     val u = normalizeEmbeddings(embeddings)
-    val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
-    val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-              round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
+    val pairs =
+      if (sz == 0) emptyPairs(u)
+      else {
+        val cand = annCandidatesFrom(annIndex(u, sz, TauTables, TauFlips, dim),
+                                     sz, TauTables, dim)
+          .filter(col("id_a") < col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        // τ rides a 1-row broadcast; valid only when the candidate
+        // stream actually produced n pairs (else -2 = scan everything)
+        val tau = cand.orderBy(col("cos_sim").desc).limit(n)
+          .agg(when(count(lit(1)) >= n, min(col("cos_sim")))
+                 .otherwise(lit(-2.0)).as("tau"))
+        gridPairs(u, gridBlocks(sz))
+          .crossJoin(broadcast(tau))
+          .filter(col("cos_sim") >= col("tau") - lit(RoundMargin))
+      }
+    pairs
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              round(col("cos_sim"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(n)
   }
 
-  /** q_sim_cosine_topk: [[cosineTopK]] on the test corpus. */
+  /** τ-free exact top-N pairs — the diagnostic twin of [[cosineTopK]]
+    * (same grid-blocked shape, every pair reaches the sort). Use it to
+    * audit the certified path; results are identical by construction. */
+  def cosineTopKExhaustive(embeddings: DataFrame, n: Int = 100): DataFrame = {
+    val (sz, _) = sizeAndDim(embeddings, -1L)
+    val u = normalizeEmbeddings(embeddings)
+    (if (sz == 0) emptyPairs(u) else gridPairs(u, gridBlocks(sz)))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(n)
+  }
+
+  /** q_sim_cosine_topk: [[cosineTopK]] on the test corpus (corpus size
+    * from the memoized [[corpusSize]] — no per-query count job). */
   def qSimCosineTopk(spark: SparkSession, dir: String): DataFrame =
-    cosineTopK(Tables.embeddings(spark, dir))
+    cosineTopKSized(Tables.embeddings(spark, dir), 100,
+                    corpusSize(spark, dir))
 
   /** Bounded top-k cut per id_a on (cos_sim desc, id_b asc) — the
     * native [[graft.functions.TopKPairs]] aggregate
@@ -78,30 +214,75 @@ object Similarity {
       .orderBy("id_a", "rn")
   }
 
-  /** Per-vector exact k nearest neighbours by cosine over any
-    * (vec_id, embedding) DataFrame ([[graft.Graft.knn]]). Each
-    * unordered pair is scored ONCE (id_a < id_b, halves the dot
-    * products), then mirrored via explode into both directions for
-    * the per-vector cut. */
-  def knn(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val u = normalizeEmbeddings(embeddings)
-    val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
-    val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
-    val pairs = a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-              round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
+  /** Each unordered scored pair mirrored into both directions (the
+    * per-vector cut needs each side), rounded to the oracle's 6 dp
+    * BEFORE ranking (the DuckDB oracle ranks by the rounded score). */
+  private def mirrorRounded(pairs: DataFrame): DataFrame =
+    pairs
       .select(explode(array(
         struct(col("id_a"), col("id_b"), col("cos_sim")),
         struct(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos_sim"))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-              col("p.cos_sim").as("cos_sim"))
-    topKCut(pairs, k)
+              round(col("p.cos_sim"), 6).as("cos_sim"))
+
+  /** Per-vector exact k nearest neighbours by cosine over any
+    * (vec_id, embedding) DataFrame ([[graft.Graft.knn]]) — certified
+    * two-phase (see the object scaladoc): the light LSH pass yields a
+    * PER-VECTOR kth-best lower bound τ_v (−2 where a vector has < k
+    * candidates — no pruning, never a wrong answer); the grid
+    * completion keeps pair (a,b) iff its dot clears min(τ_a, τ_b)
+    * minus the rounding margin, which is exactly the set of pairs
+    * that can still enter either side's top-k. Identical results to
+    * [[knnExhaustive]] on ANY input. */
+  def knn(embeddings: DataFrame, k: Int = 3): DataFrame =
+    knnSized(embeddings, k, -1L)
+
+  private[graft] def knnSized(embeddings: DataFrame, k: Int,
+                              knownN: Long): DataFrame = {
+    val (sz, dim) = sizeAndDim(embeddings, knownN)
+    val u = normalizeEmbeddings(embeddings)
+    val pairs =
+      if (sz == 0) emptyPairs(u)
+      else {
+        TopKFunctions.register(u.sparkSession)
+        val cand = annCandidatesFrom(annIndex(u, sz, TauTables, TauFlips, dim),
+                                     sz, TauTables, dim)
+        // per-vector kth-best candidate score: the same bounded TopK
+        // buffer as the final cut (map-side combine, ≤ k per group)
+        val tauTab = cand
+          .groupBy(col("id_a").as("tv"))
+          .agg(TopKFunctions.topk(col("cos_sim"), col("id_b"), k,
+                                  distinct = true).as("top"))
+          .select(col("tv"),
+                  when(size(col("top")) >= k,
+                       element_at(col("top"), k).getField("score"))
+                    .otherwise(lit(-2.0)).as("tau"))
+        val uTau = u.join(tauTab, col("vec_id") === col("tv"), "left")
+          .select(col("vec_id"), col("vn"),
+                  coalesce(col("tau"), lit(-2.0)).as("tau"))
+        gridPairs(uTau, gridBlocks(sz))
+          .filter(col("cos_sim") >=
+                  least(col("tau_a"), col("tau_b")) - lit(RoundMargin))
+          .select(col("id_a"), col("id_b"), col("cos_sim"))
+      }
+    topKCut(mirrorRounded(pairs), k)
   }
 
-  /** q_knn: [[knn]] (k = 3) on the test corpus. */
+  /** τ-free exact kNN — the diagnostic twin of [[knn]] (same grid
+    * shape, every pair reaches the bounded top-k buffers). Results are
+    * identical by construction. */
+  def knnExhaustive(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val (sz, _) = sizeAndDim(embeddings, -1L)
+    val u = normalizeEmbeddings(embeddings)
+    val pairs = if (sz == 0) emptyPairs(u) else gridPairs(u, gridBlocks(sz))
+    topKCut(mirrorRounded(pairs), k)
+  }
+
+  /** q_knn: [[knn]] (k = 3) on the test corpus (corpus size from the
+    * memoized [[corpusSize]] — no per-query count job). */
   def qKnn(spark: SparkSession, dir: String): DataFrame =
-    knn(Tables.embeddings(spark, dir))
+    knnSized(Tables.embeddings(spark, dir), 3, corpusSize(spark, dir))
 
   /** Semantic (embedding-space) decontamination: every corpus vector
     * whose cosine against ANY probe-set vector clears `minCos` — the
@@ -140,15 +321,18 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ minCos) over any
     * (vec_id, embedding) DataFrame ([[graft.Graft.embeddingNearDups]]).
-    * Same normalized-once + codegen dot discipline as the top-k
-    * query. */
+    * The threshold is GIVEN here, so no τ pass is needed: one
+    * grid-blocked scoring join ([[gridPairs]] — no corpus broadcast,
+    * no nested-loop product) with the filter fused into the codegen
+    * stage; only qualifying pairs (a tiny stream on any real corpus)
+    * reach the sort. */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val (sz, _) = sizeAndDim(embeddings, -1L)
     val u = normalizeEmbeddings(embeddings)
-    val a = u.select(col("vec_id").as("id_a"), col("vn").as("vn_a"))
-    val b = u.select(col("vec_id").as("id_b"), col("vn").as("vn_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-              round(VectorFunctions.dot(col("vn_a"), col("vn_b")), 6).as("cos_sim"))
+    (if (sz == 0) emptyPairs(u) else gridPairs(u, gridBlocks(sz)))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              round(col("cos_sim"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
       .orderBy("id_a", "id_b")
   }
@@ -227,10 +411,14 @@ object Similarity {
     * `flips` are the recall/latency knobs: more OR-amplified tables
     * multiply per-table miss rates away (recall 1-(1-p)^T) at
     * proportional candidate cost; more single-bit probe flips widen
-    * each table's search at ~linear candidate cost. */
+    * each table's search at ~linear candidate cost. `dim` is the
+    * vector dimensionality (the hyperplanes must match it — the
+    * facade contract is ANY (vec_id, embedding) frame, not the
+    * fixture's 64 dims). */
   private[graft] def annIndex(base: DataFrame, n: Long,
                               tables: Int = NumTables,
-                              flips: Int = DefaultProbeFlips): DataFrame = {
+                              flips: Int = DefaultProbeFlips,
+                              dim: Int = Dim): DataFrame = {
     require(tables >= 1 && flips >= 0,
       s"annIndex: need tables >= 1 and flips >= 0, got ($tables, $flips)")
     VectorFunctions.register(base.sparkSession)
@@ -238,7 +426,7 @@ object Similarity {
       math.round(math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt)
     val probeFlips = math.min(flips, h) // probes per table = 1 + probeFlips
     val rng = new scala.util.Random(42)
-    val planes = Array.fill(tables, h)(Array.fill(Dim)(rng.nextGaussian()))
+    val planes = Array.fill(tables, h)(Array.fill(dim)(rng.nextGaussian()))
     val powArr = typedlit((0 until h).map(1 << _))
     // per table: signed margins -> (bucket code, directed probe masks)
     def margins(t: Int): Column =
@@ -306,7 +494,8 @@ object Similarity {
 
   /** Scored LSH candidates from any posting table ([[annIndex]]). */
   private[graft] def annCandidatesFrom(codes: DataFrame, n: Long,
-                                       tables: Int = NumTables): DataFrame = {
+                                       tables: Int = NumTables,
+                                       dim: Int = Dim): DataFrame = {
     VectorFunctions.register(codes.sparkSession)
     val home = codes.select(col("tbl"), col("bucket"),
                             col("vec_id").as("id_b"), col("vn").as("vn_b"))
@@ -318,7 +507,7 @@ object Similarity {
     // codebook (probe side never shuffles); a corpus past the
     // threshold falls back to the (tbl, bucket) shuffle join — at rest
     // that side is the bucketed index table (sources.Formats bucketBy)
-    val homeBytes = n * tables * (Dim * 8 + 64L)
+    val homeBytes = n * tables * (dim * 8 + 64L)
     val homeSide = if (homeBytes < (8L << 20)) broadcast(home) else home
     probes.join(homeSide, Seq("tbl", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
@@ -335,10 +524,10 @@ object Similarity {
   def annNeighbors(embeddings: DataFrame, k: Int = 3,
                    tables: Int = NumTables,
                    probeFlips: Int = DefaultProbeFlips): DataFrame = {
-    val n = embeddings.count()
+    val (n, dim) = sizeAndDim(embeddings, -1L)
     val postings = annIndex(normalizeEmbeddings(embeddings), n,
-                            tables, probeFlips)
-    topKCut(annCandidatesFrom(postings, n, tables), k, distinct = true)
+                            tables, probeFlips, dim)
+    topKCut(annCandidatesFrom(postings, n, tables, dim), k, distinct = true)
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 

@@ -65,6 +65,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec") && !p.contains("Window "), p)
   }
 
+  test("q_knn: certified-exact default has no nested-loop product or corpus broadcast") {
+    // r12 (VERDICT r11 #1): the exact kNN default runs the grid-blocked
+    // completion — a shuffled/broadcast EQUI-join on the block key —
+    // never the old all-pairs theta join (BroadcastNestedLoopJoin
+    // broadcast a whole corpus side: an OOM at 100 TB)
+    val p = plan("q_knn")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sim_cosine_topk: grid join is a hash join; only the 1-row τ attach nested-loops") {
+    val p = plan("q_sim_cosine_topk")
+    // the pair-scoring grid join must be an equi/hash join (the scale
+    // path); the ONE BroadcastNestedLoopJoin allowed is the bounded
+    // 1-row τ-scalar attach (IdentityBroadcastMode of an aggregate)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+            .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+           || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_dedup_embed: grid-blocked threshold join, no nested-loop product") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_ann_ivf: posting join broadcasts under budget, no sort-merge join") {
     val p = plan("q_ann_ivf")
     assert(p.contains("BroadcastHashJoin"), p)
