@@ -1211,7 +1211,8 @@ object Queries {
         s"nullif(list_position(toks, '$t'), 0)").mkString(", ")
       s"""WITH $hybridPoolCtes,
          |s2 AS (SELECT sum(len(toks))::DOUBLE / count(*) AS avgdl FROM t),
-         |ft AS (SELECT p.doc_id, p.rrf, t.toks, len(t.toks)::DOUBLE AS dl
+         |ft AS (SELECT p.doc_id, p.rrf, t.toks,
+         |         greatest(len(t.toks)::DOUBLE, 1.0) AS dl
          |       FROM pool p JOIN t ON p.doc_id = t.doc_id),
          |fx AS (SELECT doc_id, rrf,
          |         ${rnd(s"($covSql)::DOUBLE / ${terms.size}", 6)} AS cov,

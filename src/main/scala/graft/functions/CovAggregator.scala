@@ -6,12 +6,19 @@ import org.apache.spark.sql.{Encoder, Encoders}
 /** Exact-covariance accumulation buffer: radix-split integer sums of
   * first moments (xa·2^34 + xc = Σx·2^50 per dim) and upper-triangle
   * second moments (pa·2^68 + pb·2^34 + pc = Σxy·2^100 per (i,j) pair),
-  * plus the row count. All chunks are longs — |pa| ≤ 2^32,
-  * pb/pc/xc < 2^34, |xa| ≤ 2^16 — so partial sums stay inside a long
-  * far past 10^8 rows per partition, and every per-row operation is a
-  * handful of double/long instructions (no BigDecimal in the hot
-  * loop; the exact wide integers are reassembled once, from the 6 368
-  * final longs). */
+  * plus the row count. All chunks are longs. Per ROW |pa| ≤ 2^32 and
+  * pb/pc/xc < 2^34, so the low chunks stay inside a long to ~2^29
+  * rows per PARTITION; [[CovAggregator.merge]] carry-normalizes the
+  * low chunks back under 2^34 on every combine (the reassembly
+  * pa·2^68 + pb·2^34 + pc is linear, so moving carry between chunks
+  * preserves it exactly), leaving only the TOP chunks (pa, xa) to
+  * grow corpus-wide — |pa| ≈ rows·|x·y|·2^32, a long to ~2·10^9
+  * unit-scale rows. Every addition is Math.addExact (r11 advice: a
+  * plain += past the bound silently wraps into a WRONG covariance;
+  * addExact throws, and the caller shards or widens). Every per-row
+  * operation stays a handful of double/long instructions (no
+  * BigDecimal in the hot loop; the exact wide integers are
+  * reassembled once, from the 6 368 final longs). */
 case class CovBuf(xa: Array[Long], xc: Array[Long],
                   pa: Array[Long], pb: Array[Long], pc: Array[Long],
                   n: Long)
@@ -60,8 +67,8 @@ class CovAggregator(d: Int) extends Aggregator[Seq[Double], CovBuf, CovBuf] {
         throw new IllegalArgumentException(
           s"covMatrix: value is not float32-exact (>24-bit mantissa): ${x(i)}")
       val a = math.floor(xs / C34)
-      b.xa(i) += a.toLong
-      b.xc(i) += (xs - a * C34).toLong
+      b.xa(i) = Math.addExact(b.xa(i), a.toLong)
+      b.xc(i) = Math.addExact(b.xc(i), (xs - a * C34).toLong)
       i += 1
     }
     var k = 0
@@ -77,9 +84,9 @@ class CovAggregator(d: Int) extends Aggregator[Seq[Double], CovBuf, CovBuf] {
         if (a * C68 + q * C34 + c != p)
           throw new IllegalArgumentException(
             s"covMatrix: product has >100 fraction bits: $p")
-        b.pa(k) += a.toLong
-        b.pb(k) += q.toLong
-        b.pc(k) += c.toLong
+        b.pa(k) = Math.addExact(b.pa(k), a.toLong)
+        b.pb(k) = Math.addExact(b.pb(k), q.toLong)
+        b.pc(k) = Math.addExact(b.pc(k), c.toLong)
         k += 1; j += 1
       }
       i += 1
@@ -87,12 +94,33 @@ class CovAggregator(d: Int) extends Aggregator[Seq[Double], CovBuf, CovBuf] {
     b.copy(n = b.n + 1)
   }
 
+  /** Combine with carry renormalization: low chunks are brought back
+    * under 2^34 (floorDiv keeps them non-negative for signed inputs),
+    * so repeated merges never grow them — only the top chunks (xa,
+    * pa) accumulate corpus-wide, and those additions are overflow-
+    * checked. Renormalization is sound because the reassembly is the
+    * LINEAR form pa·2^68 + pb·2^34 + pc (resp. xa·2^34 + xc): moving
+    * floorDiv carry up a chunk preserves the sum bit-for-bit. */
   override def merge(a: CovBuf, b: CovBuf): CovBuf = {
+    val C = 17179869184L // 2^34
     var i = 0
-    while (i < d) { a.xa(i) += b.xa(i); a.xc(i) += b.xc(i); i += 1 }
+    while (i < d) {
+      val xc = Math.addExact(a.xc(i), b.xc(i))
+      val cx = Math.floorDiv(xc, C)
+      a.xc(i) = xc - cx * C
+      a.xa(i) = Math.addExact(Math.addExact(a.xa(i), b.xa(i)), cx)
+      i += 1
+    }
     var k = 0
     while (k < nPairs) {
-      a.pa(k) += b.pa(k); a.pb(k) += b.pb(k); a.pc(k) += b.pc(k); k += 1
+      val pc = Math.addExact(a.pc(k), b.pc(k))
+      val cc = Math.floorDiv(pc, C)
+      a.pc(k) = pc - cc * C
+      val pb = Math.addExact(Math.addExact(a.pb(k), b.pb(k)), cc)
+      val cb = Math.floorDiv(pb, C)
+      a.pb(k) = pb - cb * C
+      a.pa(k) = Math.addExact(Math.addExact(a.pa(k), b.pa(k)), cb)
+      k += 1
     }
     a.copy(n = a.n + b.n)
   }

@@ -151,6 +151,13 @@ object Search {
     *                  run-on docs (subtracted).
     * rerank = w₁·rrf + w₂·cov + w₃·qtf + w₄·pos_feat − w₅·len_prior.
     *
+    * Empty-token docs (dl = 0) CAN enter the pool through the dense
+    * arm (no lexical-match requirement), so both dl-denominator
+    * features use the documented greatest(dl, 1) convention — an
+    * empty doc scores qtf 0 and the 1-token length prior — instead
+    * of NULL features in Spark and an ln(0) ERROR in the DuckDB
+    * oracle (r11 advice; the oracle mirrors the convention).
+    *
     * Scale: the pool is ≤ `topN` rows and BROADCAST to the corpus
     * scan, so feature extraction is one narrow pruned pass over
     * docTokens (a broadcast hash join keeps only pool docs — no
@@ -189,7 +196,7 @@ object Search {
       lit(0L))
     docToks.join(broadcast(pool), Seq("doc_id"))
       .crossJoin(broadcast(avg))
-      .withColumn("dl", size(col("toks")).cast("double"))
+      .withColumn("dl", greatest(size(col("toks")).cast("double"), lit(1.0)))
       .withColumn("cov", round(covExpr, 6))
       .withColumn("qtf", round(qtfExpr, 6))
       .withColumn("first_pos", firstPosExpr)

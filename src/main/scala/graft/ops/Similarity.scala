@@ -758,30 +758,46 @@ object Similarity {
     val comps = Array.ofDim[Double](k, d)
     val eigs = new Array[Double](k)
     val m = cov.map(_.clone())
+    def rayleigh(x: Array[Double]): Double = {
+      val y = matVec(m, x)
+      var s = 0.0; var i = 0
+      while (i < d) { s += x(i) * y(i); i += 1 }
+      s
+    }
     for (c <- 0 until k) {
-      // deterministic start cascade (r11 review): the all-ones start
-      // can be EXACTLY orthogonal to the dominant eigenvector (e.g. a
-      // corpus varying only along e0−e1), where a zero first iterate
-      // would silently stick on a null-space direction — fall through
-      // the basis vectors e0, e1, … until one escapes the null space;
-      // only a zero MATRIX leaves the (well-defined, zero-variance)
-      // all-ones direction standing
-      var x = (Iterator(Array.fill(d)(1.0 / math.sqrt(d))) ++
-               (0 until d).iterator.map { i =>
-                 val e = new Array[Double](d); e(i) = 1.0; e })
-        .find(s => norm(matVec(m, s)) > 0)
-        .getOrElse(Array.fill(d)(1.0 / math.sqrt(d)))
-      for (_ <- 0 until 200) {
-        val y = matVec(m, x)
-        val n = norm(y)
-        // deflated-to-zero residual matrix: keep the previous iterate
-        if (n > 0) x = y.map(_ / n)
+      // deterministic start cascade, max-Rayleigh selection (r11
+      // advice): a start that is EXACTLY a non-dominant eigenvector
+      // (e.g. all-ones when the variance lies along e0−e1 — FP
+      // symmetry keeps every iterate on e0+e1) passes any
+      // escapes-the-null-space check yet never leaves the minor axis,
+      // silently inverting the eigenvalue order. So EVERY cascade
+      // start (uniform, then each basis vector — at least one basis
+      // vector has a nonzero v1 component since v1 ≠ 0) runs the full
+      // fixed 200 power-iteration steps, and the iterate with the
+      // LARGEST Rayleigh quotient wins: a stuck minor-axis iterate
+      // loses to any start that reached the dominant axis.
+      // Deterministic: fixed starts, fixed step count, strict >
+      // keeps the earliest maximum on exact FP ties.
+      val starts = Iterator(Array.fill(d)(1.0 / math.sqrt(d))) ++
+        (0 until d).iterator.map { i =>
+          val e = new Array[Double](d); e(i) = 1.0; e }
+      var x: Array[Double] = null
+      var lambda = Double.NegativeInfinity
+      for (s0 <- starts) {
+        var xs = s0
+        if (norm(matVec(m, xs)) > 0) {
+          for (_ <- 0 until 200) {
+            val y = matVec(m, xs)
+            val n = norm(y)
+            // deflated-to-zero residual matrix: keep the previous iterate
+            if (n > 0) xs = y.map(_ / n)
+          }
+          val l = rayleigh(xs)
+          if (x == null || l > lambda) { x = xs; lambda = l }
+        }
       }
-      val lambda = {
-        val y = matVec(m, x)
-        var s = 0.0; var i = 0
-        while (i < d) { s += x(i) * y(i); i += 1 }
-        s
+      if (x == null) { // zero residual matrix: well-defined zero-variance
+        x = Array.fill(d)(1.0 / math.sqrt(d)); lambda = 0.0
       }
       // sign canon: largest-|loading| coordinate (lowest dim on ties)
       // positive — removes the eigenvector's inherent sign ambiguity

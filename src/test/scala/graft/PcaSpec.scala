@@ -45,6 +45,25 @@ class PcaSpec extends AnyFunSuite {
     assert(cov((2, 2)) == 0.0 && cov((0, 63)) == 0.0 && cov((5, 9)) == 0.0)
   }
 
+  test("CovAggregator merge: carry renormalizes low chunks; overflow throws, never wraps") {
+    import graft.functions.{CovAggregator, CovBuf}
+    val agg = new CovAggregator(1)
+    val big = 1L << 33 // half the 2^34 chunk radix
+    val a = CovBuf(Array(0L), Array(big), Array(0L), Array(big), Array(big), 1L)
+    val b = CovBuf(Array(0L), Array(big), Array(0L), Array(big), Array(big), 1L)
+    val m = agg.merge(a, b)
+    // xc: 2^34 carries up whole — xa gains 1, xc back to 0
+    assert(m.xa(0) == 1L && m.xc(0) == 0L)
+    // pc: 2^34 carries into pb (2^34 + 1), which carries into pa
+    assert(m.pc(0) == 0L && m.pb(0) == 1L && m.pa(0) == 1L)
+    assert(m.n == 2L)
+    // r11 advice: corpus-wide top-chunk overflow must THROW (a silent
+    // wrap would be a wrong covariance with no error)
+    val c = CovBuf(Array(0L), Array(0L), Array(Long.MaxValue), Array(0L), Array(0L), 1L)
+    val d = CovBuf(Array(0L), Array(0L), Array(1L), Array(0L), Array(0L), 1L)
+    intercept[ArithmeticException](agg.merge(c, d))
+  }
+
   test("pcaProject: recovers the planted dominant axis; pc2 the minor one") {
     val df = planted()
     val out = Similarity.pcaProject(df, k = 2).collect()
@@ -95,6 +114,36 @@ class PcaSpec extends AnyFunSuite {
     val pairs = out.map(_._1.toInt).map(as).zip(pc1)
     val scale = pairs.collectFirst { case (a, p) if a != 0 => p / a }.get
     assert(pairs.forall { case (a, p) => math.abs(p - a * scale) < 1e-5 })
+  }
+
+  test("pcaProject: start stuck EXACTLY on a minor eigenvector loses to max-Rayleigh") {
+    // r11 advice regression: dominant axis u = (e0 − e1)/√2, minor
+    // axis w = (e0 + e1)/√2 with NONZERO variance. The uniform start
+    // lies exactly on w; FP symmetry (m01 = m10, m00 = m11, and
+    // fl(a+b) = fl(b+a)) keeps every iterate's u-component exactly
+    // zero, so the old escapes-the-null-space check passed (‖M·x‖ > 0)
+    // while the iteration never left the MINOR axis — returning it as
+    // pc1 and inverting the eigenvalue order. Max-Rayleigh over the
+    // cascade must pick a basis start that reaches u instead.
+    val grid = for (a <- Seq(-2f, -1f, 1f, 2f); b <- Seq(-0.25f, 0.25f))
+      yield (a, b)
+    val df = grid.zipWithIndex.map { case ((a, b), i) =>
+      val v = new Array[Float](64)
+      v(0) = a + b; v(1) = -a + b
+      (i.toLong, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.pcaProject(df, k = 2).collect()
+      .map(r => (r.getLong(0).toInt, r.getDouble(1), r.getDouble(2)))
+    // var along u is 2·var(a) = 5.0, along w is 2·var(b) = 0.125:
+    // pc1 must carry the DOMINANT spread (∝ a), pc2 the minor (∝ b)
+    def va(x: Seq[Double]) = { val m = x.sum / x.size; x.map(p => (p - m) * (p - m)).sum / x.size }
+    val pc1 = out.sortBy(_._1).map(_._2).toSeq
+    val pc2 = out.sortBy(_._1).map(_._3).toSeq
+    assert(math.abs(va(pc1) - 5.0) < 1e-4, s"var(pc1) = ${va(pc1)} — minor axis won")
+    assert(math.abs(va(pc2) - 0.125) < 1e-4, s"var(pc2) = ${va(pc2)}")
+    val as = grid.map(_._1.toDouble)
+    val scale = pc1.zip(as).collectFirst { case (p, a) if a != 0 => p / a }.get
+    assert(pc1.zip(as).forall { case (p, a) => math.abs(p - a * scale) < 1e-4 })
   }
 
   test("pcaProject is deterministic across runs") {

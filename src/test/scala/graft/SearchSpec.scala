@@ -135,6 +135,29 @@ class SearchSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("rerank: empty-token doc entering via the dense arm gets finite features") {
+    // r11 advice regression: dl = 0 made qtf a divide-by-zero (NULL in
+    // Spark) and len_prior an ln(0) (error in the DuckDB oracle). The
+    // greatest(dl, 1) convention scores the empty doc as a 1-token doc.
+    // built directly: split("") yields [""], not an empty array
+    val d = Seq((1L, Seq("term", "pad")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    def v(x: Double) = Array(x.toFloat, math.sqrt(1 - x * x).toFloat)
+    val e = Seq((0L, v(1.0), 0), (1L, v(0.9), 0), (2L, v(0.95), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Search.rerank(d, e, queryTerms = Seq("term"),
+        probeId = 0L, poolK = 4, rrfK = 60, topN = 10).collect()
+    val byDoc = out.map(r => r.getLong(0) -> r).toMap
+    assert(byDoc.contains(2L), "empty doc should enter via the dense pool")
+    val r2 = byDoc(2L)
+    def g(c: String) = r2.getDouble(r2.fieldIndex(c))
+    assert(g("qtf") == 0.0)
+    // dl convention 1, avgdl = (2 + 0) / 2 = 1 → len_prior |ln 1| = 0
+    assert(g("len_prior") == 0.0)
+    assert(!g("rerank").isNaN && out.forall(r =>
+      !r.getDouble(r.fieldIndex("rerank")).isNaN))
+  }
+
   test("rerank: length prior penalizes run-on and stub docs symmetrically") {
     val d = toks(
       1L -> "term pad",                      // dl 2
