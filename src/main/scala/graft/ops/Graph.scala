@@ -296,14 +296,25 @@ object Graph {
     // ONCE at the end instead of per round — removing two scalar
     // aggregates and their broadcasts from every round. Each round is
     // exactly two join+sum shuffles. Magnitudes grow ~(fan²)^iters
-    // unnormalized; double holds that comfortably for the default 10
-    // rounds (normalize every few rounds before pushing iters beyond
-    // ~15 on extreme-fan graphs). Zeros are filled at presentation.
+    // unnormalized, so every 5 rounds the hub vector is rescaled by
+    // 2^⌊log2(Σh)⌋ — the POWER-OF-TWO floor of the L1 norm, not the
+    // norm itself (r11 verdict #4, done exactly): dividing by a power
+    // of two only shifts exponents, so every subsequent sum is
+    // bit-for-bit the unnormalized iteration's value ×2^-K and the
+    // final normalized quotients h/Σh are UNCHANGED — the unrolled
+    // oracle needs no rescale CTEs, determinism never depends on
+    // distributed sum order (masses stay exact integer-dyadics within
+    // the 2^53 regime, exactly as before), and exponent overflow is
+    // impossible at any `iters` on any fan (the in-plan scalar resets
+    // magnitudes to ~[1, 2) each rescale). Dividing by the raw L1
+    // norm instead would make every mass a rounded quotient and every
+    // later sum order-dependent — a hash-nondeterminism bug, not a
+    // fix. Zeros are filled at presentation.
     var hub = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("h"))
       .localCheckpoint(false)
     var auth = hub // placeholder; assigned in round 1
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       auth = edges.join(hub, edges("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .select(col("dst").as("node"), col("a"))
@@ -312,6 +323,15 @@ object Graph {
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("node"), col("h"))
         .localCheckpoint(false)
+      if (k % 5 == 0 && k < iters) {
+        val s = hub.agg(sum(col("h")).as("s"))
+        hub = hub.crossJoin(broadcast(s))
+          .select(col("node"),
+                  (col("h") / when(col("s") > 0d,
+                      pow(lit(2.0), floor(log(2.0, col("s")))))
+                    .otherwise(lit(1.0))).as("h"))
+          .localCheckpoint(false)
+      }
     }
     val hNorm = hub.agg(sum(col("h")).as("nh"))
     val aNorm = auth.agg(sum(col("a")).as("na"))

@@ -55,6 +55,49 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("hits: power-of-two rescale is invisible — equals the unnormalized reference exactly") {
+    // iters = 7 crosses the k = 5 rescale; the reference below runs
+    // UNNORMALIZED (no rescale) with exact small-integer masses, so
+    // equality at 6 dp proves the rescale only shifts exponents and
+    // cancels in the final L1 quotient
+    val es = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a1", "a1" -> "h2")
+    val r = Graph.hits(es.toDF("src", "dst"), iters = 7).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    var h = es.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to 7) {
+      a = es.groupBy(_._2).map { case (d, in) =>
+        d -> in.map(e => h.getOrElse(e._1, 0.0)).sum }
+      h = es.groupBy(_._1).map { case (s, out) =>
+        s -> out.map(e => a.getOrElse(e._2, 0.0)).sum }
+    }
+    def rnd6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val (nh, na) = (h.values.sum, a.values.sum)
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    for (n <- nodes) {
+      assert(r(n)._1 == rnd6(h.getOrElse(n, 0.0) / nh), s"hub($n)")
+      assert(r(n)._2 == rnd6(a.getOrElse(n, 0.0) / na), s"auth($n)")
+    }
+  }
+
+  test("hits: iters = 25 on an extreme-fan multigraph stays finite (overflow regression)") {
+    // 2e6 parallel edges each way: hub mass grows (2e6)^2 per round —
+    // (4e12)^25 ≈ 1e315 overflows double without the every-5-rounds
+    // power-of-two rescale (r11 verdict #4). Symmetry makes the
+    // normalized fixed point exactly uniform.
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      .withColumn("m", explode(sequence(lit(1), lit(2000000))))
+      .drop("m")
+    val r = Graph.hits(edges, iters = 25).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r.size == 2)
+    r.values.foreach { case (hub, auth) =>
+      assert(!hub.isNaN && !hub.isInfinite && !auth.isNaN && !auth.isInfinite)
+      assert(hub == 0.5 && auth == 0.5, r.toString)
+    }
+  }
+
   test("hits: empty edges -> empty result; symmetric 2-cycle is uniform") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(Graph.hits(empty, iters = 3).count() === 0)
