@@ -114,12 +114,24 @@ object Dedup {
                                      dir: String): DataFrame =
     spark.read.parquet(tokenSetTablePaths.get(spark, dir))
 
+  /** Semantics-keyed LRU of the persisted set tables (r11 verdict #5:
+    * the bare persist() relied on callers' clearCache — a long
+    * session composing many distinct inputs leaked an entry each;
+    * now repeated inputs reuse one entry and eviction unpersists). */
+  private val tokenSetPlans = new PlanCache(maxEntries = 4)
+
   /** Shared front half of the set-similarity joins: per-doc SORTED
     * arrays of rarest-first vocabulary ranks,
-    * (doc_id, lang, hset, nset), persisted (feeds both sides of a
-    * self-join). Used by [[jaccardVerified]] and [[containmentPairs]].
-    */
-  private[graft] def rankedTokenSets(docToks: DataFrame): DataFrame = {
+    * (doc_id, lang, hset, nset), persisted via a bounded
+    * semantics-keyed [[PlanCache]] (feeds both sides of a self-join).
+    * Used by [[jaccardVerified]] and [[containmentPairs]]. */
+  private[graft] def rankedTokenSets(docToks: DataFrame): DataFrame =
+    tokenSetPlans.get(docToks)(rankedTokenSetsPlan)
+
+  /** For lifecycle tests. */
+  private[graft] def tokenSetLiveEntries: Int = tokenSetPlans.liveEntryCount
+
+  private def rankedTokenSetsPlan(docToks: DataFrame): DataFrame = {
     val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
     val d0 = docToks
@@ -158,18 +170,13 @@ object Dedup {
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("rank"))).as("hset"))
       .withColumn("nset", size(col("hset")))
-      // persist, NOT localCheckpoint, and deliberately so: a
-      // localCheckpoint here replaces the plan with a stats-less
-      // LogicalRDD, and the downstream prefix self-join loses its
-      // size estimate — Catalyst falls back from broadcast-hash to
-      // sort-merge and q_sim_jaccard measures 2x slower (6.0 s vs
-      // 3.0 s warm at sf0.1; q_dedup_cluster, which consumes the
-      // pair stream, 11.5 s vs 8.1 s). The persist's cache entry is
-      // released by callers' clearCache between queries
-      // (Bench/Verify) — a long-lived tuning loop over many distinct
-      // inputs should do the same; plan-dedup caps it at one entry
-      // per distinct input meanwhile.
-      .persist()
+      // persisted by the PlanCache wrapper, NOT localCheckpoint, and
+      // deliberately so: a localCheckpoint here replaces the plan
+      // with a stats-less LogicalRDD, and the downstream prefix
+      // self-join loses its size estimate — Catalyst falls back from
+      // broadcast-hash to sort-merge and q_sim_jaccard measures 2x
+      // slower (6.0 s vs 3.0 s warm at sf0.1; q_dedup_cluster, which
+      // consumes the pair stream, 11.5 s vs 8.1 s).
   }
 
   /** The verified ≥ τ pair stream BEFORE presentation (unsorted,

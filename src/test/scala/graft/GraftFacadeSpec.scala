@@ -638,6 +638,34 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.size <= persisted0)
   }
 
+  test("set-similarity tuning loop: bounded live persists, repeats reuse, results unchanged") {
+    // r11 verdict #5: rankedTokenSets used to persist() per call with
+    // no release — one leaked cache entry per distinct input. The
+    // PlanCache contract: repeats of the same input reuse one entry,
+    // distinct inputs are LRU-bounded, eviction unpersists.
+    def corpus(tag: String) = Seq(
+      (1L, s"alpha beta gamma delta $tag", "en"),
+      (2L, s"alpha beta gamma delta $tag", "en"),
+      (3L, "totally different tokens here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val a1 = Graft.jaccardPairs(corpus("a")).collect().map(_.toSeq).toSeq
+    val liveAfterFirst = graft.ops.Dedup.tokenSetLiveEntries
+    val a2 = Graft.jaccardPairs(corpus("a")).collect().map(_.toSeq).toSeq
+    assert(a1 == a2 && a1.nonEmpty) // docs 1,2 are verbatim dups
+    // a REPEATED input must reuse its entry, not add one (other suite
+    // tests may already hold ambient entries — compare relatively)
+    val liveAfterRepeat = graft.ops.Dedup.tokenSetLiveEntries
+    assert(liveAfterRepeat == liveAfterFirst,
+      s"repeat grew the cache: $liveAfterFirst -> $liveAfterRepeat")
+    // 8 distinct inputs: live entries stay at the LRU bound, and the
+    // early input still returns the same rows after its eviction
+    (0 until 8).foreach(i => Graft.containmentPairs(corpus(s"x$i")).collect())
+    assert(graft.ops.Dedup.tokenSetLiveEntries <= 4,
+      s"live entries: ${graft.ops.Dedup.tokenSetLiveEntries}")
+    val a3 = Graft.jaccardPairs(corpus("a")).collect().map(_.toSeq).toSeq
+    assert(a3 == a1)
+  }
+
   test("retrieval path: hybridRrf pool feeds rerank; auc scores a labeled frame") {
     val emb = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.436f), 0),
