@@ -74,6 +74,29 @@ class BpeLearnSpec extends AnyFunSuite {
     assert(batched == oneAtATime)
   }
 
+  test("production shape: nMerges well past batchMax — batched ≡ greedy ≡ reference (r11)") {
+    // the documented ~30k-merge production case in miniature: the
+    // merge count exceeds the collect window severalfold, so every
+    // window is TRUNCATED (the windowMax tail trim must fire every
+    // round) and the learner must cross many batch boundaries without
+    // ever diverging from one-at-a-time greedy
+    val d = Tables.docTokens(spark, TestSpark.sf0001)
+    // ask for more merges than the corpus has: the learner must run
+    // the vocabulary to FULL exhaustion (~89 merges on this fixture —
+    // every word a single symbol), crossing many truncated windows
+    val n = 120
+    val batched = BpeTrain.learnBpeMerges(d, nMerges = n, batchMax = 16)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val oneAtATime = BpeTrain.learnBpeMerges(d, nMerges = n, batchMax = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(batched.size > 5 * 16, s"corpus too small to cross windows: ${batched.size}")
+    assert(batched == oneAtATime)
+    val wordFreq = d.select(explode(col("toks")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batched == referenceLearn(wordFreq, n))
+  }
+
   test("greedyBatch: stops at first conflict, trims count ties, never empty") {
     // top-2 conflict (share 'b'): fall back to the argmax alone
     assert(BpeTrain.greedyBatch(
