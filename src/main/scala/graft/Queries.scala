@@ -1279,6 +1279,33 @@ object Queries {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+    // r12 (verdict #2): oracle-checkable since the per-token hash is
+    // md5-low64 — DuckDB's md5_number_lower, bit-for-bit the engine's
+    // little-endian u64 of digest bytes 8..15. The full pipeline
+    // mirrors the engine: Charikar bit-majority simhash, 4x16-bit
+    // banding, pair dedup, exact hamming <= 8 verify
+    "q_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |tok AS (SELECT doc_id, md5_number_lower(unnest(toks)) AS h FROM t),
+         |bits AS (SELECT doc_id, b.range AS b,
+         |    sum(CASE WHEN (h >> b.range::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM tok CROSS JOIN range(64) b GROUP BY doc_id, b.range),
+         |sh AS (SELECT doc_id,
+         |    bit_or(CASE WHEN s > 0 THEN 1::UBIGINT << b::INT
+         |                ELSE 0::UBIGINT END) AS sh
+         |  FROM bits GROUP BY doc_id),
+         |banded AS (SELECT doc_id, sh,
+         |    b.range::INT AS band, ((sh >> (b.range * 16)::INT) & 65535) AS bkey
+         |  FROM sh CROSS JOIN range(4) b),
+         |cand AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    a.sh AS sha, b2.sh AS shb
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.bkey = b2.bkey
+         |   AND a.doc_id < b2.doc_id),
+         |d AS (SELECT DISTINCT doc_a, doc_b,
+         |    bit_count(xor(sha, shb))::INT AS hamming FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM d
+         |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin,
     "q_sim_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
          |SELECT doc_a, doc_b, ${rnd("jac", 6)} AS jac FROM (
@@ -2642,7 +2669,7 @@ object Queries {
       dedupSim ++ extras ++ curation
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
-    * (golden-tested): q_agg_approx, q_dedup_near, q_dedup_simhash,
+    * (golden-tested): q_agg_approx, q_dedup_near,
     * q_ann_ivf, q_multimodal_features, q_kmeans (FP-order in the
     * distributed centroid means), q_bloom_decontaminate (sketch-seed-
     * dependent false positives), q_percentiles_approx (merge-order-

@@ -703,8 +703,10 @@ object Dedup {
     * (a pair within Hamming distance 3 shares at least one intact
     * 16-bit band by pigeonhole... not guaranteed for d=4+, but ≥1 band
     * collision is the standard recall/cost tradeoff), candidates
-    * verified by exact Hamming ≤ 8. Oracle-exempt (JVM murmur3 not
-    * reproducible in DuckDB); golden-tested on planted duplicates.
+    * verified by exact Hamming ≤ 8. ORACLE-exact since r12: the token
+    * hash is md5-low64 ([[graft.functions.SimHash64]]) — DuckDB's
+    * `md5_number_lower` — so the whole banded pipeline is mirrored in
+    * SQL; also golden-tested on planted duplicates.
     */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashDups(Tables.docTokens(spark, dir))
@@ -720,8 +722,12 @@ object Dedup {
     val banded = docs
       .select(col("doc_id"), col("sh"),
               explode(sequence(lit(0), lit(3))).as("band"))
+      // & 65535, NOT % 65536: sh is a signed long, and for band 0 the
+      // unsigned shift is a no-op — a negative sh's % stays NEGATIVE,
+      // so neg-vs-pos doc pairs sharing band 0 silently never collided
+      // (a recall bug the r12 DuckDB oracle caught on its first run)
       .withColumn("bkey",
-        expr("shiftrightunsigned(sh, band * 16) % 65536"))
+        expr("shiftrightunsigned(sh, band * 16) & 65535"))
     val a = banded.select(col("band"), col("bkey"),
                           col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),

@@ -49,7 +49,9 @@ class RegistryClinitSpec extends AnyFunSuite {
   test("oracle-exempt set matches the declared exemption list") {
     val exempt = Queries.all.keySet -- Queries.oracle.keySet
     val declared = Set(
-      "q_agg_approx", "q_dedup_near", "q_dedup_simhash", "q_ann_ivf",
+      // q_dedup_simhash left this set in r12: md5-low64 token hash
+      // made the banded pipeline DuckDB-expressible
+      "q_agg_approx", "q_dedup_near", "q_ann_ivf",
       "q_multimodal_features", "q_kmeans", "q_bloom_decontaminate",
       "q_percentiles_approx", "q_token_bpe", "q_bpe_learn", "q_ann_quant",
       "q_hll_users", "q_dedup_incr_near", "q_embed_pca")
