@@ -48,6 +48,134 @@ object Queries {
   private[graft] def rnd(e: String, s: Int): String =
     s"round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $s)::DOUBLE"
 
+  /** q_embed_cov's DuckDB form — the exact DECIMAL-carrier mirror of
+    * [[graft.functions.CovAggregator]], extracted to a val because the
+    * q_embed_pca oracle nests it as its matrix source. */
+  private val covOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |           FROM embeddings),
+       |x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+       |      FROM v, unnest(generate_series(1, 64)) AS t(i)),
+       |sx AS (SELECT dim, sum(CAST(x * 1125899906842624.0 AS DECIMAL(38,0))) AS sx
+       |       FROM x GROUP BY dim),
+       |n AS (SELECT count(*)::BIGINT AS n FROM v),
+       |p AS (SELECT a.dim AS di, b.dim AS dj,
+       |        sum(CAST(a.x * b.x * 1267650600228229401496703205376.0
+       |                 AS DECIMAL(38,0))) AS sxy
+       |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+       |      GROUP BY 1, 2)
+       |SELECT di, dj,
+       |  ${rnd("sxy::DOUBLE / (1267650600228229401496703205376.0 * n.n)" +
+               " - (si.sx::DOUBLE / (1125899906842624.0 * n.n))" +
+               " * (sj.sx::DOUBLE / (1125899906842624.0 * n.n))", 6)} AS cov
+       |FROM p
+       |JOIN sx si ON p.di = si.dim
+       |JOIN sx sj ON p.dj = sj.dim
+       |CROSS JOIN n
+       |ORDER BY di, dj""".stripMargin
+
+  /** DuckDB oracle for q_embed_pca — a VERBATIM arithmetic mirror of
+    * [[graft.ops.Similarity.pcaProject]] (r12, verdict ask #2: the
+    * covariance input was already oracle-exact and the power iteration
+    * is deterministic, so the whole eigensolver unrolls in SQL):
+    *
+    *  - the covariance CTE is [[covOracleSql]] nested MATERIALIZED —
+    *    both engines consume the SAME 6-dp-rounded matrix, proven
+    *    hash-exact by the standing q_embed_cov row, so every
+    *    downstream double is computed from bit-identical operands;
+    *  - per component, a recursive CTE runs the select-then-continue
+    *    cascade: all 65 starts (uniform, then each basis vector —
+    *    seeds with a zero first matvec are filtered like the engine)
+    *    iterate SelIters steps, the max-Rayleigh/earliest-sid iterate
+    *    wins (ORDER BY rq DESC, sid LIMIT 1 ≡ the engine's strict->
+    *    earliest-tie fold) and continues to 200 steps total. The
+    *    recursion carries (x, y = M·x) so each step evaluates the
+    *    matvec ONCE (the naive normalize-expression form re-evaluates
+    *    it per element — 64× the work); list_sum over list_transform
+    *    sums sequentially in index order, matching the engine's
+    *    ascending-j loops;
+    *  - sign canon (largest-|loading| pivot, lowest index on ties,
+    *    flip if negative) via a struct sort; deflation
+    *    `mm[i][j] - lambda * c[i] * c[j]` in the engine's exact
+    *    left-associated order;
+    *  - projections are raw-embedding dots against the two canon
+    *    components, rounded with the Spark-HALF_UP-compatible [[rnd]].
+    *
+    * The engine's zero-matrix fallback (all starts filtered) is not
+    * mirrored — a zero covariance never occurs on real embeddings and
+    * the recursion would simply return no rows, failing loudly rather
+    * than silently. Cost is iteration-count-bounded, not corpus-bound:
+    * the cascade is ~(65·SelIters + 176)·2 matvecs of d=64 regardless
+    * of scale; only the nested covariance CTE grows with n. */
+  private[graft] def pcaOracleSql(d: Int = 64, k: Int = 2,
+                                  totalIters: Int = 200): String = {
+    val sel = graft.ops.Similarity.SelIters
+    def mv(x: String) =
+      s"list_transform(generate_series(1,$d), mvi -> list_sum(" +
+        s"list_transform(generate_series(1,$d), mvj -> mm[mvi][mvj] * $x[mvj])))"
+    val nrmY = "sqrt(list_sum(list_transform(y, nv -> nv*nv)))"
+    val xn = s"CASE WHEN $nrmY > 0 THEN list_transform(y, sv -> sv / $nrmY) ELSE x END"
+    val rqXY = s"list_sum(list_transform(generate_series(1,$d), rqi -> x[rqi] * y[rqi]))"
+    val pivot = s"array_sort(list_transform(generate_series(1,$d), " +
+      "pi -> {'a': -abs(x[pi]), 'i': pi}))[1].i"
+    def comp(c: Int): String =
+      s"""it$c(t, sid, x, y) AS (
+         |  SELECT 0, sid, x0, ${mv("x0")} FROM starts, m$c
+         |  WHERE sqrt(list_sum(list_transform(${mv("x0")}, nv -> nv*nv))) > 0
+         |  UNION ALL
+         |  SELECT t+1, sid, xn, ${mv("xn")}
+         |  FROM (SELECT t, sid, $xn AS xn, mm FROM it$c, m$c) sub
+         |  WHERE t < $sel
+         |),
+         |sel$c AS MATERIALIZED (
+         |  SELECT x, y FROM it$c WHERE t = $sel
+         |  ORDER BY $rqXY DESC, sid ASC LIMIT 1),
+         |itb$c(t, x, y) AS (
+         |  SELECT $sel, x, y FROM sel$c
+         |  UNION ALL
+         |  SELECT t+1, xn, ${mv("xn")}
+         |  FROM (SELECT t, $xn AS xn, mm FROM itb$c, m$c) sub
+         |  WHERE t < $totalIters
+         |),
+         |c$c AS MATERIALIZED (
+         |  SELECT CASE WHEN x[$pivot] < 0 THEN list_transform(x, cv -> -cv)
+         |              ELSE x END AS c,
+         |         $rqXY AS lambda
+         |  FROM itb$c WHERE t = $totalIters),
+         |m${c + 1} AS MATERIALIZED (
+         |  SELECT list_transform(generate_series(1,$d), di ->
+         |    list_transform(generate_series(1,$d), dj ->
+         |      mm[di][dj] - lambda * c[di] * c[dj])) AS mm
+         |  FROM m$c, c$c)""".stripMargin
+    val comps = (1 to k).map(comp).mkString(",\n")
+    val projCols = (1 to k).map { c =>
+      rnd(s"list_sum(list_transform(generate_series(1,$d), " +
+          s"di -> v[di] * c$c.c[di]))", 6) + s" AS pc$c"
+    }.mkString(",\n  ")
+    val projFrom = (1 to k).map(c => s"c$c").mkString(", ")
+    s"""WITH RECURSIVE
+       |cov AS MATERIALIZED ($covOracleSql),
+       |fullm AS (SELECT di AS i, dj AS j, cov FROM cov
+       |          UNION ALL SELECT dj, di, cov FROM cov WHERE di <> dj),
+       |m1 AS MATERIALIZED (SELECT list(r ORDER BY i) AS mm FROM
+       |    (SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i)),
+       |starts AS MATERIALIZED (
+       |  SELECT 0 AS sid,
+       |         list_transform(generate_series(1,$d), u -> 1.0/sqrt($d.0)) AS x0
+       |  UNION ALL
+       |  SELECT s.range::INT + 1,
+       |         list_transform(generate_series(1,$d),
+       |           u -> CASE WHEN u = s.range::INT + 1 THEN 1.0 ELSE 0.0 END)
+       |  FROM range($d) s),
+       |$comps,
+       |ve AS (SELECT vec_id, list_transform(embedding, ev -> ev::DOUBLE) AS v
+       |       FROM embeddings)
+       |SELECT vec_id,
+       |  $projCols
+       |FROM ve, $projFrom
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Sources / filters / joins / sorts / set ops
   // -------------------------------------------------------------------
@@ -1234,28 +1362,8 @@ object Queries {
     // in double and exact integers at scale 2^100, so every sum is
     // order-independent and the one combining double expression sees
     // identical operands in both engines
-    "q_embed_cov" ->
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |           FROM embeddings),
-         |x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
-         |      FROM v, unnest(generate_series(1, 64)) AS t(i)),
-         |sx AS (SELECT dim, sum(CAST(x * 1125899906842624.0 AS DECIMAL(38,0))) AS sx
-         |       FROM x GROUP BY dim),
-         |n AS (SELECT count(*)::BIGINT AS n FROM v),
-         |p AS (SELECT a.dim AS di, b.dim AS dj,
-         |        sum(CAST(a.x * b.x * 1267650600228229401496703205376.0
-         |                 AS DECIMAL(38,0))) AS sxy
-         |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-         |      GROUP BY 1, 2)
-         |SELECT di, dj,
-         |  ${rnd("sxy::DOUBLE / (1267650600228229401496703205376.0 * n.n)" +
-                 " - (si.sx::DOUBLE / (1125899906842624.0 * n.n))" +
-                 " * (sj.sx::DOUBLE / (1125899906842624.0 * n.n))", 6)} AS cov
-         |FROM p
-         |JOIN sx si ON p.di = si.dim
-         |JOIN sx sj ON p.dj = sj.dim
-         |CROSS JOIN n
-         |ORDER BY di, dj""".stripMargin,
+    "q_embed_cov" -> covOracleSql,
+    "q_embed_pca" -> pcaOracleSql(),
     "q_centroid_drift" ->
       """WITH e AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS x
         |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
@@ -2679,9 +2787,10 @@ object Queries {
     * q_bpe_learn (iterative argmax-merge training loop; golden vs an
     * independent single-node learner in BpeLearnSpec), q_ann_quant
     * (approximate by construction; recall + at-rest-size goldens in
-    * QuantSpec), q_embed_pca (no eigensolver in SQL; the covariance
-    * INPUT is the oracle-green q_embed_cov, and PcaSpec pins
-    * planted-axis recovery, ordering, orthogonality, determinism). */
+    * QuantSpec). q_embed_pca and q_dedup_simhash left this list in
+    * r12: the deterministic power iteration unrolls as a recursive
+    * CTE over the oracle-exact covariance ([[pcaOracleSql]]), and the
+    * md5-low64 token hash made the banded simhash DuckDB-expressible. */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

@@ -764,40 +764,54 @@ object Similarity {
       while (i < d) { s += x(i) * y(i); i += 1 }
       s
     }
+    def iterate(x0: Array[Double], steps: Int): Array[Double] = {
+      var xs = x0
+      for (_ <- 0 until steps) {
+        val y = matVec(m, xs)
+        val n = norm(y)
+        // deflated-to-zero residual matrix: keep the previous iterate
+        if (n > 0) xs = y.map(_ / n)
+      }
+      xs
+    }
     for (c <- 0 until k) {
-      // deterministic start cascade, max-Rayleigh selection (r11
-      // advice): a start that is EXACTLY a non-dominant eigenvector
-      // (e.g. all-ones when the variance lies along e0−e1 — FP
-      // symmetry keeps every iterate on e0+e1) passes any
-      // escapes-the-null-space check yet never leaves the minor axis,
-      // silently inverting the eigenvalue order. So EVERY cascade
-      // start (uniform, then each basis vector — at least one basis
-      // vector has a nonzero v1 component since v1 ≠ 0) runs the full
-      // fixed 200 power-iteration steps, and the iterate with the
-      // LARGEST Rayleigh quotient wins: a stuck minor-axis iterate
-      // loses to any start that reached the dominant axis.
-      // Deterministic: fixed starts, fixed step count, strict >
-      // keeps the earliest maximum on exact FP ties.
+      // deterministic start cascade, max-Rayleigh SELECT-THEN-CONTINUE
+      // (r11 advice + r12 oracle): a start that is EXACTLY a
+      // non-dominant eigenvector (e.g. all-ones when the variance lies
+      // along e0−e1 — FP symmetry keeps every iterate on e0+e1)
+      // passes any escapes-the-null-space check yet never leaves the
+      // minor axis, silently inverting the eigenvalue order. So EVERY
+      // cascade start (uniform, then each basis vector — at least one
+      // basis vector has a nonzero v1 component since v1 ≠ 0) runs a
+      // fixed SelIters selection phase; the iterate with the LARGEST
+      // Rayleigh quotient (strict >, earliest start on exact FP ties)
+      // wins and continues to the full 200 steps — equivalent to
+      // running 200 steps on the winning start alone, at (starts ×
+      // SelIters + 200) matvecs instead of (starts × 200). The
+      // stuck-start trap still loses: its Rayleigh is pinned at the
+      // minor eigenvalue while any start with a dominant component
+      // exceeds it within SelIters (power-iteration Rayleigh
+      // quotients are monotone non-decreasing on a PSD matrix).
+      // Every arithmetic step here is mirrored verbatim by the
+      // q_embed_pca DuckDB oracle (Queries.pcaOracleSql) — keep them
+      // in lockstep.
       val starts = Iterator(Array.fill(d)(1.0 / math.sqrt(d))) ++
         (0 until d).iterator.map { i =>
           val e = new Array[Double](d); e(i) = 1.0; e }
       var x: Array[Double] = null
       var lambda = Double.NegativeInfinity
       for (s0 <- starts) {
-        var xs = s0
-        if (norm(matVec(m, xs)) > 0) {
-          for (_ <- 0 until 200) {
-            val y = matVec(m, xs)
-            val n = norm(y)
-            // deflated-to-zero residual matrix: keep the previous iterate
-            if (n > 0) xs = y.map(_ / n)
-          }
+        if (norm(matVec(m, s0)) > 0) {
+          val xs = iterate(s0, SelIters)
           val l = rayleigh(xs)
           if (x == null || l > lambda) { x = xs; lambda = l }
         }
       }
       if (x == null) { // zero residual matrix: well-defined zero-variance
         x = Array.fill(d)(1.0 / math.sqrt(d)); lambda = 0.0
+      } else {
+        x = iterate(x, 200 - SelIters)
+        lambda = rayleigh(x)
       }
       // sign canon: largest-|loading| coordinate (lowest dim on ties)
       // positive — removes the eigenvector's inherent sign ambiguity
@@ -821,6 +835,10 @@ object Similarity {
     }
     v.select(col("vec_id") +: projCols: _*).orderBy("vec_id")
   }
+
+  /** Selection-phase iteration count of [[pcaProject]]'s start
+    * cascade — shared with the mirrored DuckDB oracle. */
+  private[graft] val SelIters = 24
 
   /** q_embed_pca: [[pcaProject]] top-2 projections of the test
     * embeddings. */
