@@ -28,17 +28,17 @@ import graft.functions.{CovAggregator, TopKFunctions, VectorFunctions}
   *     kth-best score (candidates are real pairs, so their kth-best
   *     never exceeds the true kth-best; fewer than k candidates ⇒
   *     τ = −2, i.e. no pruning, never a wrong answer);
-  *  2. a GRID-BLOCKED completion pass ([[gridPairs]]) scores every
-  *     remaining pair in a plain shuffled equi-join on a block key —
+  *  2. a GRID-BLOCKED completion pass ([[gridScoredPairs]]) scores
+  *     every remaining pair in a typed cogroup keyed by block —
   *     NO corpus-sized broadcast, NO BroadcastNestedLoopJoin /
   *     CartesianProduct (the old theta join broadcast a whole side:
-  *     an OOM at 100 TB) — and the τ filter kills non-contenders
-  *     INSIDE the codegen stage, so the aggregate/sort downstream
-  *     sees ~k·n rows, not n². On a near-dup-heavy production corpus
-  *     τ is high and the surviving stream is tiny; on the adversarial
-  *     fixture the dots still all run (they must), spread evenly
-  *     across B(B+1)/2 block-pair tasks with O(n·B) replicated narrow
-  *     rows — the communication-optimal layout for dense pair scoring.
+  *     an OOM at 100 TB) — with the τ filter fused into the tight
+  *     per-pair dot loop, so downstream sees ~k·n rows, not n². On a
+  *     near-dup-heavy production corpus τ is high and the surviving
+  *     stream is tiny; on the adversarial fixture the dots still all
+  *     run (they must), spread evenly across B(B+1)/2 block-pair
+  *     tasks with O(n·B) replicated narrow rows — the
+  *     communication-optimal layout for dense pair scoring.
   *
   * The sub-quadratic path remains [[qAnnIvf]]/[[annNeighbors]]
   * (documented recall < 1); [[cosineTopKExhaustive]]/[[knnExhaustive]]
@@ -83,40 +83,75 @@ object Similarity {
   /** Grid block sizing: ~256 rows per block (a 64-dim double block is
     * ~130 KB — L2-resident for the inner pair loop), capped at 1024
     * blocks so the block-pair task count B(B+1)/2 stays ≤ ~525k on an
-    * arbitrarily large corpus (beyond the cap, blocks grow instead —
-    * per-task work rises but the task grid, and the O(n·B) replicated
-    * shuffle volume, stay bounded). */
+    * arbitrarily large corpus. Beyond the cap, blocks grow instead —
+    * per-task work AND the cogroup's buffered home block (n/B rows ×
+    * ~vector width bytes) rise while the task grid and the O(n·B)
+    * replicated shuffle volume stay bounded; that buffer-vs-grid
+    * tension is inherent to any 2D pair-scoring schedule, and at
+    * n ≈ 10⁹ the home block is ~0.5 GB/task — size executor memory
+    * or raise the cap accordingly. */
   private[graft] def gridBlocks(n: Long): Int =
     math.min(1024L, math.max(1L, (n + 255L) / 256L)).toInt
 
-  /** EVERY unordered pair of distinct vectors, scored exactly once
-    * with an UNROUNDED codegen dot — as a shuffled equi-join on a
-    * block key, never a theta/nested-loop join: side A replicates each
-    * row to block ids bi..B-1, side B keys rows by their own block, so
-    * block pair (i, j ≥ i) meets in exactly one task. Extra columns in
-    * `u` beyond (vec_id, vn) ride along as `<name>_a` / `<name>_b`.
-    * Output ids are NOT normalized to id_a < id_b across blocks (a
-    * cross-block pair keeps probe-side first); pair-symmetric
+  /** EVERY unordered pair of distinct vectors scored exactly once
+    * with an UNROUNDED dot, pre-filtered by per-row thresholds —
+    * the grid-blocked completion engine of the exact defaults.
+    *
+    * Input: (vec_id, vn, tau); output: (id_a, id_b, cos_sim) for the
+    * pairs with dot ≥ min(tau_a, tau_b) − margin. Side A replicates
+    * each row to block ids bi..B-1, side B keys rows by their own
+    * block, so block pair (i, j ≥ i) meets in exactly one task and
+    * the replicated shuffle volume is O(n·B) narrow rows — never a
+    * corpus broadcast, never a nested-loop product.
+    *
+    * Execution is a typed COGROUP with a tight JVM loop, not an
+    * equi-join: the first grid cut joined the replicated sides with
+    * SMJ/BHJ and materialized TWO 64-double arrays into every join
+    * output row — ~1 KB of row copies per pair, which measured 108 s
+    * (q_sim_cosine_topk) / 178 s (q_dedup_embed) at sf1's 2·10⁸
+    * pairs where the dots themselves are ~4 s of FLOPs. The cogroup
+    * buffers ONLY the home block (≤ ~n/B rows — the per-task memory
+    * knob; [[gridBlocks]] documents the B-vs-block-size tension),
+    * streams the probe side, and emits only τ-survivors, so per pair
+    * the work is one 64-FMA loop and a compare — no row
+    * materialization at all for the filtered-out 99.99 %. The dot
+    * accumulates ascending, bit-identical to
+    * [[graft.functions.DotProduct]] (the τ phase's scores must be
+    * comparable against completion scores).
+    *
+    * Same-block pairs dedup by id order; cross-block pairs are
+    * structurally unique (only the lower block probes up). Output ids
+    * are NOT normalized to id_a < id_b across blocks; pair-symmetric
     * consumers don't care, presentation layers normalize. */
-  private[graft] def gridPairs(u: DataFrame, blocks: Int): DataFrame = {
-    VectorFunctions.register(u.sparkSession)
-    val extras = u.columns.filterNot(c => c == "vec_id" || c == "vn").toSeq
-    val withB = u.withColumn("gb", pmod(col("vec_id"), lit(blocks)).cast("int"))
-    val a = withB.select(
-      Seq(col("vec_id").as("id_a"), col("vn").as("vn_a"), col("gb").as("ba"),
-          explode(sequence(col("gb"), lit(blocks - 1))).as("bj")) ++
-        extras.map(c => col(c).as(s"${c}_a")): _*)
-    val b = withB.select(
-      Seq(col("vec_id").as("id_b"), col("vn").as("vn_b"),
-          col("gb").as("bj")) ++
-        extras.map(c => col(c).as(s"${c}_b")): _*)
-    a.join(b, Seq("bj"))
-      // same-block pairs dedup/self-filter by id order; cross-block
-      // pairs are structurally unique (only the lower block probes up)
-      .filter(col("ba") =!= col("bj") || col("id_a") < col("id_b"))
-      .select(Seq(col("id_a"), col("id_b"),
-                  VectorFunctions.dot(col("vn_a"), col("vn_b")).as("cos_sim")) ++
-              extras.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+  private[graft] def gridScoredPairs(uTau: DataFrame, blocks: Int,
+                                     margin: Double): DataFrame = {
+    val spark = uTau.sparkSession
+    import spark.implicits._
+    val ds = uTau
+      .select(col("vec_id"), col("vn"), col("tau"),
+              pmod(col("vec_id"), lit(blocks)).cast("int").as("gb"))
+      .as[(Long, Array[Double], Double, Int)]
+    val probes = ds.flatMap { case (id, vn, tau, bi) =>
+      (bi until blocks).iterator.map(bj => (bj, id, vn, tau, bi))
+    }.groupByKey(_._1)
+    val homes = ds.groupByKey(_._4)
+    probes.cogroup(homes) { (bj, as, bs) =>
+      val home = bs.toArray
+      as.flatMap { case (_, ida, vna, ta, bi) =>
+        val sameBlock = bi == bj
+        home.iterator.flatMap { case (idb, vnb, tb, _) =>
+          if (sameBlock && ida >= idb) Iterator.empty
+          else {
+            val d = math.min(vna.length, vnb.length)
+            var s = 0.0
+            var i = 0
+            while (i < d) { s += vna(i) * vnb(i); i += 1 }
+            if (s >= math.min(ta, tb) - margin) Iterator.single((ida, idb, s))
+            else Iterator.empty
+          }
+        }
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
   }
 
   /** (corpus size, dims) of any (vec_id, embedding) frame — the two
@@ -160,9 +195,8 @@ object Similarity {
         val tau = cand.orderBy(col("cos_sim").desc).limit(n)
           .agg(when(count(lit(1)) >= n, min(col("cos_sim")))
                  .otherwise(lit(-2.0)).as("tau"))
-        gridPairs(u, gridBlocks(sz))
-          .crossJoin(broadcast(tau))
-          .filter(col("cos_sim") >= col("tau") - lit(RoundMargin))
+        gridScoredPairs(u.crossJoin(broadcast(tau)),
+                        gridBlocks(sz), RoundMargin)
       }
     pairs
       .select(least(col("id_a"), col("id_b")).as("id_a"),
@@ -178,7 +212,8 @@ object Similarity {
   def cosineTopKExhaustive(embeddings: DataFrame, n: Int = 100): DataFrame = {
     val (sz, _) = sizeAndDim(embeddings, -1L)
     val u = normalizeEmbeddings(embeddings)
-    (if (sz == 0) emptyPairs(u) else gridPairs(u, gridBlocks(sz)))
+    (if (sz == 0) emptyPairs(u)
+     else gridScoredPairs(u.withColumn("tau", lit(-2.0)), gridBlocks(sz), 0.0))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
               greatest(col("id_a"), col("id_b")).as("id_b"),
               round(col("cos_sim"), 6).as("cos_sim"))
@@ -261,10 +296,7 @@ object Similarity {
         val uTau = u.join(tauTab, col("vec_id") === col("tv"), "left")
           .select(col("vec_id"), col("vn"),
                   coalesce(col("tau"), lit(-2.0)).as("tau"))
-        gridPairs(uTau, gridBlocks(sz))
-          .filter(col("cos_sim") >=
-                  least(col("tau_a"), col("tau_b")) - lit(RoundMargin))
-          .select(col("id_a"), col("id_b"), col("cos_sim"))
+        gridScoredPairs(uTau, gridBlocks(sz), RoundMargin)
       }
     topKCut(mirrorRounded(pairs), k)
   }
@@ -275,7 +307,8 @@ object Similarity {
   def knnExhaustive(embeddings: DataFrame, k: Int = 3): DataFrame = {
     val (sz, _) = sizeAndDim(embeddings, -1L)
     val u = normalizeEmbeddings(embeddings)
-    val pairs = if (sz == 0) emptyPairs(u) else gridPairs(u, gridBlocks(sz))
+    val pairs = if (sz == 0) emptyPairs(u)
+      else gridScoredPairs(u.withColumn("tau", lit(-2.0)), gridBlocks(sz), 0.0)
     topKCut(mirrorRounded(pairs), k)
   }
 
@@ -329,7 +362,11 @@ object Similarity {
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame = {
     val (sz, _) = sizeAndDim(embeddings, -1L)
     val u = normalizeEmbeddings(embeddings)
-    (if (sz == 0) emptyPairs(u) else gridPairs(u, gridBlocks(sz)))
+    // the GIVEN threshold is the in-stage τ (margin covers the 6-dp
+    // presentation rounding; the exact rounded filter re-applies it)
+    (if (sz == 0) emptyPairs(u)
+     else gridScoredPairs(u.withColumn("tau", lit(minCos)),
+                          gridBlocks(sz), RoundMargin))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
               greatest(col("id_a"), col("id_b")).as("id_b"),
               round(col("cos_sim"), 6).as("cos_sim"))

@@ -62,7 +62,15 @@ object ScaleCheck {
     "q_embed_project" -> 1.0, // narrow projection
     "q_ann_quant" -> 1.5,     // same all-pairs-over-IVF total as
                               // q_ann_ivf (int8 kernel, same buckets)
-    "q_sim_cosine_topk" -> 2.0,
+    "q_sim_cosine_topk" -> 2.0, // EXACT top-k pairs: Θ(n²) dots by
+                                // spec (r12: grid-blocked equi-join,
+                                // no corpus broadcast; the τ filter
+                                // cuts aggregate input, not FLOPs —
+                                // sub-quadratic exactness on
+                                // near-orthogonal data is SETH-hard;
+                                // the ≤1.5 scale path is q_ann_ivf)
+    "q_knn" -> 2.0,             // same contract/plan per-vector
+    "q_dedup_embed" -> 2.0,     // same grid, fixed threshold
     "q_sim_containment" -> 2.0, // candidates ∝ Σ_p df_A(p)·df_B(p):
                                 // near-linear on natural vocabularies,
                                 // quadratic on this 40-word synthetic

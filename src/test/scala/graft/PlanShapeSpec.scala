@@ -75,16 +75,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_sim_cosine_topk: grid join is a hash join; only the 1-row τ attach nested-loops") {
+  test("q_sim_cosine_topk: cogroup grid, no product joins; only the 1-row τ attach nested-loops") {
     val p = plan("q_sim_cosine_topk")
-    // the pair-scoring grid join must be an equi/hash join (the scale
-    // path); the ONE BroadcastNestedLoopJoin allowed is the bounded
-    // 1-row τ-scalar attach (IdentityBroadcastMode of an aggregate)
+    // the pair scoring runs in the typed block-cogroup (CoGroup node —
+    // no join materializes pair rows); the only
+    // BroadcastNestedLoopJoins allowed are the bounded 1-row τ-scalar
+    // attaches (the attach subtree appears once per cogroup branch)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.sliding("BroadcastNestedLoopJoin".length)
-            .count(_ == "BroadcastNestedLoopJoin") <= 1, p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
-           || p.contains("ShuffledHashJoin"), p)
+            .count(_ == "BroadcastNestedLoopJoin") <= 2, p)
+    assert(p.contains("CoGroup"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 

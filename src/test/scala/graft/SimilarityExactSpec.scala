@@ -25,10 +25,11 @@ class SimilarityExactSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
   }
 
-  test("gridPairs emits every unordered pair exactly once, no self-pairs") {
+  test("gridScoredPairs emits every unordered pair exactly once, no self-pairs") {
     val u = Similarity.normalizeEmbeddings(randomCorpus(97, 8, 11))
+      .withColumn("tau", lit(-2.0)) // no pruning: the full pair stream
     for (blocks <- Seq(1, 4, 13)) {
-      val pairs = Similarity.gridPairs(u, blocks)
+      val pairs = Similarity.gridScoredPairs(u, blocks, 0.0)
         .select(least($"id_a", $"id_b").as("a"),
                 greatest($"id_a", $"id_b").as("b"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -36,6 +37,23 @@ class SimilarityExactSpec extends AnyFunSuite {
       assert(pairs.toSet.size == pairs.length, s"dup pair at blocks=$blocks")
       assert(pairs.forall { case (a, b) => a < b }, s"self pair at blocks=$blocks")
     }
+  }
+
+  test("gridScoredPairs τ filter keeps exactly the min(τa,τb)-margin survivors") {
+    val u = Similarity.normalizeEmbeddings(randomCorpus(60, 8, 21))
+    val all = Similarity.gridScoredPairs(
+        u.withColumn("tau", lit(-2.0)), 4, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // per-row τ: even ids 0.2, odd ids 0.5
+    val uTau = u.withColumn("tau",
+      when(pmod($"vec_id", lit(2)) === 0, lit(0.2)).otherwise(lit(0.5)))
+    val filt = Similarity.gridScoredPairs(uTau, 4, 1e-6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def tau(id: Long) = if (id % 2 == 0) 0.2 else 0.5
+    val expected = all.filter { case ((a, b), s) =>
+      s >= math.min(tau(a), tau(b)) - 1e-6 }
+    assert(filt == expected)
+    assert(filt.values.forall(s => all.values.exists(_ == s))) // same dots
   }
 
   test("knn default ≡ knnExhaustive on an adversarial random corpus") {
