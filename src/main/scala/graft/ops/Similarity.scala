@@ -123,6 +123,33 @@ object Similarity {
     * structurally unique (only the lower block probes up). Output ids
     * are NOT normalized to id_a < id_b across blocks; pair-symmetric
     * consumers don't care, presentation layers normalize. */
+  /** Early-exit stride: the dot loop checks a Cauchy–Schwarz upper
+    * bound every `ExitStride` elements — partial + ‖a_tail‖·‖b_tail‖ —
+    * and abandons a pair as soon as the bound proves it below the τ
+    * cut. The bound over-estimates the remainder (never prunes a true
+    * survivor; FP slack ~1e-15 sits nine orders inside the 2e-6
+    * rounding margin), so exactness is unconditional; the win scales
+    * with τ — a production near-dup scan at cos ≥ 0.9 abandons most
+    * pairs after the first stride. */
+  private val ExitStride = 16
+
+  /** Suffix L2 norms at [[ExitStride]] checkpoints: out(c) =
+    * ‖v[c·stride ..]‖ for c = 0 .. d/stride. */
+  private def suffixNorms(v: Array[Double]): Array[Double] = {
+    val nChk = v.length / ExitStride + 1
+    val out = new Array[Double](nChk)
+    var c = nChk - 1
+    var i = v.length - 1
+    var ss = 0.0
+    while (c >= 0) {
+      val lo = c * ExitStride
+      while (i >= lo) { ss += v(i) * v(i); i -= 1 }
+      out(c) = math.sqrt(ss)
+      c -= 1
+    }
+    out
+  }
+
   private[graft] def gridScoredPairs(uTau: DataFrame, blocks: Int,
                                      margin: Double): DataFrame = {
     val spark = uTau.sparkSession
@@ -131,22 +158,35 @@ object Similarity {
       .select(col("vec_id"), col("vn"), col("tau"),
               pmod(col("vec_id"), lit(blocks)).cast("int").as("gb"))
       .as[(Long, Array[Double], Double, Int)]
+    // suffix norms computed ONCE per (replicated) row, not per pair
     val probes = ds.flatMap { case (id, vn, tau, bi) =>
-      (bi until blocks).iterator.map(bj => (bj, id, vn, tau, bi))
+      val sn = suffixNorms(vn)
+      (bi until blocks).iterator.map(bj => (bj, id, vn, tau, bi, sn))
     }.groupByKey(_._1)
-    val homes = ds.groupByKey(_._4)
+    val homes = ds.map { case (id, vn, tau, bi) =>
+      (id, vn, tau, bi, suffixNorms(vn))
+    }.groupByKey(_._4)
     probes.cogroup(homes) { (bj, as, bs) =>
       val home = bs.toArray
-      as.flatMap { case (_, ida, vna, ta, bi) =>
+      as.flatMap { case (_, ida, vna, ta, bi, sna) =>
         val sameBlock = bi == bj
-        home.iterator.flatMap { case (idb, vnb, tb, _) =>
+        home.iterator.flatMap { case (idb, vnb, tb, _, snb) =>
           if (sameBlock && ida >= idb) Iterator.empty
           else {
             val d = math.min(vna.length, vnb.length)
+            val tmin = math.min(ta, tb) - margin
             var s = 0.0
             var i = 0
-            while (i < d) { s += vna(i) * vnb(i); i += 1 }
-            if (s >= math.min(ta, tb) - margin) Iterator.single((ida, idb, s))
+            var alive = true
+            while (alive && i < d) {
+              val lim = math.min(i + ExitStride, d)
+              while (i < lim) { s += vna(i) * vnb(i); i += 1 }
+              if (i < d) {
+                val c = i / ExitStride
+                if (s + sna(c) * snb(c) < tmin) alive = false
+              }
+            }
+            if (alive && s >= tmin) Iterator.single((ida, idb, s))
             else Iterator.empty
           }
         }
