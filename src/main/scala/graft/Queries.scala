@@ -1308,6 +1308,43 @@ object Queries {
        |         FROM f ORDER BY rrf DESC, doc_id LIMIT $tn)""".stripMargin
   }
 
+  /** The engine's fixed-seed MinHash permutation constants as a
+    * DuckDB VALUES CTE — interpolated from [[graft.ops.Dedup.permA]]/
+    * `permB` directly so the oracle can never drift from the plan. */
+  private def mhPermsCte: String = {
+    val vals = graft.ops.Dedup.permA.zip(graft.ops.Dedup.permB).zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+    s"mh_perms(i, a, b) AS (SELECT * FROM (VALUES $vals) AS pv(i, a, b))"
+  }
+
+  /** MinHash CTE chain over a (doc_id, toks) CTE named `src` — the
+    * exact SQL mirror of the engine's signature pipeline (r12,
+    * verdict #2 continued): 3-token shingles, md5-low64 mod p shingle
+    * hashes ([[graft.functions.ShingleHashes]]'s prime>0 mode —
+    * DuckDB's `md5_number_lower(s) % p` in UBIGINT arithmetic,
+    * bit-for-bit `Long.remainderUnsigned`), 48-permutation signatures
+    * (min (a*h+b) mod p — products < 2^62, no overflow on either
+    * engine), and the md5 "band,v1,..,v4" band keys
+    * ([[graft.ops.Dedup.bandKey]]). Emits CTEs `<p>sh` (doc_id, h)
+    * and `<p>bnd` (doc_id, band, bkey); requires [[mhPermsCte]] in
+    * the same WITH. */
+  private def minhashCtes(p: String, src: String): String = {
+    val prime = graft.ops.Dedup.MersennePrime
+    val rpb = graft.ops.Dedup.MinhashK / graft.ops.Dedup.Bands
+    s"""${p}g AS (SELECT doc_id,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sgl
+       |  FROM $src, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+       |${p}sh AS (SELECT DISTINCT doc_id,
+       |    (md5_number_lower(sgl) % ${prime}::UBIGINT)::BIGINT AS h
+       |  FROM ${p}g),
+       |${p}sig AS (SELECT doc_id, mp.i, min((mp.a * h + mp.b) % $prime) AS v
+       |  FROM ${p}sh CROSS JOIN mh_perms mp GROUP BY doc_id, mp.i),
+       |${p}bnd AS (SELECT doc_id, (i // $rpb) AS band,
+       |    md5((i // $rpb)::VARCHAR || ',' ||
+       |        string_agg(v::VARCHAR, ',' ORDER BY i)) AS bkey
+       |  FROM ${p}sig GROUP BY doc_id, (i // $rpb))""".stripMargin
+  }
+
   val dedupSimOracle: Map[String, String] = Map(
     // exact DECIMAL(38,0) carrier at 2^50 (power-of-two scaling is
     // exact on float32-origin doubles) — the per-(label, dim) sum is
@@ -1414,6 +1451,53 @@ object Queries {
          |    bit_count(xor(sha, shb))::INT AS hamming FROM cand)
          |SELECT doc_a, doc_b, hamming FROM d
          |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin,
+    // r12 (verdict #2 continued): q_dedup_near leaves the exempt list
+    // the same way simhash did — every hash in the MinHash pipeline
+    // (md5-low64 shingles, fixed-seed permutations interpolated from
+    // the plan constants, md5 band keys) is now engine-independent, so
+    // banding candidates AND the exact-Jaccard verify mirror in SQL
+    "q_dedup_near" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |$mhPermsCte,
+         |${minhashCtes("mh_", "t")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM mh_bnd a JOIN mh_bnd b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+         |itr AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN mh_sh x ON x.doc_id = c.doc_a
+         |              JOIN mh_sh y ON y.doc_id = c.doc_b AND y.h = x.h
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, ${rnd("jac", 6)} AS jac FROM (
+         |  SELECT i.doc_a, i.doc_b,
+         |    i.inter::DOUBLE / (sa.n + sb.n - i.inter) AS jac
+         |  FROM itr i JOIN sz sa ON sa.doc_id = i.doc_a
+         |             JOIN sz sb ON sb.doc_id = i.doc_b) q
+         |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // same pipeline probed incrementally: corpus index vs the synthetic
+    // truncated re-crawl batch (doc_id < 50, +100000, last token cut)
+    "q_dedup_incr_near" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |ti AS (SELECT doc_id + 100000 AS doc_id,
+         |         toks[1:len(toks)-1] AS toks
+         |       FROM t WHERE doc_id < 50),
+         |$mhPermsCte,
+         |${minhashCtes("mh_", "t")},
+         |${minhashCtes("mi_", "ti")},
+         |cand AS (SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corpus_id
+         |  FROM mh_bnd c JOIN mi_bnd i ON c.band = i.band AND c.bkey = i.bkey),
+         |szc AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+         |szi AS (SELECT doc_id, count(*) AS n FROM mi_sh GROUP BY doc_id),
+         |itr AS (SELECT c.inc_id, c.corpus_id, count(*) AS inter
+         |  FROM cand c JOIN mi_sh x ON x.doc_id = c.inc_id
+         |              JOIN mh_sh y ON y.doc_id = c.corpus_id AND y.h = x.h
+         |  GROUP BY c.inc_id, c.corpus_id)
+         |SELECT doc_id, corpus_id, ${rnd("jac", 6)} AS jac FROM (
+         |  SELECT i.inc_id AS doc_id, i.corpus_id,
+         |    i.inter::DOUBLE / (si.n + sc.n - i.inter) AS jac
+         |  FROM itr i JOIN szi si ON si.doc_id = i.inc_id
+         |             JOIN szc sc ON sc.doc_id = i.corpus_id) q
+         |WHERE jac >= 0.8 ORDER BY doc_id, corpus_id""".stripMargin,
     "q_sim_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
          |SELECT doc_a, doc_b, ${rnd("jac", 6)} AS jac FROM (
@@ -2777,7 +2861,7 @@ object Queries {
       dedupSim ++ extras ++ curation
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
-    * (golden-tested): q_agg_approx, q_dedup_near,
+    * (golden-tested): q_agg_approx,
     * q_ann_ivf, q_multimodal_features, q_kmeans (FP-order in the
     * distributed centroid means), q_bloom_decontaminate (sketch-seed-
     * dependent false positives), q_percentiles_approx (merge-order-
@@ -2790,7 +2874,11 @@ object Queries {
     * QuantSpec). q_embed_pca and q_dedup_simhash left this list in
     * r12: the deterministic power iteration unrolls as a recursive
     * CTE over the oracle-exact covariance ([[pcaOracleSql]]), and the
-    * md5-low64 token hash made the banded simhash DuckDB-expressible. */
+    * md5-low64 token hash made the banded simhash DuckDB-expressible.
+    * q_dedup_near and q_dedup_incr_near followed later in r12 — with
+    * md5-low64 shingle hashes, plan-interpolated permutation
+    * constants, and md5 band keys ([[minhashCtes]]) nothing in the
+    * MinHash pipeline is JVM-only anymore. */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

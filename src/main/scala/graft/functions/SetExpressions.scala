@@ -100,20 +100,30 @@ case class MinHashSig(child: Expression, permA: Seq[Long], permB: Seq[Long],
 }
 
 /** Sorted-distinct n-gram hashes of an array<string> token column in
-  * ONE pass — token bytes hashed incrementally (FNV-1a 64 with a space
-  * separator, matching the "t1 t2 t3" join semantics), then in-place
-  * sort + unique. Replaces the interpreted
+  * ONE pass — shingle bytes hashed with a space separator (matching
+  * the "t1 t2 t3" join semantics), then in-place sort + unique.
+  * Replaces the interpreted
   * `array_sort(array_distinct(transform(ngrams(toks), hash)))` chain,
   * which paid per-element lambda dispatch and a string allocation per
   * n-gram — measured ~750 µs/doc at sf0.1 (3.8 s per materialization,
-  * the dominant cost of q_dedup_near); this loop is ~10 µs/doc.
+  * the dominant cost of q_dedup_near).
   *
-  * Any deterministic injective token→hash map preserves distinct-set
-  * SIZES and intersection COUNTS, so Jaccard values are unchanged by
-  * the hash choice. `prime > 0` folds hashes into [0, prime) for the
-  * MinHash pipeline (same 31-bit range the previous murmur3 `pmod`
-  * produced); `prime <= 0` keeps the full 64 bits (the exact-Jaccard
-  * path, where injectivity backs the DuckDB oracle parity).
+  * Two hash modes, chosen by what downstream needs from the VALUES:
+  *
+  *   - `prime > 0` (the MinHash pipeline): the low 64 bits of MD5
+  *     (little-endian u64 of digest bytes 8..15 — bit-for-bit DuckDB's
+  *     `md5_number_lower`, the q_dedup_simhash r12 precedent) reduced
+  *     by the UNSIGNED remainder mod `prime` — exactly
+  *     `md5_number_lower(s) % prime` in DuckDB UBIGINT arithmetic, so
+  *     the whole signature→banding→verify pipeline is ORACLE-CHECKABLE
+  *     in SQL instead of golden-exempt. ~60 µs/doc (one MD5 per
+  *     shingle), paid once per document materialization, not per pair.
+  *   - `prime <= 0` (the exact-Jaccard path): FNV-1a 64 over the full
+  *     64-bit range. Only set SIZES and intersection COUNTS matter
+  *     there — any deterministic injective token→hash map preserves
+  *     them, which is what backs the DuckDB string-set oracle parity —
+  *     so the cheaper non-cryptographic loop stays.
+  *
   * CodegenFallback — evaluated once per document, not per pair.
   */
 case class ShingleHashes(child: Expression, n: Int, prime: Long)
@@ -131,19 +141,35 @@ case class ShingleHashes(child: Expression, n: Int, prime: Long)
     val toks = new Array[Array[Byte]](len)
     var i = 0
     while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val md = if (prime > 0) java.security.MessageDigest.getInstance("MD5") else null
+    val sp = Array(' '.toByte)
     val hs = new Array[Long](m)
     i = 0
     while (i < m) {
-      var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
-      var j = 0
-      while (j < n) {
-        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-        val b = toks(i + j)
+      if (prime > 0) {
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(sp)
+          md.update(toks(i + j))
+          j += 1
+        }
+        val dig = md.digest() // digest() resets for the next shingle
+        var h = 0L
         var k = 0
-        while (k < b.length) { h ^= (b(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
-        j += 1
+        while (k < 8) { h |= (dig(8 + k) & 0xffL) << (8 * k); k += 1 }
+        hs(i) = java.lang.Long.remainderUnsigned(h, prime)
+      } else {
+        var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+        var j = 0
+        while (j < n) {
+          if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          val b = toks(i + j)
+          var k = 0
+          while (k < b.length) { h ^= (b(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
+          j += 1
+        }
+        hs(i) = h
       }
-      hs(i) = if (prime > 0) ((h % prime) + prime) % prime else h
       i += 1
     }
     java.util.Arrays.sort(hs)

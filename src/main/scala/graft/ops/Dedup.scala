@@ -270,10 +270,11 @@ object Dedup {
   def qSimContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairsFrom(corpusTokenSets(spark, dir), 0.9)
 
-  // ---- MinHash + LSH (q_dedup_near, oracle-exempt) ----
+  // ---- MinHash + LSH (q_dedup_near — oracle-exact since r12: every
+  //      hash in the pipeline is engine-independent) ----
 
   private[graft] val MinhashK = 48        // signature length
-  private val Bands = 12           // LSH bands...
+  private[graft] val Bands = 12           // LSH bands...
   private val RowsPerBand = 4      // ...of 4 rows: P(candidate | J=0.9) ≈ 1-6e-5
   private[graft] val MersennePrime = 2147483647L
   // Deterministic hash-permutation constants (fixed seed — results are
@@ -298,10 +299,25 @@ object Dedup {
   private[graft] def minhashSig(sh: Column): Column =
     graft.functions.SetFunctions.minhashSig(sh)
 
+  /** LSH band bucket key: md5 over the decimal rendering
+    * "band,v1,...,v_r" of the signature slice — r12, replacing the
+    * r2-r11 Spark murmur3 `hash()`. md5-of-concat is engine-independent
+    * (DuckDB: `md5(band || ',' || string_agg(v, ',' ORDER BY i))`), so
+    * the banded candidate join is oracle-checkable in SQL; the 32-hex
+    * key is 4× a murmur long but still ~12× smaller than dragging the
+    * signature slice itself through the self-join (the r2 lesson). */
+  private[graft] def bandKey(sig: Column, band: Column, rowsPerBand: Int): Column =
+    md5(concat_ws(",", band.cast("string"),
+      array_join(transform(slice(sig, band * rowsPerBand + 1, lit(rowsPerBand)),
+                           _.cast("string")), ",")))
+
   /** q_dedup_near: MinHash signatures → LSH band buckets → candidate
-    * pairs → exact shingle-Jaccard verification ≥ 0.8. Oracle-exempt
-    * (hash-permutation-dependent recall); ScalaTest asserts recall
-    * properties against planted duplicates.
+    * pairs → exact shingle-Jaccard verification ≥ 0.8. Oracle-exact
+    * since r12: md5-low64 shingle hashes, fixed-seed permutation
+    * constants interpolated into the oracle SQL, and md5 band keys
+    * make every stage DuckDB-expressible (Queries.minhashCtes), so
+    * the banding recall is CHECKED, not trusted — on top of the
+    * planted-duplicate recall properties ScalaTest already asserts.
     */
   def qDedupNear(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.docTokens(spark, dir))
@@ -336,9 +352,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
               explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
-              hash(col("band"),
-                   slice(col("sig"), col("band") * rowsPerBand + 1,
-                         lit(rowsPerBand))).as("bkey"))
+              bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
       .persist()
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val bn = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
@@ -762,9 +776,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
               explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
-              hash(col("band"),
-                   slice(col("sig"), col("band") * rowsPerBand + 1,
-                         lit(rowsPerBand))).as("bkey"))
+              bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
     (sh, bandTab)
   }
 
@@ -782,9 +794,7 @@ object Dedup {
         .select(col("doc_id"), col("sig"),
                 explode(sequence(lit(0), lit(Bands - 1))).as("band"))
         .select(col("doc_id"), col("band"),
-                hash(col("band"),
-                     slice(col("sig"), col("band") * rowsPerBand + 1,
-                           lit(rowsPerBand))).as("bkey"))
+                bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
         .write.mode("overwrite").parquet(s"$p/bands.parquet")
       docs.unpersist()
       p
@@ -816,8 +826,10 @@ object Dedup {
     * matched corpus docs only (again a broadcast semi-bound), and the
     * exact merge-scan Jaccard verifies each candidate. Nothing
     * corpus-scale is ever shuffled or recomputed. Same probabilistic
-    * contract as [[nearDupPairs]] (banding recall), so golden-tested,
-    * not oracle-matched. Emits (doc_id, corpus_id, jac ≥ tau). */
+    * contract as [[nearDupPairs]] (banding recall) — and since r12 the
+    * same oracle story: the probe pipeline mirrors in DuckDB SQL, so
+    * q_dedup_incr_near is hash-exact-checked, with DedupSpec's planted
+    * recall goldens on top. Emits (doc_id, corpus_id, jac ≥ tau). */
   def incrementalNearDup(corpusShingles: DataFrame, corpusBands: DataFrame,
                          incoming: DataFrame, tau: Double = 0.8,
                          bands: Int = Bands): DataFrame = {
@@ -941,9 +953,10 @@ object Dedup {
 
   /** q_dedup_incr_near: [[incrementalNearDup]] with a synthetic
     * re-crawl batch — docs 0-49 re-fetched with their last token
-    * dropped (high-Jaccard near-dups of their originals). Golden-
-    * exempt like [[qDedupNear]] (banding recall); DedupSpec pins
-    * recall of the planted mods and exactness of the verify stage. */
+    * dropped (high-Jaccard near-dups of their originals). Oracle-
+    * exact since r12 like [[qDedupNear]] (the probe pipeline mirrors
+    * in SQL); DedupSpec additionally pins recall of the planted mods
+    * and exactness of the verify stage. */
   def qDedupIncrNear(spark: SparkSession, dir: String): DataFrame = {
     val (sh, bandTab) = nearDupIndex(spark, dir)
     val incoming = Tables.docTokens(spark, dir)

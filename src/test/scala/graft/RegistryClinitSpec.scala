@@ -49,14 +49,16 @@ class RegistryClinitSpec extends AnyFunSuite {
   test("oracle-exempt set matches the declared exemption list") {
     val exempt = Queries.all.keySet -- Queries.oracle.keySet
     val declared = Set(
-      // q_dedup_simhash and q_embed_pca left this set in r12: the
-      // md5-low64 token hash made the banded pipeline DuckDB-
-      // expressible, and the deterministic power iteration unrolls as
-      // a recursive CTE over the oracle-exact covariance
-      "q_agg_approx", "q_dedup_near", "q_ann_ivf",
+      // q_dedup_simhash and q_embed_pca left this set in r12 (md5-low64
+      // token hash; power iteration unrolled as a recursive CTE over
+      // the oracle-exact covariance); q_dedup_near and
+      // q_dedup_incr_near followed once the MinHash pipeline went
+      // fully engine-independent (md5 shingles, interpolated perm
+      // constants, md5 band keys)
+      "q_agg_approx", "q_ann_ivf",
       "q_multimodal_features", "q_kmeans", "q_bloom_decontaminate",
       "q_percentiles_approx", "q_token_bpe", "q_bpe_learn", "q_ann_quant",
-      "q_hll_users", "q_dedup_incr_near")
+      "q_hll_users")
     // Exemptions may grow only deliberately: fail on silent drift so a
     // lost oracle entry is caught at test time, not in the driver gate.
     assert(exempt == declared,
