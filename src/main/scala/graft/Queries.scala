@@ -107,6 +107,62 @@ object Queries {
     * than silently. Cost is iteration-count-bounded, not corpus-bound:
     * the cascade is ~(65·SelIters + 176)·2 matvecs of d=64 regardless
     * of scale; only the nested covariance CTE grows with n. */
+  /** q_kmeans's DuckDB form — the full 5-iteration Lloyd run unrolled
+    * (r12, continuing verdict #2's conversion programme). Exactness
+    * rests on two established facts: (a) the update means use the
+    * 2⁵⁰-scaled DECIMAL(38,0) carrier (the q_embed_cov /
+    * q_centroid_drift discipline), so the only distributed reduction
+    * is order-independent integer addition; (b) every other step is
+    * fixed-order scalar double arithmetic — the engine's ascending
+    * DotProduct loop ≡ `list_sum(list_transform(...))`, the same
+    * bit-parity the 200-step recursive-CTE PCA oracle already proves.
+    * Assignment ties break on lowest cid on both sides (Spark's
+    * lexicographic struct `array_min` ≡ `row_number() OVER (ORDER BY
+    * d2, cid)`). Empty clusters keep the previous centroid via the
+    * LEFT JOIN + CASE. */
+  private[graft] def kmeansOracleSql(d: Int = 64, k: Int = 8,
+                                     iters: Int = 5): String = {
+    val S = "1125899906842624.0" // 2^50
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1,$d), j -> $a[j] * $b[j]))"
+    def sq(a: String) = s"list_sum(list_transform($a, q -> q * q))"
+    // assign pass t (uses centroids c{t-1}): per vec, argmin (d2, cid)
+    def assignCte(t: Int) =
+      s"""ka$t AS (SELECT vec_id, v, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM (SELECT e.vec_id, e.v, c.cid,
+         |          (e.vv - 2.0 * ${dot("e.v", "c.cv")}) + c.c2 AS d2
+         |        FROM kev e CROSS JOIN kc${t - 1} c) z)"""
+        .stripMargin
+    // update pass t: exact decimal mean per (cid, dim); empty cluster
+    // keeps the previous centroid
+    def updateCte(t: Int) =
+      s"""km$t AS (SELECT cid, u.j AS dim,
+         |    sum(CAST(v[u.j] * $S AS DECIMAL(38,0))) AS sm, count(*) AS n
+         |  FROM ka$t, unnest(generate_series(1,$d)) AS u(j)
+         |  WHERE rn = 1 GROUP BY cid, u.j),
+         |kn$t AS (SELECT cid, list(sm::DOUBLE / ($S * n) ORDER BY dim) AS cv
+         |  FROM km$t GROUP BY cid),
+         |kc$t AS (SELECT p.cid,
+         |    CASE WHEN f.cid IS NULL THEN p.cv ELSE f.cv END AS cv,
+         |    CASE WHEN f.cid IS NULL THEN p.c2 ELSE ${sq("f.cv")} END AS c2
+         |  FROM kc${t - 1} p LEFT JOIN kn$t f ON p.cid = f.cid)"""
+        .stripMargin
+    val its = (1 to iters).map(t => s"${assignCte(t)},\n${updateCte(t)}")
+      .mkString(",\n")
+    s"""WITH kv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |kev AS (SELECT vec_id, v, ${dot("v", "v")} AS vv FROM kv),
+       |kc0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+       |    v AS cv, ${sq("v")} AS c2
+       |  FROM (SELECT vec_id, v FROM kv ORDER BY vec_id LIMIT $k) s),
+       |$its,
+       |${assignCte(iters + 1)}
+       |SELECT vec_id, cid::INT AS cluster,
+       |  ${rnd("sqrt(greatest(d2, 0.0))", 6)} AS dist
+       |FROM ka${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   private[graft] def pcaOracleSql(d: Int = 64, k: Int = 2,
                                   totalIters: Int = 200): String = {
     val sel = graft.ops.Similarity.SelIters
@@ -1424,6 +1480,8 @@ object Queries {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+    // r12: the unrolled exact-carrier Lloyd run (see kmeansOracleSql)
+    "q_kmeans" -> kmeansOracleSql(),
     // r12 (verdict #2): oracle-checkable since the per-token hash is
     // md5-low64 — DuckDB's md5_number_lower, bit-for-bit the engine's
     // little-endian u64 of digest bytes 8..15. The full pipeline
@@ -2862,9 +2920,8 @@ object Queries {
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
     * (golden-tested): q_agg_approx,
-    * q_ann_ivf, q_multimodal_features, q_kmeans (FP-order in the
-    * distributed centroid means), q_bloom_decontaminate (sketch-seed-
-    * dependent false positives), q_percentiles_approx (merge-order-
+    * q_ann_ivf, q_multimodal_features, q_bloom_decontaminate (sketch-
+    * seed-dependent false positives), q_percentiles_approx (merge-order-
     * dependent GK summaries, golden-bounded against the exact
     * percentiles), q_token_bpe (DuckDB has no BPE; golden-checked
     * against an independent single-node reference in BpeSpec),
@@ -2878,7 +2935,9 @@ object Queries {
     * q_dedup_near and q_dedup_incr_near followed later in r12 — with
     * md5-low64 shingle hashes, plan-interpolated permutation
     * constants, and md5 band keys ([[minhashCtes]]) nothing in the
-    * MinHash pipeline is JVM-only anymore. */
+    * MinHash pipeline is JVM-only anymore — as did q_kmeans, whose
+    * update means moved to the exact 2⁵⁰ DECIMAL carrier
+    * ([[kmeansOracleSql]]). */
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++

@@ -22,18 +22,28 @@ import graft.functions.VectorFunctions
   *    a literal), argmin via `array_min` over (d2, cid) structs —
   *    lexicographic struct ordering gives the lowest-cid tiebreak
   *    deterministically;
-  *  - the update step is posexplode → (cluster, dim) partial-agg mean:
-  *    k·d averaged cells come back to the driver as the next model —
-  *    centroids are MODEL state (k·d doubles, O(KB)), the same thing
-  *    MLlib's KMeans collects per iteration; corpus rows never leave
-  *    the executors;
+  *  - the update step is posexplode → (cluster, dim) partial-agg mean
+  *    over the EXACT 2⁵⁰-scaled DECIMAL(38,0) carrier (the
+  *    [[graft.ops.Similarity.centroidDrift]] discipline — r12,
+  *    replacing the FP-order-dependent `avg`): k·d cells come back to
+  *    the driver as the next model — centroids are MODEL state (k·d
+  *    doubles, O(KB)), the same thing MLlib's KMeans collects per
+  *    iteration; corpus rows never leave the executors;
   *  - an empty cluster keeps its previous centroid (no resampling —
   *    determinism again).
   *
-  * Oracle-exempt: the update means sum floating point in partition
-  * order, so exact bit-parity with a serial engine is not defined —
-  * ClusteringSpec's goldens pin recovered structure (planted clusters
-  * recovered exactly, inertia monotone in iterations) instead.
+  * Oracle-exact since r12: with the integer carrier the update means
+  * are order-independent, and every other step is fixed-order scalar
+  * double arithmetic (the ascending [[graft.functions.DotProduct]]
+  * loop ≡ DuckDB's `list_sum(list_transform(...))` — the established
+  * bit-parity the recursive-CTE PCA oracle already leans on), so the
+  * whole 5-iteration Lloyd run unrolls in SQL
+  * ([[graft.Queries.kmeansOracleSql]]). The carrier requires each
+  * component ·2⁵⁰ to be integral (true for any float32-origin value
+  * ≥ 2⁻²⁶) and raises loudly otherwise — the same contract as
+  * centroidDrift. ClusteringSpec's structural goldens (planted
+  * clusters recovered, inertia monotone, bitwise determinism) remain
+  * on top.
   */
 object Clustering {
 
@@ -62,10 +72,25 @@ object Clustering {
       .toIndexedSeq
     require(centroids.nonEmpty, "kmeans: embeddings input is empty")
     val dim = centroids.head.length
+    // exact update-mean carrier: x·2⁵⁰ is integral for any float32-
+    // origin |x| ≥ 2⁻²⁶, so the DECIMAL(38,0) sum is order-independent
+    // (partition order can't move a bit) and the single final-divide
+    // rounding is deterministic on any engine — the guard raises on
+    // values the carrier can't hold exactly instead of silently
+    // reintroducing FP-order nondeterminism
+    val S = 1125899906842624.0 // 2^50
+    val xs = when(col("x") * S === floor(col("x") * S),
+                  (col("x") * S).cast("decimal(38,0)"))
+      .otherwise(raise_error(concat(
+        lit("kmeans: embedding value has >50 fraction bits: "),
+        col("x").cast("string"))))
     for (_ <- 1 to iters) {
       val means = assign(v, centroids)
         .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("cluster", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cluster", "d")
+        .agg(sum(xs).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("d"),
+                (col("s").cast("double") / (lit(S) * col("n"))).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
