@@ -2851,6 +2851,37 @@ object Queries {
          |       count(DISTINCT evg.eval_id)::BIGINT AS n_eval_docs
          |FROM tr JOIN evg USING (gn)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // r12: oracle-exact — the sketch is rebuilt on engine-independent
+    // primitives (Md5Bloom: md5 lower/upper double hashing, integer-
+    // exact sizing; bpe and k interpolated below from the SAME Scala
+    // functions the plan calls), so DuckDB reproduces the exact bit
+    // pattern, false positives included
+    "q_bloom_decontaminate" -> {
+      val bpe = graft.functions.Md5Bloom.bitsPerElem(1e-6)
+      val k = graft.functions.Md5Bloom.numHashes(1e-6)
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |        generate_series(1, greatest(len(toks)-3, 0)),
+         |        i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM t),
+         |evge AS (SELECT unnest(grams) AS gn FROM g WHERE doc_id % 50 = 0),
+         |par AS (SELECT ((($bpe * greatest(65536,
+         |          (SELECT count(*) FROM evge)) + 63) // 64) * 64)::UBIGINT AS m),
+         |evp AS (SELECT DISTINCT ((md5_number_lower(gn) % m)
+         |          + r.range::UBIGINT * (md5_number_upper(gn) % m)) % m AS pos
+         |        FROM evge, par, range($k) r),
+         |trg AS (SELECT doc_id, unnest(grams) AS gn FROM g WHERE doc_id % 50 <> 0),
+         |trp AS (SELECT doc_id, gn, ((md5_number_lower(gn) % m)
+         |          + r.range::UBIGINT * (md5_number_upper(gn) % m)) % m AS pos
+         |        FROM trg, par, range($k) r),
+         |hit AS (SELECT doc_id, gn FROM trp JOIN evp USING (pos)
+         |        GROUP BY doc_id, gn HAVING count(*) = $k),
+         |cnt AS (SELECT doc_id, count(*) AS n_hits FROM hit GROUP BY doc_id)
+         |SELECT g.doc_id, len(grams)::INT AS n_grams,
+         |  coalesce(cnt.n_hits, 0)::INT AS n_hits,
+         |  coalesce(cnt.n_hits, 0) > 0 AS contaminated
+         |FROM g LEFT JOIN cnt USING (doc_id)
+         |WHERE g.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin
+    },
     "q_rep_filter" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |g AS (SELECT doc_id, toks,
@@ -2920,8 +2951,7 @@ object Queries {
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
     * (golden-tested): q_agg_approx,
-    * q_ann_ivf, q_multimodal_features, q_bloom_decontaminate (sketch-
-    * seed-dependent false positives), q_percentiles_approx (merge-order-
+    * q_ann_ivf, q_multimodal_features, q_percentiles_approx (merge-order-
     * dependent GK summaries, golden-bounded against the exact
     * percentiles), q_token_bpe (DuckDB has no BPE; golden-checked
     * against an independent single-node reference in BpeSpec),

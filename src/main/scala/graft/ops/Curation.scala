@@ -389,11 +389,15 @@ object Curation {
     * keep `!contaminated`.
     *
     * The probe is a deliberate scala UDF: a Bloom-filter membership
-    * test (murmur hashing against a broadcast bit array) is a sketch
-    * codec, not a Catalyst expression — same boundary as the
-    * multimodal decode ([[Multimodal]]). Oracle-exempt (hash-seed-
-    * dependent FPs); CurationSpec pins the no-false-negative guarantee
-    * against the exact [[decontaminate]] and bounds the FP count.
+    * test (hashing against a broadcast bit array) is a sketch codec,
+    * not a Catalyst expression — same boundary as the multimodal
+    * decode ([[Multimodal]]). Oracle-exact since r12: the sketch is
+    * rebuilt on engine-independent primitives
+    * ([[graft.functions.Md5Bloom]] — md5-low64/high64 double hashing,
+    * integer-exact sizing), so DuckDB reproduces the EXACT bit
+    * pattern, false positives included, and the flag set is checked
+    * row-for-row. CurationSpec's no-false-negative guarantee against
+    * the exact [[decontaminate]] and the FP-count bound remain on top.
     */
   def bloomDecontaminate(trainToks: DataFrame, evalToks: DataFrame,
                          n: Int = 4, fpp: Double = 1e-6,
@@ -416,10 +420,29 @@ object Curation {
     // scale.
     val capacity = if (expectedGrams > 0) expectedGrams
                    else math.max(1L << 16, evalGrams.count())
-    val bf = evalGrams.stat.bloomFilter("gn", capacity, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
+    val m = graft.functions.Md5Bloom.mBits(capacity, fpp)
+    val k = graft.functions.Md5Bloom.numHashes(fpp)
+    // sketch build: distinct probe positions → 64-bit words (bit_or
+    // partial-aggregates map-side). The collect is the sketch itself —
+    // m/64 longs, ~230 KB at the 2^16 capacity floor — the bounded
+    // model-state class (k-means centroids, BPE merge tables), shipped
+    // back out as ONE broadcast instead of a per-probe join.
+    val posUdf = udf((g: String) =>
+      graft.functions.Md5Bloom.positions(g, m, k))
+    val words: Map[Long, Long] = evalGrams
+      .select(explode(posUdf(col("gn"))).as("pos")).distinct()
+      .select(expr("pos div 64").as("w"),
+              expr("shiftleft(1L, cast(pos % 64 as int))").as("msk"))
+      .groupBy("w").agg(expr("bit_or(msk)").as("wd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(words)
     val hits = udf((grams: Seq[String]) =>
-      if (grams == null) 0 else grams.count(bc.value.mightContainString))
+      if (grams == null) 0
+      else grams.count { g =>
+        graft.functions.Md5Bloom.positions(g, m, k).forall { p =>
+          (bc.value.getOrElse(p >>> 6, 0L) & (1L << (p & 63L).toInt)) != 0L
+        }
+      })
     trainToks
       .select(col("doc_id"),
               array_distinct(Text.ngramCol(col("toks"), n)).as("grams"))

@@ -58,8 +58,11 @@ class RegistryClinitSpec extends AnyFunSuite {
       // q_kmeans converted later in r12: the update means moved to the
       // exact 2^50 DECIMAL carrier (order-independent), and the whole
       // 5-iteration Lloyd run unrolls in SQL (kmeansOracleSql)
+      // q_bloom_decontaminate converted later in r12: the sketch
+      // rebuilt on Md5Bloom's engine-independent primitives, so the
+      // oracle reproduces the exact bit pattern, FPs included
       "q_agg_approx", "q_ann_ivf",
-      "q_multimodal_features", "q_bloom_decontaminate",
+      "q_multimodal_features",
       "q_percentiles_approx", "q_token_bpe", "q_bpe_learn", "q_ann_quant",
       "q_hll_users")
     // Exemptions may grow only deliberately: fail on silent drift so a
