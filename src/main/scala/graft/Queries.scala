@@ -1646,6 +1646,7 @@ object Queries {
     "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
+    "q_image_resize"        -> (Multimodal.qImageResize _),
     "q_sql_q1"              -> (Sql.qSqlQ1 _),
     "q_sql_q3"              -> (Sql.qSqlQ3 _),
     "q_sql_q5"              -> (Sql.qSqlQ5 _),
@@ -2851,6 +2852,44 @@ object Queries {
          |       count(DISTINCT evg.eval_id)::BIGINT AS n_eval_docs
          |FROM tr JOIN evg USING (gn)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // r12: the resize member of the multimodal quartet — the engine
+    // round-trips REAL PNG bytes through the JDK codec, but the
+    // gradient fixture is analytic and PNG lossless, so the oracle
+    // regenerates the expected pixels from doc_id in pure SQL and
+    // mirrors the bilinear arithmetic step-for-step (fixed op order on
+    // both sides; see Multimodal.resizeLuma)
+    "q_image_resize" ->
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         |px AS (SELECT doc_id, xx.range AS x, yy.range AS y,
+         |        ((doc_id * 31 + yy.range * 16 + xx.range) % 256) AS v
+         |       FROM d, range(16) xx, range(16) yy),
+         |lm AS (SELECT doc_id, x, y,
+         |        0.299 * (v / 255.0) + 0.587 * (v / 255.0)
+         |          + 0.114 * (v / 255.0) AS l
+         |       FROM px),
+         |tg AS (SELECT doc_id, tx.range AS tx, ty.range AS ty,
+         |        (tx.range + 0.5) * (16.0 / 5) - 0.5 AS sx,
+         |        (ty.range + 0.5) * (16.0 / 5) - 0.5 AS sy
+         |       FROM d, range(5) tx, range(5) ty),
+         |cc AS (SELECT doc_id, tx, ty,
+         |        least(greatest(floor(sx)::INT, 0), 15) AS x0,
+         |        least(least(greatest(floor(sx)::INT, 0), 15) + 1, 15) AS x1,
+         |        sx - floor(sx) AS fx,
+         |        least(greatest(floor(sy)::INT, 0), 15) AS y0,
+         |        least(least(greatest(floor(sy)::INT, 0), 15) + 1, 15) AS y1,
+         |        sy - floor(sy) AS fy
+         |       FROM tg),
+         |r AS (SELECT c.doc_id, c.ty * 5 + c.tx AS pos,
+         |        (a.l * (1.0 - c.fx) + b.l * c.fx) * (1.0 - c.fy)
+         |          + (e.l * (1.0 - c.fx) + f.l * c.fx) * c.fy AS luma
+         |      FROM cc c
+         |      JOIN lm a ON a.doc_id = c.doc_id AND a.x = c.x0 AND a.y = c.y0
+         |      JOIN lm b ON b.doc_id = c.doc_id AND b.x = c.x1 AND b.y = c.y0
+         |      JOIN lm e ON e.doc_id = c.doc_id AND e.x = c.x0 AND e.y = c.y1
+         |      JOIN lm f ON f.doc_id = c.doc_id AND f.x = c.x1 AND f.y = c.y1)
+         |SELECT doc_id, 16 AS src_w, 16 AS src_h, pos::INT AS pos,
+         |  ${rnd("luma", 6)} AS luma
+         |FROM r ORDER BY doc_id, pos""".stripMargin,
     // r12: oracle-exact — the sketch is rebuilt on engine-independent
     // primitives (Md5Bloom: md5 lower/upper double hashing, integer-
     // exact sizing; bpe and k interpolated below from the SAME Scala

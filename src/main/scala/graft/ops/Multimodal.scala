@@ -508,6 +508,139 @@ object Multimodal {
     }
   }
 
+  // ---- resize (r12 — the decode/feature-extract/RESIZE/frame-sample
+  //      quartet's missing member) ----
+
+  /** One thumbnail row: source dims + the th×tw bilinear luma grid in
+    * row-major order (doubles in [0,1]; empty for undecodable media,
+    * kind "opaque"). */
+  case class MediaThumb(doc_id: Long, kind: String, src_w: Int, src_h: Int,
+                        thumb: Seq[Double])
+
+  /** Deterministic 16×16 grayscale PNG for a doc_id — the corpus
+    * stand-in the resize query round-trips: v(x, y) =
+    * (doc_id·31 + y·16 + x) mod 256 in all three channels. Because the
+    * pattern is ANALYTIC and PNG is lossless, the DuckDB oracle can
+    * regenerate the expected pixels from doc_id alone — so the real
+    * encode→decode→resize path gets an oracle-exact check without SQL
+    * ever touching a zlib stream. */
+  private[graft] def gradientPng(docId: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (((docId * 31 + y.toLong * w + x) % 256) + 256) % 256
+        img.setRGB(x, y, (v << 16 | v << 8 | v).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL bilinear grayscale resize of decoded image bytes (PNG / JPEG
+    * / GIF / BMP via the JDK `ImageIO` reader): Rec.601 luma per source
+    * pixel, then the standard half-pixel-center sampling
+    * (sx = (tx+0.5)·w/tw − 0.5) with edge clamping. Every arithmetic
+    * step is written in a fixed order so the analytic SQL oracle can
+    * mirror it bit-for-bit. Returns None for bytes ImageIO cannot
+    * decode. */
+  private[graft] def resizeLuma(bytes: Array[Byte], tw: Int,
+                                th: Int): Option[(Int, Int, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val lum = new Array[Double](argb.length)
+        var i = 0
+        while (i < argb.length) {
+          val p = argb(i)
+          val r = ((p >>> 16) & 0xff) / 255.0
+          val g = ((p >>> 8) & 0xff) / 255.0
+          val b = (p & 0xff) / 255.0
+          lum(i) = 0.299 * r + 0.587 * g + 0.114 * b
+          i += 1
+        }
+        val scaleX = w.toDouble / tw
+        val scaleY = h.toDouble / th
+        val out = new Array[Double](tw * th)
+        var ty = 0
+        while (ty < th) {
+          val sy = (ty + 0.5) * scaleY - 0.5
+          val y0 = math.min(math.max(math.floor(sy).toInt, 0), h - 1)
+          val y1 = math.min(y0 + 1, h - 1)
+          val fy = sy - math.floor(sy)
+          var tx = 0
+          while (tx < tw) {
+            val sx = (tx + 0.5) * scaleX - 0.5
+            val x0 = math.min(math.max(math.floor(sx).toInt, 0), w - 1)
+            val x1 = math.min(x0 + 1, w - 1)
+            val fx = sx - math.floor(sx)
+            val top = lum(y0 * w + x0) * (1.0 - fx) + lum(y0 * w + x1) * fx
+            val bot = lum(y1 * w + x0) * (1.0 - fx) + lum(y1 * w + x1) * fx
+            out(ty * tw + tx) = top * (1.0 - fy) + bot * fy
+            tx += 1
+          }
+          ty += 1
+        }
+        Some((w, h, out))
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched per-partition thumbnailing — the resize member of the
+    * multimodal quartet, same Spark plumbing as [[decodeFeatures]]
+    * (typed Dataset in/out, per-partition batches standing in for the
+    * arrow-batch shape of a Pandas-UDF pipeline, no shuffle: resize is
+    * embarrassingly parallel at any corpus size). */
+  def thumbnails(ds: Dataset[MediaRow], tw: Int = 5, th: Int = 5,
+                 batchSize: Int = 64): Dataset[MediaThumb] = {
+    require(tw >= 1 && th >= 1, s"target dims must be >= 1, got ${tw}x$th")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          resizeLuma(row.media, tw, th) match {
+            case Some((w, h, t)) =>
+              MediaThumb(row.doc_id, "image", w, h, t.toSeq)
+            case None =>
+              MediaThumb(row.doc_id, "opaque", 0, 0, Seq.empty)
+          }
+        }
+      }
+    }
+  }
+
+  /** q_image_resize: the REAL encode→decode→resize round trip —
+    * deterministic 16×16 gradient PNGs ([[gradientPng]]) are written
+    * and re-read through the actual JDK PNG codec on the executors,
+    * bilinear-resized to 5×5 ([[thumbnails]]), and emitted one luma
+    * per row. PNG is lossless and the pattern analytic, so the oracle
+    * regenerates the expected grid from doc_id in pure SQL — the
+    * decode path is verified oracle-exact without DuckDB decoding
+    * anything. */
+  def qImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pngUdf = udf((id: Long) => gradientPng(id))
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), pngUdf(col("doc_id")).as("media"),
+              lit("image/png").as("mime"))
+      .as[MediaRow]
+    thumbnails(media, tw = 5, th = 5)
+      .toDF()
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+              posexplode(col("thumb")).as(Seq("pos", "luma")))
+      .select(col("doc_id"), col("src_w"), col("src_h"), col("pos"),
+              round(col("luma"), 6).as("luma"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** q_multimodal_features: documents.text bytes stand in for media
     * blobs; binary column + metadata in, typed features out.
     * Oracle-exempt (JVM SHA-256-derived stub); golden-tested for
