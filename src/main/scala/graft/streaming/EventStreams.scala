@@ -367,6 +367,64 @@ object EventStreams {
       }
   }
 
+  /** Streaming NEAR-dup probe — the stream form of
+    * [[graft.ops.Dedup.incrementalNearDup]], closing the crawl-dedup
+    * triad (URL dedup → content-hash dedup → near-dup) for an
+    * unbounded stream: each arriving (doc_id, ts, toks) document is
+    * MinHash-signed and LSH-banded with the SAME expression pipeline
+    * as the batch index build, probed against the corpus's
+    * MATERIALIZED band table (a stream-static equi-join — stateless;
+    * at rest the band table is bucketed by (band, bkey) so the probe
+    * shuffles only the stream side), and band-collision candidates are
+    * verified with the exact merge-scan Jaccard against the corpus
+    * shingle table (second stream-static join, candidate-scale).
+    *
+    * The shingle array rides WITH the stream through its band rows —
+    * the batch build deliberately avoids that (the r2 12× payload
+    * lesson), but here the banded side is a MICRO-BATCH of the stream,
+    * not the corpus: bands× a batch-bounded payload against zero extra
+    * joins is the right trade, and the corpus-scale tables are never
+    * reshaped at all. The only streaming STATE is the final
+    * (doc_id, corpus_id) dedup of multi-band collisions, bounded by
+    * the watermark horizon ([[dedupWithinWatermark]]'s contract).
+    * Emits (doc_id, ts, corpus_id, jac ≥ tau). */
+  def nearDupProbeStream(docs: DataFrame, corpusShingles: DataFrame,
+                         corpusBands: DataFrame, tau: Double = 0.8,
+                         bands: Int = graft.ops.Dedup.Bands,
+                         watermark: String = "10 minutes"): DataFrame = {
+    import graft.ops.Dedup
+    val spark = docs.sparkSession
+    graft.functions.SetFunctions.register(
+      spark, Dedup.permA, Dedup.permB, Dedup.MersennePrime)
+    val rowsPerBand = Dedup.MinhashK / bands
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+              Dedup.shingleHashes(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSig(col("sh")))
+      .select(col("doc_id"), col("ts"), col("sh"), col("sig"),
+              explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("ts"), col("sh"), col("band"),
+              Dedup.bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
+    banded
+      .join(corpusBands.select(col("band"), col("bkey"),
+                               col("doc_id").as("corpus_id")),
+            Seq("band", "bkey"))
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
+                                  col("sh").as("sh_c")),
+            "corpus_id")
+      .withColumn("inter",
+        graft.functions.SetFunctions.sortedIntersectSize(col("sh"), col("sh_c")))
+      .select(col("doc_id"), col("ts"), col("corpus_id"),
+              (col("inter").cast("double")
+                / (size(col("sh")) + size(col("sh_c")) - col("inter"))).as("jac"))
+      .filter(col("jac") >= tau)
+      .select(col("doc_id"), col("ts"), col("corpus_id"),
+              round(col("jac"), 6).as("jac"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
   /** Stream-static enrichment join: an unbounded event stream joined
     * to a bounded dimension DataFrame. STATE-FREE — the static side is
     * (re)read per micro-batch and broadcast when under the threshold;

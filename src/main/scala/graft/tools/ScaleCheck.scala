@@ -193,6 +193,14 @@ object ScaleCheck {
                               // long partials, 6368-long merge);
                               // output d²-bounded
     "q_embed_pca" -> 1.0,     // covMatrix + a k-dot broadcast pass
+    // r12 oracle-conversion batch (the md5/DECIMAL-carrier rewrites
+    // must not have changed the scale shapes)
+    "q_kmeans" -> 1.0,        // fixed iterations × one narrow assign
+                              // pass + k·d-bounded decimal means
+    "q_bloom_decontaminate" -> 1.0, // eval-side sketch build + one
+                              // narrow broadcast-probe train pass
+    "q_image_resize" -> 1.0,  // per-doc encode/decode/resize, no
+                              // shuffle at all
   )
 
   def main(args: Array[String]): Unit = {

@@ -407,6 +407,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupProbeStream: stream probe == batch incrementalNearDup on the same re-crawls") {
+    import graft.ops.Dedup
+    // corpus: two long distinct docs (3-shingle Jaccard needs length
+    // for a one-token edit to stay >= 0.8) + one short unrelated doc
+    val baseA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val baseB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((10L, baseA), (11L, baseB), (12L, "tiny doc here"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val (sh, bandTab) = Dedup.buildNearDupIndex(corpus)
+    val shP = sh.persist(); val bandP = bandTab.persist()
+    // incoming: a truncated re-crawl of A (near-dup), a fresh doc (not)
+    val incoming = Seq(
+      DocEv(1L, (1 to 39).map(i => s"alpha$i").mkString(" "),
+            ts("2024-01-01 00:00:00")),
+      DocEv(2L, (1 to 40).map(i => s"gamma$i").mkString(" "),
+            ts("2024-01-01 00:00:01")))
+    def withToks(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val ms = MemoryStream[DocEv](spark)
+    val probed = EventStreams.nearDupProbeStream(withToks(ms.toDF()), shP, bandP)
+    withQuery(probed, "append", "t_neardup_stream") { q =>
+      ms.addData(incoming)
+      q.processAllAvailable()
+      val out = spark.table("t_neardup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Dedup.incrementalNearDup(shP, bandP,
+          withToks(incoming.toDF().select(col("doc_id"), col("text"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == batch, s"stream $out vs batch $batch")
+      // the truncated re-crawl is caught against its original, only it
+      assert(out.map(t => (t._1, t._2)) == Set((1L, 10L)), s"$out")
+      assert(out.forall(_._3 >= 0.8))
+    }
+    shP.unpersist(); bandP.unpersist()
+  }
+
   test("stream-static enrichment join attaches dim attributes, unmatched keys survive") {
     val ms = MemoryStream[Ev](spark)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
