@@ -35,6 +35,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython"), p)
   }
 
+  test("q_image_resize: encode/decode/resize is one narrow pass — no shuffle before the output order") {
+    val p = plan("q_image_resize")
+    // the whole PNG round-trip + bilinear grid is per-row work (typed
+    // mapPartitions + posexplode): the ONLY exchange allowed is the
+    // final total-order range sort — never a hash shuffle, join or agg
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("q_bloom_decontaminate: probe is one narrow broadcast pass — no train-side join or shuffle") {
+    val p = plan("q_bloom_decontaminate")
+    // the sketch ships as a broadcast variable inside the probe UDF:
+    // the TRAIN side must never join or hash-shuffle — membership is a
+    // projection; only the final total-order sort exchanges
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("q_scan_project: column pruning reaches ReadSchema") {
     val p = plan("q_scan_project")
     // projected columns present, untouched wide columns absent
