@@ -507,6 +507,26 @@ object Graft {
     Dedup.incrementalNearDup(corpusShingles, corpusBands,
                              tokenize(incoming), tau)
 
+  /** Streaming twin of [[incrementalNearDup]]: an unbounded
+    * (doc_id, ts, toks) document stream probed against the
+    * materialized corpus band index via stateless stream-static
+    * joins; the only state is the watermark-bounded multi-band
+    * collision dedup. Emits (doc_id, ts, corpus_id, jac ≥ tau). */
+  def nearDupProbeStream(docs: DataFrame, corpusShingles: DataFrame,
+                         corpusBands: DataFrame, tau: Double = 0.8,
+                         watermark: String = "10 minutes"): DataFrame =
+    streaming.EventStreams.nearDupProbeStream(
+      docs, corpusShingles, corpusBands, tau, watermark = watermark)
+
+  /** Batched bilinear luma thumbnails over typed media rows — the
+    * resize member of the multimodal quartet: (doc_id, kind, src_w,
+    * src_h, thumb). No shuffle; undecodable bytes yield an honest
+    * opaque row with an empty grid. */
+  def thumbnails(media: org.apache.spark.sql.Dataset[ops.Multimodal.MediaRow],
+                 tw: Int = 5, th: Int = 5)
+      : org.apache.spark.sql.Dataset[ops.Multimodal.MediaThumb] =
+    ops.Multimodal.thumbnails(media, tw, th)
+
   /** Deterministic Lloyd's k-means over (vec_id, embedding):
     * (vec_id, cluster, dist). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =

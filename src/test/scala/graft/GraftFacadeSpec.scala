@@ -32,6 +32,16 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("thumbnails facade: real PNG round-trip to a 3x3 grid") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(graft.ops.Multimodal.MediaRow(
+      5L, graft.ops.Multimodal.gradientPng(5L), "image/png"))
+    val t = Graft.thumbnails(rows.toDS(), 3, 3).collect().head
+    assert(t.kind == "image" && t.src_w == 16 && t.thumb.length == 9)
+    assert(t.thumb.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("jaccardPairs + dedupClusters elect one keeper per component") {
     val clusters = Graft.dedupClusters(Graft.jaccardPairs(docs, tau = 0.8))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
