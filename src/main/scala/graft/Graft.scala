@@ -507,6 +507,14 @@ object Graft {
     Dedup.incrementalNearDup(corpusShingles, corpusBands,
                              tokenize(incoming), tau)
 
+  /** Deterministic global training-order shuffle + round-robin shard
+    * deal: (doc_id, skey, shard, pos_in_shard). Same salt → same
+    * permutation; every shard is balanced to ±1 and itself a uniform
+    * sample of the shuffled order. */
+  def shuffleShards(docs: DataFrame, salt: String = "r12",
+                    shards: Int = 16): DataFrame =
+    ops.Curation.shuffleShards(docs, salt, shards)
+
   /** Streaming twin of [[incrementalNearDup]]: an unbounded
     * (doc_id, ts, toks) document stream probed against the
     * materialized corpus band index via stateless stream-static

@@ -2739,6 +2739,7 @@ object Queries {
     "q_curate_web"        -> (Curation.qCurateWeb _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
     "q_split_assign"      -> (Curation.qSplitAssign _),
+    "q_shuffle_shard"     -> (Curation.qShuffleShard _),
     "q_dsir"              -> (Curation.qDsir _),
   )
 
@@ -2977,6 +2978,17 @@ object Queries {
         |       WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'fd00' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // r12: the md5 permutation key is engine-independent, so the whole
+    // training-order shuffle + round-robin shard deal is checked
+    // row-for-row
+    "q_shuffle_shard" ->
+      """WITH r AS (SELECT doc_id,
+        |    md5('r12:' || doc_id::VARCHAR) AS skey FROM documents),
+        |p AS (SELECT doc_id, skey,
+        |    row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos FROM r)
+        |SELECT doc_id, skey, (pos % 16)::INT AS shard,
+        |  (pos // 16) AS pos_in_shard
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 
   // -------------------------------------------------------------------

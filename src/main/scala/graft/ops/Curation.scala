@@ -231,6 +231,56 @@ object Curation {
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
     splitAssign(Tables.documents(spark, dir))
 
+  /** Deterministic global corpus shuffle + shard assignment — the
+    * training-order randomization every pretraining ingestion runs
+    * before writing shards: documents are ordered by
+    * md5(salt ":" doc_id) (a reproducible pseudorandom permutation —
+    * re-running with the same salt always yields the same order, a
+    * new salt a fresh independent one), given a dense global position,
+    * and dealt round-robin into `shards`. Round-robin (pos mod
+    * shards), not contiguous chunking, so every shard is (a) balanced
+    * to ±1 row and (b) itself a uniform sample of the shuffled order —
+    * a training job reading any shard subset still sees an unbiased
+    * stream, the property contiguous chunks lack.
+    *
+    * Scale shape: one range-partitioned sort on the 32-hex key +
+    * zipWithIndex per-partition offsets (the [[graft.ops.Dedup.rankedTokenSets]]
+    * parallel dense-ranking discipline — never a single-partition
+    * global window), then a narrow modular projection. The md5 key is
+    * engine-independent, so the whole permutation is oracle-checked
+    * row-for-row. Emits (doc_id, skey, shard, pos_in_shard). */
+  def shuffleShards(docs: DataFrame, salt: String = "r12",
+                    shards: Int = 16): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = docs.sparkSession
+    // materialized once: the sort is consumed by zipWithIndex's offset
+    // pass + the data pass (the qualityTiersOf lesson)
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+              md5(concat_ws(":", lit(salt), col("doc_id").cast("string")))
+                .as("skey"))
+      .localCheckpoint(false)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ranked = spark.createDataFrame(
+      keyed.orderBy(col("skey").asc, col("doc_id").asc).rdd
+        .zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getString(1), i) },
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("skey", StringType),
+        StructField("pos", LongType))))
+    ranked
+      .select(col("doc_id"), col("skey"),
+              (col("pos") % shards).cast("int").as("shard"),
+              expr(s"pos div ${shards}L").as("pos_in_shard"))
+      .orderBy("doc_id")
+  }
+
+  /** q_shuffle_shard: [[shuffleShards]] (salt "r12", 16 shards) on the
+    * test corpus. */
+  def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shuffleShards(Tables.documents(spark, dir))
+
   /** Token-offset sharding ("packing"): concatenate the corpus in
     * doc_id order and assign each document the training chunk where
     * its first token lands (chunk = global token offset ÷ budget) —

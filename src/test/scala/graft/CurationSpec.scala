@@ -273,4 +273,29 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(w - modelPath(id)) <= 1.1e-6, s"doc $id: $w vs ${modelPath(id)}")
     }
   }
+
+  test("shuffleShards: balanced round-robin deal of a reproducible permutation") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val a = Graft.shuffleShards(docs, "saltA", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // disjoint total deal: every doc exactly once
+    assert(a.map(_._1).distinct.length == a.length && a.length == docs.count())
+    // balanced to +-1
+    val sizes = a.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"sizes: $sizes")
+    // within a shard, pos_in_shard is dense 0..k-1
+    a.groupBy(_._3).foreach { case (s, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq, s"shard $s")
+    }
+    // reproducible; a new salt yields a genuinely different order
+    val a2 = Graft.shuffleShards(docs, "saltA", 7)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(a.map(t => (t._1, t._3, t._4)).toSeq == a2.toSeq)
+    val b = Graft.shuffleShards(docs, "saltB", 7)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(b.toSeq != a2.toSeq)
+    // the permutation is the md5 order, not doc_id order
+    val byPos = a.sortBy(t => (t._3, t._4)).map(_._1).toSeq
+    assert(byPos != byPos.sorted)
+  }
 }
