@@ -201,6 +201,8 @@ object ScaleCheck {
                               // narrow broadcast-probe train pass
     "q_image_resize" -> 1.0,  // per-doc encode/decode/resize, no
                               // shuffle at all
+    "q_shuffle_shard" -> 1.0, // one range-partitioned sort + narrow
+                              // modular deal (n log n measures ≈1)
   )
 
   def main(args: Array[String]): Unit = {
