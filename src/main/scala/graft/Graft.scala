@@ -515,6 +515,13 @@ object Graft {
                     shards: Int = 16): DataFrame =
     ops.Curation.shuffleShards(docs, salt, shards)
 
+  /** Length-grouped batching for padding efficiency: (doc_id, n_toks,
+    * bucket, batch_id, slot) — fixed-width length buckets, longest-
+    * first within a bucket, dealt into `batchSize` batches. */
+  def lengthBatches(docs: DataFrame, bucketWidth: Int = 32,
+                    batchSize: Int = 8): DataFrame =
+    ops.Curation.lengthBatches(tokenize(docs), bucketWidth, batchSize)
+
   /** Streaming twin of [[incrementalNearDup]]: an unbounded
     * (doc_id, ts, toks) document stream probed against the
     * materialized corpus band index via stateless stream-static

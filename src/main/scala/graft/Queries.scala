@@ -2740,6 +2740,7 @@ object Queries {
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
     "q_split_assign"      -> (Curation.qSplitAssign _),
     "q_shuffle_shard"     -> (Curation.qShuffleShard _),
+    "q_length_batch"      -> (Curation.qLengthBatch _),
     "q_dsir"              -> (Curation.qDsir _),
   )
 
@@ -2989,6 +2990,17 @@ object Queries {
         |SELECT doc_id, skey, (pos % 16)::INT AS shard,
         |  (pos // 16) AS pos_in_shard
         |FROM p ORDER BY doc_id""".stripMargin,
+    // r12: per-bucket row_number mirrors the engine's segmented rank
+    // (global sort + zipWithIndex − bucket base) exactly
+    "q_length_batch" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS)::BIGINT AS n_toks FROM documents),
+         |r AS (SELECT doc_id, n_toks, (n_toks // 32) AS bucket,
+         |    row_number() OVER (PARTITION BY (n_toks // 32)
+         |                       ORDER BY n_toks DESC, doc_id) - 1 AS rk
+         |  FROM t)
+         |SELECT doc_id, n_toks, bucket::INT AS bucket,
+         |  (rk // 8)::INT AS batch_id, (rk % 8)::INT AS slot
+         |FROM r ORDER BY doc_id""".stripMargin,
   )
 
   // -------------------------------------------------------------------

@@ -281,6 +281,56 @@ object Curation {
   def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
     shuffleShards(Tables.documents(spark, dir))
 
+  /** Length-grouped batching — the padding-efficiency step of a
+    * training ingestion: documents are grouped into fixed-width
+    * length buckets (`bucket = n_toks div bucketWidth`, integer-exact
+    * on any engine), ranked longest-first inside their bucket, and cut
+    * into training batches of `batchSize`, so each batch pads to
+    * near-identical lengths instead of to the corpus max. Emits
+    * (doc_id, n_toks, bucket, batch_id, slot).
+    *
+    * Scale shape: NOT a per-bucket window — bucket count is small
+    * (max_len / bucketWidth), so `Window.partitionBy(bucket)` would
+    * cap parallelism at ~30 tasks and put millions of rows through
+    * each at corpus scale. Instead the segmented-rank discipline: ONE
+    * range-partitioned global sort on (bucket, n_toks desc, doc_id) +
+    * zipWithIndex per-partition offsets gives the global position;
+    * the within-bucket rank is pos − min(pos) over the bucket, a join
+    * against a bucket-count-bounded table. Identical arithmetic to the
+    * oracle's per-bucket `row_number`. */
+  def lengthBatches(docToks: DataFrame, bucketWidth: Int = 32,
+                    batchSize: Int = 8): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"bucketWidth/batchSize must be >= 1, got $bucketWidth/$batchSize")
+    val spark = docToks.sparkSession
+    val sized = docToks
+      .select(col("doc_id").cast("long").as("doc_id"),
+              size(col("toks")).cast("long").as("n_toks"))
+      .withColumn("bucket", expr(s"n_toks div ${bucketWidth}L"))
+      .localCheckpoint(false) // the sort below feeds two passes
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ranked = spark.createDataFrame(
+      sized.orderBy(col("bucket").asc, col("n_toks").desc, col("doc_id").asc)
+        .rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2), i) },
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_toks", LongType),
+        StructField("bucket", LongType), StructField("pos", LongType))))
+      .localCheckpoint(false) // consumed by the bucket-min agg AND the join
+    val bucketBase = ranked.groupBy("bucket").agg(min(col("pos")).as("base"))
+    ranked.join(broadcast(bucketBase), "bucket")
+      .withColumn("r", col("pos") - col("base"))
+      .select(col("doc_id"), col("n_toks"), col("bucket").cast("int").as("bucket"),
+              expr(s"cast(r div ${batchSize}L as int)").as("batch_id"),
+              (col("r") % batchSize).cast("int").as("slot"))
+      .orderBy("doc_id")
+  }
+
+  /** q_length_batch: [[lengthBatches]] (32-token buckets, batches of
+    * 8) on the test corpus. */
+  def qLengthBatch(spark: SparkSession, dir: String): DataFrame =
+    lengthBatches(Tables.docTokens(spark, dir))
+
   /** Token-offset sharding ("packing"): concatenate the corpus in
     * doc_id order and assign each document the training chunk where
     * its first token lands (chunk = global token offset ÷ budget) —

@@ -298,4 +298,28 @@ class CurationSpec extends AnyFunSuite {
     val byPos = a.sortBy(t => (t._3, t._4)).map(_._1).toSeq
     assert(byPos != byPos.sorted)
   }
+
+  test("lengthBatches: same-bucket batches, longest-first, dense slots") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = Graft.lengthBatches(docs, bucketWidth = 32, batchSize = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out.length == docs.count())
+    // bucket is the length bucket
+    out.foreach { case (_, n, b, _, _) => assert(b == (n / 32).toInt) }
+    out.groupBy(t => (t._3, t._4)).foreach { case ((b, batch), rows) =>
+      assert(rows.length <= 8, s"batch ($b,$batch) overfull")
+      // slots dense 0..k-1
+      assert(rows.map(_._5).sorted.toSeq == (0 until rows.length).toSeq)
+      // within a bucket, batch_id 0 holds the longest docs: every doc in
+      // batch k is >= every doc in batch k+1 (longest-first deal)
+    }
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      val byBatch = rows.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.map(_._2))
+      byBatch.sliding(2).foreach {
+        case Seq(hi, lo) => assert(hi.min >= lo.max, s"bucket $b not longest-first")
+        case _ => ()
+      }
+    }
+  }
 }
