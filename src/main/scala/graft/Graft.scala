@@ -515,6 +515,13 @@ object Graft {
                     shards: Int = 16): DataFrame =
     ops.Curation.shuffleShards(docs, salt, shards)
 
+  /** Deterministic proportional source interleave (α = 0.5
+    * temperature): (doc_id, source, pos_in_source, global_pos) — the
+    * schedule that turns mixing weights into a training order; any
+    * prefix of it carries ≈ the intended source mix. */
+  def mixInterleave(docs: DataFrame, salt: String = "r12"): DataFrame =
+    ops.Curation.mixInterleave(docs, salt)
+
   /** Length-grouped batching for padding efficiency: (doc_id, n_toks,
     * bucket, batch_id, slot) — fixed-width length buckets, longest-
     * first within a bucket, dealt into `batchSize` batches. */

@@ -2741,6 +2741,7 @@ object Queries {
     "q_split_assign"      -> (Curation.qSplitAssign _),
     "q_shuffle_shard"     -> (Curation.qShuffleShard _),
     "q_length_batch"      -> (Curation.qLengthBatch _),
+    "q_mix_interleave"    -> (Curation.qMixInterleave _),
     "q_dsir"              -> (Curation.qDsir _),
   )
 
@@ -3001,6 +3002,23 @@ object Queries {
          |SELECT doc_id, n_toks, bucket::INT AS bucket,
          |  (rk // 8)::INT AS batch_id, (rk % 8)::INT AS slot
          |FROM r ORDER BY doc_id""".stripMargin,
+    // r12: schedule keys are exact integers / an IEEE-exact sqrt, so
+    // the proportional-fill order is bit-identical on both engines
+    "q_mix_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    md5('r12:' || doc_id::VARCHAR) AS skey FROM documents),
+        |p AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY skey, doc_id)
+        |      - 1 AS pos_in_source,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM r),
+        |s AS (SELECT doc_id, source, pos_in_source,
+        |    (pos_in_source + 1)::DOUBLE / sqrt(n) AS sched FROM p),
+        |g AS (SELECT doc_id, source, pos_in_source,
+        |    row_number() OVER (ORDER BY sched, source, doc_id) - 1 AS global_pos
+        |  FROM s)
+        |SELECT doc_id, source, pos_in_source, global_pos
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 
   // -------------------------------------------------------------------

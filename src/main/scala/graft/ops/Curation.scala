@@ -331,6 +331,72 @@ object Curation {
   def qLengthBatch(spark: SparkSession, dir: String): DataFrame =
     lengthBatches(Tables.docTokens(spark, dir))
 
+  /** Deterministic proportional source interleave — the SCHEDULE that
+    * turns mixing weights into an actual training order (the missing
+    * half of [[temperatureMix]]/q_mix_weighted, which only compute the
+    * weights): each source's docs are shuffled within-source
+    * (md5(salt:doc_id) order, the [[shuffleShards]] permutation), then
+    * emitted in ascending `sched = (pos_in_source + 1) / weight` —
+    * the classic proportional-fill schedule: after any prefix of the
+    * global order, every source has contributed ≈ prefix·w_s/Σw docs,
+    * so a training job that stops early has still seen the intended
+    * mix. `weight = sqrt(count)` is the α = 0.5 temperature point;
+    * sqrt (unlike pow) is IEEE-correctly-rounded on every engine, so
+    * the schedule keys — exact integers divided by an exact sqrt —
+    * are bit-identical in SQL and the whole order oracle-checks.
+    *
+    * Scale shape: two range-partitioned sorts + zipWithIndex (the
+    * segmented-rank discipline for the within-source position — source
+    * count is small, a per-source window would cap parallelism — then
+    * a global rank on the schedule key), one broadcast of the
+    * source-count table. Emits
+    * (doc_id, source, pos_in_source, global_pos). */
+  def mixInterleave(docs: DataFrame, salt: String = "r12"): DataFrame = {
+    val spark = docs.sparkSession
+    val keyed = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+              col("source"),
+              md5(concat_ws(":", lit(salt), col("doc_id").cast("string")))
+                .as("skey"))
+      .localCheckpoint(false)
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    val ranked = spark.createDataFrame(
+      keyed.orderBy(col("source").asc, col("skey").asc, col("doc_id").asc)
+        .rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getString(1), i) },
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("pos", LongType))))
+      .localCheckpoint(false)
+    val srcBase = ranked.groupBy("source")
+      .agg(min(col("pos")).as("base"), count(lit(1)).as("n"))
+    val sched = ranked.join(broadcast(srcBase), "source")
+      .withColumn("pos_in_source", col("pos") - col("base"))
+      .withColumn("sched",
+        (col("pos_in_source") + lit(1L)).cast("double") / sqrt(col("n")))
+      .localCheckpoint(false)
+    val global = spark.createDataFrame(
+      sched.select(col("doc_id"), col("source"), col("pos_in_source"),
+                   col("sched"))
+        .orderBy(col("sched").asc, col("source").asc, col("doc_id").asc)
+        .rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getString(1),
+                                   r.getLong(2), r.getDouble(3), i) },
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("pos_in_source", LongType), StructField("sched", DoubleType),
+        StructField("global_pos", LongType))))
+    global.select(col("doc_id"), col("source"), col("pos_in_source"),
+                  col("global_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** q_mix_interleave: [[mixInterleave]] (salt "r12", α = 0.5) on the
+    * test corpus. */
+  def qMixInterleave(spark: SparkSession, dir: String): DataFrame =
+    mixInterleave(Tables.documents(spark, dir))
+
   /** Token-offset sharding ("packing"): concatenate the corpus in
     * doc_id order and assign each document the training chunk where
     * its first token lands (chunk = global token offset ÷ budget) —

@@ -299,6 +299,40 @@ class CurationSpec extends AnyFunSuite {
     assert(byPos != byPos.sorted)
   }
 
+  test("mixInterleave: any prefix carries the proportional mix; within-source order monotone") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 80 docs of A, 20 of B: sqrt weights 8.94 vs 4.47 → A should fill
+    // ~2x as fast as B in every prefix
+    val docs = ((1 to 80).map(i => (i.toLong, "A")) ++
+                (101 to 120).map(i => (i.toLong, "B")))
+      .toDF("doc_id", "source")
+    val out = Graft.mixInterleave(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 100)
+    // global positions are a permutation of 0..99
+    assert(out.map(_._4).sorted.toSeq == (0L until 100L).toSeq)
+    val order = out.sortBy(_._4)
+    // within-source order preserved in the global order
+    Seq("A", "B").foreach { s =>
+      val posInSrc = order.filter(_._2 == s).map(_._3).toSeq
+      assert(posInSrc == posInSrc.sorted, s"source $s emitted out of order")
+    }
+    // proportional fill: while BOTH sources still have docs, each
+    // source's contribution tracks prefix * w_s / sum(w) within a
+    // 2-doc rounding band. B (20 docs at weight sqrt(20)) exhausts at
+    // global prefix 60 — the schedule is proportional only until a
+    // source runs dry, then the remainder is all A by construction
+    val (wA, wB) = (math.sqrt(80.0), math.sqrt(20.0))
+    (10 to 60 by 10).foreach { k =>
+      val nA = order.take(k).count(_._2 == "A")
+      val exp = k * wA / (wA + wB)
+      assert(math.abs(nA - exp) <= 2.0, s"prefix $k: A=$nA expected≈$exp")
+    }
+    // after exhaustion the tail is pure A
+    assert(order.drop(80).forall(_._2 == "A"))
+  }
+
   test("lengthBatches: same-bucket batches, longest-first, dense slots") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val out = Graft.lengthBatches(docs, bucketWidth = 32, batchSize = 8)
