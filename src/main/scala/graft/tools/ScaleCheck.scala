@@ -203,6 +203,10 @@ object ScaleCheck {
                               // shuffle at all
     "q_shuffle_shard" -> 1.0, // one range-partitioned sort + narrow
                               // modular deal (n log n measures ≈1)
+    "q_length_batch" -> 1.0,  // one segmented-rank sort + broadcast
+                              // bucket-base join
+    "q_mix_interleave" -> 1.0, // two segmented-rank sorts + broadcast
+                              // source-count join
   )
 
   def main(args: Array[String]): Unit = {
