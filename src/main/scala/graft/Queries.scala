@@ -238,6 +238,8 @@ object Queries {
 
   val relational: Map[String, Q] = Map(
     "q_scan_project"   -> (Relational.qScanProject _),
+    "q_source_roundtrip" -> (Relational.qSourceRoundtrip _),
+    "q_partition_prune"  -> (Relational.qPartitionPrune _),
     "q_filter_pred"    -> (Relational.qFilterPred _),
     "q_join_inner"     -> (Relational.qJoinInner _),
     "q_join_broadcast" -> (Relational.qJoinBroadcast _),
@@ -306,6 +308,22 @@ object Queries {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |LIMIT 100""".stripMargin,
+    // r12 source/sink pair: both engine round-trips must reproduce the
+    // parquet truth exactly, so the oracle is the same aggregate off
+    // the parquet table emitted once per format
+    "q_source_roundtrip" ->
+      """WITH a AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |    sum(n_chars)::BIGINT AS sum_chars,
+        |    min(doc_id) AS min_id, max(doc_id) AS max_id
+        |  FROM documents GROUP BY lang)
+        |SELECT fmt, lang, n_docs, sum_chars, min_id, max_id
+        |FROM (SELECT 'csv' AS fmt UNION ALL SELECT 'json') f CROSS JOIN a
+        |ORDER BY fmt, lang""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount, l_tax
         |FROM lineitem

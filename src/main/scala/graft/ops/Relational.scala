@@ -24,6 +24,73 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .limit(100)
 
+  /** q_source_roundtrip: the CSV/JSON source+sink pair (r12 — the
+    * interchange formats next to the parquet at-rest path): the
+    * documents' scalar columns are WRITTEN to csv (header) and json
+    * on the executors, read back with explicit schemas (never inferred
+    * — schema inference is an extra full scan and a type lottery; at
+    * 100 TB the contract is always a declared schema), and both
+    * round-trips are aggregated side by side. Lossless for
+    * long/simple-string columns, so the oracle is the same aggregate
+    * straight off the parquet table — the compare proves write→read
+    * identity per format, not just that the code ran. Temp output is
+    * per-(JVM, corpus) content-keyed via [[graft.ops.IndexCache]] —
+    * rebuilt iff the corpus changed, exactly like the dedup indexes. */
+  def qSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = sourceRoundtripPaths.get(spark, dir)
+    val schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    val csv = spark.read.option("header", "true").schema(schema)
+      .csv(s"$base/docs_csv")
+      .select(lit("csv").as("fmt"), col("doc_id"), col("lang"), col("n_chars"))
+    val json = spark.read.schema(schema).json(s"$base/docs_json")
+      .select(lit("json").as("fmt"), col("doc_id"), col("lang"), col("n_chars"))
+    csv.unionAll(json)
+      .groupBy("fmt", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("fmt", "lang")
+  }
+
+  private val sourceRoundtripPaths =
+    new IndexCache[String]("documents", { (spark, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_source_rt").toString
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.mode("overwrite").option("header", "true")
+        .csv(s"$p/docs_csv")
+      docs.write.mode("overwrite").json(s"$p/docs_json")
+      p
+    })
+
+  /** q_partition_prune: the partitioned-sink + pruned-source pair —
+    * the layout decision that matters most at 100 TB: documents are
+    * written `partitionBy(lang)` (the at-rest form for any
+    * language-sliced corpus), and the read-back filters one lang.
+    * Catalyst turns the filter into a PARTITION filter — the scan
+    * touches one directory, not the corpus; PlanShapeSpec pins
+    * `PartitionFilters` non-empty so a regression to a full scan
+    * fails the suite, not the cluster bill. Oracle: the same
+    * aggregate off the unpartitioned table with the same filter. */
+  def qPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val base = partitionedDocsPaths.get(spark, dir)
+    spark.read.parquet(base)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  private val partitionedDocsPaths =
+    new IndexCache[String]("documents", { (spark, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_part_docs").toString + "/docs"
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(p)
+      p
+    })
+
   /** q_filter_pred: compound predicate — AND/OR, BETWEEN, IN, LIKE,
     * null-safe equality — all pushable to the parquet scan. */
   def qFilterPred(spark: SparkSession, dir: String): DataFrame =

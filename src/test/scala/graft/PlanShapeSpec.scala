@@ -54,6 +54,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("q_partition_prune: the lang filter becomes a PARTITION filter, not a data scan") {
+    val p = plan("q_partition_prune")
+    // the partitioned layout must turn the filter into directory
+    // pruning — a regression to a full-corpus scan shows up here, not
+    // on the cluster bill
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"), p)
+  }
+
   test("q_scan_project: column pruning reaches ReadSchema") {
     val p = plan("q_scan_project")
     // projected columns present, untouched wide columns absent
