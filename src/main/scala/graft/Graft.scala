@@ -507,6 +507,12 @@ object Graft {
     Dedup.incrementalNearDup(corpusShingles, corpusBands,
                              tokenize(incoming), tau)
 
+  /** Boilerplate depth profile: per doc, the largest dyadic width
+    * w ∈ {64,32,16,8,4} at which it shares a w-token span with another
+    * doc (0 = none) — the tuning signal for [[spanCut]]'s width. */
+  def spanDepthProfile(docs: DataFrame): DataFrame =
+    ops.Dedup.spanDepthProfile(tokenize(docs))
+
   /** Deterministic global training-order shuffle + round-robin shard
     * deal: (doc_id, skey, shard, pos_in_shard). Same salt → same
     * permutation; every shard is balanced to ±1 and itself a uniform

@@ -1680,6 +1680,7 @@ object Queries {
     "q_domain_stats"        -> (TextAnalysis.qDomainStats _),
     "q_corpus_kl"           -> (TextAnalysis.qCorpusKl _),
     "q_dedup_span"          -> (Dedup.qDedupSpan _),
+    "q_span_depth"          -> (Dedup.qSpanDepth _),
     "q_dedup_span_cut"      -> (Dedup.qDedupSpanCut _),
     "q_sql_scalar"          -> (Sql.qSqlScalar _),
     "q_sql_q6"              -> (Sql.qSqlQ6 _),
@@ -2635,6 +2636,26 @@ object Queries {
          |       count(*)::BIGINT AS n_shared_spans
          |FROM f a JOIN f b ON a.span = b.span AND a.doc_id < b.doc_id
          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    // r12 boilerplate-depth profile: one distinct-span pass per dyadic
+    // width, cross-doc = distinct-doc count >= 2, max width per doc
+    "q_span_depth" -> {
+      val widths = Seq(64, 32, 16, 8, 4)
+      val per = widths.map { w =>
+        s"""s$w AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+${w - 1}], ' ') AS g
+           |  FROM t, unnest(generate_series(1, greatest(len(toks)-${w - 1}, 0))) u(i)),
+           |d$w AS (SELECT g FROM s$w GROUP BY g HAVING count(*) >= 2),
+           |f$w AS (SELECT DISTINCT doc_id, $w AS w FROM s$w JOIN d$w USING (g))"""
+          .stripMargin
+      }.mkString(",\n")
+      val union = widths.map(w => s"SELECT * FROM f$w").mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |$per,
+         |fl AS ($union),
+         |mx AS (SELECT doc_id, max(w) AS depth FROM fl GROUP BY doc_id)
+         |SELECT t.doc_id, len(toks)::INT AS n_toks,
+         |  coalesce(mx.depth, 0)::INT AS depth
+         |FROM t LEFT JOIN mx USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     // substring-dedup rewrite: same window slicing as q_dedup_span,
     // first-occurrence keeper by the encoded (doc_id, pos) key,
     // greedy coverage union, rebuild by position order

@@ -681,6 +681,56 @@ object Dedup {
   def qDedupSpan(spark: SparkSession, dir: String): DataFrame =
     sharedSpans(Tables.docTokens(spark, dir))
 
+  /** Boilerplate DEPTH profile (r12) — the corpus diagnostic between
+    * "has a 32-token shared span" ([[sharedSpans]]' flag) and full
+    * substring dedup: per document, the largest dyadic width
+    * w ∈ {64, 32, 16, 8, 4} at which it shares a w-token span with
+    * ANOTHER document (0 = none). The dyadic ladder brackets the true
+    * longest shared span within a factor of 2 — the tuning signal for
+    * choosing [[spanCut]]'s width: a corpus whose mass sits at depth
+    * ≥ 32 has long boilerplate runs worth excising; depth ≤ 8 is
+    * ordinary phrase reuse no span cut should touch.
+    *
+    * Scale shape: one span-hash groupBy per width (5 narrow shuffles,
+    * each the [[sharedSpans]] m-rows-not-m²-pairs discipline);
+    * cross-doc means DISTINCT-doc count ≥ 2 per span value, so a
+    * within-doc repeat never flags. FNV span hashes (prime ≤ 0 mode)
+    * — injectivity preserves the which-docs-share grouping, which is
+    * all the string-space oracle needs. */
+  def spanDepthProfile(docToks: DataFrame,
+                       widths: Seq[Int] = Seq(64, 32, 16, 8, 4)): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1))
+    val spark = docToks.sparkSession
+    SetFunctions.register(spark, permA, permB, MersennePrime)
+    val base = docToks
+      .select(col("doc_id").cast("long").as("doc_id"), col("toks"))
+      .persist()
+    val flags = widths.map { w =>
+      // shingleHashes emits per-doc DISTINCT hashes, so count(*) per
+      // span value counts DOCS — cross-doc iff >= 2
+      val sp = base.select(col("doc_id"),
+        explode(SetFunctions.shingleHashes(col("toks"), w, -1L)).as("h"))
+      val dup = sp.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+      sp.join(dup, "h").select(col("doc_id")).distinct()
+        .withColumn("w", lit(w))
+    }.reduce(_ unionAll _)
+    val depth = flags.groupBy("doc_id").agg(max(col("w")).as("depth"))
+    val out = base
+      .select(col("doc_id"), size(col("toks")).as("n_toks"))
+      .join(depth, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+              coalesce(col("depth"), lit(0)).as("depth"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
+  /** q_span_depth: [[spanDepthProfile]] on the test corpus. */
+  def qSpanDepth(spark: SparkSession, dir: String): DataFrame =
+    spanDepthProfile(Tables.docTokens(spark, dir))
+
   /** [[qDedupSpan]]'s engine over any (doc_id, toks) DataFrame — the
     * library entry point ([[graft.Graft.sharedSpans]]).
     *

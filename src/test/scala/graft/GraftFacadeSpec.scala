@@ -32,6 +32,24 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("spanDepthProfile: planted shared spans land in the right dyadic bucket") {
+    val spark0 = spark
+    import spark0.implicits._
+    val run = (1 to 40).map(i => s"w$i").mkString(" ") // 40 shared tokens
+    val corpus = Seq(
+      (1L, run + " uniqueA tail1"),           // shares a 32-span with 2
+      (2L, run + " uniqueB tail2"),
+      (3L, "five little tokens only here x1"),// shares a 4-span with 4
+      (4L, "five little tokens only here x2"),
+      (5L, "nothing in common with anyone at all z")
+    ).toDF("doc_id", "text")
+    val d = Graft.spanDepthProfile(corpus)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(d(1L) == 32 && d(2L) == 32, s"$d") // 40-token run: >=32, <64
+    assert(d(3L) == 4 && d(4L) == 4, s"$d")   // 6 shared tokens: >=4, <8
+    assert(d(5L) == 0, s"$d")
+  }
+
   test("thumbnails facade: real PNG round-trip to a 3x3 grid") {
     val spark0 = spark
     import spark0.implicits._
