@@ -207,6 +207,8 @@ object ScaleCheck {
                               // bucket-base join
     "q_mix_interleave" -> 1.0, // two segmented-rank sorts + broadcast
                               // source-count join
+    "q_span_depth" -> 1.0,    // 5 narrow span-hash shuffles, one per
+                              // dyadic width
   )
 
   def main(args: Array[String]): Unit = {
