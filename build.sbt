@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's stdout as JSON; sbt's default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which defeats that parse (BENCH_r12.json parsed:null).
+// StdoutOutput passes the forked JVM's stdout/stderr through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -185,6 +185,16 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    //  5. (r13) the headline is ALSO written whole to a file — the
+    //     one channel no stdout capture, prefix, or truncation can
+    //     corrupt (BENCH_r12 parsed:null came from sbt's "[info] "
+    //     logger prefix; build.sbt now also forces StdoutOutput).
+    val headPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEADLINE", "BENCH_HEADLINE.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(headPath),
+      (headline + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $headPath: ${e.getMessage}") }
     println(headline)
     println(fullJson)
     println(headline)

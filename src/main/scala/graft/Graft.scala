@@ -493,7 +493,9 @@ object Graft {
 
   /** Semantic decontamination: corpus vectors whose cosine against any
     * probe (eval) vector clears minCos — (vec_id, n_probe_hits,
-    * max_cos). Probes broadcast; the corpus never shuffles. */
+    * max_cos). Exact, via the bipartite grid: probes ride the shuffle
+    * across the corpus block grid — no corpus-proportional broadcast,
+    * so the plan survives a probe set that grows with the corpus. */
   def semanticMatches(corpus: DataFrame, probes: DataFrame,
                       minCos: Double = 0.4): DataFrame =
     ops.Similarity.semanticMatches(corpus, probes, minCos)

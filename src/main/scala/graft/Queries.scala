@@ -1665,6 +1665,7 @@ object Queries {
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
     "q_image_resize"        -> (Multimodal.qImageResize _),
+    "q_frame_sample"        -> (Multimodal.qFrameSample _),
     "q_sql_q1"              -> (Sql.qSqlQ1 _),
     "q_sql_q3"              -> (Sql.qSqlQ3 _),
     "q_sql_q5"              -> (Sql.qSqlQ5 _),
@@ -2932,6 +2933,24 @@ object Queries {
          |SELECT doc_id, 16 AS src_w, 16 AS src_h, pos::INT AS pos,
          |  ${rnd("luma", 6)} AS luma
          |FROM r ORDER BY doc_id, pos""".stripMargin,
+    // r13: frame sampling closes the multimodal quartet — the engine
+    // round-trips REAL solid-gray JPEG frames through a real MP4
+    // mdat walk + marker slicer + JDK codec (every 3rd frame decoded),
+    // but solid frames survive quality-1.0 JPEG bit-exactly (verified
+    // for all 256 grays, MultimodalSpec), so the oracle regenerates
+    // the sampled (frame_idx, luma) grid from doc_id in pure SQL —
+    // same analytic-fixture discipline as q_image_resize above
+    "q_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, (4 + doc_id % 5) AS n_frames
+         |           FROM documents),
+         |i AS (SELECT doc_id, n_frames,
+         |        unnest(range(0, n_frames, 3)) AS frame_idx FROM f),
+         |g AS (SELECT doc_id, frame_idx, n_frames,
+         |        ((doc_id * 37 + frame_idx * 71) % 256) AS gv FROM i)
+         |SELECT doc_id, frame_idx::INT AS frame_idx,
+         |  n_frames::INT AS n_frames,
+         |  ${rnd("0.299 * (gv / 255.0) + 0.587 * (gv / 255.0) + 0.114 * (gv / 255.0)", 6)} AS luma
+         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     // r12: oracle-exact — the sketch is rebuilt on engine-independent
     // primitives (Md5Bloom: md5 lower/upper double hashing, integer-
     // exact sizing; bpe and k interpolated below from the SAME Scala

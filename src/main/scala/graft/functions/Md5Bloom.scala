@@ -49,7 +49,31 @@ object Md5Bloom {
     * `((bpe*n + 63) // 64) * 64` lands on the identical m. */
   def mBits(capacity: Long, fpp: Double): Long = {
     require(capacity > 0, s"capacity must be > 0, got $capacity")
-    ((bitsPerElem(fpp).toLong * capacity + 63L) / 64L) * 64L
+    val bpe = bitsPerElem(fpp).toLong
+    // bpe*capacity must not wrap, and the resulting m must satisfy the
+    // positions() no-overflow precondition m < Long.MaxValue / k — past
+    // that, i*h2 wraps negative and the probe would silently treat
+    // negative positions as unset bits, voiding the no-false-negative
+    // guarantee. Fail loudly instead (capacity ≳ 1.6e16 at defaults —
+    // absurd for a single filter; shard the keyspace first).
+    require(capacity <= (Long.MaxValue - 63L) / bpe,
+      s"bitsPerElem($bpe) * capacity($capacity) overflows Long")
+    val m = ((bpe * capacity + 63L) / 64L) * 64L
+    val k = numHashes(fpp)
+    require(m < Long.MaxValue / k,
+      s"m=$m bits exceeds the double-hashing no-overflow bound " +
+        s"Long.MaxValue/k (k=$k); shard the filter instead")
+    m
+  }
+
+  /** The double-hashing no-overflow precondition for [[positions]]:
+    * every intermediate (h1 + i*h2) with h1,h2 < m and i < k stays
+    * below k*m, which must not wrap a signed Long. */
+  private def requireNoOverflow(m: Long, k: Int): Unit = {
+    require(m > 0 && k >= 1, s"need m > 0 and k >= 1, got m=$m k=$k")
+    require(m < Long.MaxValue / k,
+      s"m=$m violates m < Long.MaxValue/k (k=$k): i*h2 would wrap " +
+        "negative and probes would silently miss set bits")
   }
 
   /** (h1, h2) = little-endian u64 of MD5 digest bytes (8..15, 0..7) —
@@ -68,6 +92,7 @@ object Md5Bloom {
 
   /** The k probe positions of `g` in an m-bit filter. */
   def positions(g: String, m: Long, k: Int): Array[Long] = {
+    requireNoOverflow(m, k)
     val (lo, hi) = hashPair(g)
     val h1 = java.lang.Long.remainderUnsigned(lo, m)
     val h2 = java.lang.Long.remainderUnsigned(hi, m)

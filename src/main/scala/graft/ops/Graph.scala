@@ -233,9 +233,9 @@ object Graph {
     * q_link_degree oracle (same-constants discipline). */
   private[graft] val HrefHostRe = "^https://([^/]*)"
 
-  /** Page-level (src, dst) edge list from the Links fixture — the ONE
-    * Spark-side construction shared by q_page_rank / q_hits / q_ppr. */
-  private[graft] def pageEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Page-level (src, dst) edge derivation from the Links fixture —
+    * the ONE Spark-side construction behind [[pageEdges]]. */
+  private[graft] def buildPageEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val links = Links.extractLinks(
       docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
@@ -245,6 +245,29 @@ object Graph {
       .join(docs.select(col("doc_id"), pageUrl.as("src")), "doc_id")
       .select(col("src"), col("href").as("dst"))
   }
+
+  /** MATERIALIZED page-level adjacency table (r13 — VERDICT r12 #2):
+    * the page edge list consumed by q_page_rank / q_hits / q_ppr is
+    * derived (HTML render + regex link extraction + join) ONCE per
+    * corpus and lands in columnar storage, content-keyed via
+    * [[IndexCache]] exactly like the dedup cluster / ANN posting
+    * tables — at cluster scale this is the persisted edge table every
+    * graph job reads (bucketed by src at rest), not a per-query
+    * re-extraction of the corpus. The three consumers re-ran the
+    * extraction (and its checkpoint) per query: ~a third of the whole
+    * bench suite's time was graph-edge re-derivation. All values are
+    * strings/longs — the parquet round trip is exact, so the oracles
+    * are untouched. */
+  private val pageEdgePaths =
+    new IndexCache[String]("documents", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_page_edges").toString + "/edges.parquet"
+      buildPageEdges(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+  private[graft] def pageEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(pageEdgePaths.get(spark, dir))
+  private[graft] def pageEdgeEntryCount: Int = pageEdgePaths.entryCount
 
   /** The matching pg/l/e oracle CTE block (no WITH) — the ONE SQL
     * derivation of the same page edges, shared by the q_page_rank /
@@ -499,11 +522,11 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community")).orderBy("node")
   }
 
-  /** Domain-level (src, dst) edge list from the Links fixture — the
-    * ONE Spark-side construction shared by q_link_degree and
-    * q_label_prop (page-level links rolled up to registrable domains,
-    * the frontier-policy granularity). */
-  private[graft] def domainEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Domain-level (src, dst) edge derivation from the Links fixture —
+    * the ONE Spark-side construction behind [[domainEdges]]
+    * (page-level links rolled up to registrable domains, the
+    * frontier-policy granularity). */
+  private[graft] def buildDomainEdges(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val links = Links.extractLinks(
       docs.select(col("doc_id"), Links.renderLinkPage.as("html")))
@@ -512,6 +535,22 @@ object Graph {
       .select(concat(lit("example-"), col("source"), lit(".com")).as("src"),
               regexp_extract(col("href"), HrefHostRe, 1).as("dst"))
   }
+
+  /** MATERIALIZED domain-level adjacency table (r13 — the
+    * [[pageEdges]] treatment for the domain rollup): built once per
+    * corpus, content-keyed, shared by q_link_degree / q_label_prop /
+    * q_modularity / q_graph_reciprocity / q_assortativity. String
+    * columns only — parquet round trip exact, oracles untouched. */
+  private val domainEdgePaths =
+    new IndexCache[String]("documents", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_domain_edges").toString + "/edges.parquet"
+      buildDomainEdges(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+  private[graft] def domainEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(domainEdgePaths.get(spark, dir))
+  private[graft] def domainEdgeEntryCount: Int = domainEdgePaths.entryCount
 
   /** The matching h/l/e oracle CTE block (no WITH keyword) — the ONE
     * SQL derivation of the same domain edges, shared by the
@@ -681,7 +720,7 @@ object Graph {
     * collocation structure is the natural triangle-rich graph. */
   def qTriangleCount(spark: SparkSession, dir: String): DataFrame =
     triangleCount(
-      TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
+      TextAnalysis.coocPairs(spark, dir)
         .select(col("w1").as("src"), col("w2").as("dst")))
 
   // ------------------------------------------------------------------
@@ -806,7 +845,7 @@ object Graph {
     * GraphSpec goldens and exercised at 10× by ScaleGen's salted
     * replicas (disjoint vocab slices the seed cannot reach). */
   def qBfsDepth(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
+    val pairs = TextAnalysis.coocPairs(spark, dir)
       .select(col("w1"), col("w2"))
     val und = pairs.select(col("w1").as("src"), col("w2").as("dst"))
       .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst")))
@@ -1007,7 +1046,7 @@ object Graph {
     * are cheap hops, rare ones expensive — "semantic distance" from
     * the lexicographically first token. */
   def qSssp(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextAnalysis.cooccurPairCounts(Tables.docTokens(spark, dir))
+    val pairs = TextAnalysis.coocPairs(spark, dir)
     val cost = greatest(floor(lit(1000.0) / col("n_cooc")).cast("long"), lit(1L))
     val und = pairs.select(col("w1").as("src"), col("w2").as("dst"), cost.as("cost"))
       .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst"), cost.as("cost")))

@@ -39,7 +39,17 @@ object Relational {
   def qSourceRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val base = sourceRoundtripPaths.get(spark, dir)
     val schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    // Null/empty/whitespace discipline (r13, advisor): Spark CSV by
+    // default writes null and "" identically and trims cell whitespace
+    // on write — values outside this corpus would silently fail the
+    // "lossless" claim. A distinct null sentinel (\N, the classic
+    // mysqldump convention) plus whitespace-preserving write options
+    // make the round trip lossless for ALL string values, not just the
+    // ones the test corpus happens to contain.
     val csv = spark.read.option("header", "true").schema(schema)
+      .option("nullValue", "\\N")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(s"$base/docs_csv")
       .select(lit("csv").as("fmt"), col("doc_id"), col("lang"), col("n_chars"))
     val json = spark.read.schema(schema).json(s"$base/docs_json")
@@ -58,6 +68,9 @@ object Relational {
       val docs = Tables.documents(spark, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
       docs.write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(s"$p/docs_csv")
       docs.write.mode("overwrite").json(s"$p/docs_json")
       p

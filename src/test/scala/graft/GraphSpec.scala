@@ -326,4 +326,44 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r("b") - rb) < 1e-6)
     assert(math.abs(r("c") - rc) < 1e-6)
   }
+
+  test("adjacency tables: one materialization per corpus, exact vs the derivation, two corpora coexist") {
+    // r13 (VERDICT r12 #2): the page/domain/cooc edge tables are
+    // content-keyed materializations — repeated consumers must not
+    // rebuild (entry counts flat), the read-back must equal the
+    // derivation row-for-row, and a second corpus gets its own entry
+    // without evicting the first
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.ops.TextAnalysis
+    val dir = TestSpark.sf0001
+    val mat = Graph.pageEdges(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val der = Graph.buildPageEdges(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(mat.sorted.toSeq == der.sorted.toSeq && mat.nonEmpty)
+    // prime all three tables for this dir BEFORE capturing the counts
+    // (the first get legitimately builds)
+    Graph.domainEdges(spark, dir); TextAnalysis.coocPairs(spark, dir)
+    val (p0, d0, c0) = (Graph.pageEdgeEntryCount,
+      Graph.domainEdgeEntryCount, TextAnalysis.coocPairEntryCount)
+    // a tuning loop over the same corpus: no growth
+    (1 to 5).foreach { _ =>
+      Graph.pageEdges(spark, dir); Graph.domainEdges(spark, dir)
+      TextAnalysis.coocPairs(spark, dir)
+    }
+    assert((Graph.pageEdgeEntryCount, Graph.domainEdgeEntryCount,
+            TextAnalysis.coocPairEntryCount) == ((p0, d0, c0)))
+    // a second corpus (a copy under a new path): exactly one more
+    // entry per table, first corpus untouched
+    val tmp = Files.createTempDirectory("graft_adj_lifecycle").toString
+    Files.copy(Paths.get(dir, "documents.parquet"),
+               Paths.get(tmp, "documents.parquet"),
+               StandardCopyOption.REPLACE_EXISTING)
+    val mat2 = Graph.pageEdges(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    Graph.domainEdges(spark, tmp); TextAnalysis.coocPairs(spark, tmp)
+    assert(mat2.sorted.toSeq == mat.sorted.toSeq)
+    assert((Graph.pageEdgeEntryCount, Graph.domainEdgeEntryCount,
+            TextAnalysis.coocPairEntryCount) == ((p0 + 1, d0 + 1, c0 + 1)))
+  }
 }

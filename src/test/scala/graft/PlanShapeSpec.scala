@@ -116,6 +116,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_semantic_decontaminate: bipartite grid cogroup — no corpus-proportional broadcast") {
+    // r13 (VERDICT r12 #1): the registered binding must never
+    // broadcast the probe set (it scales with the corpus — 2% here);
+    // the exact plan is the bipartite grid cogroup, whose only
+    // exchanges are the block-key hash shuffles + the output sort
+    val p = plan("q_semantic_decontaminate")
+    assert(p.contains("CoGroup"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_dedup_embed: grid-blocked threshold join, no nested-loop product") {
     val p = plan("q_dedup_embed")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

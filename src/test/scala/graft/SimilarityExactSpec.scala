@@ -92,6 +92,61 @@ class SimilarityExactSpec extends AnyFunSuite {
     assert(Similarity.embeddingNearDups(emb).count() == 0)
   }
 
+  test("semanticMatches grid ≡ broadcast twin (r13: the no-corpus-broadcast binding)") {
+    // the bipartite grid must reproduce the brute-force broadcast plan
+    // bit-for-bit — same normalize, same ascending dot, same rounded
+    // filter — across block counts (97 corpus rows exercise 1, partial
+    // and many-block grids via gridBlocks' 256-row sizing)
+    val corpus = randomCorpus(97, 16, 31)
+    val probes = randomCorpus(9, 16, 32)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    for (minCos <- Seq(0.1, 0.3)) {
+      val g = Similarity.semanticMatches(corpus, probes, minCos)
+        .collect().map(_.toSeq).toSeq
+      val b = Similarity.semanticMatchesBroadcast(corpus, probes, minCos)
+        .collect().map(_.toSeq).toSeq
+      assert(g == b, s"minCos=$minCos")
+      assert(g.nonEmpty, s"vacuous at minCos=$minCos — lower the threshold")
+    }
+  }
+
+  test("semanticMatches: overlapping ids never self-match (grid ≡ broadcast on the exclusion)") {
+    // probe ids that ALSO appear in the corpus are excluded pairwise
+    // (vec_id != probe_id), not dropped from the corpus — both plans
+    // must agree on that contract
+    val corpus = randomCorpus(60, 8, 41)
+    val probes = corpus.filter(col("vec_id") % 10 === 0)
+    val g = Similarity.semanticMatches(corpus, probes, 0.2)
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.semanticMatchesBroadcast(corpus, probes, 0.2)
+      .collect().map(_.toSeq).toSeq
+    assert(g == b)
+  }
+
+  test("semanticMatchesAnn: posting-index probe is a sound under-approximation with high recall") {
+    // the ANN fast path may MISS pairs (recall < 1) but must never
+    // invent one: every reported hit row is dominated by the exact
+    // row (hits ≤, max_cos ≤), and fixture recall clears the measured
+    // OR-amplified floor
+    val spark2 = spark
+    val dir = TestSpark.sf0001
+    val pred = col("vec_id") % 50 === 0
+    val e = graft.Tables.embeddings(spark2, dir)
+    val exact = Similarity.semanticMatches(
+        e.filter(col("vec_id") % 50 =!= 0), e.filter(pred), 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ann = Similarity.semanticMatchesAnn(spark2, dir, pred, 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "vacuous fixture — lower the threshold")
+    ann.foreach { case (id, (n, mx)) =>
+      val (en, emx) = exact.getOrElse(id,
+        fail(s"ann invented contaminated vec $id"))
+      assert(n <= en && mx <= emx, s"ann overclaims vec $id")
+    }
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${ann.size}/${exact.size})")
+  }
+
   test("embeddingNearDups finds planted near-dups through the grid join") {
     val rng = new scala.util.Random(5)
     val base = Array.fill(16)(rng.nextGaussian().toFloat)

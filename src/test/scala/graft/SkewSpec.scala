@@ -22,6 +22,63 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("capability: AQE skew-join split fires on a planted skewed join (pinned against Spark upgrades)") {
+    // Skew.saltedInnerJoin (above) proves the MANUAL mitigation; this
+    // pins Spark's BUILT-IN OptimizeSkewedJoin — the first lever a
+    // 100 TB operator reaches for — alive at fixture scale. Not a
+    // registered query: the tiny thresholds that let the split fire on
+    // KB-sized partitions would reshape every later join on the shared
+    // session, so this demonstrates-and-restores within one test.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "true")
+      // one key holds ~83% of the big side: its shuffle partition is
+      // hundreds of KB while the median is a few KB — clear both the
+      // factor and the (lowered) absolute threshold, and give AQE a
+      // small advisory target so the split produces several reads
+      conf.set(keys(2), "2.0")
+      conf.set(keys(3), "64KB")
+      conf.set(keys(4), "32KB")
+      // skew split only applies to shuffle joins — keep the dim side
+      // off the broadcast path
+      conf.set(keys(5), "-1")
+      import spark.implicits._
+      // the payload must SURVIVE column pruning (aggregated below) and
+      // resist shuffle compression (md5 per row) — a constant column
+      // is pruned before the exchange and all-equal keys compress to
+      // KBs, leaving nothing for the skew detector to see
+      val big = spark.range(0, 60000).select(
+        when(col("id") < 50000, lit(0L)).otherwise(pmod(col("id"), lit(2000L)))
+          .as("k"),
+        concat(md5(col("id").cast("string")),
+               md5((col("id") + 1).cast("string")),
+               md5((col("id") + 2).cast("string")),
+               md5((col("id") + 3).cast("string"))).as("pay"))
+      val dim = spark.range(0, 2000).select(col("id").as("k"),
+        lit("d").as("d"))
+      val q = big.join(dim, "k")
+        .agg(count(lit(1)).as("n"), max(length(col("pay"))).as("pl"))
+      val row = q.collect().head
+      assert(row.getLong(0) == 60000L) // every big row matches one dim key
+      assert(row.getInt(1) == 128)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true") || p.contains("skewed"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("sharedSpans df-bound kills the boilerplate-span m² blowup, keeps real dups") {
     import spark.implicits._
     import graft.ops.Dedup

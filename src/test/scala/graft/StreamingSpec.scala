@@ -17,6 +17,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** A streamed document row (crawl shape) for the content-dedup test. */
 case class DocEv(doc_id: Long, text: String, ts: Timestamp)
 case class UrlEv(doc_id: Long, url: String, ts: Timestamp)
+case class PageEv(doc_id: Long, url: String, html: String, ts: Timestamp)
 
 /** Structured Streaming tests (SURVEY.md §5.2.4): batch/stream parity,
   * watermark late-data drop, session windows, stateful dedup — all via
@@ -440,6 +441,113 @@ class StreamingSpec extends AnyFunSuite {
       // the truncated re-crawl is caught against its original, only it
       assert(out.map(t => (t._1, t._2)) == Set((1L, 10L)), s"$out")
       assert(out.forall(_._3 >= 0.8))
+    }
+    shP.unpersist(); bandP.unpersist()
+  }
+
+  test("crawl triad composition: url-dedup → curate → near-dup probe as ONE query ≡ the batch pipeline, 3 bounded state stores") {
+    import graft.ops.{Dedup, Html, TextAnalysis, Url}
+    import org.apache.spark.sql.expressions.Window
+    def tok(c: org.apache.spark.sql.Column) = split(lower(trim(c)), "\\s+")
+    // corpus: two long distinct docs, one boilerplate-spam doc (the
+    // quality gate's observable: without the gate, junk pages would
+    // hit it), one tiny doc
+    val baseA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val baseB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val spam = Seq.fill(40)("spam").mkString(" ")
+    val corpus = Seq((10L, baseA), (11L, baseB), (12L, spam),
+                     (13L, "tiny doc here"))
+      .toDF("doc_id", "text").withColumn("toks", tok(col("text")))
+    val (sh, bandTab) = Dedup.buildNearDupIndex(corpus)
+    val shP = sh.persist(); val bandP = bandTab.persist()
+    def page(body: String, chrome: String) =
+      s"<html><body><nav>$chrome</nav><p>$body</p></body></html>"
+    val truncA = (1 to 39).map(i => s"alpha$i").mkString(" ")
+    val truncB = (1 to 39).map(i => s"beta$i").mkString(" ")
+    // originals arrive in micro-batch A, their duplicates in B:
+    // WITHIN one micro-batch dropDuplicatesWithinWatermark keeps an
+    // arbitrary row (partition processing order), so the dedup
+    // casualties are pinned by feeding them against SETTLED state
+    val waveA = Seq(
+      // survives all three stages; near-dup of corpus 10
+      PageEv(1L, "https://a.com/p1?utm_source=x", page(truncA, "nav one"),
+             ts("2024-01-01 00:00:00")),
+      // DIES AT THE QUALITY GATE (dup_tok_frac ≈ 0.97): without the
+      // gate its single repeated shingle hits corpus 12 at jac 1.0
+      PageEv(4L, "https://a.com/p4", page(Seq.fill(38)("spam").mkString(" "),
+             "nav"), ts("2024-01-01 00:00:03")),
+      // survives the pipeline, hits nothing: no output row
+      PageEv(5L, "https://a.com/p5",
+             page((1 to 40).map(i => s"gamma$i").mkString(" "), "nav"),
+             ts("2024-01-01 00:00:04")),
+      // survives; near-dup of corpus 11
+      PageEv(6L, "https://a.com/p6", page(truncB, "nav"),
+             ts("2024-01-01 00:00:05")))
+    val waveB = Seq(
+      // DIES AT STAGE 1 (same canonical URL as 1): its body is a
+      // near-dup of corpus 11, so survival would be visible as (2,11)
+      PageEv(2L, "HTTPS://WWW.A.COM:443/p1", page(truncB, "nav"),
+             ts("2024-01-01 00:00:06")),
+      // DIES AT STAGE 2 (different chrome, same EXTRACTED content as
+      // 1): survival would add (3,10)
+      PageEv(3L, "https://a.com/p3", page(truncA, "other chrome"),
+             ts("2024-01-01 00:00:07")))
+    val wave1 = waveA ++ waveB
+    val ms = MemoryStream[PageEv](spark)
+    val triad = EventStreams.crawlTriadStream(ms.toDF(), shP, bandP)
+    withQuery(triad, "append", "t_crawl_triad") { q =>
+      ms.addData(waveA)
+      q.processAllAvailable()
+      ms.addData(waveB)
+      q.processAllAvailable()
+      val out = spark.table("t_crawl_triad")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      // the batch pipeline on the same replayed rows: canon-first →
+      // extract → content-hash-first → gates → incremental probe
+      val pages = wave1.toDF()
+      val byCanon = Window.partitionBy("canon").orderBy("ts", "doc_id")
+      val canonFirst = pages
+        .withColumn("canon", Url.canonCol(col("url")))
+        .withColumn("rn", row_number().over(byCanon)).filter(col("rn") === 1)
+      val extracted = canonFirst.select(col("doc_id"),
+        Html.contentColumn(col("html")).as("text"), col("ts"))
+      val byHash = Window.partitionBy("h").orderBy("ts", "doc_id")
+      val hashFirst = extracted
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("rn", row_number().over(byHash)).filter(col("rn") === 1)
+      val stop = typedlit(TextAnalysis.stopwords)
+      val toks = tok(col("text"))
+      val nToks = size(col("toks"))
+      val ttr = size(array_distinct(col("toks"))).cast("double") / nToks
+      val stopR = size(filter(col("toks"),
+        t => array_contains(stop, t))).cast("double") / nToks
+      val gated = hashFirst.withColumn("toks", toks)
+        .withColumn("quality", round(least(nToks / 100.0, lit(1.0)) * 0.3
+          + ttr * 0.3 + (lit(1.0) - stopR) * 0.4, 6))
+        .withColumn("dup_tok_frac", round(lit(1.0) - ttr, 6))
+        .filter(col("quality") >= 0.5 && col("dup_tok_frac") <= 0.6)
+      val batch = Dedup.incrementalNearDup(shP, bandP,
+          gated.select(col("doc_id"), col("text"), col("toks")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == batch, s"stream $out vs batch $batch")
+      assert(out == Set((1L, 10L), (6L, 11L)), s"$out")
+      // exactly the three declared state stores, nothing hidden
+      val progress = q.lastProgress
+      assert(progress.stateOperators.length == 3,
+        progress.stateOperators.map(_.operatorName).mkString(","))
+      // watermark boundedness: a wave far past the horizon evicts the
+      // first wave's state instead of accreting it
+      ms.addData(Seq(PageEv(7L, "https://a.com/p7",
+        page((1 to 40).map(i => s"delta$i").mkString(" "), "nav"),
+        ts("2024-01-01 02:00:00"))))
+      q.processAllAvailable()
+      ms.addData(Seq(PageEv(8L, "https://a.com/p8",
+        page((1 to 40).map(i => s"eps$i").mkString(" "), "nav"),
+        ts("2024-01-01 02:00:01"))))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "no state eviction after the watermark advanced")
     }
     shP.unpersist(); bandP.unpersist()
   }
