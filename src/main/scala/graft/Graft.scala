@@ -557,6 +557,36 @@ object Graft {
       : org.apache.spark.sql.Dataset[ops.Multimodal.MediaThumb] =
     ops.Multimodal.thumbnails(media, tw, th)
 
+  /** Fixed-rate video keyframe sampling — the sample member of the
+    * multimodal quartet: every `every`-th JPEG frame of an
+    * MJPEG-in-MP4 stream is decoded to (doc_id, frame_idx, n_frames,
+    * mean luma); skipped frames are sliced by marker scan but never
+    * pay the codec. No shuffle. */
+  def sampleFrames(media: org.apache.spark.sql.Dataset[ops.Multimodal.MediaRow],
+                   every: Int = 3)
+      : org.apache.spark.sql.Dataset[ops.Multimodal.FrameSample] =
+    ops.Multimodal.sampleFrames(media, every)
+
+  /** The composed incremental crawl triad as ONE streaming query —
+    * pages (doc_id, url, html, ts) in, corpus near-dup hits
+    * (doc_id, ts, corpus_id, jac) out: URL-canon dedup → markup strip
+    * + content dedup + quality gates → band-index probe; exactly
+    * three watermark-bounded state stores. */
+  def crawlTriadStream(pages: DataFrame, corpusShingles: DataFrame,
+                       corpusBands: DataFrame, tau: Double = 0.8,
+                       watermark: String = "10 minutes"): DataFrame =
+    streaming.EventStreams.crawlTriadStream(
+      pages, corpusShingles, corpusBands, tau, watermark)
+
+  /** Exact-screen decontamination's sub-quadratic sibling over the
+    * materialized ANN posting index (recall < 1 — the registered
+    * exact path is [[semanticMatches]]): corpus rows matching
+    * `probePred` act as the probe set. */
+  def semanticMatchesAnn(spark: SparkSession, dir: String,
+                         probePred: org.apache.spark.sql.Column,
+                         minCos: Double = 0.4): DataFrame =
+    ops.Similarity.semanticMatchesAnn(spark, dir, probePred, minCos)
+
   /** Deterministic Lloyd's k-means over (vec_id, embedding):
     * (vec_id, cluster, dist). */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =

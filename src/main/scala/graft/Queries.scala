@@ -2777,6 +2777,7 @@ object Queries {
     "q_bloom_decontaminate" -> (Curation.qBloomDecontaminate _),
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_curate_web"        -> (Curation.qCurateWeb _),
+    "q_crawl_triad"       -> (Curation.qCrawlTriad _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
     "q_split_assign"      -> (Curation.qSplitAssign _),
     "q_shuffle_shard"     -> (Curation.qShuffleShard _),
@@ -2817,6 +2818,71 @@ object Queries {
          |  ${rnd("w_milli / (1000.0 * greatest(n_feats, 1))", 6)} AS score
          |FROM s JOIN k USING (doc_id) WHERE w_milli > 0
          |ORDER BY doc_id""".stripMargin,
+    // r13: the batch crawl triad end-to-end — canon dedup (Url chain)
+    // → extraction (Html chain) → content dedup + the streaming quality
+    // gate → md5-MinHash probe vs the corpus index; every fragment is
+    // the SAME constant set its standalone query already mirrors
+    "q_crawl_triad" -> {
+      def lit0(s: String) = "'" + s.replace("'", "''") + "'"
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      val quality = "least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+        " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE"
+      s"""WITH pg AS (
+         |  SELECT doc_id + 1000000 AS doc_id, ${graft.ops.Url.baseUrlSql} AS url,
+         |         ${graft.ops.Html.plainPageSql} AS html
+         |  FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, ${graft.ops.Url.variantUrlSql} AS url,
+         |         ${graft.ops.Html.plainPageSql} AS html
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |         'https://example-' || source || '.com/alt-' || doc_id::VARCHAR AS url,
+         |         ${lit0(graft.ops.Curation.AltW1)} || text ||
+         |           ${lit0(graft.ops.Curation.AltW2)} AS html
+         |  FROM documents WHERE doc_id % 10 = 5),
+         |d0 AS (SELECT doc_id, html, ${graft.ops.Url.defraggedSql} AS d FROM pg),
+         |cn AS (SELECT doc_id, html, ${graft.ops.Url.canonSql} AS canon FROM d0),
+         |k1 AS (SELECT doc_id, html FROM (
+         |  SELECT doc_id, html,
+         |    row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rn
+         |  FROM cn) z WHERE rn = 1),
+         |e AS (SELECT doc_id, ${graft.ops.Html.contentSqlExpr("html")} AS content
+         |      FROM k1),
+         |k2 AS (SELECT doc_id, content FROM (
+         |  SELECT doc_id, content,
+         |    row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) AS rn
+         |  FROM e) z WHERE rn = 1),
+         |tk AS (SELECT doc_id, string_split(lower(trim(content)), ' ') AS toks
+         |       FROM k2),
+         |qg AS (SELECT doc_id, toks,
+         |  len(toks)::INT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, t -> list_contains($stop, t)))::DOUBLE
+         |    / len(toks) AS stop_ratio
+         |  FROM tk),
+         |ti AS (SELECT doc_id, toks FROM qg
+         |  WHERE ${rnd(quality, 6)} >= 0.5
+         |    AND ${rnd("1.0::DOUBLE - ttr", 6)} <= 0.6),
+         |t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |$mhPermsCte,
+         |${minhashCtes("mh_", "t")},
+         |${minhashCtes("mi_", "ti")},
+         |cand AS (SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corpus_id
+         |  FROM mh_bnd c JOIN mi_bnd i ON c.band = i.band AND c.bkey = i.bkey),
+         |szc AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+         |szi AS (SELECT doc_id, count(*) AS n FROM mi_sh GROUP BY doc_id),
+         |itr AS (SELECT c.inc_id, c.corpus_id, count(*) AS inter
+         |  FROM cand c JOIN mi_sh x ON x.doc_id = c.inc_id
+         |              JOIN mh_sh y ON y.doc_id = c.corpus_id AND y.h = x.h
+         |  GROUP BY c.inc_id, c.corpus_id)
+         |SELECT doc_id, corpus_id, ${rnd("jac", 6)} AS jac FROM (
+         |  SELECT i.inc_id AS doc_id, i.corpus_id,
+         |    i.inter::DOUBLE / (si.n + sc.n - i.inter) AS jac
+         |  FROM itr i JOIN szi si ON si.doc_id = i.inc_id
+         |             JOIN szc sc ON sc.doc_id = i.corpus_id) z
+         |WHERE jac >= 0.8 ORDER BY doc_id, corpus_id""".stripMargin
+    },
     "q_sample_hash" ->
       """SELECT doc_id, lang, source, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
         |FROM documents

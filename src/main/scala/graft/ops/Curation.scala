@@ -762,6 +762,104 @@ object Curation {
     out
   }
 
+  // ------------------------------------------------------------------
+  // q_crawl_triad (r13): the BATCH twin of the composed streaming
+  // crawl pipeline (streaming.EventStreams.crawlTriadStream) —
+  // url-dedup → extract + content-dedup + quality gates → near-dup
+  // probe against a materialized corpus band index — as one
+  // oracle-checked registry row. The stream ≡ batch parity spec
+  // (StreamingSpec) pins the two against each other; this row pins
+  // the batch side against DuckDB end to end.
+  // ------------------------------------------------------------------
+
+  /** The alternate-chrome page shell: same title, different nav and
+    * footer boilerplate — extraction must collapse it onto the
+    * [[Html.renderPlainPage]] content (the stage-2 casualty of the
+    * triad fixture). ONE constant pair for the Spark side and the
+    * oracle. */
+  private[graft] val AltW1 =
+    "<html><head><title>t</title></head><body><nav>alternate rail</nav><p>"
+  private[graft] val AltW2 =
+    "</p><footer>other foot</footer></body></html>"
+
+  /** The batch crawl triad over any (doc_id, url, html) page set:
+    * canonical-URL dedup (min doc_id keeps — the batch analog of the
+    * stream's first-arrival state), markup strip, content-hash dedup,
+    * the [[TextAnalysis]] quality composite + repetition gate, then
+    * the incremental near-dup probe against a PRE-BUILT corpus band
+    * index ([[Dedup.incrementalNearDup]] — corpus-side tables never
+    * reshaped; probe work scales with the batch). Emits the
+    * contamination stream (doc_id, corpus_id, jac ≥ tau).
+    *
+    * Shape at scale: two keyed windows (canon, content hash — each
+    * one hash shuffle, never global), one extraction projection run
+    * ONCE (localCheckpoint — the qCurateWeb lesson: without it the
+    * regex chain re-evaluates under every downstream branch/pushdown),
+    * narrow gates, then the batch-scale probe joins. */
+  def crawlTriad(pages: DataFrame, corpusShingles: DataFrame,
+                 corpusBands: DataFrame, tau: Double = 0.8,
+                 minQuality: Double = 0.5,
+                 maxDupTokFrac: Double = 0.6): DataFrame = {
+    val canonFirst = pages
+      .withColumn("canon", Url.canonCol(col("url")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("canon").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val extracted = canonFirst
+      .select(col("doc_id"), Html.contentColumn(col("html")).as("text"))
+      .localCheckpoint()
+    val hashFirst = extracted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    // the streaming gate formula, verbatim (EventStreams.curateRowsStage)
+    val stop = typedlit(TextAnalysis.stopwords)
+    val nToks = size(col("toks"))
+    val ttr = size(array_distinct(col("toks"))).cast("double") / nToks
+    val stopRatio = size(filter(col("toks"),
+      t => array_contains(stop, t))).cast("double") / nToks
+    val gated = hashFirst
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("quality", round(least(nToks / 100.0, lit(1.0)) * 0.3
+        + ttr * 0.3 + (lit(1.0) - stopRatio) * 0.4, 6))
+      .withColumn("dup_tok_frac", round(lit(1.0) - ttr, 6))
+      .filter(col("quality") >= minQuality
+        && col("dup_tok_frac") <= maxDupTokFrac)
+      .select(col("doc_id"), col("toks"))
+    Dedup.incrementalNearDup(corpusShingles, corpusBands, gated, tau)
+  }
+
+  /** q_crawl_triad: [[crawlTriad]] over a three-cohort re-crawl of the
+    * documents corpus against its own materialized near-dup index —
+    * every pipeline stage has an observable casualty class:
+    *  - base pages (+1M, doc_id % 5 = 0): survive to the probe and
+    *    hit their corpus originals at jac 1.0 (plus planted dups);
+    *  - URL variants (+2M, doc_id % 10 = 0): the [[Url.renderVariantUrl]]
+    *    re-crawl form — die at the canonical-URL stage (min-id keeps
+    *    the base page);
+    *  - chrome variants (+3M, doc_id % 10 = 5): same content behind
+    *    the [[AltW1]]/[[AltW2]] shell — die at the content-hash stage;
+    *  - low-quality bases die at the gates (no corpus hit emitted).
+    * The oracle rebuilds the identical pipeline in SQL from the same
+    * constants (canon chain, extraction chain, quality formula, md5
+    * MinHash probe). */
+  def qCrawlTriad(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (sh, bandTab) = Dedup.nearDupIndex(spark, dir)
+    val base = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+              Url.renderUrl.as("url"), Html.renderPlainPage.as("html"))
+    val urlVar = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+              Url.renderVariantUrl.as("url"), Html.renderPlainPage.as("html"))
+    val chromeVar = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(lit("https://example-"), col("source"), lit(".com/alt-"),
+                     col("doc_id").cast("string")).as("url"),
+              concat(lit(AltW1), col("text"), lit(AltW2)).as("html"))
+    crawlTriad(base.unionByName(urlVar).unionByName(chromeVar), sh, bandTab)
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed-n-gram bag is under a

@@ -168,15 +168,21 @@ object Url {
     * rendered URL plus (for doc_id % 10 == 0) a variant of the SAME
     * page differing only in tracking params and fragment, which must
     * collapse onto the canonical form. */
+  /** A differently-written URL that canonicalizes to the SAME form as
+    * [[renderUrl]] for the same document — the tracking-param/casing
+    * re-crawl variant (shared by q_dedup_url and q_crawl_triad). */
+  private[graft] def renderVariantUrl: Column =
+    concat(lit(V1), col("source"), lit(V2), col("lang"), lit(V3),
+           col("lang"), lit(V4), col("doc_id").cast("string"),
+           lit(V5), col("doc_id").cast("string"), lit(V6))
+
   def qDedupUrl(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), renderUrl.as("url"))
     val variants = Tables.documents(spark, dir)
       .filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-              concat(lit(V1), col("source"), lit(V2), col("lang"), lit(V3),
-                     col("lang"), lit(V4), col("doc_id").cast("string"),
-                     lit(V5), col("doc_id").cast("string"), lit(V6)).as("url"))
+              renderVariantUrl.as("url"))
     dedupByUrl(base.unionByName(variants))
   }
 

@@ -227,6 +227,10 @@ object ScaleCheck {
                               // shared with q_page_rank / q_ppr)
     "q_cooccur" -> 1.0,       // the materialized pair-count table +
                               // TakeOrderedAndProject
+    "q_crawl_triad" -> 1.0,   // two keyed windows + narrow extract/
+                              // gates + the batch-scale band probe
+                              // (candidates ∝ colliding pairs — linear
+                              // on re-crawl traffic)
   )
 
   def main(args: Array[String]): Unit = {

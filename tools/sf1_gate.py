@@ -48,7 +48,11 @@ BUDGET_MULT = {"q_math_funcs": 4.0, "q_embed_project": 4.0,
                "q_dedup_cluster": 2.0, "q_dedup_keep_best": 2.0,
                "q_entity_resolution": 2.0,
                # 103 s solo at the gate's 6 threads (200M raw dots)
-               "q_sim_cosine_topk": 2.0}
+               "q_sim_cosine_topk": 2.0,
+               # r13: the composed triad runs the full-corpus MinHash
+               # chain PLUS a 20%-corpus probe-side chain (≈2x the
+               # q_dedup_incr_near oracle) — linear, not quadratic
+               "q_crawl_triad": 2.0}
 
 
 def run_oracle(sf, sql, q):
