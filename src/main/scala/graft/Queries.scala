@@ -2828,19 +2828,25 @@ object Queries {
       val quality = "least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
         " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE"
       s"""WITH pg AS (
-         |  SELECT doc_id + 1000000 AS doc_id, ${graft.ops.Url.baseUrlSql} AS url,
-         |         ${graft.ops.Html.plainPageSql} AS html
-         |  FROM documents WHERE doc_id % 5 = 0
+         |  -- url/html render from the ORIGINAL doc_id, the page id
+         |  -- offset applied OUTSIDE (nested like Url.dedupOracleSql,
+         |  -- never relying on lateral-alias precedence)
+         |  SELECT doc_id + 1000000 AS doc_id, url, html FROM (
+         |    SELECT doc_id, ${graft.ops.Url.baseUrlSql} AS url,
+         |           ${graft.ops.Html.plainPageSql} AS html
+         |    FROM documents WHERE doc_id % 5 = 0)
          |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id, ${graft.ops.Url.variantUrlSql} AS url,
-         |         ${graft.ops.Html.plainPageSql} AS html
-         |  FROM documents WHERE doc_id % 10 = 0
+         |  SELECT doc_id + 2000000 AS doc_id, url, html FROM (
+         |    SELECT doc_id, ${graft.ops.Url.variantUrlSql} AS url,
+         |           ${graft.ops.Html.plainPageSql} AS html
+         |    FROM documents WHERE doc_id % 10 = 0)
          |  UNION ALL
-         |  SELECT doc_id + 3000000 AS doc_id,
-         |         'https://example-' || source || '.com/alt-' || doc_id::VARCHAR AS url,
-         |         ${lit0(graft.ops.Curation.AltW1)} || text ||
-         |           ${lit0(graft.ops.Curation.AltW2)} AS html
-         |  FROM documents WHERE doc_id % 10 = 5),
+         |  SELECT doc_id + 3000000 AS doc_id, url, html FROM (
+         |    SELECT doc_id,
+         |      'https://example-' || source || '.com/alt-' || doc_id::VARCHAR AS url,
+         |      ${lit0(graft.ops.Curation.AltW1)} || text ||
+         |        ${lit0(graft.ops.Curation.AltW2)} AS html
+         |    FROM documents WHERE doc_id % 10 = 5)),
          |d0 AS (SELECT doc_id, html, ${graft.ops.Url.defraggedSql} AS d FROM pg),
          |cn AS (SELECT doc_id, html, ${graft.ops.Url.canonSql} AS canon FROM d0),
          |k1 AS (SELECT doc_id, html FROM (

@@ -59,10 +59,7 @@ object Md5Bloom {
     require(capacity <= (Long.MaxValue - 63L) / bpe,
       s"bitsPerElem($bpe) * capacity($capacity) overflows Long")
     val m = ((bpe * capacity + 63L) / 64L) * 64L
-    val k = numHashes(fpp)
-    require(m < Long.MaxValue / k,
-      s"m=$m bits exceeds the double-hashing no-overflow bound " +
-        s"Long.MaxValue/k (k=$k); shard the filter instead")
+    requireNoOverflow(m, numHashes(fpp))
     m
   }
 

@@ -108,7 +108,7 @@ case class MinHashSig(child: Expression, permA: Seq[Long], permB: Seq[Long],
   * n-gram — measured ~750 µs/doc at sf0.1 (3.8 s per materialization,
   * the dominant cost of q_dedup_near).
   *
-  * Two hash modes, chosen by what downstream needs from the VALUES:
+  * Three hash modes, chosen by what downstream needs from the VALUES:
   *
   *   - `prime > 0` (the MinHash pipeline): the low 64 bits of MD5
   *     (little-endian u64 of digest bytes 8..15 — bit-for-bit DuckDB's
@@ -118,7 +118,16 @@ case class MinHashSig(child: Expression, permA: Seq[Long], permB: Seq[Long],
   *     the whole signature→banding→verify pipeline is ORACLE-CHECKABLE
   *     in SQL instead of golden-exempt. ~60 µs/doc (one MD5 per
   *     shingle), paid once per document materialization, not per pair.
-  *   - `prime <= 0` (the exact-Jaccard path): FNV-1a 64 over the full
+  *     The 2^31-1 MinHash universe is FINE there because the oracle
+  *     applies the identical mod — collisions change both sides alike.
+  *   - `prime == 0` (span identity): the RAW md5 low64 — for consumers
+  *     where a hash EQUALITY asserts two spans are the SAME STRING
+  *     (q_span_depth). These must not ride the MinHash mod: at sf1's
+  *     ~10^8 spans the 31-bit universe birthday-collides thousands of
+  *     times (the r13 regression that motivated this mode: 4 223
+  *     spurious cross-doc span flags vs the string-space oracle);
+  *     the full 64-bit space puts an expected collision count ~1e-3.
+  *   - `prime < 0` (the exact-Jaccard path): FNV-1a 64 over the full
   *     64-bit range. Only set SIZES and intersection COUNTS matter
   *     there — any deterministic injective token→hash map preserves
   *     them, which is what backs the DuckDB string-set oracle parity —
@@ -141,12 +150,12 @@ case class ShingleHashes(child: Expression, n: Int, prime: Long)
     val toks = new Array[Array[Byte]](len)
     var i = 0
     while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
-    val md = if (prime > 0) java.security.MessageDigest.getInstance("MD5") else null
+    val md = if (prime >= 0) java.security.MessageDigest.getInstance("MD5") else null
     val sp = Array(' '.toByte)
     val hs = new Array[Long](m)
     i = 0
     while (i < m) {
-      if (prime > 0) {
+      if (prime >= 0) {
         var j = 0
         while (j < n) {
           if (j > 0) md.update(sp)
@@ -157,7 +166,13 @@ case class ShingleHashes(child: Expression, n: Int, prime: Long)
         var h = 0L
         var k = 0
         while (k < 8) { h |= (dig(8 + k) & 0xffL) << (8 * k); k += 1 }
-        hs(i) = java.lang.Long.remainderUnsigned(h, prime)
+        // prime == 0: the RAW md5 low64 (full 64-bit space). The mod
+        // reduction exists for the MinHash universe (2^31-1) where the
+        // ORACLE mirrors it; a consumer that needs collision-free
+        // VALUES (span identity) must not pay the 31-bit birthday
+        // bound — at sf1's ~10^8 spans, mod 2^31-1 collided ~4k times
+        // (the r13 span-depth regression this mode fixes).
+        hs(i) = if (prime == 0) h else java.lang.Long.remainderUnsigned(h, prime)
       } else {
         var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
         var j = 0

@@ -812,19 +812,11 @@ object Curation {
       .withColumn("rn", row_number().over(
         Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
       .filter(col("rn") === 1)
-    // the streaming gate formula, verbatim (EventStreams.curateRowsStage)
-    val stop = typedlit(TextAnalysis.stopwords)
-    val nToks = size(col("toks"))
-    val ttr = size(array_distinct(col("toks"))).cast("double") / nToks
-    val stopRatio = size(filter(col("toks"),
-      t => array_contains(stop, t))).cast("double") / nToks
-    val gated = hashFirst
-      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("quality", round(least(nToks / 100.0, lit(1.0)) * 0.3
-        + ttr * 0.3 + (lit(1.0) - stopRatio) * 0.4, 6))
-      .withColumn("dup_tok_frac", round(lit(1.0) - ttr, 6))
-      .filter(col("quality") >= minQuality
-        && col("dup_tok_frac") <= maxDupTokFrac)
+    // the SHARED stream/batch gate (TextAnalysis.qualityGate — the
+    // streaming pipeline calls the same definition)
+    val gated = TextAnalysis.qualityGate(
+        hashFirst.withColumn("toks", split(lower(trim(col("text"))), "\\s+")),
+        minQuality, maxDupTokFrac)
       .select(col("doc_id"), col("toks"))
     Dedup.incrementalNearDup(corpusShingles, corpusBands, gated, tau)
   }

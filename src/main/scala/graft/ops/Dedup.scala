@@ -694,14 +694,15 @@ object Dedup {
     * Scale shape: one span-hash groupBy per width (5 narrow shuffles,
     * each the [[sharedSpans]] m-rows-not-m²-pairs discipline);
     * cross-doc means DISTINCT-doc count ≥ 2 per span value, so a
-    * within-doc repeat never flags. Span hashes use the md5-low64 mod
-    * 2^61-1 mode (r13, advisor): unlike the Jaccard-COUNT uses of
+    * within-doc repeat never flags. Span hashes use the RAW md5-low64
+    * mode (prime = 0; r13, advisor): unlike the Jaccard-COUNT uses of
     * shingle hashes, a cross-doc collision here between two DIFFERENT
     * spans changes the answer (a spurious depth flag), not just the
-    * representation — so the hash gets cryptographic collision
-    * resistance, the same standard the simhash/minhash pipelines
-    * already hold. The string-space oracle doubles as the collision
-    * check: any collision would surface as a hash mismatch. */
+    * representation — so the hash needs BOTH cryptographic collision
+    * resistance AND the full 64-bit range. The first r13 attempt used
+    * the MinHash mod-2^31-1 mode and the sf1 gate caught 4 223
+    * birthday collisions over ~10^8 spans — the string-space oracle
+    * doubling as the collision check, exactly as designed. */
   def spanDepthProfile(docToks: DataFrame,
                        widths: Seq[Int] = Seq(64, 32, 16, 8, 4)): DataFrame = {
     require(widths.nonEmpty && widths.forall(_ >= 1))
@@ -714,7 +715,7 @@ object Dedup {
       // shingleHashes emits per-doc DISTINCT hashes, so count(*) per
       // span value counts DOCS — cross-doc iff >= 2
       val sp = base.select(col("doc_id"),
-        explode(SetFunctions.shingleHashes(col("toks"), w, MersennePrime)).as("h"))
+        explode(SetFunctions.shingleHashes(col("toks"), w, 0L)).as("h"))
       val dup = sp.groupBy("h").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2)
       sp.join(dup, "h").select(col("doc_id")).distinct()

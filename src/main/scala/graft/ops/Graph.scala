@@ -259,12 +259,8 @@ object Graph {
     * strings/longs — the parquet round trip is exact, so the oracles
     * are untouched. */
   private val pageEdgePaths =
-    new IndexCache[String]("documents", { (s, d) =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_page_edges").toString + "/edges.parquet"
-      buildPageEdges(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
+    IndexCache.materializedParquet("documents", "graft_page_edges")(
+      buildPageEdges)
   private[graft] def pageEdges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(pageEdgePaths.get(spark, dir))
   private[graft] def pageEdgeEntryCount: Int = pageEdgePaths.entryCount
@@ -542,12 +538,8 @@ object Graph {
     * q_modularity / q_graph_reciprocity / q_assortativity. String
     * columns only — parquet round trip exact, oracles untouched. */
   private val domainEdgePaths =
-    new IndexCache[String]("documents", { (s, d) =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_domain_edges").toString + "/edges.parquet"
-      buildDomainEdges(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
+    IndexCache.materializedParquet("documents", "graft_domain_edges")(
+      buildDomainEdges)
   private[graft] def domainEdges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(domainEdgePaths.get(spark, dir))
   private[graft] def domainEdgeEntryCount: Int = domainEdgePaths.entryCount

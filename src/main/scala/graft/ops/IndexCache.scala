@@ -33,6 +33,22 @@ private[graft] final class IndexCache[V](table: String,
 }
 
 private[graft] object IndexCache {
+  /** Content-keyed MATERIALIZED parquet table: the build runs once per
+    * corpus fingerprint, lands in a fresh temp dir, and consumers read
+    * it back as a plain parquet scan — the shared shape behind the ANN
+    * posting / page-edge / domain-edge / cooc-pair tables (r13 review:
+    * the builder was copy-pasted four times). Returns the cache of
+    * PATHS; pair with a `spark.read.parquet(cache.get(...))` accessor. */
+  private[graft] def materializedParquet(table: String, prefix: String)
+      (build: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : IndexCache[String] =
+    new IndexCache[String](table, { (s, d) =>
+      val p = java.nio.file.Files
+        .createTempDirectory(prefix).toString + "/data.parquet"
+      build(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** Cheap content fingerprint of a file or directory tree. */
   private[graft] def fingerprint(spark: SparkSession, path: String): String = {
     import org.apache.hadoop.fs.{FileStatus, Path}

@@ -720,9 +720,14 @@ object Multimodal {
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(1.0f)
-    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(out)
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
     wr.dispose()
+    // the cache stream only guarantees the tail bytes reach `bos` on
+    // close (dispose() does not flush it) — without this a JDK whose
+    // writer defers I/O would emit truncated JPEGs
+    out.close()
     bos.toByteArray
   }
 

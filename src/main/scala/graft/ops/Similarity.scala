@@ -199,10 +199,17 @@ object Similarity {
     * sizing. `knownN ≥ 0` skips the count (registered queries pass the
     * memoized [[corpusSize]]). */
   private def sizeAndDim(embeddings: DataFrame, knownN: Long): (Long, Int) = {
-    val n = if (knownN >= 0) knownN else embeddings.count()
+    val n = sizeOnly(embeddings, knownN)
     val head = embeddings.select(size(col("embedding")).as("d")).limit(1).collect()
     (n, if (head.isEmpty) 0 else head(0).getInt(0))
   }
+
+  /** Corpus size only — for grid-block sizing that needs no
+    * dimensionality (r13 review: the dim probe is a one-row Spark job
+    * that size-only callers were paying just to discard; with a known
+    * size it costs no job at all). */
+  private def sizeOnly(embeddings: DataFrame, knownN: Long): Long =
+    if (knownN >= 0) knownN else embeddings.count()
 
   private def emptyPairs(u: DataFrame): DataFrame =
     u.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
@@ -250,7 +257,7 @@ object Similarity {
     * (same grid-blocked shape, every pair reaches the sort). Use it to
     * audit the certified path; results are identical by construction. */
   def cosineTopKExhaustive(embeddings: DataFrame, n: Int = 100): DataFrame = {
-    val (sz, _) = sizeAndDim(embeddings, -1L)
+    val sz = sizeOnly(embeddings, -1L)
     val u = normalizeEmbeddings(embeddings)
     (if (sz == 0) emptyPairs(u)
      else gridScoredPairs(u.withColumn("tau", lit(-2.0)), gridBlocks(sz), 0.0))
@@ -345,7 +352,7 @@ object Similarity {
     * shape, every pair reaches the bounded top-k buffers). Results are
     * identical by construction. */
   def knnExhaustive(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val (sz, _) = sizeAndDim(embeddings, -1L)
+    val sz = sizeOnly(embeddings, -1L)
     val u = normalizeEmbeddings(embeddings)
     val pairs = if (sz == 0) emptyPairs(u)
       else gridScoredPairs(u.withColumn("tau", lit(-2.0)), gridBlocks(sz), 0.0)
@@ -443,7 +450,7 @@ object Similarity {
   private[graft] def semanticMatchesSized(corpus: DataFrame, probes: DataFrame,
                                           minCos: Double,
                                           knownN: Long): DataFrame = {
-    val (sz, _) = sizeAndDim(corpus, knownN)
+    val sz = sizeOnly(corpus, knownN)
     val c = normalizeEmbeddings(corpus)
     val p = normalizeEmbeddings(probes)
     gridBipartitePairs(c, p, gridBlocks(sz), minCos, RoundMargin)
@@ -532,7 +539,7 @@ object Similarity {
     * stage; only qualifying pairs (a tiny stream on any real corpus)
     * reach the sort. */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double = 0.4): DataFrame = {
-    val (sz, _) = sizeAndDim(embeddings, -1L)
+    val sz = sizeOnly(embeddings, -1L)
     val u = normalizeEmbeddings(embeddings)
     // the GIVEN threshold is the in-stage τ (margin covers the 6-dp
     // presentation rounding; the exact rounded filter re-applies it)
@@ -683,12 +690,8 @@ object Similarity {
     * (bucketed by (tbl, bucket) at rest); here it is a temp parquet
     * dir keyed by corpus. */
   private val indexPaths =
-    new IndexCache[String]("embeddings", { (s, d) =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ann_index").toString + "/postings.parquet"
-      buildAnnIndex(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
+    IndexCache.materializedParquet("embeddings", "graft_ann_index")(
+      buildAnnIndex)
   private[graft] def annPostings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(indexPaths.get(spark, dir))
   private[graft] def annIndexPath(spark: SparkSession, dir: String): String =

@@ -124,6 +124,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The quality GATE shared by the streaming and batch crawl
+    * pipelines ([[graft.streaming.EventStreams]] curateRowsStage /
+    * [[Curation.crawlTriad]]): expects a `toks` column, appends
+    * n_toks / quality (the composite, rounded) / dup_tok_frac and
+    * keeps the passers. ONE definition (r13 review) so the
+    * stream ≡ batch parity the specs pin cannot drift through a
+    * formula edit applied to one copy. */
+  private[graft] def qualityGate(withToks: DataFrame, minQuality: Double,
+                                 maxDupTokFrac: Double): DataFrame = {
+    val stop = typedlit(stopwords)
+    val nToks = size(col("toks"))
+    val ttr = size(array_distinct(col("toks"))).cast("double") / nToks
+    val stopRatio =
+      size(filter(col("toks"), t => array_contains(stop, t))).cast("double") / nToks
+    withToks
+      .withColumn("n_toks", nToks)
+      .withColumn("quality", round(least(nToks / 100.0, lit(1.0)) * 0.3
+        + ttr * 0.3 + (lit(1.0) - stopRatio) * 0.4, 6))
+      .withColumn("dup_tok_frac", round(lit(1.0) - ttr, 6))
+      .filter(col("quality") >= minQuality
+        && col("dup_tok_frac") <= maxDupTokFrac)
+  }
+
   /** [[qQualityScore]]'s engine over any (doc_id, toks) DataFrame —
     * the library entry point ([[graft.Graft.qualityScore]]). */
   def qualityScore(docToks: DataFrame): DataFrame =
@@ -650,12 +673,8 @@ object TextAnalysis {
     * Strings + longs only: parquet round trip exact, oracles
     * untouched. */
   private val coocPairPaths =
-    new IndexCache[String]("documents", { (s, d) =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_cooc_pairs").toString + "/pairs.parquet"
-      cooccurPairCounts(Tables.docTokens(s, d)).write.mode("overwrite").parquet(p)
-      p
-    })
+    IndexCache.materializedParquet("documents", "graft_cooc_pairs")(
+      (s, d) => cooccurPairCounts(Tables.docTokens(s, d)))
   private[graft] def coocPairs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(coocPairPaths.get(spark, dir))
   private[graft] def coocPairEntryCount: Int = coocPairPaths.entryCount

@@ -148,24 +148,15 @@ object EventStreams {
                     minQuality, maxDupTokFrac)
 
   /** [[curateStreamRows]] minus the watermark (see
-    * [[contentDedupStage]]). */
+    * [[contentDedupStage]]). The gate itself is the SHARED
+    * [[graft.ops.TextAnalysis.qualityGate]] — one definition for the
+    * stream and the batch triad, so parity cannot drift. */
   private def curateRowsStage(docs: DataFrame, minQuality: Double,
-                              maxDupTokFrac: Double): DataFrame = {
-    val stop = typedlit(graft.ops.TextAnalysis.stopwords)
-    val nToks = size(col("toks"))
-    val ttr = size(array_distinct(col("toks"))).cast("double") / nToks
-    val stopRatio =
-      size(filter(col("toks"), t => array_contains(stop, t))).cast("double") / nToks
-    contentDedupStage(docs)
-      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .withColumn("n_toks", nToks)
-      // the batch quality composite, verbatim (TextAnalysis.qualityScore)
-      .withColumn("quality", round(least(nToks / 100.0, lit(1.0)) * 0.3
-        + ttr * 0.3 + (lit(1.0) - stopRatio) * 0.4, 6))
-      .withColumn("dup_tok_frac", round(lit(1.0) - ttr, 6))
-      .filter(col("quality") >= minQuality
-        && col("dup_tok_frac") <= maxDupTokFrac)
-  }
+                              maxDupTokFrac: Double): DataFrame =
+    graft.ops.TextAnalysis.qualityGate(
+      contentDedupStage(docs)
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+")),
+      minQuality, maxDupTokFrac)
 
   /** [[curateStream]] fed from RAW HTML pages (doc_id, html, ts) —
     * the full incremental crawl pipeline: markup strip
