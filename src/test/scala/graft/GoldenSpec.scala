@@ -120,6 +120,40 @@ class GoldenSpec extends AnyFunSuite {
     assert(e == u)
   }
 
+  test("ShingleHashes: the three hash modes keep their contracts (raw md5 / mod prime / FNV)") {
+    // r13: the span-depth sf1 regression came from putting an
+    // IDENTITY consumer on the MinHash 2^31-1 universe — pin the mode
+    // semantics so the next consumer picks by contract, not by copy:
+    //  prime>0 ≡ (prime=0 raw md5 low64) mod prime, and FNV is a
+    //  different (full-64-bit, non-md5) family
+    import graft.functions.SetFunctions
+    import graft.ops.Dedup
+    SetFunctions.register(spark, Dedup.permA, Dedup.permB, Dedup.MersennePrime)
+    val toks = Seq((1L, Seq("alpha", "beta", "gamma", "delta", "eps")))
+      .toDF("doc_id", "toks")
+    def mode(p: Long): Seq[Long] = toks
+      .select(explode(SetFunctions.shingleHashes(col("toks"), 3, p)).as("h"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val raw = mode(0L)
+    val modded = mode(Dedup.MersennePrime)
+    val fnv = mode(-1L)
+    assert(raw.size == 3 && modded.size == 3 && fnv.size == 3)
+    assert(raw.map(h => java.lang.Long.remainderUnsigned(h, Dedup.MersennePrime))
+      .sorted == modded)
+    // raw values live in the full 64-bit space (this fixture's md5
+    // low64s are far above the 2^31-1 universe — the property the
+    // span-identity consumer depends on)
+    assert(raw.exists(h => h < 0 || h > Dedup.MersennePrime))
+    assert(fnv != raw, "FNV and md5 must be distinct families")
+    // and the raw mode matches an independent MessageDigest of the
+    // joined shingle string
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma".getBytes("UTF-8"))
+    var h = 0L
+    (0 until 8).foreach(k => h |= (dig(8 + k) & 0xffL) << (8 * k))
+    assert(raw.contains(h))
+  }
+
   test("TopKPairs native aggregate == typed TopKAggregator UDAF") {
     import graft.functions.{TopKAggregator, TopKFunctions}
     TopKFunctions.register(spark)
