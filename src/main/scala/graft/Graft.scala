@@ -578,6 +578,24 @@ object Graft {
     streaming.EventStreams.crawlTriadStream(
       pages, corpusShingles, corpusBands, tau, watermark)
 
+  /** The BATCH crawl triad over (doc_id, url, html) pages: canon
+    * dedup → extraction → content dedup → quality gates → near-dup
+    * probe vs a materialized corpus band index; emits the
+    * contamination stream (doc_id, corpus_id, jac ≥ tau). The
+    * streaming twin is [[crawlTriadStream]] — same stages, same
+    * shared gate definition. */
+  def crawlTriad(pages: DataFrame, corpusShingles: DataFrame,
+                 corpusBands: DataFrame, tau: Double = 0.8): DataFrame =
+    Curation.crawlTriad(pages, corpusShingles, corpusBands, tau)
+
+  /** The training-assembly composition over (doc_id, text) documents:
+    * exact dedup keepers → quality gate → deterministic md5 shuffle
+    * dealt to `shards` → per-shard `budget`-token chunk packing —
+    * (doc_id, shard, pos_in_shard, chunk, n_toks, quality). */
+  def trainingPipeline(docs: DataFrame, shards: Int = 8,
+                       budget: Long = 2048): DataFrame =
+    Curation.trainingPipeline(docs, shards, budget)
+
   /** Exact-screen decontamination's sub-quadratic sibling over the
     * materialized ANN posting index (recall < 1 — the registered
     * exact path is [[semanticMatches]]): corpus rows matching

@@ -2778,6 +2778,7 @@ object Queries {
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_curate_web"        -> (Curation.qCurateWeb _),
     "q_crawl_triad"       -> (Curation.qCrawlTriad _),
+    "q_training_pipeline" -> (Curation.qTrainingPipeline _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
     "q_split_assign"      -> (Curation.qSplitAssign _),
     "q_shuffle_shard"     -> (Curation.qShuffleShard _),
@@ -3113,6 +3114,42 @@ object Queries {
     // r12: the md5 permutation key is engine-independent, so the whole
     // training-order shuffle + round-robin shard deal is checked
     // row-for-row
+    // r13: the training-assembly composition — dedup keepers, the
+    // shared quality gate, the md5 shuffle-shard rank, and per-shard
+    // token packing, each fragment the SAME constants its standalone
+    // query mirrors (q_dedup_exact / q_quality_score / q_shuffle_shard
+    // / q_pack_chunks)
+    "q_training_pipeline" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      val quality = "least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+        " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE"
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+         |           GROUP BY md5(text)),
+         |t AS (SELECT doc_id, $TOKS AS toks
+         |      FROM documents JOIN k USING (doc_id)),
+         |qg AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, tk -> list_contains($stop, tk)))::DOUBLE
+         |    / len(toks) AS stop_ratio
+         |  FROM t),
+         |g AS (SELECT doc_id, n_toks, q AS quality FROM (
+         |  SELECT doc_id, n_toks, ${rnd(quality, 6)} AS q,
+         |         ${rnd("1.0::DOUBLE - ttr", 6)} AS df FROM qg) z
+         |  WHERE q >= 0.5 AND df <= 0.6),
+         |p AS (SELECT doc_id, n_toks, quality,
+         |  row_number() OVER (ORDER BY md5('r12:' || doc_id::VARCHAR), doc_id)
+         |    - 1 AS pos FROM g),
+         |s AS (SELECT doc_id, n_toks, quality,
+         |  (pos % 8)::INT AS shard, (pos // 8) AS pos_in_shard FROM p),
+         |c AS (SELECT *, coalesce(sum(n_toks) OVER (
+         |    PARTITION BY shard ORDER BY pos_in_shard
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS tok_offset FROM s)
+         |SELECT doc_id, shard, pos_in_shard,
+         |  (tok_offset // 2048)::BIGINT AS chunk, n_toks, quality
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "q_shuffle_shard" ->
       """WITH r AS (SELECT doc_id,
         |    md5('r12:' || doc_id::VARCHAR) AS skey FROM documents),

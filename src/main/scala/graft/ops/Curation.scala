@@ -852,6 +852,68 @@ object Curation {
     crawlTriad(base.unionByName(urlVar).unionByName(chromeVar), sh, bandTab)
   }
 
+  /** The training-assembly composition (r13) — the batch pipeline
+    * between "raw corpus" and "what the trainer reads", end to end:
+    * exact dedup (content-hash keepers) → the SHARED quality gate
+    * ([[TextAnalysis.qualityGate]] — the same definition the crawl
+    * triad and the curation stream run) → deterministic md5 global
+    * shuffle dealt round-robin to `shards` ([[shuffleShards]]) → each
+    * shard's documents packed into `budget`-token training chunks in
+    * shuffle order. Emits one row per surviving document:
+    * (doc_id, shard, pos_in_shard, chunk, n_toks, quality).
+    *
+    * Scale shape: one hash-dedup shuffle, narrow gates, the
+    * shuffle-shard segmented rank (global range sort + zipWithIndex —
+    * never a single-partition window), and a BANDED two-level prefix
+    * sum for the per-shard token offsets (the [[packChunks]]
+    * discipline: in-band windows run at (shard, band) granularity;
+    * only band TOTALS ride the per-shard offset window — n/bandSpan
+    * rows, not n). */
+  def trainingPipeline(docs: DataFrame, shards: Int = 8,
+                       budget: Long = 2048, minQuality: Double = 0.5,
+                       maxDupTokFrac: Double = 0.6, salt: String = "r12",
+                       bandSpan: Long = 1000): DataFrame = {
+    require(shards >= 1 && budget >= 1 && bandSpan >= 1,
+      s"bad trainingPipeline params: shards=$shards budget=$budget band=$bandSpan")
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val gated = TextAnalysis.qualityGate(
+        docs.join(keepers, "doc_id")
+          .select(col("doc_id"),
+                  split(lower(trim(col("text"))), "\\s+").as("toks")),
+        minQuality, maxDupTokFrac)
+      .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+              col("quality"))
+    val placed = gated.join(
+      shuffleShards(gated, salt, shards)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard")),
+      "doc_id")
+    val banded = placed.withColumn("band", expr(s"pos_in_shard div $bandSpan"))
+    val wIn = Window.partitionBy("shard", "band").orderBy("pos_in_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = banded.withColumn("cum_in",
+      coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+    val bandTotals = banded.groupBy("shard", "band")
+      .agg(sum(col("n_toks")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.partitionBy("shard").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "band", "boff")
+    within.join(broadcast(bandTotals), Seq("shard", "band"))
+      .withColumn("tok_offset", col("boff") + col("cum_in"))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+              expr(s"tok_offset div ${budget}L").as("chunk"),
+              col("n_toks"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q_training_pipeline: [[trainingPipeline]] (8 shards, 2048-token
+    * chunks) over the documents corpus. */
+  def qTrainingPipeline(spark: SparkSession, dir: String): DataFrame =
+    trainingPipeline(Tables.documents(spark, dir))
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed-n-gram bag is under a

@@ -231,6 +231,9 @@ object ScaleCheck {
                               // gates + the batch-scale band probe
                               // (candidates ∝ colliding pairs — linear
                               // on re-crawl traffic)
+    "q_training_pipeline" -> 1.0, // hash-dedup shuffle + narrow gates +
+                              // segmented-rank shuffle + banded
+                              // per-shard prefix sums
   )
 
   def main(args: Array[String]): Unit = {
