@@ -1666,6 +1666,7 @@ object Queries {
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
     "q_image_resize"        -> (Multimodal.qImageResize _),
     "q_frame_sample"        -> (Multimodal.qFrameSample _),
+    "q_audio_stats"         -> (Multimodal.qAudioStats _),
     "q_sql_q1"              -> (Sql.qSqlQ1 _),
     "q_sql_q3"              -> (Sql.qSqlQ3 _),
     "q_sql_q5"              -> (Sql.qSqlQ5 _),
@@ -3013,6 +3014,22 @@ object Queries {
     // for all 256 grays, MultimodalSpec), so the oracle regenerates
     // the sampled (frame_idx, luma) grid from doc_id in pure SQL —
     // same analytic-fixture discipline as q_image_resize above
+    // r13: audio joins image/video on the oracle-exact side, and
+    // raises the bar — PCM is integer end to end, so the compare is
+    // exact by construction (no FP, no rounding discipline)
+    "q_audio_stats" ->
+      """WITH f AS (SELECT doc_id, (200 + doc_id % 100) AS n FROM documents),
+        |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM f),
+        |s AS (SELECT doc_id, n, i,
+        |        ((doc_id * 131 + i * 17) % 65536) - 32768 AS v FROM i),
+        |w AS (SELECT doc_id, n, i, v,
+        |        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        |SELECT doc_id, max(n)::INT AS n_samples, 8000 AS sample_rate,
+        |  min(v)::INT AS min_s, max(v)::INT AS max_s,
+        |  sum(v)::BIGINT AS sum_s, sum(abs(v))::BIGINT AS sum_abs,
+        |  sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)::INT
+        |    AS n_sign_flips
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       s"""WITH f AS (SELECT doc_id, (4 + doc_id % 5) AS n_frames
          |           FROM documents),

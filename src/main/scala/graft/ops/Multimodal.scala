@@ -814,6 +814,135 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  // ------------------------------------------------------------------
+  // q_audio_stats (r13): audio joins image (q_image_resize) and video
+  // (q_frame_sample) on the ORACLE-EXACT side of the multimodal
+  // family — and raises the bar: 16-bit PCM is integer end to end, so
+  // the whole row is INTEGER-exact, no FP anywhere.
+  // ------------------------------------------------------------------
+
+  /** Integer amplitude statistics of one decoded PCM stream. Raw i16
+    * sample space throughout — n, min, max, sum, sum|s|, sign flips
+    * are all integers, so the oracle compare is exact by construction
+    * (no rounding discipline needed at all). */
+  case class AudioStats(doc_id: Long, n_samples: Int, sample_rate: Int,
+                        min_s: Int, max_s: Int, sum_s: Long, sum_abs: Long,
+                        n_sign_flips: Int)
+
+  /** The RIFF/WAVE walk of [[wavPcmFeatures]] factored to raw
+    * samples: (sampleRate, interleaved i16 samples) for 16-bit PCM;
+    * None for anything else (compressed audio stays behind the
+    * documented stub). */
+  private[graft] def pcmSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    def tag(off: Int) = new String(bytes.slice(off, off + 4), "US-ASCII")
+    def u16(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = u32(off + 4)
+      tag(off) match {
+        case "fmt " => fmtOff = off
+        case "data" => dataOff = off + 8; dataLen = sz
+        case _ => ()
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    val audioFormat = u16(fmtOff + 8)
+    val channels = u16(fmtOff + 10)
+    val rate = u32(fmtOff + 12).toInt
+    val bits = u16(fmtOff + 22)
+    if (audioFormat != 1 || bits != 16 || channels < 1 || rate <= 0) return None
+    val n = math.min(dataLen, (bytes.length - dataOff).toLong).toInt / 2
+    if (n <= 0) return None
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+                (bytes(dataOff + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Some((rate, out))
+  }
+
+  /** Deterministic 16-bit PCM mono WAV fixture: 200 + doc_id % 100
+    * samples with s_i = ((doc_id·131 + i·17) mod 65536) − 32768 — the
+    * full i16 range, SQL-regenerable from doc_id with pure integer
+    * arithmetic. A real RIFF container: every byte passes through the
+    * real chunk walk and i16 little-endian decode. */
+  private[graft] def pcmWavFixture(docId: Long, rate: Int = 8000): Array[Byte] = {
+    val n = (200 + java.lang.Math.floorMod(docId, 100L)).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(rate).putInt(rate * 2) // byte rate
+    bb.putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((java.lang.Math.floorMod(docId * 131 + i * 17L, 65536L)
+        - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Batched per-partition PCM statistics — the audio member of the
+    * multimodal quartet's decode path, same Spark plumbing as
+    * [[thumbnails]]/[[sampleFrames]] (typed Dataset in/out, no
+    * shuffle; decode is embarrassingly parallel). Undecodable bytes
+    * yield no row (the honest-empty contract of the sampler). */
+  def audioStats(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          pcmSamples(row.media).map { case (rate, s) =>
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var sum = 0L; var sumAbs = 0L; var flips = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toInt
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v; sumAbs += math.abs(v).toLong
+              if (i > 0 && v.toLong * s(i - 1) < 0) flips += 1
+              i += 1
+            }
+            AudioStats(row.doc_id, s.length, rate, mn, mx, sum, sumAbs, flips)
+          }
+        }
+      }
+    }
+  }
+
+  /** q_audio_stats: the REAL encode→contain→decode round trip for
+    * audio — deterministic PCM WAV fixtures ([[pcmWavFixture]]) are
+    * built per doc on the executors, walked and decoded through the
+    * real RIFF/i16 path ([[pcmSamples]]), and reduced to INTEGER
+    * amplitude statistics. PCM is uncompressed and the pattern
+    * analytic, so the oracle regenerates the identical integers from
+    * doc_id in pure SQL — no rounding discipline needed anywhere. */
+  def qAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wavUdf = udf((id: Long) => pcmWavFixture(id))
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), wavUdf(col("doc_id")).as("media"),
+              lit("audio/wav").as("mime"))
+      .as[MediaRow]
+    audioStats(media).toDF().orderBy("doc_id")
+  }
+
   /** q_frame_sample: the REAL encode→contain→slice→sample→decode
     * round trip — deterministic solid-gray MJPEG-in-MP4 fixtures
     * ([[mjpegFixture]]) are built per doc on the executors, every 3rd

@@ -234,6 +234,8 @@ object ScaleCheck {
     "q_training_pipeline" -> 1.0, // hash-dedup shuffle + narrow gates +
                               // segmented-rank shuffle + banded
                               // per-shard prefix sums
+    "q_audio_stats" -> 1.0,   // per-doc PCM encode/decode, no shuffle
+                              // before the output sort
   )
 
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,43 @@ class FrameSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("audioStats: real RIFF walk + i16 decode reproduces the analytic integers exactly") {
+    // the r13 audio row is INTEGER end to end — assert the full decode
+    // path (not the SQL mirror) against an independent recomputation
+    Seq(0L, 1L, 99L, 12345L).foreach { id =>
+      val bytes = Multimodal.pcmWavFixture(id)
+      val (rate, s) = Multimodal.pcmSamples(bytes)
+        .getOrElse(fail(s"doc $id failed to decode"))
+      assert(rate == 8000)
+      val n = (200 + id % 100).toInt
+      assert(s.length == n, s"doc $id")
+      (0 until n).foreach { i =>
+        val expect = (java.lang.Math.floorMod(id * 131 + i * 17L, 65536L)
+          - 32768L).toShort
+        assert(s(i) == expect, s"doc $id sample $i")
+      }
+    }
+    val media = Seq(Multimodal.MediaRow(7L, Multimodal.pcmWavFixture(7L),
+      "audio/wav")).toDS()
+    val st = Multimodal.audioStats(media).collect().head
+    val samples = Multimodal.pcmSamples(Multimodal.pcmWavFixture(7L)).get._2
+    assert(st.n_samples == samples.length)
+    assert(st.min_s == samples.map(_.toInt).min)
+    assert(st.max_s == samples.map(_.toInt).max)
+    assert(st.sum_s == samples.map(_.toLong).sum)
+    assert(st.sum_abs == samples.map(v => math.abs(v.toLong)).sum)
+    assert(st.n_sign_flips == samples.sliding(2)
+      .count(p => p(0).toLong * p(1) < 0))
+  }
+
+  test("audioStats: non-PCM / malformed bytes yield no rows, not failures") {
+    val junk = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "audio/wav"),
+      Multimodal.MediaRow(2L, "RIFFxxxxWAVE".getBytes("US-ASCII"), "audio/wav"))
+      .toDS()
+    assert(Multimodal.audioStats(junk).count() == 0)
+  }
+
   test("malformed containers yield empty samples, not failures") {
     val junk = Seq(
       Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "video/mp4"),
