@@ -70,13 +70,53 @@ object Multimodal {
         ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
     if (bytes.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") None
     else {
-      var off = 12
-      while (off + 8 <= bytes.length && tag(off) != "fmt ")
-        off += 8 + u32le(off + 4) + (u32le(off + 4) & 1) // chunks are word-aligned
-      if (off + 12 <= bytes.length && tag(off) == "fmt ")
-        Some((u16le(off + 10), u32le(off + 12)))  // (channels, sampleRate)
+      // Chunk sizes are UNSIGNED u32 — walk with a Long cursor so a
+      // hostile size (e.g. 0xFFFFFFF8) runs off the end and exits the
+      // loop instead of wrapping to a non-advancing Int step.
+      def szU(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      var off = 12L
+      while (off + 8 <= bytes.length && tag(off.toInt) != "fmt ") {
+        val sz = szU(off.toInt + 4)
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      if (off + 16 <= bytes.length && tag(off.toInt) == "fmt ")
+        Some((u16le(off.toInt + 10), u32le(off.toInt + 12))) // (channels, sampleRate)
       else None
     }
+  }
+
+  /** Safe RIFF chunk walk shared by the PCM decoders: locates the
+    * "fmt " and "data" chunks treating every u32 chunk size as an
+    * unsigned Long. The cursor advances by >= 8 per chunk and lives
+    * in Long space, so a hostile size field (0xFFFFFFF8 and friends)
+    * runs past the buffer and exits — never an infinite loop, never
+    * an index exception ("malformed bytes yield no rows, not
+    * failures", the audioStats contract). Also bounds the fmt-chunk
+    * field reads (fmtOff + 24 <= length). Returns
+    * (fmtOff, dataOff, dataLen) or None. */
+  private[graft] def riffWalk(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    def tag(off: Int) = new String(bytes.slice(off, off + 4), "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12L
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = u32(off.toInt + 4)
+      tag(off.toInt) match {
+        case "fmt " => fmtOff = off.toInt
+        case "data" => dataOff = off.toInt + 8; dataLen = sz
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0 || fmtOff + 24 > bytes.length) None
+    else Some((fmtOff, dataOff, dataLen))
   }
 
   /** REAL sample decode for 16-bit PCM WAV — PCM is uncompressed, so
@@ -87,26 +127,14 @@ object Multimodal {
     * Returns None for non-PCM / non-16-bit / missing-data-chunk bytes
     * (the hash stub covers those). */
   private[graft] def wavPcmFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
-    def tag(off: Int) = new String(bytes.slice(off, off + 4), "US-ASCII")
     def u16(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def u32(off: Int): Long =
       ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
-    var fmtOff = -1
-    var dataOff = -1
-    var dataLen = 0L
-    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
-      val sz = u32(off + 4)
-      tag(off) match {
-        case "fmt " => fmtOff = off
-        case "data" => dataOff = off + 8; dataLen = sz
-        case _ => ()
-      }
-      off += 8 + sz.toInt + (sz.toInt & 1)
+    val (fmtOff, dataOff, dataLen) = riffWalk(bytes) match {
+      case Some(t) => t
+      case None => return None
     }
-    if (fmtOff < 0 || dataOff < 0) return None
     val audioFormat = u16(fmtOff + 8)
     val channels = u16(fmtOff + 10)
     val rate = u32(fmtOff + 12)
@@ -376,9 +404,12 @@ object Multimodal {
     * sampling, which must be able to SKIP frames without paying their
     * decode). Walks the top-level boxes (largesize-aware, same
     * contract as [[mp4Meta]]; requires a leading `ftyp`), then slices
-    * frames on their SOI/EOI markers — safe framing because JPEG
-    * byte-stuffs FF in entropy data as FF 00, so FF D9 only occurs as
-    * a true end-of-image. Empty on any malformed container. */
+    * frames starting at each SOI via the marker-segment walk of
+    * [[jpegEndOffset]] — byte stuffing (FF 00) protects only
+    * entropy-coded data, so APPn/COM payloads (e.g. EXIF thumbnails
+    * with their own EOI) must be length-skipped, not scanned. Falls
+    * back to a raw FF D9 scan per frame only when the header doesn't
+    * parse. Empty on any malformed container. */
   private[graft] def jpegFrameRanges(bytes: Array[Byte]): Seq[(Int, Int)] = {
     def u32(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
@@ -407,11 +438,19 @@ object Multimodal {
       while (i + 3 <= e) {
         if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
             bytes(i + 2) == 0xFF.toByte) {
-          var j = i + 2; var end = -1
-          while (end < 0 && j + 2 <= e) {
-            if (bytes(j) == 0xFF.toByte && bytes(j + 1) == 0xD9.toByte)
-              end = j + 2
-            j += 1
+          // Marker-segment walk first: byte stuffing protects only
+          // entropy-coded data, so an EXIF APP1 payload may embed a
+          // thumbnail JPEG with its own FF D9 — a raw EOI scan would
+          // slice the frame short. Fall back to the raw scan only
+          // when the segment walk can't parse the header.
+          var end = jpegEndOffset(bytes, i, e)
+          if (end < 0) {
+            var j = i + 2
+            while (end < 0 && j + 2 <= e) {
+              if (bytes(j) == 0xFF.toByte && bytes(j + 1) == 0xD9.toByte)
+                end = j + 2
+              j += 1
+            }
           }
           if (end > 0) { frames += ((i, end)); i = end }
           else i = e
@@ -419,6 +458,52 @@ object Multimodal {
       }
     }
     frames.toSeq
+  }
+
+  /** End offset (exclusive) of the JPEG starting at `start` (which
+    * points at FF D8), found by walking marker segments with their
+    * 2-byte big-endian length fields — APPn/COM payloads (EXIF
+    * thumbnails included) are skipped wholesale, so an embedded EOI
+    * can't end the frame early. Entropy-coded data after an SOS is
+    * scanned byte-wise, honoring FF 00 stuffing and FF D0-D7 restart
+    * markers; any other marker returns to the segment walk (covers
+    * progressive multi-scan streams). Returns -1 when the structure
+    * doesn't parse within `limit` (callers fall back to a raw EOI
+    * scan). */
+  private[graft] def jpegEndOffset(bytes: Array[Byte], start: Int,
+                                   limit: Int): Int = {
+    var p = start + 2
+    var inEntropy = false
+    while (p < limit) {
+      if (!inEntropy) {
+        if (bytes(p) != 0xFF.toByte) return -1
+        // fill bytes: any run of FF before the marker id
+        while (p + 1 < limit && bytes(p + 1) == 0xFF.toByte) p += 1
+        if (p + 1 >= limit) return -1
+        val m = bytes(p + 1) & 0xff
+        p += 2
+        if (m == 0xD9) return p // EOI
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) () // standalone
+        else {
+          if (p + 2 > limit) return -1
+          val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+          if (len < 2 || p + len > limit) return -1
+          p += len
+          if (m == 0xDA) inEntropy = true // SOS → entropy-coded scan
+        }
+      } else {
+        if (bytes(p) != 0xFF.toByte) p += 1
+        else if (p + 1 >= limit) return -1
+        else {
+          val m = bytes(p + 1) & 0xff
+          if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) p += 2 // stuffed / RST
+          else if (m == 0xFF) p += 1 // fill byte
+          else if (m == 0xD9) return p + 2 // EOI
+          else inEntropy = false // next segment (progressive scan, DNL, …)
+        }
+      }
+    }
+    -1
   }
 
   private[graft] def mjpegFrames(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
@@ -834,26 +919,14 @@ object Multimodal {
     * None for anything else (compressed audio stays behind the
     * documented stub). */
   private[graft] def pcmSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
-    def tag(off: Int) = new String(bytes.slice(off, off + 4), "US-ASCII")
     def u16(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def u32(off: Int): Long =
       ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
-    var fmtOff = -1
-    var dataOff = -1
-    var dataLen = 0L
-    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
-      val sz = u32(off + 4)
-      tag(off) match {
-        case "fmt " => fmtOff = off
-        case "data" => dataOff = off + 8; dataLen = sz
-        case _ => ()
-      }
-      off += 8 + sz.toInt + (sz.toInt & 1)
+    val (fmtOff, dataOff, dataLen) = riffWalk(bytes) match {
+      case Some(t) => t
+      case None => return None
     }
-    if (fmtOff < 0 || dataOff < 0) return None
     val audioFormat = u16(fmtOff + 8)
     val channels = u16(fmtOff + 10)
     val rate = u32(fmtOff + 12).toInt

@@ -108,6 +108,67 @@ class FrameSampleSpec extends AnyFunSuite {
     assert(Multimodal.audioStats(junk).count() == 0)
   }
 
+  test("hostile RIFF chunk sizes (u32 near-max, zero-advance, overflow) yield None, not a hang or throw") {
+    // A chunk size like 0xFFFFFFF8 truncated to Int advances the old
+    // walk by 0 — infinite executor loop. The Long walk must exit.
+    def wavWithChunk(sz: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(sz.toInt) // hostile size
+      bb.array()
+    }
+    Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL).foreach { sz =>
+      val b = wavWithChunk(sz)
+      assert(Multimodal.pcmSamples(b).isEmpty, s"pcmSamples sz=$sz")
+      assert(Multimodal.wavPcmFeatures(b).isEmpty, s"wavPcmFeatures sz=$sz")
+      assert(Multimodal.wavMeta(b).isEmpty, s"wavMeta sz=$sz")
+    }
+    // fmt chunk present but truncated before its 24-byte field block
+    val shortFmt = {
+      val bb = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(4)
+      bb.putInt(0)
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16) // claims 16, has 4
+      bb.putInt(1)
+      bb.array()
+    }
+    assert(Multimodal.pcmSamples(shortFmt).isEmpty)
+    assert(Multimodal.wavPcmFeatures(shortFmt).isEmpty)
+  }
+
+  test("jpegEndOffset: EXIF APP1 payload with an embedded thumbnail EOI does not end the frame early") {
+    // Minimal synthetic JPEG: SOI, APP1 whose payload contains a full
+    // SOI..EOI thumbnail, SOS header, entropy bytes with a stuffed FF
+    // and a restart marker, then the true EOI.
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def add(xs: Int*): Unit = xs.foreach(x => buf += x.toByte)
+    add(0xFF, 0xD8) // SOI
+    val thumb = Seq(0xFF, 0xD8, 0x11, 0x22, 0xFF, 0xD9) // embedded EOI!
+    add(0xFF, 0xE1) // APP1
+    val payload = Seq(0x45, 0x78, 0x69, 0x66, 0x00, 0x00) ++ thumb
+    add((payload.length + 2) >> 8, (payload.length + 2) & 0xff)
+    payload.foreach(b => buf += b.toByte)
+    add(0xFF, 0xDA, 0x00, 0x04, 0x01, 0x02) // SOS, len=4, 2 hdr bytes
+    add(0x10, 0xFF, 0x00, 0x20, 0xFF, 0xD0, 0x30) // entropy: stuffed FF + RST0
+    add(0xFF, 0xD9) // true EOI
+    val jpeg = buf.toArray
+    val end = Multimodal.jpegEndOffset(jpeg, 0, jpeg.length)
+    assert(end == jpeg.length,
+      s"frame sliced at $end, expected ${jpeg.length} (embedded EOI honored?)")
+    // And through the container path: one frame spanning the full JPEG.
+    val mp4 = Array[Byte](0, 0, 0, 16) ++ "ftypmjp2".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++
+      java.nio.ByteBuffer.allocate(8).putInt(8 + jpeg.length)
+        .put("mdat".getBytes("US-ASCII")).array().take(8) ++ jpeg
+    val ranges = Multimodal.jpegFrameRanges(mp4)
+    assert(ranges == Seq((24, 24 + jpeg.length)), ranges.toString)
+  }
+
   test("malformed containers yield empty samples, not failures") {
     val junk = Seq(
       Multimodal.MediaRow(1L, Array[Byte](1, 2, 3), "video/mp4"),
