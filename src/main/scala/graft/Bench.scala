@@ -125,7 +125,16 @@ object Bench {
       } match { case Nil => -1.0; case xs => xs.max }
     }
 
-    var passes = Seq(fullPass(), fullPass())
+    // PINNED pass count (r14, verdict ask #1): r13 recorded min-of-2
+    // where r12's disagreement loop had bought 4, biasing every r13
+    // minimum up vs r12 and muddying round-over-round comparison. The
+    // base protocol is now ALWAYS 4 full passes — per-query minima are
+    // min-of-4 every round regardless of how quiet the machine is —
+    // and the disagreement loop can only add on top.
+    val basePasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
+    var passes: Seq[Map[String, Option[Double]]] =
+      (1 to basePasses).map(_ => fullPass())
     var repeatDisagreement = disagreementOf(passes)
     // loaded machine → buy more samples (min over passes) until the
     // audit reproduces, bounded at 2 extra passes. Trigger at the
