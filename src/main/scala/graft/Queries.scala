@@ -2779,6 +2779,7 @@ object Queries {
     "q_chunk_docs"        -> (Curation.qChunkDocs _),
     "q_curate_web"        -> (Curation.qCurateWeb _),
     "q_crawl_triad"       -> (Curation.qCrawlTriad _),
+    "q_warc_triad"        -> (Curation.qWarcTriad _),
     "q_training_pipeline" -> (Curation.qTrainingPipeline _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
     "q_split_assign"      -> (Curation.qSplitAssign _),
@@ -2823,8 +2824,15 @@ object Queries {
     // r13: the batch crawl triad end-to-end — canon dedup (Url chain)
     // → extraction (Html chain) → content dedup + the streaming quality
     // gate → md5-MinHash probe vs the corpus index; every fragment is
-    // the SAME constant set its standalone query already mirrors
-    "q_crawl_triad" -> {
+    // the SAME constant set its standalone query already mirrors.
+    // r14: q_warc_triad pushes the SAME pages through a WARC
+    // encode→parse round trip, so it shares this oracle verbatim —
+    // any WARC framing/charset bug diffs against it.
+    "q_crawl_triad" -> crawlTriadOracle,
+    "q_warc_triad" -> crawlTriadOracle,
+  )
+
+  private lazy val crawlTriadOracle: String = {
       def lit0(s: String) = "'" + s.replace("'", "''") + "'"
       val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
       val quality = "least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
@@ -2890,7 +2898,9 @@ object Queries {
          |  FROM itr i JOIN szi si ON si.doc_id = i.inc_id
          |             JOIN szc sc ON sc.doc_id = i.corpus_id) z
          |WHERE jac >= 0.8 ORDER BY doc_id, corpus_id""".stripMargin
-    },
+  }
+
+  private val curationOracleB: Map[String, String] = Map(
     "q_sample_hash" ->
       """SELECT doc_id, lang, source, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
         |FROM documents
@@ -3236,7 +3246,7 @@ object Queries {
   val oracle: Map[String, String] =
     relationalOracle ++ aggregatesOracle ++ windowsOracle ++ scalarsOracle ++
       eventsOracle ++ textOracle ++ dedupSimOracle ++ extrasOracle ++
-      curationOracle
+      curationOracle ++ curationOracleB
 
   /** sf1-gate oracle OVERRIDES (r9, verdict ask #4: shrink the 10×
     * oracle-budget skip list): for queries whose primary oracle is

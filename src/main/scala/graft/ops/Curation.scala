@@ -836,8 +836,15 @@ object Curation {
     * constants (canon chain, extraction chain, quality formula, md5
     * MinHash probe). */
   def qCrawlTriad(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val (sh, bandTab) = Dedup.nearDupIndex(spark, dir)
+    crawlTriad(triadPages(spark, dir), sh, bandTab)
+  }
+
+  /** The triad's three-cohort re-crawl page set (doc_id, url, html) —
+    * shared by the direct batch query, the WARC round-trip query, and
+    * the fixture writer. */
+  private[graft] def triadPages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
     val base = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
               Url.renderUrl.as("url"), Html.renderPlainPage.as("html"))
@@ -849,7 +856,38 @@ object Curation {
               concat(lit("https://example-"), col("source"), lit(".com/alt-"),
                      col("doc_id").cast("string")).as("url"),
               concat(lit(AltW1), col("text"), lit(AltW2)).as("html"))
-    crawlTriad(base.unionByName(urlVar).unionByName(chromeVar), sh, bandTab)
+    base.unionByName(urlVar).unionByName(chromeVar)
+  }
+
+  /** Content-keyed WARC fixture directory: [[triadPages]] rendered
+    * once per corpus fingerprint as real WARC response records
+    * ([[graft.sources.Warc.writeWarc]]), 8 files. */
+  private val warcFixture = new IndexCache[String]("documents", { (s, d) =>
+    val p = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    graft.sources.Warc.writeWarc(triadPages(s, d), p, 8)
+    p
+  })
+
+  /** q_warc_triad: the crawl triad fed THROUGH the WARC source — the
+    * same three-cohort pages as [[qCrawlTriad]] are rendered to real
+    * WARC files (warcinfo lead record + HTTP-wrapped response
+    * records), read back by the from-scratch streaming record reader
+    * ([[graft.sources.Warc.readWarc]]), unwrapped (HTTP body, target
+    * URI, record-id doc_id), and pushed through the identical
+    * pipeline — so the WARC encode→frame→parse→unwrap round trip is
+    * oracle-checked end to end by the q_crawl_triad SQL: any framing,
+    * charset, or quarantine bug surfaces as a casualty-set diff. */
+  def qWarcTriad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val recs = Warc.readWarc(spark, warcFixture.get(spark, dir))
+      .where(col("warc_type") === "response" &&
+             col("_corrupt_record").isNull)
+    val pages = recs.select(
+      Warc.docIdCol(col("record_id")).as("doc_id"),
+      col("target_uri").as("url"),
+      Warc.httpBodyCol(col("content")).as("html"))
+    val (sh, bandTab) = Dedup.nearDupIndex(spark, dir)
+    crawlTriad(pages, sh, bandTab)
   }
 
   /** The training-assembly composition (r13) — the batch pipeline

@@ -1,0 +1,289 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) source/sink — the container format real crawl
+  * corpora arrive in (reference category: the source/sink rows R1/R10,
+  * `NGramTransformTest.java:118,125`; WARC is what feeds the crawl
+  * triad upstream of everything else).
+  *
+  * From-scratch reader: a WARC file is a sequence of records, each a
+  * `WARC/1.x` version line + CRLF-terminated named headers + blank
+  * line + exactly `Content-Length` payload bytes + a blank-line
+  * separator. The format is NOT splittable (no sync markers, records
+  * are length-prefixed back-to-back), so the unit of parallelism is
+  * the FILE — exactly how crawl dumps are shipped (many ~1 GB
+  * segments), so a 100 TB drop is ~100k files = ~100k tasks and the
+  * cluster saturates on file count, not split count. Each task
+  * STREAMS its file (`binaryFiles` + `PortableDataStream`): memory
+  * high-water is one record's payload, never the whole file — the
+  * reason this reader is not built on the whole-file `binaryFile`
+  * DataFrame source ([[Formats.readBinary]] loads entire objects,
+  * which is right for images and wrong for 1 GB containers).
+  *
+  * Audit contract (same as [[Formats.readJsonAudited]]): malformed
+  * records do NOT poison the read and are not silently dropped — they
+  * land as rows with `_corrupt_record` set (a bounded snippet of the
+  * offending bytes) and null fields, and the parser RESYNCS to the
+  * next plausible record boundary (a line starting with `WARC/`), so
+  * one corrupt record costs one quarantine row, not the rest of the
+  * file. Callers split on `_corrupt_record IS NULL`.
+  */
+object Warc {
+
+  /** One parsed record. `content` is the raw payload (for
+    * `WARC-Type: response` records that is the full HTTP response —
+    * status line, headers, body; see [[httpBodyCol]]). */
+  case class WarcRecord(path: String, warc_type: String, target_uri: String,
+                        record_id: String, warc_date: String,
+                        content_type: String, content: Array[Byte],
+                        _corrupt_record: String)
+
+  /** Deterministic fixture timestamp (WARC-Date is mandatory per spec;
+    * a wall-clock stamp would break byte-for-byte reproducibility of
+    * fixture files across runs). */
+  val FixtureDate = "2026-01-01T00:00:00Z"
+
+  /** Payload allocation cap: a hostile/corrupt Content-Length must
+    * quarantine, never drive a multi-GB allocation (the riffWalk
+    * discipline applied to WARC). Real CC records are ≤ ~1 MB HTML;
+    * 64 MB is generous for any single crawl object. */
+  val MaxRecordBytes: Long = 64L << 20
+
+  // ------------------------------------------------------------------
+  // Record rendering (sink side)
+  // ------------------------------------------------------------------
+
+  /** Renders one WARC record: version line, headers, Content-Length,
+    * blank line, payload, record separator. Header names/values must
+    * be ASCII (true of every header this sink emits; URLs in crawl
+    * feeds are %-encoded by definition). */
+  private[graft] def renderRecord(headers: Seq[(String, String)],
+                                  payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** A `warcinfo` lead record (real WARC files open with one; the
+    * reader must skip it by type, which the round-trip spec pins). */
+  private[graft] def warcinfoRecord(filename: String): Array[Byte] = {
+    val fields = "software: graft\r\nformat: WARC File Format 1.0\r\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    renderRecord(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> FixtureDate,
+      "WARC-Filename" -> filename,
+      "WARC-Record-ID" -> s"<urn:graft:warcinfo:$filename>",
+      "Content-Type" -> "application/warc-fields"), fields)
+  }
+
+  /** A `response` record wrapping `html` in a minimal HTTP/1.1
+    * response (status line + headers + blank line + body), the shape
+    * crawl archives actually store. `docId` rides in WARC-Record-ID
+    * so fixture ids survive the round trip. */
+  private[graft] def responseRecord(docId: Long, url: String,
+                                    html: String): Array[Byte] = {
+    val body = html.getBytes(StandardCharsets.UTF_8)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val payload = new Array[Byte](http.length + body.length)
+    System.arraycopy(http, 0, payload, 0, http.length)
+    System.arraycopy(body, 0, payload, http.length, body.length)
+    renderRecord(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:graft:$docId>",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> FixtureDate,
+      "Content-Type" -> "application/http; msgtype=response"), payload)
+  }
+
+  /** Writes (doc_id, url, html) rows as `nFiles` WARC files (each led
+    * by a warcinfo record), one file per partition via the Hadoop
+    * FileSystem client — Spark has no binary whole-file sink, and the
+    * FS client is the portable route (local/HDFS/S3A). Deterministic
+    * layout: hash-repartitioned on doc_id, sorted within each file. */
+  def writeWarc(pages: DataFrame, path: String, nFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    pages.select(col("doc_id").cast("long"), col("url"), col("html"))
+      .repartition(nFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val name = f"part-$pid%05d.warc"
+          // executor-side Configuration picks up the cluster defaults
+          // from the classpath (and file:// needs none)
+          val p = new Path(path, name)
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(p, true)
+          try {
+            out.write(warcinfoRecord(name))
+            it.foreach { r =>
+              out.write(responseRecord(r.getLong(0), r.getString(1),
+                                       r.getString(2)))
+            }
+          } finally out.close()
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming parser (source side)
+  // ------------------------------------------------------------------
+
+  /** One CRLF/LF-terminated line as ISO-8859-1 (header charset; any
+    * byte decodes, so resync over binary junk can't throw). Null at
+    * EOF-before-any-byte. */
+  private def readLine(in: InputStream): String = {
+    var c = in.read()
+    if (c < 0) return null
+    val sb = new java.lang.StringBuilder(64)
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(buf, off, n - off)
+      if (k < 0) throw new EOFException(s"record truncated at $off/$n")
+      off += k
+    }
+    buf
+  }
+
+  private def snippet(s: String): String =
+    if (s.length <= 200) s else s.substring(0, 200)
+
+  /** Streams records off `in`. Lazy: pulls one record per `next()`,
+    * so the caller's flatMap keeps only one payload in memory. The
+    * stream is closed on exhaustion. */
+  private[graft] def parseStream(in0: InputStream,
+                                 path: String): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val in = new BufferedInputStream(in0, 1 << 16)
+      private var pending: String = null // a WARC/ line found during resync
+      private var nextRec: WarcRecord = null
+      private var closed = false
+
+      private def corrupt(why: String, raw: String): WarcRecord =
+        WarcRecord(path, null, null, null, null, null, Array.emptyByteArray,
+                   why + ": " + snippet(raw))
+
+      /** Line-scan forward to the next `WARC/` line (stashed in
+        * `pending` for the next advance). */
+      private def resync(): Unit = {
+        var l = readLine(in)
+        while (l != null && !l.startsWith("WARC/")) l = readLine(in)
+        pending = l
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && !closed) {
+          val first =
+            if (pending != null) { val p = pending; pending = null; p }
+            else readLine(in)
+          if (first == null) { closed = true; in.close() }
+          else if (first.isEmpty) () // inter-record blank line
+          else if (!first.startsWith("WARC/")) {
+            nextRec = corrupt("not a WARC record", first)
+            resync()
+          } else {
+            // header block to the blank line
+            val hdrs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+            var bad: String = null
+            var l = readLine(in)
+            while (l != null && l.nonEmpty) {
+              val i = l.indexOf(':')
+              if (i <= 0) { if (bad == null) bad = l }
+              else hdrs += ((l.substring(0, i).trim.toLowerCase,
+                             l.substring(i + 1).trim))
+              l = readLine(in)
+            }
+            val h = hdrs.toMap
+            val cl = h.get("content-length")
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+            if (l == null) {
+              nextRec = corrupt("EOF in header block", first); closed = true
+              in.close()
+            } else if (cl.isEmpty || cl.get < 0 || cl.get > MaxRecordBytes) {
+              nextRec = corrupt("bad Content-Length",
+                                first + " " + h.getOrElse("content-length", "<missing>"))
+              resync()
+            } else if (bad != null) {
+              nextRec = corrupt("malformed header line", bad)
+              resync()
+            } else {
+              try {
+                val payload = readFully(in, cl.get.toInt)
+                nextRec = WarcRecord(path,
+                  h.getOrElse("warc-type", null),
+                  h.getOrElse("warc-target-uri", null),
+                  h.getOrElse("warc-record-id", null),
+                  h.getOrElse("warc-date", null),
+                  h.getOrElse("content-type", null),
+                  payload, null)
+              } catch { case _: EOFException =>
+                nextRec = corrupt("truncated payload", first)
+                closed = true; in.close()
+              }
+            }
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** Array façade of [[parseStream]] for specs. */
+  private[graft] def parseRecords(bytes: Array[Byte],
+                                  path: String = "mem"): Seq[WarcRecord] =
+    parseStream(new java.io.ByteArrayInputStream(bytes), path).toSeq
+
+  /** Reads a directory of WARC files as a DataFrame of
+    * (path, warc_type, target_uri, record_id, warc_date, content_type,
+    * content, _corrupt_record). One task per file (the format is not
+    * splittable), each streaming its file with one-record memory. */
+  def readWarc(spark: SparkSession, path: String,
+               glob: String = "*.warc"): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(s"$path/$glob")
+      .flatMap { case (p, pds) => parseStream(pds.open(), p) }
+      .toDF()
+  }
+
+  /** HTTP response body: everything after the first CRLFCRLF of the
+    * payload (the status-line/header block), decoded as UTF-8. Pure
+    * column arithmetic — stays in whole-stage codegen, no UDF. */
+  def httpBodyCol(content: Column): Column = {
+    val s = content.cast("string")
+    val p = locate("\r\n\r\n", s)
+    when(p > 0, s.substr(p + lit(4), length(s))).otherwise(s)
+  }
+
+  /** The fixture doc_id carried in `WARC-Record-ID: <urn:graft:N>`. */
+  def docIdCol(recordId: Column): Column =
+    regexp_extract(recordId, "urn:graft:(\\d+)", 1).cast("long")
+}

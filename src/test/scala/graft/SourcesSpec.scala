@@ -333,4 +333,77 @@ class SourcesSpec extends AnyFunSuite {
       } finally q.stop()
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
+
+  // ------------------------------------------------------------------
+  // WARC source (r14)
+  // ------------------------------------------------------------------
+
+  test("warc round-trip: pages → WARC files → parsed records preserve id/url/html") {
+    import graft.sources.Warc
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.example/x", "<html><body>hello world</body></html>"),
+      (2L, "https://b.example/y?q=1", "multi\nline\nbody with ünïcödé"),
+      (3L, "https://c.example/z", "")).toDF("doc_id", "url", "html")
+    val dir = Files.createTempDirectory("graft_warc_rt").toString
+    Warc.writeWarc(pages, dir, 2)
+    val back = Warc.readWarc(spark, dir).cache()
+    // warcinfo lead records present (one per non-empty file), skipped by type
+    assert(back.filter(col("warc_type") === "warcinfo").count() >= 1)
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
+    val got = back.filter(col("warc_type") === "response")
+      .select(Warc.docIdCol(col("record_id")).as("doc_id"),
+              col("target_uri").as("url"),
+              Warc.httpBodyCol(col("content")).as("html"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == pages.as[(Long, String, String)].collect().toSeq
+      .sortBy(_._1))
+  }
+
+  test("warc quarantine: a corrupt record costs one quarantine row, parser resyncs") {
+    import graft.sources.Warc
+    val good1 = Warc.responseRecord(10L, "https://e.example/1", "first page")
+    val good2 = Warc.responseRecord(11L, "https://e.example/2", "second page")
+    // corrupt middle record: claims a Content-Length past EOF-of-record
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: notanumber\r\n\r\njunk payload\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val recs = Warc.parseRecords(good1 ++ bad ++ good2)
+    val corrupt = recs.filter(_._corrupt_record != null)
+    val ok = recs.filter(_._corrupt_record == null)
+    assert(corrupt.size == 1 &&
+           corrupt.head._corrupt_record.contains("Content-Length"))
+    assert(ok.map(_.record_id) ==
+           Seq("<urn:graft:10>", "<urn:graft:11>"))
+    // hostile sizes: huge and negative Content-Length both quarantine
+    Seq(Long.MaxValue.toString, "-7", (Warc.MaxRecordBytes + 1).toString)
+      .foreach { cl =>
+        val b = (s"WARC/1.0\r\nContent-Length: $cl\r\n\r\n").getBytes("ISO-8859-1")
+        val r = Warc.parseRecords(b ++ good1)
+        assert(r.count(_._corrupt_record != null) == 1, s"cl=$cl")
+        assert(r.count(_._corrupt_record == null) == 1, s"cl=$cl resync")
+      }
+    // truncated payload at EOF quarantines, doesn't throw
+    val trunc = Warc.parseRecords(good1.dropRight(10))
+    assert(trunc.size == 1 && trunc.head._corrupt_record != null)
+    // non-WARC leading junk quarantines then resyncs to the real record
+    val junkFirst = Warc.parseRecords(
+      "this is not warc\r\n".getBytes("ISO-8859-1") ++ good2)
+    assert(junkFirst.count(_._corrupt_record == null) == 1)
+  }
+
+  test("warc payload framing: binary-ish payloads with embedded WARC/ lines parse by length, not by scan") {
+    import graft.sources.Warc
+    // a payload that CONTAINS a line starting with WARC/ — correct
+    // Content-Length framing must carry the parser straight past it
+    val evil = "line1\r\nWARC/1.0\r\nline3"
+    val rec = Warc.renderRecord(Seq(
+      "WARC-Type" -> "resource", "WARC-Record-ID" -> "<urn:graft:99>"),
+      evil.getBytes("UTF-8"))
+    val next = Warc.responseRecord(100L, "https://e.example/n", "after")
+    val recs = Warc.parseRecords(rec ++ next)
+    assert(recs.size == 2 && recs.forall(_._corrupt_record == null))
+    assert(new String(recs.head.content, "UTF-8") == evil)
+    assert(recs(1).record_id == "<urn:graft:100>")
+  }
 }

@@ -52,7 +52,9 @@ BUDGET_MULT = {"q_math_funcs": 4.0, "q_embed_project": 4.0,
                # r13: the composed triad runs the full-corpus MinHash
                # chain PLUS a 20%-corpus probe-side chain (≈2x the
                # q_dedup_incr_near oracle) — linear, not quadratic
-               "q_crawl_triad": 2.0}
+               "q_crawl_triad": 2.0,
+               # r14: same oracle through the WARC round trip
+               "q_warc_triad": 2.0}
 
 
 def run_oracle(sf, sql, q):
