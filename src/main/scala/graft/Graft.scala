@@ -234,6 +234,23 @@ object Graft {
   def modelQuality(docs: DataFrame): DataFrame =
     TextAnalysis.modelQuality(tokenize(docs))
 
+  /** Trains the quality classifier in-engine (fixed-iteration
+    * quantized-gradient descent over [[TextAnalysis.qualityStats]]
+    * features — see [[TextAnalysis.trainQualityWeights]]) and returns
+    * the corpus scored with the trained artifact:
+    * (doc_id, label, score, keep). The trained complement of
+    * [[modelQuality]]'s fixed-weight inference. */
+  def trainQuality(docs: DataFrame): DataFrame = {
+    // tolerate inputs without lang/source (the qualityScore pattern)
+    val toks = Seq("lang", "source").foldLeft(tokenize(docs)) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
+    }
+    val stats = TextAnalysis.qualityStats(toks)
+    TextAnalysis.scoreQuality(stats, TextAnalysis.trainQualityWeights(stats))
+  }
+
   /** CCNet-style cross-perplexity: every doc scored under the TARGET
     * slice's Laplace-smoothed unigram LM — (doc_id, n_toks, nll,
     * ppl_target); low ppl_target = target-like (Wenzek et al. 2020).

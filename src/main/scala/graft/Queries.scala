@@ -232,6 +232,64 @@ object Queries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** q_train_quality oracle: the ENTIRE fixed-iteration quality-
+    * classifier training loop unrolled in DuckDB CTEs (the q_page_rank
+    * pattern applied to gradient training) — per iteration a gradient
+    * CTE (nano-quantized residual × milli-integer feature, BIGINT →
+    * exact HUGEINT sums, the fold-order-independence the Spark side
+    * gets from DECIMAL(38,0)) and a weight CTE with the identical
+    * Double update expression `w + eta * (g / (c * 1e12))`. The
+    * forward pass uses the RATIONAL fast sigmoid (no libm exp), so
+    * every Double on both engines is the same IEEE-defined bit
+    * pattern; the compare therefore verifies every gradient sum and
+    * every weight update, not just the final scores. Mirrors
+    * [[graft.ops.TextAnalysis.trainQualityWeights]]/[[graft.ops.TextAnalysis.scoreQuality]]. */
+  private[graft] def trainQualityOracleSql(
+      iters: Int = graft.ops.TextAnalysis.TrainIters,
+      eta: String = "8.0"): String = {
+    val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+    val z = "(w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4) / 1000.0"
+    val iterCtes = (1 to iters).map { t =>
+      val prev = s"wt${t - 1}"
+      s"""g$t AS (SELECT sum(rq * x1) AS g1, sum(rq * x2) AS g2,
+         |    sum(rq * x3) AS g3, sum(rq * x4) AS g4
+         |  FROM (SELECT x1, x2, x3, x4,
+         |      CAST(round((y - (0.5 + z / (2.0 * (1.0 + abs(z))))) * 1e9) AS BIGINT) AS rq
+         |    FROM (SELECT f.*, $z AS z FROM f, $prev) z$t) r$t),
+         |wt$t AS (SELECT w1 + $eta * (g1 / (c * 1e12)) AS w1,
+         |    w2 + $eta * (g2 / (c * 1e12)) AS w2,
+         |    w3 + $eta * (g3 / (c * 1e12)) AS w3,
+         |    w4 + $eta * (g4 / (c * 1e12)) AS w4
+         |  FROM $prev, g$t, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |st AS (SELECT doc_id,
+       |  len(toks)::BIGINT AS n_toks,
+       |  len(list_distinct(toks))::BIGINT AS n_distinct,
+       |  len(list_filter(toks, t -> list_contains($stop, t)))::BIGINT AS n_stop
+       |FROM t),
+       |f AS (SELECT doc_id,
+       |  1000::BIGINT AS x1,
+       |  (least(n_toks, 100) * 10)::BIGINT AS x2,
+       |  ((n_distinct * 2000 + n_toks) // (2 * n_toks))::BIGINT AS x3,
+       |  (1000 - (n_stop * 2000 + n_toks) // (2 * n_toks))::BIGINT AS x4,
+       |  CASE WHEN ${rnd("least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+            " + (n_distinct::DOUBLE / n_toks) * 0.3::DOUBLE" +
+            " + (1.0::DOUBLE - n_stop::DOUBLE / n_toks) * 0.4::DOUBLE", 6)} >= 0.5
+       |       THEN 1.0 ELSE 0.0 END AS y
+       |FROM st),
+       |nn AS (SELECT count(*)::BIGINT AS c FROM f),
+       |wt0 AS (SELECT 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
+       |               0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
+       |$iterCtes
+       |SELECT doc_id, y::INT AS label, ${rnd("s", 6)} AS score,
+       |  ${rnd("s", 6)} >= 0.5 AS keep
+       |FROM (SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+       |  FROM (SELECT f.doc_id, f.y, $z AS z
+       |        FROM f, wt$iters) zf) sf
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Sources / filters / joins / sorts / set ops
   // -------------------------------------------------------------------
@@ -1740,6 +1798,7 @@ object Queries {
     "q_token_bpe"           -> (TextAnalysis.qTokenBpe _),
     "q_bpe_learn"           -> (BpeTrain.qBpeLearn _),
     "q_quality_model"       -> (TextAnalysis.qQualityModel _),
+    "q_train_quality"       -> (TextAnalysis.qTrainQuality _),
     "q_url_canon"           -> (Url.qUrlCanon _),
     "q_dedup_url"           -> (Url.qDedupUrl _),
     "q_url_filter"          -> (Url.qUrlFilter _),
@@ -2213,6 +2272,7 @@ object Queries {
          |  ${rnd("w_milli / (1000.0 * greatest(n_feats, 1))", 6)} AS score,
          |  w_milli > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_train_quality" -> trainQualityOracleSql(),
     "q_lang_id" -> {
       val scores = langLists.map { case (l, ws) =>
         s"len(list_intersect(tset, ${sqlList(ws)}))::INT AS s_$l" }.mkString(",\n  ")

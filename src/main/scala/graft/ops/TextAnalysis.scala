@@ -310,6 +310,116 @@ object TextAnalysis {
               (col("w_milli") > 0).as("keep"))
   }
 
+  // ------------------------------------------------------------------
+  // In-engine quality-classifier TRAINING (r14, verdict ask #3): the
+  // distributed logistic-regression-style trainer that produces the
+  // weights [[modelQuality]]'s shipped-artifact pattern assumes exist.
+  // ------------------------------------------------------------------
+
+  /** Fixed training hyper-parameters, shared with the DuckDB oracle
+    * generator ([[graft.Queries.trainQualityOracleSql]]). */
+  val TrainIters = 5
+  val TrainEta = 8.0
+
+  /** Milli-integer feature row + label for the quality trainer:
+    * x = [bias, capped-length, TTR, 1−stop-ratio] in [0, 1000], all
+    * built with EXACT integer arithmetic ((a·2000 + b) div (2·b) is
+    * integer round-half-up of 1000·a/b — no FP anywhere in the
+    * features, so they are engine-identical by construction). The
+    * label is the corpus quality-gate cut itself (the same rounded
+    * composite [[qualityGate]] thresholds), i.e. the trainer learns to
+    * replicate the hand-built gate from cheap surface features — the
+    * standard bootstrap for a learned quality filter. */
+  private[graft] def trainFeatures(stats: DataFrame): DataFrame =
+    stats.select(
+      col("doc_id"),
+      lit(1000L).as("x1"),
+      (least(col("n_toks"), lit(100)) * 10L).cast("long").as("x2"),
+      expr("(n_distinct * 2000 + n_toks) div (2 * n_toks)").as("x3"),
+      (lit(1000L) - expr("(n_stop * 2000 + n_toks) div (2 * n_toks)"))
+        .as("x4"),
+      when(round(least(col("n_toks") / 100.0, lit(1.0)) * 0.3
+             + (col("n_distinct").cast("double") / col("n_toks")) * 0.3
+             + (lit(1.0) - col("n_stop").cast("double") / col("n_toks")) * 0.4,
+             6) >= 0.5, 1.0).otherwise(0.0).as("y"))
+
+  /** z = (w·x)/1000 with a FIXED left-to-right association — the same
+    * expression shape the oracle writes, so IEEE arithmetic makes the
+    * Double bit-identical across engines. */
+  private def zCol(w: Array[Double]): Column =
+    (lit(w(0)) * col("x1") + lit(w(1)) * col("x2") +
+     lit(w(2)) * col("x3") + lit(w(3)) * col("x4")) / lit(1000.0)
+
+  /** The RATIONAL sigmoid σ̃(z) = 0.5 + z/(2(1+|z|)) — the "fast
+    * sigmoid". Chosen over exp's logistic deliberately: every
+    * operation is IEEE +,−,×,÷,|·| (correctly rounded by spec in any
+    * engine), so the whole forward pass is bit-identical in Spark and
+    * DuckDB, which no transcendental can promise (libm exp differs by
+    * ulps across platforms). Monotone, (0,1), σ̃(0)=0.5 — a drop-in
+    * squashing function for gradient training. */
+  private def sigCol(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Distributed fixed-iteration gradient training of the quality
+    * classifier: w ← w + η·Σᵢ rᵢxᵢ/(n·10¹²) with per-example residuals
+    * r = y − σ̃(z) QUANTIZED to nano-units (BIGINT) before the sum —
+    * the [[Clustering.kmeans]] exact-carrier discipline: integer sums
+    * are fold-order-independent, so partition order can't move a bit
+    * and the unrolled DuckDB oracle reproduces every iteration
+    * exactly. Per iteration: one narrow scan, d=4 aggregate sums, a
+    * 4-double collect (bounded model state, the k·d k-means shape).
+    * At 100 TB: iters × one pass over the materialized stats table,
+    * no shuffle at all (aggregates are map-side partial + one
+    * reduce). Gradient sums ride DECIMAL(38,0) (|rq·x| ≤ 10¹² per
+    * row — Long would overflow past ~10⁶ rows per 10¹² docs). */
+  def trainQualityWeights(stats: DataFrame, iters: Int = TrainIters,
+                          eta: Double = TrainEta): Array[Double] = {
+    val f = trainFeatures(stats).persist()
+    try {
+      val n = f.count()
+      require(n > 0, "trainQualityWeights: empty input")
+      val w = Array.fill(4)(0.0)
+      for (_ <- 1 to iters) {
+        val rq = round((col("y") - sigCol(zCol(w))) * lit(1.0e9)).cast("long")
+        val g = f.select(
+          (0 until 4).map(j =>
+            sum((rq * col(s"x${j + 1}")).cast("decimal(38,0)")).as(s"g$j")): _*)
+          .collect().head
+        var j = 0
+        while (j < 4) {
+          // same Double expression shape as the oracle's weight CTE:
+          // w + eta * (g / (n * 1e12))
+          w(j) = w(j) + eta * (g.getDecimal(j).doubleValue() / (n * 1.0e12))
+          j += 1
+        }
+      }
+      w
+    } finally { f.unpersist(false); () }
+  }
+
+  /** Inference with a trained weight artifact — the scoring pass
+    * [[modelQuality]]'s Scaladoc describes ("reads a trained weight
+    * array broadcast from the model file"): one narrow projection,
+    * no shuffle. keep thresholds the ROUNDED score so the cut is
+    * reproducible across engines. */
+  def scoreQuality(stats: DataFrame, w: Array[Double]): DataFrame =
+    trainFeatures(stats)
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+              round(sigCol(zCol(w)), 6).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy("doc_id")
+
+  /** q_train_quality: train on the corpus quality-stats table, then
+    * score the whole corpus with the trained artifact. Oracle: the
+    * full training loop unrolled in DuckDB CTEs (the q_page_rank
+    * fixed-rounds pattern) — weights never leave SQL there, so the
+    * compare verifies every gradient sum and weight update, not just
+    * the final scores. */
+  def qTrainQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stats = corpusQualityStats(spark, dir)
+    scoreQuality(stats, trainQualityWeights(stats))
+  }
+
   /** q_token_bpe: whitespace vs true greedy-merge BPE token counts
     * per document ([[graft.functions.Bpe]]) — what a context-window
     * budget actually costs in subword tokens. (doc_id, n_ws, n_bpe,
