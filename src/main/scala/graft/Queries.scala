@@ -1903,6 +1903,37 @@ object Queries {
        |            * 2654435761) % 2001 - 1000)), 0)::BIGINT""".stripMargin
 
   val extrasOracle: Map[String, String] = Map(
+    // r14: the multimodal dispatch row, converted off the exemption
+    // list — four real container families by doc_id % 4 (stored-
+    // deflate PNG / PCM WAV / mvhd MP4 / opaque text), every
+    // registered column an analytic doc_id function. The opaque
+    // pseudo-dims replay the engine's SHA-256 stub via DuckDB's
+    // sha256: w = 16 + b0·16 + b1>>4 = 16 + 3 leading hex nibbles
+    // (h likewise from digest bytes 2-3 = hex digits 5-7).
+    "q_multimodal_features" -> {
+      def hv(k: Int) = s"(strpos('0123456789abcdef', substr(dg, $k, 1)) - 1)"
+      s"""WITH d AS (SELECT doc_id, text, doc_id % 4 AS m,
+         |  sha256(text) AS dg FROM documents)
+         |SELECT doc_id,
+         |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4'
+         |         ELSE 'opaque' END AS kind,
+         |  (CASE m WHEN 0 THEN 4 + doc_id % 8
+         |          WHEN 3 THEN 16 + (${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}
+         |          ELSE 0 END)::INT AS width,
+         |  (CASE m WHEN 0 THEN 6 + doc_id % 5
+         |          WHEN 3 THEN 16 + (${hv(5)} * 16 + ${hv(6)}) * 16 + ${hv(7)}
+         |          ELSE 0 END)::INT AS height,
+         |  (CASE m WHEN 1 THEN 8000
+         |          WHEN 2 THEN 1000 + 100 * (doc_id % 7)
+         |          ELSE 0 END)::INT AS sample_rate,
+         |  (CASE m WHEN 1 THEN 1 WHEN 2 THEN 1 + doc_id % 3
+         |          ELSE 0 END)::INT AS channels,
+         |  (CASE m WHEN 0 THEN 68 + (6 + doc_id % 5) * (5 + doc_id % 8)
+         |          WHEN 1 THEN 44 + 2 * (200 + doc_id % 100)
+         |          WHEN 2 THEN 82 + 8 * (doc_id % 3) + doc_id % 20
+         |          ELSE octet_length(encode(text)) END)::INT AS n_bytes
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     // the raw all-pairs definition the engine's deletion-neighborhood
     // filter must reproduce exactly (candidate filter is complete,
     // verify is exact — Fuzzy.fuzzyPairs)
@@ -3286,14 +3317,18 @@ object Queries {
 
   /** DuckDB oracle for every SQL-expressible query. Oracle-exempt
     * (golden-tested): q_agg_approx,
-    * q_ann_ivf, q_multimodal_features, q_percentiles_approx (merge-order-
+    * q_ann_ivf, q_percentiles_approx (merge-order-
     * dependent GK summaries, golden-bounded against the exact
     * percentiles), q_token_bpe (DuckDB has no BPE; golden-checked
     * against an independent single-node reference in BpeSpec),
     * q_bpe_learn (iterative argmax-merge training loop; golden vs an
     * independent single-node learner in BpeLearnSpec), q_ann_quant
     * (approximate by construction; recall + at-rest-size goldens in
-    * QuantSpec). q_embed_pca and q_dedup_simhash left this list in
+    * QuantSpec). q_multimodal_features left the list in r14 (four
+    * analytic container fixtures through the real dispatch; the
+    * SHA-256 stub dims replay via DuckDB's sha256; only the float
+    * feature vector stays a golden concern — float32→string
+    * rendering is JVM-specific). q_embed_pca and q_dedup_simhash left this list in
     * r12: the deterministic power iteration unrolls as a recursive
     * CTE over the oracle-exact covariance ([[pcaOracleSql]]), and the
     * md5-low64 token hash made the banded simhash DuckDB-expressible.

@@ -749,24 +749,125 @@ object Multimodal {
       .orderBy("doc_id", "pos")
   }
 
-  /** q_multimodal_features: documents.text bytes stand in for media
-    * blobs; binary column + metadata in, typed features out.
-    * Oracle-exempt (JVM SHA-256-derived stub); golden-tested for
-    * determinism and schema. The float feature vector is serialized in
-    * the final projection (driver compare hashes scalar cells only). */
+  /** From-scratch grayscale PNG using STORED (uncompressed) deflate
+    * blocks — a REAL, ImageIO-decodable PNG whose byte length is
+    * fully analytic (no encoder heuristics): 8-byte signature +
+    * 25-byte IHDR chunk + IDAT of 12 + (2 zlib header + 5 stored-
+    * block header + h·(w+1) raw filter-prefixed scanlines + 4 adler)
+    * + 12-byte IEND = 68 + h·(w+1). Dims and pixels are doc_id
+    * functions, so the whole object is SQL-regenerable metadata-wise
+    * while every byte still passes through the real IHDR parse and
+    * the real ImageIO inflate+decode. */
+  private[graft] def storedPng(docId: Long): Array[Byte] = {
+    val w = (4 + java.lang.Math.floorMod(docId, 8L)).toInt
+    val h = (6 + java.lang.Math.floorMod(docId, 5L)).toInt
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0; var k = 0
+    while (y < h) {
+      raw(k) = 0; k += 1 // filter: None
+      var x = 0
+      while (x < w) {
+        raw(k) = java.lang.Math
+          .floorMod(docId * 31 + (y.toLong * w + x), 256L).toByte
+        k += 1; x += 1
+      }
+      y += 1
+    }
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte) // bit depth 8, grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, none, none
+      .array()
+    val z = java.nio.ByteBuffer.allocate(2 + 5 + raw.length + 4)
+    z.put(0x78.toByte).put(0x01.toByte) // zlib header
+    z.put(1.toByte) // final stored block
+    z.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(raw.length.toShort).putShort((~raw.length).toShort)
+    z.order(java.nio.ByteOrder.BIG_ENDIAN).put(raw)
+    val ad = new java.util.zip.Adler32(); ad.update(raw)
+    z.putInt(ad.getValue.toInt)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.array()) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Minimal-but-real MP4 (ftyp + moov[mvhd v0 + n empty traks] +
+    * mdat) whose metadata AND byte length are doc_id functions:
+    * timescale 1000 + 100·(id%7), duration (2+id%9)·timescale ticks,
+    * 1 + id%3 tracks, a zero payload of 10 + id%20 bytes (no JPEG
+    * SOI, so the frame decoder correctly reports no frames). Length
+    * = 16 + (40 + 8·tracks) + 8 + payload. */
+  private[graft] def mp4MetaFixture(docId: Long): Array[Byte] = {
+    def m(k: Long) = java.lang.Math.floorMod(docId, k).toInt
+    val timescale = 1000 + 100 * m(7)
+    val durTicks = (2 + m(9)) * timescale
+    val ntrak = 1 + m(3)
+    val payloadLen = 10 + m(20)
+    val moovSize = 8 + 32 + 8 * ntrak
+    val bb = java.nio.ByteBuffer
+      .allocate(16 + moovSize + 8 + payloadLen)
+    bb.putInt(16).put("ftypmjp2".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(32).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(durTicks)
+      .putInt(0) // pad to the declared 32
+    (1 to ntrak).foreach { _ =>
+      bb.putInt(8).put("trak".getBytes("US-ASCII"))
+    }
+    bb.putInt(8 + payloadLen).put("mdat".getBytes("US-ASCII"))
+    // payloadLen zero bytes follow (ByteBuffer is zero-initialized)
+    bb.array()
+  }
+
+  /** q_multimodal_features: the multimodal DISPATCH itself, oracle-
+    * checked (r14 — this row was the last binary-decode exemption;
+    * its image/audio/video members all have oracle-exact analytic-
+    * fixture siblings, so the umbrella converts the same way). Four
+    * real container families by doc_id % 4 — a stored-deflate PNG
+    * ([[storedPng]]), a 16-bit PCM WAV ([[pcmWavFixture]]), a
+    * moov/mvhd MP4 ([[mp4MetaFixture]]), and opaque text bytes — all
+    * pushed through the REAL magic-byte dispatch + header parses of
+    * [[decodeFeatures]]. Every registered column (kind, dims, rate,
+    * channels, byte length) is an analytic doc_id function — for the
+    * opaque member the pseudo-dims come from SHA-256, which the
+    * oracle reproduces via DuckDB's sha256 — so the DISPATCH and the
+    * header walks are what the compare verifies. The float feature
+    * vector stays a library/golden concern ([[decodeFeatures]]
+    * specs): float32→string rendering is JVM-specific, the one part
+    * of this row no engine-independent oracle can pin. */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val fixtureUdf = udf((id: Long) =>
+      java.lang.Math.floorMod(id, 4L).toInt match {
+        case 0 => storedPng(id)
+        case 1 => pcmWavFixture(id)
+        case _ => mp4MetaFixture(id)
+      })
     val media = Tables.documents(spark, dir)
       .select(col("doc_id"),
-              encode(col("text"), "UTF-8").as("media"),
-              lit("text/plain").as("mime"))
+              when(col("doc_id") % 4 === 3, encode(col("text"), "UTF-8"))
+                .otherwise(fixtureUdf(col("doc_id"))).as("media"),
+              when(col("doc_id") % 4 === 0, lit("image/png"))
+                .when(col("doc_id") % 4 === 1, lit("audio/wav"))
+                .when(col("doc_id") % 4 === 2, lit("video/mp4"))
+                .otherwise(lit("text/plain")).as("mime"))
       .as[MediaRow]
     decodeFeatures(media)
       .toDF()
       .select(col("doc_id"), col("kind"), col("width"), col("height"),
-              col("sample_rate"), col("channels"), col("n_bytes"),
-              array_join(transform(col("feat"), _.cast("string")), "|")
-                .as("feat"))
+              col("sample_rate"), col("channels"), col("n_bytes"))
       .orderBy("doc_id")
   }
 

@@ -203,19 +203,32 @@ class GoldenSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall@3 = $recall")
   }
 
-  test("q_multimodal_features: deterministic, fixed shape") {
+  test("q_multimodal_features: deterministic dispatch, one real container family per cohort") {
     val a = Multimodal.qMultimodalFeatures(spark, TestSpark.sf0001).collect()
     val b = Multimodal.qMultimodalFeatures(spark, TestSpark.sf0001).collect()
     assert(a.length == 500)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
-    // EVERY text-byte row must classify opaque: valid UTF-8 never
-    // contains the MP3 sync byte 0xFF, and the gif/bmp/wav/mp4 magics
-    // are multi-byte checks a text prefix must not satisfy
-    assert(a.forall(_.getString(1) == "opaque"))
-    a.take(20).foreach { r =>
-      assert(r.getString(7).split('|').length == 8)
-      assert(r.getInt(6) > 0)
+    // the dispatch routes each cohort to its real header parse: kinds
+    // are exactly the doc_id % 4 schedule (text bytes classify opaque:
+    // valid UTF-8 never matches the multi-byte container magics)
+    a.foreach { r =>
+      val want = (r.getLong(0) % 4) match {
+        case 0 => "png"; case 1 => "wav"; case 2 => "mp4"; case _ => "opaque"
+      }
+      assert(r.getString(1) == want, s"doc ${r.getLong(0)}")
+      assert(r.getInt(6) > 0, "n_bytes")
     }
+    // the png member's dims come from the REAL ImageIO decode of the
+    // stored-deflate fixture (not just the IHDR header walk)
+    val png = Multimodal.storedPng(8L) // w = 4+8%8 = 4, h = 6+8%5 = 9
+    assert(png.length == 68 + 9 * (4 + 1), "analytic length")
+    assert(new String(png.slice(12, 16), "US-ASCII") == "IHDR")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 4 && img.getHeight == 9)
+    // pixel (x=2, y=3) gray = (8*31 + 3*4 + 2) % 256 = 6 — read the
+    // RAW raster sample (getRGB would pass linear gray through the
+    // CS_GRAY→sRGB conversion and report 42)
+    assert(img.getRaster.getSample(2, 3, 0) == (8 * 31 + 3 * 4 + 2) % 256)
   }
 
   test("thumbnails: bilinear resize matches the analytic grid; edge cases") {

@@ -61,8 +61,10 @@ class RegistryClinitSpec extends AnyFunSuite {
       // q_bloom_decontaminate converted later in r12: the sketch
       // rebuilt on Md5Bloom's engine-independent primitives, so the
       // oracle reproduces the exact bit pattern, FPs included
+      // q_multimodal_features converted in r14: four analytic
+      // container fixtures through the real dispatch, SHA-256 stub
+      // dims replayed via DuckDB's sha256
       "q_agg_approx", "q_ann_ivf",
-      "q_multimodal_features",
       "q_percentiles_approx", "q_token_bpe", "q_bpe_learn", "q_ann_quant",
       "q_hll_users")
     // Exemptions may grow only deliberately: fail on silent drift so a
