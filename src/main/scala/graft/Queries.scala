@@ -1721,6 +1721,7 @@ object Queries {
     "q_dedup_simhash"       -> (Dedup.qDedupSimhash _),
     "q_dedup_embed"         -> (Similarity.qDedupEmbed _),
     "q_ann_ivf"             -> (Similarity.qAnnIvf _),
+    "q_ann_pq"              -> (Quant.qAnnPq _),
     "q_multimodal_features" -> (Multimodal.qMultimodalFeatures _),
     "q_image_resize"        -> (Multimodal.qImageResize _),
     "q_frame_sample"        -> (Multimodal.qFrameSample _),
@@ -3324,7 +3325,9 @@ object Queries {
     * q_bpe_learn (iterative argmax-merge training loop; golden vs an
     * independent single-node learner in BpeLearnSpec), q_ann_quant
     * (approximate by construction; recall + at-rest-size goldens in
-    * QuantSpec). q_multimodal_features left the list in r14 (four
+    * QuantSpec), q_ann_pq (r14 — the product-quantized tier, same
+    * exemption rationale and golden shape as q_ann_quant).
+    * q_multimodal_features left the list in r14 (four
     * analytic container fixtures through the real dispatch; the
     * SHA-256 stub dims replay via DuckDB's sha256; only the float
     * feature vector stays a golden concern — float32→string

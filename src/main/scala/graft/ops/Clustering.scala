@@ -71,13 +71,35 @@ object Clustering {
       .map(_.getSeq[Double](1))
       .toIndexedSeq
     require(centroids.nonEmpty, "kmeans: embeddings input is empty")
-    val dim = centroids.head.length
-    // exact update-mean carrier: x·2⁵⁰ is integral for any float32-
-    // origin |x| ≥ 2⁻²⁶, so the DECIMAL(38,0) sum is order-independent
-    // (partition order can't move a bit) and the single final-divide
-    // rounding is deterministic on any engine — the guard raises on
-    // values the carrier can't hold exactly instead of silently
-    // reintroducing FP-order nondeterminism
+    centroids = lloyd(v, centroids, iters)
+    // materialize the final assignment (localCheckpoint cuts the
+    // lineage back to `v`) so the persisted projection can be released
+    // here — repeated facade calls (a k/iters tuning loop) must not
+    // accumulate cached DataFrames until LRU eviction
+    val out = assign(v, centroids)
+      .select(col("vec_id"), col("cluster"),
+              round(sqrt(col("d2")), 6).as("dist"))
+      .orderBy("vec_id")
+      .localCheckpoint()
+    v.unpersist()
+    out
+  }
+
+  /** The fixed-iteration Lloyd loop over a persisted (vec_id, v)
+    * projection, factored out of [[kmeans]] so PQ codebook training
+    * ([[Quant]]) reuses the identical machinery: exact update-mean
+    * carrier (x·2⁵⁰ is integral for any float32-origin |x| ≥ 2⁻²⁶,
+    * so the DECIMAL(38,0) sum is order-independent — partition order
+    * can't move a bit — and the single final-divide rounding is
+    * deterministic on any engine; the guard raises on values the
+    * carrier can't hold instead of silently reintroducing FP-order
+    * nondeterminism), empty clusters keep their previous centroid.
+    * Per iteration: one narrow assign scan + one (cluster, dim)
+    * groupBy; centroid state is k·d doubles of driver model state. */
+  private[graft] def lloyd(v: DataFrame, init: IndexedSeq[Seq[Double]],
+                           iters: Int): IndexedSeq[Seq[Double]] = {
+    var centroids = init
+    val dim = init.head.length
     val S = 1125899906842624.0 // 2^50
     val xs = when(col("x") * S === floor(col("x") * S),
                   (col("x") * S).cast("decimal(38,0)"))
@@ -101,22 +123,12 @@ object Clustering {
       // empty cluster -> previous centroid survives
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
-    // materialize the final assignment (localCheckpoint cuts the
-    // lineage back to `v`) so the persisted projection can be released
-    // here — repeated facade calls (a k/iters tuning loop) must not
-    // accumulate cached DataFrames until LRU eviction
-    val out = assign(v, centroids)
-      .select(col("vec_id"), col("cluster"),
-              round(sqrt(col("d2")), 6).as("dist"))
-      .orderBy("vec_id")
-      .localCheckpoint()
-    v.unpersist()
-    out
+    centroids
   }
 
   /** One assign pass: (vec_id, v, cluster, d2) with the argmin
     * centroid id and squared distance. */
-  private def assign(v: DataFrame,
+  private[graft] def assign(v: DataFrame,
                      centroids: IndexedSeq[Seq[Double]]): DataFrame = {
     val vv = VectorFunctions.dot(col("v"), col("v"))
     val scored: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>

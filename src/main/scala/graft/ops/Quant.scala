@@ -218,6 +218,227 @@ object Quant {
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (r14, verdict ask #5): int8 is the 4× tier;
+  // PQ is the 16-64× tier that makes 100 TB of embeddings fit cluster
+  // RAM. d=64 vectors split into M=8 subvectors of 8 dims; each
+  // subspace gets a K=256-centroid codebook (the standard PQ 8×8 geometry) (the [[Clustering.lloyd]]
+  // exact-carrier trainer, so codebooks are bit-deterministic), and a
+  // vector's at-rest payload collapses to 8 one-byte codes — 8 bytes
+  // vs int8's 64 ints + scale. Search is ASYMMETRIC (ADC): the probe
+  // keeps full precision, builds one M×K lookup table of
+  // subvector·centroid dots, and each candidate scores as 8 table
+  // gathers + adds — no candidate-side decode ever.
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: M subvectors × DSub dims, K centroids/subspace. */
+  val PqM = 8
+  val PqDSub = 8
+  val PqK = 256
+  val PqIters = 5
+
+  /** (vec_id, sub, v) — the per-subspace training/encoding projection
+    * of the normalized posting vectors, SNAPPED to the 2⁻²⁶ grid:
+    * normalization produces full-mantissa doubles that the Lloyd
+    * exact-carrier guard (x·2⁵⁰ integral) rightly rejects, so PQ
+    * quantizes its training/encoding inputs to 26 fraction bits first
+    * — a ~1.5e-8 perturbation, noise next to 4-bit codes, and the
+    * carrier then holds by construction. */
+  private def pqSubvecs(vecs: DataFrame): DataFrame = {
+    val G = 67108864.0 // 2^26
+    vecs.select(col("vec_id"), posexplode(array(
+        (0 until PqM).map(j =>
+          slice(col("vn"), j * PqDSub + 1, PqDSub)): _*))
+      .as(Seq("sub", "sv")))
+      .select(col("vec_id"), col("sub"),
+              transform(col("sv"),
+                x => floor(x.cast("double") * lit(G) + lit(0.5)) / lit(G))
+                .as("v"))
+  }
+
+  /** Argmin-over-codebook as a BROADCAST JOIN (subvectors × their
+    * subspace's K centroids, deterministic min(struct(d2, cid))
+    * tie-break) — one bounded job regardless of K. The literal-
+    * struct-array argmin [[Clustering.assign]] uses is right for
+    * k=8 but at K=256 the 2048-term expression costs seconds of
+    * codegen PER JOB; the join form keeps codegen constant-size and
+    * is the shape that scales (centroid table is M·K rows —
+    * broadcast by construction). */
+  private def pqAssign(sv: DataFrame, books: DataFrame): DataFrame = {
+    val d2 = graft.functions.VectorFunctions.dot(col("v"), col("v")) -
+      lit(2.0) * graft.functions.VectorFunctions.dot(col("v"), col("c")) +
+      col("c2")
+    sv.join(broadcast(books), "sub")
+      .select(col("vec_id"), col("sub"), col("v"),
+              struct(d2.as("d2"), col("cid")).as("sc"))
+      .groupBy("vec_id", "sub")
+      .agg(min(col("sc")).getField("cid").as("code"),
+           first(col("v")).as("v"))
+  }
+
+  /** Content-keyed PQ index: trains the M codebooks with a
+    * fixed-iteration Lloyd loop over a deterministic hash-SAMPLE of
+    * the corpus (≤ ~4k vectors — the standard PQ practice; codebook
+    * quality saturates long before full-corpus training, and the
+    * sample bounds train cost at any corpus size), encodes EVERY
+    * vector with one join-argmin pass, and materializes
+    * codebook.parquet (M·K rows — model state) plus the PQ posting
+    * table. At-rest layout: the 8 one-byte codes PACKED into one
+    * LONG word (code_j in bits 8j..8j+7) — a fixed-width column
+    * parquet stores tightly, vs an array<int> paying per-element
+    * overhead; this is what makes the ≤¼-of-int8 size contract hold
+    * even where row keys dominate. Home-side index only: no pm
+    * column (probe masks live on the probe side, which reads the
+    * float index). */
+  private val pqIndexPaths =
+    new IndexCache[String]("embeddings", { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ann_pq").toString
+      import s.implicits._
+      val vecs = Similarity.annPostings(s, d)
+        .select(col("vec_id"), col("vn")).distinct()
+      val n = vecs.count()
+      // deterministic ~4k-vector training sample (every ceil(n/4096)-th id)
+      val stride = math.max(1L, n / 4096L)
+      val train = pqSubvecs(vecs.filter(col("vec_id") % stride === 0))
+        .persist()
+      try {
+        // init: the K lowest sampled vec_ids' subvectors, per subspace
+        var books: Map[(Int, Int), Seq[Double]] =
+          train.select(col("sub"), col("vec_id"), col("v"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("sub").orderBy("vec_id")))
+            .filter(col("rn") <= PqK)
+            .collect()
+            .map(r => ((r.getInt(0), r.getInt(3) - 1), r.getSeq[Double](2)))
+            .toMap
+        require(books.nonEmpty, "pq: empty corpus")
+        def booksDf = books.toSeq
+          .map { case ((j, c), v) => (j, c, v, v.map(x => x * x).sum) }
+          .toDF("sub", "cid", "c", "c2")
+        // Lloyd over the sample: join-argmin assign + the exact 2^50
+        // DECIMAL mean carrier (subvectors are 2^-26-grid-snapped, so
+        // the carrier holds by construction — see pqSubvecs)
+        val S = 1125899906842624.0 // 2^50
+        for (_ <- 1 to PqIters) {
+          val means = pqAssign(train, booksDf)
+            .select(col("sub"), col("code"),
+                    posexplode(col("v")).as(Seq("dd", "x")))
+            .groupBy("sub", "code", "dd")
+            .agg(sum((col("x") * S).cast("decimal(38,0)")).as("sx"),
+                 count(lit(1)).as("nn"))
+            .select(col("sub"), col("code"), col("dd"),
+                    (col("sx").cast("double") / (lit(S) * col("nn"))).as("m"))
+            .collect()
+            .groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case (k, rows) =>
+              val c = new Array[Double](PqDSub)
+              rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+              k -> c.toSeq
+            }
+          books = books.map { case (k, old) => k -> means.getOrElse(k, old) }
+        }
+        booksDf.withColumnRenamed("c", "centroid").drop("c2")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+        // encode EVERY vector: one join-argmin pass, codes bit-packed
+        // (bit_or + shiftleft, NOT arithmetic: code_7 << 56 lands in
+        // the sign bit, which ANSI multiplication rejects as overflow)
+        val codes = pqAssign(pqSubvecs(vecs), booksDf)
+          .groupBy("vec_id")
+          .agg(expr("bit_or(shiftleft(CAST(code AS BIGINT), 8 * sub))")
+            .as("code64"))
+        Similarity.annPostings(s, d)
+          .select(col("tbl"), col("bucket"), col("vec_id"))
+          .join(codes, "vec_id")
+          .write.mode("overwrite").parquet(s"$dir/postings.parquet")
+        dir
+      } finally { train.unpersist(false); () }
+    })
+
+  private[graft] def pqPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${pqIndexPaths.get(spark, dir)}/postings.parquet")
+  private[graft] def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${pqIndexPaths.get(spark, dir)}/codebook.parquet")
+  private[graft] def pqIndexPath(spark: SparkSession, dir: String): String =
+    s"${pqIndexPaths.get(spark, dir)}/postings.parquet"
+
+  /** ADC shortlist depth before the exact refine. */
+  val PqRefineR = 30
+
+  /** q_ann_pq: approximate per-vector top-3 neighbors from the PQ
+    * posting table — the full IVFADC+R architecture: the q_ann_ivf
+    * multi-probe candidate generation, ASYMMETRIC-distance scoring
+    * (each probe precomputes its M·K=2048-entry LUT of
+    * subvector·centroid dots ONCE, before the join multiplies rows;
+    * each candidate pair then costs 8 static gathers + adds off the
+    * packed code word — no HOF, no per-pair allocation), an ADC
+    * top-[[PqRefineR]] cut, and an EXACT-dot refine of only the
+    * shortlist (≤ R rows per probe — in production the refine tier
+    * point-reads full-precision vectors from slow storage; the PQ
+    * codes are what lives in RAM and what the candidate stream
+    * touches). Oracle-exempt (approximate by construction, like its
+    * int8 sibling); golden: recall floor vs exact kNN + at-rest
+    * payload ≤ ¼ of the int8 posting table (QuantSpec). */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val cb = pqCodebook(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .toMap
+    // Spark-native ADC: a per-probe LUT is the serial-CPU trick — in a
+    // distributed plan a 2048-double LUT riding every exploded probe
+    // row through two shuffles is the anti-pattern. Instead each
+    // POSTING row decodes its approximation vector ĉ once at scan
+    // time (8 element_at gathers off the centroid literals, one per
+    // packed byte of code64), and the pair kernel becomes the same
+    // codegen'd native dot as the int8 path: dot(p, ĉ) =
+    // Σ_j p_j·c_{code_j} — identical ADC math, no HOF, no per-pair
+    // allocation, and the at-rest table still holds only the 8-byte
+    // words (the decode is a transient scan projection, so the
+    // candidate-stream payload matches int8's, while disk/RAM at
+    // rest stay at the 8-byte PQ tier).
+    val decodeCol = flatten(array((0 until PqM).map { j =>
+      val cbJ = typedlit(
+        (0 until PqK).map(c => cb.getOrElse((j, c), Seq.fill(PqDSub)(0.0))))
+      val code = shiftrightunsigned(col("code64"), 8 * j)
+        .bitwiseAND(lit(255L)).cast("int")
+      element_at(cbJ, code + lit(1))
+    }: _*))
+    val posts = pqPostings(spark, dir)
+    val home = posts.select(col("tbl"), col("bucket"),
+                            col("vec_id").as("id_b"),
+                            decodeCol.as("cdec"))
+    val probes = Similarity.annPostings(spark, dir)
+      .select(col("vec_id").as("id_a"),
+              transform(col("vn"), x => x.cast("double")).as("va"),
+              col("tbl"),
+              explode(transform(col("pm"), m => col("bucket").bitwiseXOR(m)))
+                .as("bucket"))
+    val adc = graft.functions.VectorFunctions.dot(col("va"), col("cdec"))
+    val cands = probes.join(home, Seq("tbl", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), adc.as("cos_sim"))
+    // ADC shortlist → exact refine: only ≤ R rows per probe ever touch
+    // full-precision vectors again
+    val short = Similarity.topKCut(cands, PqRefineR, distinct = true)
+      .select("id_a", "id_b")
+    val vecs = Similarity.annPostings(spark, dir)
+      .select(col("vec_id"), transform(col("vn"), x => x.cast("double"))
+        .as("vd")).distinct()
+    val exact = short
+      .join(vecs.select(col("vec_id").as("id_a"), col("vd").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("vd").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+              graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+                .as("cos_sim"))
+    val w = Window.partitionBy("id_a")
+      .orderBy(col("cos_sim").desc, col("id_b").asc)
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("id_a"), col("cos_sim").desc, col("id_b"))
+  }
+
   /** DuckDB oracle: the literal same planes (full-precision literals
     * round-trip to the same doubles) folded in the same order. */
   val projectOracleSql: String = {

@@ -45,6 +45,21 @@ object AnnRecall {
     val recall = (kset & aset).size.toDouble / kset.size
     println(f"ANN_RECALL dir=$dir n_knn=${kset.size} n_ann=${aset.size} " +
       f"recall@3=$recall%.4f t_knn=$tKnn%.2fs t_ann=$tAnn%.2fs")
+    // the quantized tiers against the same exact set (r14: + PQ)
+    val (q8, tQ8) = time {
+      graft.ops.Quant.qAnnQuant(spark, dir).select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    spark.catalog.clearCache()
+    val (pq, tPq) = time {
+      graft.ops.Quant.qAnnPq(spark, dir).select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    spark.catalog.clearCache()
+    val rQ8 = (q8.toSet & kset).size.toDouble / kset.size
+    val rPq = (pq.toSet & kset).size.toDouble / kset.size
+    println(f"ANN_TIERS recall_int8=$rQ8%.4f recall_pq=$rPq%.4f " +
+      f"t_int8=$tQ8%.2fs t_pq=$tPq%.2fs")
     spark.stop()
   }
 }

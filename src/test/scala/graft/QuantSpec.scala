@@ -92,6 +92,39 @@ class QuantSpec extends AnyFunSuite {
     assert(qb < fb / 2, s"quant index $qb bytes vs float $fb")
   }
 
+  test("q_ann_pq: recall@3 floor vs exact kNN; PQ posting table <= 1/4 of the int8 table") {
+    import graft.ops.{Quant, Similarity}
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.Queries.all("q_knn")(spark, dir))
+    val pqAnn = pairs(graft.Queries.all("q_ann_pq")(spark, dir))
+    val rPq = (pqAnn & exact).size.toDouble / exact.size
+    // 8-byte codes + exact refine of the ADC top-R shortlist: the
+    // floor documents the tier's contract (int8 floor 0.7; measured
+    // PQ 0.82 at sf0.1 / higher at sf0.001 with R=30)
+    assert(rPq >= 0.7, s"pq recall floor: $rPq")
+    // the size story is the POINT of PQ: one packed 8-byte code word
+    // vs 64 int8s + scale — at rest the PQ posting table must be
+    // <= 1/4 of the int8 posting table (same tbl/bucket/vec_id keys)
+    def bytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(path))
+    }
+    val qb = bytes(Quant.quantIndexPath(spark, dir))
+    val pb = bytes(Quant.pqIndexPath(spark, dir))
+    assert(pb <= qb / 4, s"pq index $pb bytes vs int8 $qb")
+    // codebook is bounded model state: M*K rows
+    assert(Quant.pqCodebook(spark, dir).count() == Quant.PqM * Quant.PqK)
+    // every posting row carries a packed code word, and the PQ table
+    // covers the same rows as the int8 posting table
+    val posts = Quant.pqPostings(spark, dir)
+    assert(posts.filter(org.apache.spark.sql.functions.col("code64").isNull)
+      .count() == 0)
+    assert(posts.count() == Quant.quantPostings(spark, dir).count())
+  }
+
   test("quantized top-10 recalls >= 0.8 of the exact float dot top-10") {
     val emb = graft.Tables.embeddings(spark, dir)
     val approx = Quant.quantizedTopK(emb, nProbes = 5, k = 10)

@@ -64,7 +64,9 @@ class RegistryClinitSpec extends AnyFunSuite {
       // q_multimodal_features converted in r14: four analytic
       // container fixtures through the real dispatch, SHA-256 stub
       // dims replayed via DuckDB's sha256
-      "q_agg_approx", "q_ann_ivf",
+      // q_ann_pq added in r14: PQ is approximate by construction like
+      // its int8 sibling; recall + at-rest-size goldens in QuantSpec
+      "q_agg_approx", "q_ann_ivf", "q_ann_pq",
       "q_percentiles_approx", "q_token_bpe", "q_bpe_learn", "q_ann_quant",
       "q_hll_users")
     // Exemptions may grow only deliberately: fail on silent drift so a
