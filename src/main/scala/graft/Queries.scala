@@ -2873,6 +2873,7 @@ object Queries {
     "q_crawl_triad"       -> (Curation.qCrawlTriad _),
     "q_warc_triad"        -> (Curation.qWarcTriad _),
     "q_training_pipeline" -> (Curation.qTrainingPipeline _),
+    "q_training_stable"   -> (Curation.qTrainingStable _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
     "q_split_assign"      -> (Curation.qSplitAssign _),
     "q_shuffle_shard"     -> (Curation.qShuffleShard _),
@@ -3268,6 +3269,41 @@ object Queries {
          |SELECT doc_id, shard, pos_in_shard,
          |  (tok_offset // 2048)::BIGINT AS chunk, n_toks, quality
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+    // r14: the STABLE twin — hash shard (pure doc_id function) +
+    // per-shard doc_id-order packing; the row shape the streaming
+    // assembly's stateful packer reproduces incrementally
+    "q_training_stable" -> {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      val quality = "least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+        " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE"
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+         |           GROUP BY md5(text)),
+         |t AS (SELECT doc_id, $TOKS AS toks
+         |      FROM documents JOIN k USING (doc_id)),
+         |qg AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+         |  len(list_filter(toks, tk -> list_contains($stop, tk)))::DOUBLE
+         |    / len(toks) AS stop_ratio
+         |  FROM t),
+         |g AS (SELECT doc_id, n_toks, q AS quality FROM (
+         |  SELECT doc_id, n_toks, ${rnd(quality, 6)} AS q,
+         |         ${rnd("1.0::DOUBLE - ttr", 6)} AS df FROM qg) z
+         |  WHERE q >= 0.5 AND df <= 0.6),
+         |s AS (SELECT doc_id, n_toks, quality,
+         |  ((('0x' || substr(md5('r12:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % 8))::INT AS shard FROM g),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1
+         |    AS pos_in_shard,
+         |  coalesce(sum(n_toks) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |    AS tok_offset FROM s)
+         |SELECT doc_id, shard, pos_in_shard,
+         |  (tok_offset // 2048)::BIGINT AS chunk, n_toks, quality
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     "q_shuffle_shard" ->
       """WITH r AS (SELECT doc_id,

@@ -952,6 +952,96 @@ object Curation {
   def qTrainingPipeline(spark: SparkSession, dir: String): DataFrame =
     trainingPipeline(Tables.documents(spark, dir))
 
+  /** STABLE hash-shard assignment — the [[splitAssign]] stability
+    * property applied to sharding: a document's shard is a pure
+    * function of (salt, doc_id), so APPENDING documents never moves
+    * an existing one (the property an incremental/streaming assembly
+    * needs; [[shuffleShards]]' global md5 permutation deliberately
+    * does NOT have it — inserting one doc shifts every later rank).
+    * 15 md5 hex chars → 60-bit positive value, mod shards. */
+  def stableShard(docId: Column, salt: String, shards: Int): Column =
+    pmod(conv(substring(
+           md5(concat_ws(":", lit(salt), docId.cast("string"))), 1, 15),
+         16, 10).cast("long"), lit(shards.toLong)).cast("int")
+
+  /** The STABLE training assembly — the batch twin of
+    * [[graft.streaming.EventStreams.trainingPipelineStream]] and the
+    * parity anchor its spec pins: exact dedup keepers (min doc_id per
+    * content hash) → the SHARED [[TextAnalysis.qualityGate]] → the
+    * stable hash shard ([[stableShard]]) → per-shard doc_id-order
+    * chunk packing. Within-shard rank uses the segmented-rank
+    * discipline (ONE global range sort on (shard, doc_id) +
+    * zipWithIndex; rank = pos − min(pos) per shard via a
+    * shard-count-bounded join — never a per-shard window over the
+    * corpus), and token offsets use the banded two-level prefix sum
+    * ([[trainingPipeline]]'s chunker). Emits
+    * (doc_id, shard, pos_in_shard, chunk, n_toks, quality) — the
+    * SAME row the stream's stateful packer emits, because within a
+    * shard both fold documents in doc_id order. */
+  def trainingAssemblyStable(docs: DataFrame, shards: Int = 8,
+                             budget: Long = 2048, minQuality: Double = 0.5,
+                             maxDupTokFrac: Double = 0.6,
+                             salt: String = "r12",
+                             bandSpan: Long = 1000): DataFrame = {
+    require(shards >= 1 && budget >= 1 && bandSpan >= 1,
+      s"bad trainingAssemblyStable params: shards=$shards budget=$budget")
+    val spark = docs.sparkSession
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val gated = TextAnalysis.qualityGate(
+        docs.join(keepers, "doc_id")
+          .select(col("doc_id"),
+                  split(lower(trim(col("text"))), "\\s+").as("toks")),
+        minQuality, maxDupTokFrac)
+      .select(col("doc_id").cast("long").as("doc_id"),
+              col("n_toks").cast("long").as("n_toks"), col("quality"))
+      .withColumn("shard", stableShard(col("doc_id"), salt, shards))
+      .localCheckpoint(false)
+    // segmented per-shard rank: global (shard, doc_id) sort + offsets
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
+      StructField, StructType}
+    val ranked = spark.createDataFrame(
+      gated.orderBy(col("shard").asc, col("doc_id").asc).rdd
+        .zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+                                   r.getDouble(2), r.getInt(3), i) },
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_toks", LongType),
+        StructField("quality", DoubleType), StructField("shard", IntegerType),
+        StructField("pos", LongType))))
+      .localCheckpoint(false)
+    val base = ranked.groupBy("shard").agg(min(col("pos")).as("p0"))
+    val placed = ranked.join(broadcast(base), "shard")
+      .withColumn("pos_in_shard", col("pos") - col("p0"))
+    // banded two-level prefix sum for token offsets (the
+    // trainingPipeline chunker verbatim)
+    val banded = placed.withColumn("band",
+      expr(s"pos_in_shard div $bandSpan"))
+    val wIn = Window.partitionBy("shard", "band").orderBy("pos_in_shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = banded.withColumn("cum_in",
+      coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+    val bandTotals = banded.groupBy("shard", "band")
+      .agg(sum(col("n_toks")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.partitionBy("shard").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "band", "boff")
+    within.join(broadcast(bandTotals), Seq("shard", "band"))
+      .withColumn("tok_offset", col("boff") + col("cum_in"))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+              expr(s"tok_offset div ${budget}L").as("chunk"),
+              col("n_toks"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q_training_stable: [[trainingAssemblyStable]] (8 shards,
+    * 2048-token chunks) over the documents corpus. */
+  def qTrainingStable(spark: SparkSession, dir: String): DataFrame =
+    trainingAssemblyStable(Tables.documents(spark, dir))
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed-n-gram bag is under a

@@ -30,6 +30,15 @@ case class HopState(last_ts_us: Long, last_type: String, buf: List[BufEv])
 case class Hop(user_id: Long, prev_type: String, next_type: String,
                gap_us: Long)
 
+/** Per-shard packer state for
+  * [[EventStreams.trainingPipelineStream]] — two longs per shard. */
+case class PackState(nextPos: Long, cumToks: Long)
+
+/** One packed training row (the
+  * [[graft.ops.Curation.trainingAssemblyStable]] row shape). */
+case class TrainRow(doc_id: Long, shard: Int, pos_in_shard: Long,
+                    chunk: Long, n_toks: Long, quality: Double)
+
 /** Structured Streaming forms of the event-time operators (SURVEY.md
   * §2.2 streaming-only rows). The batch queries in `ops.Events` use the
   * same `groupBy(window(...))` shapes; these add watermarks (bounded
@@ -484,6 +493,69 @@ object EventStreams {
       .select(col("doc_id"), col("ts"), col("toks"))
     nearDupProbeStage(curated, corpusShingles, corpusBands, tau,
                       graft.ops.Dedup.Bands)
+  }
+
+  /** Streaming training assembly — the incremental form of
+    * [[graft.ops.Curation.trainingAssemblyStable]] (r14, verdict ask
+    * #6): an unbounded curated-document stream packed into training
+    * shards/chunks as it arrives.
+    *
+    * Stage contract, stream ≡ batch (StreamingSpec pins parity on a
+    * replayed corpus):
+    *  1. incremental dedup keeper — the watermark-bounded
+    *     seen-content-hash state ([[contentDedupStage]]);
+    *  2. the SHARED quality gate
+    *     ([[graft.ops.TextAnalysis.qualityGate]] — same definition
+    *     batch runs, a stateless projection);
+    *  3. STABLE shard assignment ([[graft.ops.Curation.stableShard]]
+    *     — a pure (salt, doc_id) hash, so an appended document never
+    *     moves an already-assigned one; the batch pipeline's global
+    *     md5 permutation deliberately lacks this property, which is
+    *     exactly why the stable twin exists);
+    *  4. per-shard chunk packing as a stateful operator:
+    *     `flatMapGroupsWithState` keyed by shard, whose entire state
+    *     is (next position, cumulative tokens) — two longs PER SHARD,
+    *     bounded by construction, nothing watermark-dependent. Rows
+    *     within a micro-batch group are folded in doc_id order so the
+    *     packing is deterministic and equals the batch twin's
+    *     doc_id-order fold when waves arrive id-ordered.
+    * Emits (doc_id, shard, pos_in_shard, chunk, n_toks, quality) —
+    * the batch twin's exact row shape. */
+  def trainingPipelineStream(docs: DataFrame, shards: Int = 8,
+                             budget: Long = 2048,
+                             minQuality: Double = 0.5,
+                             maxDupTokFrac: Double = 0.6,
+                             salt: String = "r12",
+                             watermark: String = "10 minutes"): Dataset[TrainRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fresh = contentDedupStage(docs.withWatermark("ts", watermark))
+    val gated = graft.ops.TextAnalysis.qualityGate(
+        fresh.withColumn("toks", split(lower(trim(col("text"))), "\\s+")),
+        minQuality, maxDupTokFrac)
+      .select(col("doc_id").cast("long").as("doc_id"),
+              col("n_toks").cast("long").as("n_toks"), col("quality"),
+              graft.ops.Curation.stableShard(col("doc_id"), salt, shards)
+                .as("shard"))
+      .as[(Long, Long, Double, Int)]
+    gated.groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[(Long, Long, Double, Int)],
+         state: GroupState[PackState]) => {
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          // doc_id-order fold inside the micro-batch: group iteration
+          // order is otherwise partition-arbitrary
+          val out = rows.toSeq.sortBy(_._1).map {
+            case (docId, nToks, quality, _) =>
+              val row = TrainRow(docId, shard, st.nextPos,
+                                 st.cumToks / budget, nToks, quality)
+              st = PackState(st.nextPos + 1, st.cumToks + nToks)
+              row
+          }
+          state.update(st)
+          out.iterator
+        })
   }
 
   /** Stream-static enrichment join: an unbounded event stream joined

@@ -672,4 +672,64 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
     }
   }
+
+  test("trainingPipelineStream ≡ trainingAssemblyStable on a replayed corpus; dedup/gate casualties; per-shard state only") {
+    import graft.ops.Curation
+    // constructed corpus: texts unique WITHIN each wave (the
+    // in-micro-batch dedup keeps an arbitrary row — the documented
+    // contract — so duplicates must only arrive against SETTLED
+    // state); cross-wave duplicates (+1000 ids) and a junk doc
+    // exercise the keeper and the gate
+    def good(i: Int) = (1 to 30).map(j => s"w${i}t$j").mkString(" ")
+    val wave1 = (1 to 12).map(i =>
+      DocEv(i.toLong, good(i), ts(f"2024-01-01 00:00:${i}%02d")))
+    val wave2 = Seq(
+      // exact duplicates of wave-1 docs: die at the keeper state
+      DocEv(1001L, good(3), ts("2024-01-01 00:01:00")),
+      DocEv(1002L, good(7), ts("2024-01-01 00:01:01")),
+      // junk: dies at the quality gate (dup_tok_frac ≈ 1)
+      DocEv(1003L, Seq.fill(40)("spam").mkString(" "),
+            ts("2024-01-01 00:01:02")),
+      // fresh docs appended late: must pack WITHOUT moving anyone
+      DocEv(1004L, good(13), ts("2024-01-01 00:01:03")),
+      DocEv(1005L, good(14), ts("2024-01-01 00:01:04")))
+    val all = (wave1 ++ wave2).toDF().select("doc_id", "text")
+    // batch twin over the union — min-id keepers pick the wave-1
+    // originals, matching the stream's first-arrival keeps
+    val batch = Curation.trainingAssemblyStable(all, shards = 4,
+        budget = 64)
+      .collect().map(_.toString).sorted.toSeq
+    val ms = MemoryStream[DocEv](spark)
+    val stream = EventStreams.trainingPipelineStream(ms.toDF(),
+      shards = 4, budget = 64)
+    withQuery(stream.toDF(), "append", "t_train_stream") { q =>
+      ms.addData(wave1)
+      q.processAllAvailable()
+      val afterW1 = spark.table("t_train_stream").collect()
+        .map(r => r.getLong(0) -> r.toString).toMap
+      ms.addData(wave2)
+      q.processAllAvailable()
+      val got = spark.table("t_train_stream").collect()
+        .map(_.toString).sorted.toSeq
+      assert(got == batch, s"stream\n${got.mkString("\n")}\nbatch\n${
+        batch.mkString("\n")}")
+      // stability: wave-2 appends never moved a wave-1 row
+      spark.table("t_train_stream").collect()
+        .filter(r => afterW1.contains(r.getLong(0)))
+        .foreach(r => assert(afterW1(r.getLong(0)) == r.toString,
+          s"appended docs moved doc ${r.getLong(0)}"))
+      // casualties: the cross-wave duplicates and the junk doc are out
+      val ids = spark.table("t_train_stream").collect()
+        .map(_.getLong(0)).toSet
+      assert(!ids.contains(1001L) && !ids.contains(1002L) &&
+             !ids.contains(1003L))
+      assert(ids.contains(1004L) && ids.contains(1005L))
+      // the packer's entire state is (pos, cumToks) per shard: state
+      // rows == shard count, not corpus size
+      val prog = q.lastProgress.stateOperators
+      val packer = prog.map(_.numRowsTotal).max
+      assert(packer <= 4 + 12 + 5, // packer shards + dedup hashes
+        s"state rows ${prog.map(_.numRowsTotal).toSeq}")
+    }
+  }
 }
