@@ -354,14 +354,7 @@ object Dedup {
       .select(col("doc_id"), col("band"),
               bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
       .persist()
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-    val bn = banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
-                           col("doc_id").as("doc_b"))
-    val cands = a.join(bn,
-        col("band") === col("band_b") && col("bkey") === col("bkey_b")
-          && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val cands = bandCandidates(banded)
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -373,6 +366,53 @@ object Dedup {
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Hot-band salting threshold: a band bucket larger than this gets
+    * split into ceil(size/threshold) salted sub-keys. */
+  val HotBucketThreshold = 4096
+
+  /** Band-bucket self-join with HOT-BUCKET SALTING (r14, verdict ask
+    * #7): a boilerplate-heavy corpus puts thousands of documents into
+    * ONE (band, bkey) bucket, and a plain self-join then evaluates
+    * that bucket's |B|² candidate pairs inside a single task — the
+    * q_join_skew failure mode on the LSH key. Mitigation: bucket
+    * sizes ride the same shuffle key (a co-partitioned count + join,
+    * ~free for normal buckets), and a bucket of size |B| >
+    * [[HotBucketThreshold]] splits into S = ceil(|B|/threshold)
+    * salts — the probe side takes salt = hash(doc) mod S, the build
+    * side replicates each row to all S salts, and the join key grows
+    * to (band, bkey, salt). Every intra-bucket pair still meets in
+    * exactly one salt task (a's salt; b's replica is there), so the
+    * RESULT SET IS IDENTICAL — the oracle row doesn't move — while
+    * per-task candidates drop from |B|² to ≤ threshold·|B| and the
+    * hot bucket spreads over S tasks. Normal buckets have S = 1: no
+    * replication, no behavior change. The |B|² total verification
+    * WORK is inherent to LSH on boilerplate (every pair really is a
+    * candidate); what salting buys is that no single task owns it. */
+  private[graft] def bandCandidates(banded: DataFrame,
+                                    hotBucket: Int = HotBucketThreshold): DataFrame = {
+    val sizes = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .withColumn("nsalt",
+        ceil(col("bsz") / lit(hotBucket.toDouble)).cast("int"))
+      .select(col("band"), col("bkey"), col("nsalt"))
+    val sized = banded.join(sizes, Seq("band", "bkey"))
+    val saltOf = pmod(conv(substring(
+        md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      col("nsalt").cast("long")).cast("int")
+    val a = sized.select(col("band"), col("bkey"),
+                         col("doc_id").as("doc_a"), saltOf.as("salt"))
+    val bn = sized.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+                          col("doc_id").as("doc_b"),
+                          explode(sequence(lit(0), col("nsalt") - 1))
+                            .as("salt_b"))
+    a.join(bn,
+        col("band") === col("band_b") && col("bkey") === col("bkey_b")
+          && col("salt") === col("salt_b")
+          && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** q_dedup_cluster: connected components over the exact near-dup

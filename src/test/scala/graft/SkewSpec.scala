@@ -96,4 +96,40 @@ class SkewSpec extends AnyFunSuite {
     // 499 500 pairs on ONE shuffle key; the df-bound drops it entirely
     assert(pairs.toSeq == Seq((2001L, 2002L)))
   }
+
+  test("hot LSH band: salting bounds per-task candidates, pair set identical (r14)") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // planted hot band: 300 docs whose banded rows ALL share one
+    // (band, bkey) — the boilerplate-corpus worst case — plus two
+    // normal buckets of 2
+    val hot = (0 until 300).map(i => (i.toLong, 0, "HOTKEY"))
+    val cold = Seq((1000L, 0, "c1"), (1001L, 0, "c1"),
+                   (2000L, 1, "c2"), (2001L, 1, "c2"))
+    val banded = (hot ++ cold).toDF("doc_id", "band", "bkey")
+    // pair set is IDENTICAL to the unsalted join (threshold
+    // effectively off vs on)
+    def pairs(hotBucket: Int) =
+      Dedup.bandCandidates(banded, hotBucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = pairs(Int.MaxValue)
+    val salted = pairs(50)
+    assert(unsalted.size == 300 * 299 / 2 + 2)
+    assert(salted == unsalted, "salting changed the candidate set")
+    // the bound itself: with threshold 50 the hot bucket splits into
+    // ceil(300/50) = 6 salts, and no (band, bkey, salt) task sees more
+    // than ~threshold probe rows — per-task candidates <= thr*|B|
+    // instead of |B|^2. Recompute the salt assignment independently.
+    val perSalt = (0 until 300).map { i =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val hex = md5.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 6
+    }.groupBy(identity).view.mapValues(_.size)
+    assert(perSalt.keySet == (0L until 6L).toSet, "salts unused")
+    assert(perSalt.values.max <= 50 * 2,
+      s"salt groups unbalanced: $perSalt")
+    // normal buckets: nsalt = 1, no replication (cold pairs intact)
+    assert(salted.contains((1000L, 1001L)) && salted.contains((2000L, 2001L)))
+  }
 }
