@@ -279,7 +279,11 @@ object TextAnalysis {
     * (weights in milli-units, exact sums in any order), so the DuckDB
     * oracle matches bit-for-bit despite fold-order differences.
     * Narrow per-row expression pipeline: one scan, no shuffle, no UDF
-    * — at 100 TB this is the cheapest possible inference shape. */
+    * — at 100 TB this is the cheapest possible inference shape.
+    * Since r14 the TRAINED twin exists: [[qTrainQuality]] learns its
+    * weights in-engine ([[trainQualityWeights]]) and
+    * [[scoreQuality]] is the inference pass over that trained
+    * artifact. */
   def qQualityModel(spark: SparkSession, dir: String): DataFrame =
     modelQuality(Tables.docTokens(spark, dir))
 

@@ -236,6 +236,18 @@ object ScaleCheck {
                               // per-shard prefix sums
     "q_audio_stats" -> 1.0,   // per-doc PCM encode/decode, no shuffle
                               // before the output sort
+    // r14 additions
+    "q_warc_triad" -> 1.0,    // WARC render + parse are per-page; the
+                              // triad behind them is q_crawl_triad
+    "q_train_quality" -> 1.0, // fixed iterations × one narrow
+                              // aggregate scan each
+    "q_training_stable" -> 1.0, // hash shard + segmented rank +
+                              // banded prefix sums
+    "q_multimodal_features" -> 1.0, // per-doc fixture encode + header
+                              // parses, no shuffle
+    "q_ann_pq" -> 1.5,        // same all-pairs-over-IVF candidates as
+                              // q_ann_ivf; PQ changes bytes/row and
+                              // kernel, not candidate counts
   )
 
   def main(args: Array[String]): Unit = {
