@@ -262,13 +262,17 @@ object Queries {
          |    w4 + $eta * (g4 / (c * 1e12)) AS w4
          |  FROM $prev, g$t, nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-       |st AS (SELECT doc_id,
+    // MATERIALIZED: the iteration CTEs reference f once per unrolled
+    // round; without the hint DuckDB re-inlines the tokenize +
+    // stopword scan ~2x per iteration (measured >180 s at sf1 vs
+    // 23 s materialized)
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $TOKS AS toks FROM documents),
+       |st AS MATERIALIZED (SELECT doc_id,
        |  len(toks)::BIGINT AS n_toks,
        |  len(list_distinct(toks))::BIGINT AS n_distinct,
        |  len(list_filter(toks, t -> list_contains($stop, t)))::BIGINT AS n_stop
        |FROM t),
-       |f AS (SELECT doc_id,
+       |f AS MATERIALIZED (SELECT doc_id,
        |  1000::BIGINT AS x1,
        |  (least(n_toks, 100) * 10)::BIGINT AS x2,
        |  ((n_distinct * 2000 + n_toks) // (2 * n_toks))::BIGINT AS x3,
