@@ -110,20 +110,21 @@ object Warc {
       "Content-Type" -> "application/http; msgtype=response"), payload)
   }
 
-  /** Writes (doc_id, url, html) rows as `nFiles` WARC files (each led
-    * by a warcinfo record), one file per partition via the Hadoop
-    * FileSystem client — Spark has no binary whole-file sink, and the
-    * FS client is the portable route (local/HDFS/S3A). Deterministic
-    * layout: hash-repartitioned on doc_id, sorted within each file. */
-  def writeWarc(pages: DataFrame, path: String, nFiles: Int): Unit = {
+  /** Shared record-file writer: one `.ext` file per partition (each
+    * led by a warcinfo record) via the Hadoop FileSystem client —
+    * Spark has no binary whole-file sink, and the FS client is the
+    * portable route (local/HDFS/S3A). Deterministic layout:
+    * hash-repartitioned on doc_id, sorted within each file. */
+  private def writeRecordFiles(rows: DataFrame, path: String, nFiles: Int,
+                               ext: String)
+                              (render: Row => Array[Byte]): Unit = {
     import org.apache.hadoop.fs.Path
-    pages.select(col("doc_id").cast("long"), col("url"), col("html"))
-      .repartition(nFiles, col("doc_id"))
+    rows.repartition(nFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val name = f"part-$pid%05d.warc"
+          val name = f"part-$pid%05d.$ext"
           // executor-side Configuration picks up the cluster defaults
           // from the classpath (and file:// needs none)
           val p = new Path(path, name)
@@ -131,14 +132,52 @@ object Warc {
           val out = fs.create(p, true)
           try {
             out.write(warcinfoRecord(name))
-            it.foreach { r =>
-              out.write(responseRecord(r.getLong(0), r.getString(1),
-                                       r.getString(2)))
-            }
+            it.foreach(r => out.write(render(r)))
           } finally out.close()
         }
       }
   }
+
+  /** Writes (doc_id, url, html) rows as `nFiles` WARC files of
+    * HTTP-wrapped `response` records. */
+  def writeWarc(pages: DataFrame, path: String, nFiles: Int): Unit =
+    writeRecordFiles(
+      pages.select(col("doc_id").cast("long"), col("url"), col("html")),
+      path, nFiles, "warc")(r =>
+      responseRecord(r.getLong(0), r.getString(1), r.getString(2)))
+
+  /** A `conversion` record — the WET (extracted-text) member of the
+    * format family: plain UTF-8 payload, no HTTP wrapping. */
+  private[graft] def conversionRecord(docId: Long, url: String,
+                                      text: String): Array[Byte] =
+    renderRecord(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> s"<urn:graft:$docId>",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> FixtureDate,
+      "Content-Type" -> "text/plain"),
+      text.getBytes(StandardCharsets.UTF_8))
+
+  /** WET sink: (doc_id, url, text) rows as `conversion` records —
+    * how extracted-text crawl drops actually ship. */
+  def writeWet(docs: DataFrame, path: String, nFiles: Int): Unit =
+    writeRecordFiles(
+      docs.select(col("doc_id").cast("long"), col("url"), col("text")),
+      path, nFiles, "wet")(r =>
+      conversionRecord(r.getLong(0), r.getString(1), r.getString(2)))
+
+  /** WET source: the same streaming parser ([[readWarc]]) filtered to
+    * good `conversion` records, payload decoded as UTF-8 —
+    * (doc_id, url, text), ready for the curation pipeline with no
+    * HTML extraction stage. */
+  def readWet(spark: SparkSession, path: String,
+              glob: String = "*.wet"): DataFrame =
+    readWarc(spark, path, glob)
+      .where(col("warc_type") === "conversion" &&
+             col("_corrupt_record").isNull)
+      .select(docIdCol(col("record_id")).as("doc_id"),
+              col("target_uri").as("url"),
+              col("content").cast("string").as("text"))
 
   // ------------------------------------------------------------------
   // Streaming parser (source side)

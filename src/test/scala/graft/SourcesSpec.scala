@@ -360,6 +360,21 @@ class SourcesSpec extends AnyFunSuite {
       .sortBy(_._1))
   }
 
+  test("wet round-trip: (doc_id, url, text) through conversion records, warcinfo skipped") {
+    import graft.sources.Warc
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "https://w.example/a", "extracted text with ünïcödé"),
+      (6L, "https://w.example/b", "line one\nline two"),
+      (7L, "https://w.example/c", "")).toDF("doc_id", "url", "text")
+    val dir = Files.createTempDirectory("graft_wet_rt").toString
+    Warc.writeWet(docs, dir, 2)
+    val back = Warc.readWet(spark, dir)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == docs.as[(Long, String, String)].collect().toSeq
+      .sortBy(_._1))
+  }
+
   test("warc quarantine: a corrupt record costs one quarantine row, parser resyncs") {
     import graft.sources.Warc
     val good1 = Warc.responseRecord(10L, "https://e.example/1", "first page")
