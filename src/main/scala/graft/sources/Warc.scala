@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{BufferedInputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC (ISO 28500) source/sink — the container format real crawl
@@ -312,6 +312,59 @@ object Warc {
       .flatMap { case (p, pds) => parseStream(pds.open(), p) }
       .toDF()
   }
+
+  /** One streamed WARC record: [[WarcRecord]] flattened with the
+    * file's modification time (the natural event time of a crawl
+    * drop — segments land, records flow). */
+  case class WarcStreamRecord(path: String, ts: java.sql.Timestamp,
+                              warc_type: String, target_uri: String,
+                              record_id: String, warc_date: String,
+                              content_type: String, content: Array[Byte],
+                              _corrupt_record: String)
+
+  /** STREAMING WARC source: new `.warc` segments appearing under
+    * `path` are parsed incrementally — the ingest edge of a live
+    * crawl, composing directly with
+    * [[graft.streaming.EventStreams.crawlTriadStream]] via
+    * [[pagesFromWarcStream]]. Built on the binaryFile file-stream
+    * source (explicit schema — file streams cannot infer), so the
+    * unit of arrival is the SEGMENT: each new file is parsed with the
+    * same quarantine-and-resync parser as the batch reader
+    * ([[parseRecords]]). Memory note: the file-stream source hands
+    * whole files (unlike the batch reader's one-record streaming), so
+    * executor memory bounds the segment size — crawlers ship ~100 MB
+    * to 1 GB segments, which is what executor sizing budgets for. */
+  def readWarcStream(spark: SparkSession, path: String,
+                     glob: String = "*.warc"): Dataset[WarcStreamRecord] = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", glob).load(path)
+      .select(col("path"), col("modificationTime").as("ts"), col("content"))
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (p, ts, bytes) =>
+        parseRecords(bytes, p).map(r =>
+          WarcStreamRecord(p, ts, r.warc_type, r.target_uri, r.record_id,
+                           r.warc_date, r.content_type, r.content,
+                           r._corrupt_record))
+      }
+  }
+
+  /** Good `response` records of a WARC stream unwrapped to the
+    * (doc_id, url, html, ts) page shape `crawlTriadStream` consumes. */
+  def pagesFromWarcStream(records: Dataset[WarcStreamRecord]): DataFrame =
+    records.toDF()
+      .where(col("warc_type") === "response" &&
+             col("_corrupt_record").isNull)
+      .select(docIdCol(col("record_id")).as("doc_id"),
+              col("target_uri").as("url"),
+              httpBodyCol(col("content")).as("html"),
+              col("ts"))
 
   /** HTTP response body: everything after the first CRLFCRLF of the
     * payload (the status-line/header block), decoded as UTF-8. Pure

@@ -673,6 +673,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming WARC ingest: new segments parse incrementally and compose with the crawl triad") {
+    import graft.ops.Dedup
+    import graft.sources.Warc
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    def body(i: Long) = (1 to 30).map(j => s"s${i}w$j").mkString(" ")
+    def pageRows(ids: Seq[Long]) = ids.map(i =>
+      (i + 100L, s"https://s.example/p$i",
+       s"<html><body><p>${body(i)}</p></body></html>"))
+    // corpus the pages re-crawl: each page's extracted text verbatim
+    val corpus = (1L to 5L).map(i => (i, body(i)))
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val (sh, bands) = Dedup.buildNearDupIndex(corpus)
+    val shP = sh.persist(); val bandsP = bands.persist()
+    val watched = JFiles.createTempDirectory("graft_warc_watch").toString
+    // a WARC segment lands as a uniquely-named file (the file-stream
+    // source tracks seen paths — a crawler never rewrites a segment)
+    var seg = 0
+    def land(ids: Seq[Long]): Unit = {
+      val stage = JFiles.createTempDirectory("graft_warc_stage").toString
+      Warc.writeWarc(pageRows(ids).toDF("doc_id", "url", "html"), stage, 1)
+      seg += 1
+      JFiles.move(Paths.get(stage, "part-00000.warc"),
+                  Paths.get(watched, f"segment-$seg%03d.warc"),
+                  StandardCopyOption.ATOMIC_MOVE)
+    }
+    land(Seq(1L, 2L, 3L)) // wave 1 exists before the stream starts
+    val records = Warc.readWarcStream(spark, watched)
+    val triad = EventStreams.crawlTriadStream(
+      Warc.pagesFromWarcStream(records), shP, bandsP)
+    withQuery(triad, "append", "t_warc_triad") { q =>
+      q.processAllAvailable()
+      val w1 = spark.table("t_warc_triad").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(w1 == Set((101L, 1L), (102L, 2L), (103L, 3L)), w1.toString)
+      land(Seq(4L, 5L)) // a new segment arrives mid-stream
+      q.processAllAvailable()
+      val all = spark.table("t_warc_triad").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(all == (1L to 5L).map(i => (i + 100L, i)).toSet, all.toString)
+    }
+    // and the stream's record view matches the batch reader's
+    val batch = Warc.readWarc(spark, watched)
+      .filter(col("warc_type") === "response")
+      .select("record_id").as[String].collect().sorted.toSeq
+    assert(batch == (1L to 5L).map(i => s"<urn:graft:${i + 100}>")
+      .sorted.toSeq)
+    shP.unpersist(); bandsP.unpersist()
+  }
+
   test("trainingPipelineStream ≡ trainingAssemblyStable on a replayed corpus; dedup/gate casualties; per-shard state only") {
     import graft.ops.Curation
     // constructed corpus: texts unique WITHIN each wave (the
