@@ -363,6 +363,29 @@ object Quant {
   private[graft] def pqIndexPath(spark: SparkSession, dir: String): String =
     s"${pqIndexPaths.get(spark, dir)}/postings.parquet"
 
+  /** Incremental PQ encode: NEW vectors (vec_id, vn) coded against
+    * the corpus' FROZEN codebook — the append path of the PQ index
+    * (the [[graft.ops.Curation.stableShard]] stability property for
+    * vector search): appending vectors can never move an existing
+    * vector's codes, because the codebook is a materialized artifact
+    * of the original corpus fingerprint. One join-argmin pass;
+    * returns (vec_id, code64) rows ready to union into the posting
+    * table. Re-training (a new codebook generation) is a deliberate,
+    * whole-index event — exactly how production PQ deployments
+    * version codebooks. */
+  def encodePqAgainst(spark: SparkSession, dir: String,
+                      vecs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val books = pqCodebook(spark, dir)
+      .select(col("sub"), col("cid"),
+              transform(col("centroid"), x => x.cast("double")).as("c"))
+      .withColumn("c2", graft.functions.VectorFunctions.dot(col("c"), col("c")))
+    pqAssign(pqSubvecs(vecs), books)
+      .groupBy("vec_id")
+      .agg(expr("bit_or(shiftleft(CAST(code AS BIGINT), 8 * sub))")
+        .as("code64"))
+  }
+
   /** ADC shortlist depth before the exact refine. */
   val PqRefineR = 30
 

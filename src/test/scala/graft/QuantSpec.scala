@@ -125,6 +125,31 @@ class QuantSpec extends AnyFunSuite {
     assert(posts.count() == Quant.quantPostings(spark, dir).count())
   }
 
+  test("incremental PQ encode: frozen codebook, appends never move existing codes, exact re-crawl gets identical codes") {
+    import graft.ops.{Quant, Similarity}
+    val before = Quant.pqPostings(spark, dir)
+      .select("vec_id", "code64").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // append: exact copies of three corpus vectors under new ids
+    val base = Similarity.annPostings(spark, dir)
+      .select(col("vec_id"), col("vn")).distinct()
+      .filter(col("vec_id").isin(3L, 7L, 11L))
+    val appended = base.select((col("vec_id") + 100000L).as("vec_id"),
+                               col("vn"))
+    val codes = Quant.encodePqAgainst(spark, dir, appended)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical content -> identical code word (frozen codebook)
+    Seq(3L, 7L, 11L).foreach { id =>
+      assert(codes(id + 100000L) == before(id), s"vec $id code moved")
+    }
+    // and the existing index is untouched by construction: same
+    // content-keyed path, same bytes
+    val after = Quant.pqPostings(spark, dir)
+      .select("vec_id", "code64").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+  }
+
   test("quantized top-10 recalls >= 0.8 of the exact float dot top-10") {
     val emb = graft.Tables.embeddings(spark, dir)
     val approx = Quant.quantizedTopK(emb, nProbes = 5, k = 10)
