@@ -188,6 +188,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_training_stable: row-level windows run at (shard, band) granularity, never shard-alone") {
+    val p = plan("q_training_stable")
+    // the banded-prefix-sum discipline: the window that sees EVERY row
+    // (cum_in) partitions by (shard, band); only the band-TOTALS
+    // window (band-count-bounded input) may partition by shard alone.
+    // A refactor collapsing cum_in to a per-shard window would cap
+    // parallelism at 8 tasks over the whole corpus.
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, p)
+    val rowLevel = specs.filter(_.contains("pos_in_shard"))
+    assert(rowLevel.nonEmpty && rowLevel.forall(s =>
+      s.contains("shard") && s.contains("band")),
+      s"row-level window not (shard, band)-partitioned:\n$specs")
+    // (the stable-shard md5 projection itself is invisible here — the
+    // segmented-rank localCheckpoint truncates lineage; its purity is
+    // pinned by the streaming parity spec instead)
+  }
+
   test("q_paths: both leads ride one window pass, path count map-side combined") {
     val p = plan("q_paths")
     // a refactor splitting the two leads into differing window specs
