@@ -131,8 +131,11 @@ object Bench {
     // base protocol is now ALWAYS 4 full passes — per-query minima are
     // min-of-4 every round regardless of how quiet the machine is —
     // and the disagreement loop can only add on top.
-    val basePasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
+    // clamped to >= 1: a zero/negative override would make every
+    // per-query minimum a min-over-nothing and feed the disagreement
+    // loop empty data
+    val basePasses = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4))
     var passes: Seq[Map[String, Option[Double]]] =
       (1 to basePasses).map(_ => fullPass())
     var repeatDisagreement = disagreementOf(passes)

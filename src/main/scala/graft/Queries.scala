@@ -2876,6 +2876,7 @@ object Queries {
     "q_curate_web"        -> (Curation.qCurateWeb _),
     "q_crawl_triad"       -> (Curation.qCrawlTriad _),
     "q_warc_triad"        -> (Curation.qWarcTriad _),
+    "q_warc_gz"           -> (Curation.qWarcGz _),
     "q_training_pipeline" -> (Curation.qTrainingPipeline _),
     "q_training_stable"   -> (Curation.qTrainingStable _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
@@ -2927,6 +2928,10 @@ object Queries {
     // any WARC framing/charset bug diffs against it.
     "q_crawl_triad" -> crawlTriadOracle,
     "q_warc_triad" -> crawlTriadOracle,
+    // r15: q_warc_gz is the same triad through the GZIPPED fixture
+    // (per-record members) — same oracle, so the gzip member walk is
+    // correctness-gated end to end
+    "q_warc_gz" -> crawlTriadOracle,
   )
 
   private lazy val crawlTriadOracle: String = {

@@ -868,6 +868,15 @@ object Curation {
     p
   })
 
+  /** The `.warc.gz` twin of [[warcFixture]]: the SAME pages as
+    * per-record gzip members (r15 — the framing real crawl dumps
+    * ship in). */
+  private val warcGzFixture = new IndexCache[String]("documents", { (s, d) =>
+    val p = java.nio.file.Files.createTempDirectory("graft-warcgz").toString
+    graft.sources.Warc.writeWarc(triadPages(s, d), p, 8, gzip = true)
+    p
+  })
+
   /** q_warc_triad: the crawl triad fed THROUGH the WARC source — the
     * same three-cohort pages as [[qCrawlTriad]] are rendered to real
     * WARC files (warcinfo lead record + HTTP-wrapped response
@@ -877,9 +886,22 @@ object Curation {
     * pipeline — so the WARC encode→frame→parse→unwrap round trip is
     * oracle-checked end to end by the q_crawl_triad SQL: any framing,
     * charset, or quarantine bug surfaces as a casualty-set diff. */
-  def qWarcTriad(spark: SparkSession, dir: String): DataFrame = {
+  def qWarcTriad(spark: SparkSession, dir: String): DataFrame =
+    warcTriadFrom(spark, dir, warcFixture.get(spark, dir))
+
+  /** q_warc_gz (r15): the identical triad through the GZIPPED fixture
+    * — per-record gzip members decompressed by the from-scratch
+    * member walker ([[graft.sources.Gzip]]), so the whole
+    * compress→member-frame→inflate→parse→unwrap chain is
+    * oracle-checked by the same crawl-triad SQL: a member-framing or
+    * CRC bug surfaces as a casualty-set diff. */
+  def qWarcGz(spark: SparkSession, dir: String): DataFrame =
+    warcTriadFrom(spark, dir, warcGzFixture.get(spark, dir))
+
+  private def warcTriadFrom(spark: SparkSession, dir: String,
+                            fixture: String): DataFrame = {
     import graft.sources.Warc
-    val recs = Warc.readWarc(spark, warcFixture.get(spark, dir))
+    val recs = Warc.readWarc(spark, fixture)
       .where(col("warc_type") === "response" &&
              col("_corrupt_record").isNull)
     val pages = recs.select(

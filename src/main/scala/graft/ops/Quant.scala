@@ -222,8 +222,11 @@ object Quant {
   // Product quantization (r14, verdict ask #5): int8 is the 4× tier;
   // PQ is the 16-64× tier that makes 100 TB of embeddings fit cluster
   // RAM. d=64 vectors split into M=8 subvectors of 8 dims; each
-  // subspace gets a K=256-centroid codebook (the standard PQ 8×8 geometry) (the [[Clustering.lloyd]]
-  // exact-carrier trainer, so codebooks are bit-deterministic), and a
+  // subspace gets a K=256-centroid codebook (the standard PQ 8×8
+  // geometry), trained by a join-argmin Lloyd loop that reuses
+  // [[Clustering.lloyd]]'s exact-DECIMAL mean-carrier discipline (not
+  // the lloyd function itself — its literal-argmin is a k≤8 shape;
+  // see [[pqAssign]]), so codebooks are bit-deterministic, and a
   // vector's at-rest payload collapses to 8 one-byte codes — 8 bytes
   // vs int8's 64 ints + scale. Search is ASYMMETRIC (ADC): the probe
   // keeps full precision, builds one M×K lookup table of
@@ -298,10 +301,17 @@ object Quant {
       val vecs = Similarity.annPostings(s, d)
         .select(col("vec_id"), col("vn")).distinct()
       val n = vecs.count()
-      // deterministic ~4k-vector training sample (every ceil(n/4096)-th id)
-      val stride = math.max(1L, n / 4096L)
-      val train = pqSubvecs(vecs.filter(col("vec_id") % stride === 0))
-        .persist()
+      // deterministic ~4k-vector training sample by HASH of vec_id —
+      // id-agnostic, unlike `vec_id % stride`, which grossly
+      // under-samples any sparse or offset id domain (ids all ≡ 1
+      // mod stride would sample NOTHING). md5-low60 mod 2^20 < frac
+      // gives every id the same inclusion probability whatever the
+      // id distribution looks like.
+      val keepBelow = math.min(1L << 20, math.max(1L, (4096.0 / n * (1 << 20)).toLong))
+      val sampled = vecs.filter(
+        pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15),
+                  16, 10).cast("long"), lit(1L << 20)) < lit(keepBelow))
+      val train = pqSubvecs(sampled).persist()
       try {
         // init: the K lowest sampled vec_ids' subvectors, per subspace
         var books: Map[(Int, Int), Seq[Double]] =
@@ -312,7 +322,11 @@ object Quant {
             .collect()
             .map(r => ((r.getInt(0), r.getInt(3) - 1), r.getSeq[Double](2)))
             .toMap
-        require(books.nonEmpty, "pq: empty corpus")
+        require(books.nonEmpty,
+          s"pq codebook init: hash sample of the $n-vector corpus came " +
+            "back empty — corpus has no vectors (an empty embeddings " +
+            "table upstream), since hash sampling keeps >=1 in expectation " +
+            "for any non-empty id domain")
         def booksDf = books.toSeq
           .map { case ((j, c), v) => (j, c, v, v.map(x => x * x).sum) }
           .toDF("sub", "cid", "c", "c2")

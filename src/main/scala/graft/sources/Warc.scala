@@ -60,10 +60,21 @@ object Warc {
 
   /** Renders one WARC record: version line, headers, Content-Length,
     * blank line, payload, record separator. Header names/values must
-    * be ASCII (true of every header this sink emits; URLs in crawl
-    * feeds are %-encoded by definition). */
+    * be ASCII with no CR/LF (enforced, not assumed: a hostile URL
+    * containing "\r\n" would otherwise inject extra header lines and
+    * the written record would round-trip as a quarantine row — the
+    * sink fails LOUDLY instead of producing silent data loss the
+    * reader has to mop up). URLs in crawl feeds are %-encoded by
+    * definition, so real rows never trip this. */
   private[graft] def renderRecord(headers: Seq[(String, String)],
                                   payload: Array[Byte]): Array[Byte] = {
+    headers.foreach { case (k, v) =>
+      require(k.forall(c => c > ' ' && c < 127 && c != ':'),
+        s"WARC header name not a clean ASCII token: ${snippet(k)}")
+      require(v.forall(c => c >= ' ' && c < 127),
+        s"WARC header value of '$k' contains control/non-ASCII bytes " +
+          s"(CR/LF would inject header lines): ${snippet(v)}")
+    }
     val sb = new StringBuilder("WARC/1.0\r\n")
     headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
     sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
@@ -114,36 +125,70 @@ object Warc {
     * led by a warcinfo record) via the Hadoop FileSystem client —
     * Spark has no binary whole-file sink, and the FS client is the
     * portable route (local/HDFS/S3A). Deterministic layout:
-    * hash-repartitioned on doc_id, sorted within each file. */
+    * hash-repartitioned on doc_id, sorted within each file.
+    *
+    * Commit protocol: each task writes an ATTEMPT-UNIQUE temp file
+    * (`_tmp-<name>.attempt-<taskAttemptId>`) and renames it into
+    * place only on success — a speculative or retried attempt can
+    * never interleave bytes with the original into one part file,
+    * and a failed attempt leaves only a `_tmp-` orphan (deleted
+    * best-effort; the `_` prefix additionally hides it from every
+    * Hadoop/Spark file listing — `FileInputFormat`'s hidden-file
+    * filter and `InMemoryFileIndex` both skip `_`/`.`-prefixed
+    * names, so readers can never observe an in-flight file even
+    * between create and rename). Last-rename-wins resolves
+    * concurrent attempts of the
+    * same partition: both wrote identical content (the partition is
+    * sorted and the render deterministic), so either rename yields a
+    * correct file. `gzip` compresses each record as its OWN gzip
+    * member (the Common-Crawl `.warc.gz` framing — per-record members
+    * are what keep the format streamable and record-seekable). */
   private def writeRecordFiles(rows: DataFrame, path: String, nFiles: Int,
-                               ext: String)
+                               ext: String, gzip: Boolean = false)
                               (render: Row => Array[Byte]): Unit = {
     import org.apache.hadoop.fs.Path
+    val ext1 = if (gzip) s"$ext.gz" else ext
     rows.repartition(nFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val name = f"part-$pid%05d.$ext"
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val name = f"part-$pid%05d.$ext1"
           // executor-side Configuration picks up the cluster defaults
           // from the classpath (and file:// needs none)
-          val p = new Path(path, name)
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val out = fs.create(p, true)
+          val dest = new Path(path, name)
+          val tmp = new Path(path, s"_tmp-$name.attempt-${tc.taskAttemptId()}")
+          val fs = dest.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          def emit(out: java.io.OutputStream, bytes: Array[Byte]): Unit =
+            if (gzip) out.write(Gzip.member(bytes)) else out.write(bytes)
+          var ok = false
+          val out = fs.create(tmp, true)
           try {
-            out.write(warcinfoRecord(name))
-            it.foreach(r => out.write(render(r)))
-          } finally out.close()
+            emit(out, warcinfoRecord(name))
+            it.foreach(r => emit(out, render(r)))
+            ok = true
+          } finally {
+            out.close()
+            if (ok) {
+              fs.delete(dest, false) // rename-over is not portable
+              if (!fs.rename(tmp, dest))
+                throw new java.io.IOException(s"commit rename failed: $tmp -> $dest")
+            } else fs.delete(tmp, false)
+          }
         }
       }
   }
 
   /** Writes (doc_id, url, html) rows as `nFiles` WARC files of
-    * HTTP-wrapped `response` records. */
-  def writeWarc(pages: DataFrame, path: String, nFiles: Int): Unit =
+    * HTTP-wrapped `response` records. `gzip = true` writes `.warc.gz`
+    * — every record its own gzip member ([[Gzip.member]]), the
+    * framing real crawl dumps ship in. */
+  def writeWarc(pages: DataFrame, path: String, nFiles: Int,
+                gzip: Boolean = false): Unit =
     writeRecordFiles(
       pages.select(col("doc_id").cast("long"), col("url"), col("html")),
-      path, nFiles, "warc")(r =>
+      path, nFiles, "warc", gzip)(r =>
       responseRecord(r.getLong(0), r.getString(1), r.getString(2)))
 
   /** A `conversion` record — the WET (extracted-text) member of the
@@ -159,19 +204,21 @@ object Warc {
       text.getBytes(StandardCharsets.UTF_8))
 
   /** WET sink: (doc_id, url, text) rows as `conversion` records —
-    * how extracted-text crawl drops actually ship. */
-  def writeWet(docs: DataFrame, path: String, nFiles: Int): Unit =
+    * how extracted-text crawl drops actually ship (`.wet.gz` when
+    * `gzip`, per-record members). */
+  def writeWet(docs: DataFrame, path: String, nFiles: Int,
+               gzip: Boolean = false): Unit =
     writeRecordFiles(
       docs.select(col("doc_id").cast("long"), col("url"), col("text")),
-      path, nFiles, "wet")(r =>
+      path, nFiles, "wet", gzip)(r =>
       conversionRecord(r.getLong(0), r.getString(1), r.getString(2)))
 
   /** WET source: the same streaming parser ([[readWarc]]) filtered to
     * good `conversion` records, payload decoded as UTF-8 —
     * (doc_id, url, text), ready for the curation pipeline with no
-    * HTML extraction stage. */
+    * HTML extraction stage. The glob admits `.wet` and `.wet.gz`. */
   def readWet(spark: SparkSession, path: String,
-              glob: String = "*.wet"): DataFrame =
+              glob: String = "*.wet*"): DataFrame =
     readWarc(spark, path, glob)
       .where(col("warc_type") === "conversion" &&
              col("_corrupt_record").isNull)
@@ -211,13 +258,33 @@ object Warc {
   private def snippet(s: String): String =
     if (s.length <= 200) s else s.substring(0, 200)
 
+  /** The in-band corruption signal [[Gzip.memberStream]] injects when
+    * it skips a corrupt member: a line the record parser can only
+    * quarantine (not `WARC/`), carrying the reason — so a dead gzip
+    * member costs exactly one `_corrupt_record` row and the parser's
+    * own resync takes over, same as plain-WARC corruption. The
+    * leading CRLF closes any partial line the dead member left
+    * behind (a stray blank line is skipped as an inter-record gap). */
+  private def gzMarker(why: String): Array[Byte] =
+    ("\r\nGZIP-MEMBER-CORRUPT: " + why + "\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+
   /** Streams records off `in`. Lazy: pulls one record per `next()`,
     * so the caller's flatMap keeps only one payload in memory. The
-    * stream is closed on exhaustion. */
+    * stream is closed on exhaustion. Transparently handles gzipped
+    * input (2-byte magic sniff → [[Gzip.memberStream]]): `.warc` and
+    * `.warc.gz` flow through the identical record parser, and the
+    * one-record memory high-water survives compression because the
+    * member layer is itself streaming. */
   private[graft] def parseStream(in0: InputStream,
-                                 path: String): Iterator[WarcRecord] =
+                                 path: String): Iterator[WarcRecord] = {
+    val base = new BufferedInputStream(in0, 1 << 16)
+    val plain =
+      if (Gzip.isGzipped(base))
+        new BufferedInputStream(Gzip.memberStream(base, gzMarker), 1 << 16)
+      else base
     new Iterator[WarcRecord] {
-      private val in = new BufferedInputStream(in0, 1 << 16)
+      private val in = plain
       private var pending: String = null // a WARC/ line found during resync
       private var nextRec: WarcRecord = null
       private var closed = false
@@ -295,6 +362,7 @@ object Warc {
         val r = nextRec; advance(); r
       }
     }
+  }
 
   /** Array façade of [[parseStream]] for specs. */
   private[graft] def parseRecords(bytes: Array[Byte],
@@ -304,12 +372,26 @@ object Warc {
   /** Reads a directory of WARC files as a DataFrame of
     * (path, warc_type, target_uri, record_id, warc_date, content_type,
     * content, _corrupt_record). One task per file (the format is not
-    * splittable), each streaming its file with one-record memory. */
+    * splittable — and `.warc.gz` per-record members keep it that way
+    * on purpose: parallelism stays the FILE, the shipping unit), each
+    * streaming its file with one-record memory. Plain and gzipped
+    * files mix freely under one glob (per-file magic sniff). A task
+    * that does not exhaust its iterator (limit/take short-circuits
+    * the flatMap) still releases the file handle: the completion
+    * listener closes the stream when the task ends, not when the
+    * iterator drains. */
   def readWarc(spark: SparkSession, path: String,
-               glob: String = "*.warc"): DataFrame = {
+               glob: String = "*.warc*"): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(s"$path/$glob")
-      .flatMap { case (p, pds) => parseStream(pds.open(), p) }
+      .flatMap { case (p, pds) =>
+        val in = pds.open()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
+        parseStream(in, p)
+      }
       .toDF()
   }
 
@@ -335,7 +417,7 @@ object Warc {
     * executor memory bounds the segment size — crawlers ship ~100 MB
     * to 1 GB segments, which is what executor sizing budgets for. */
   def readWarcStream(spark: SparkSession, path: String,
-                     glob: String = "*.warc"): Dataset[WarcStreamRecord] = {
+                     glob: String = "*.warc*"): Dataset[WarcStreamRecord] = {
     import org.apache.spark.sql.types._
     import spark.implicits._
     val schema = StructType(Seq(

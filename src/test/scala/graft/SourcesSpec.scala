@@ -421,4 +421,131 @@ class SourcesSpec extends AnyFunSuite {
     assert(new String(recs.head.content, "UTF-8") == evil)
     assert(recs(1).record_id == "<urn:graft:100>")
   }
+
+  test("warc sink rejects header injection: CR/LF or non-ASCII in a header value fails loudly") {
+    import graft.sources.Warc
+    // a hostile URL with an embedded CRLF would inject extra header
+    // lines and silently round-trip as a quarantine row — the sink
+    // must throw instead
+    intercept[IllegalArgumentException] {
+      Warc.responseRecord(1L, "https://evil.example/\r\nWARC-Type: smuggled", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Warc.responseRecord(1L, "https://evil.example/\nX: y", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Warc.responseRecord(1L, "https://ünïcödé.example/", "x") // not %-encoded
+    }
+    // clean URLs still render
+    assert(Warc.responseRecord(1L, "https://ok.example/a?b=c%20d", "x").nonEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // Gzipped WARC (r15): per-record gzip members, the .warc.gz framing
+  // real crawl dumps ship in
+  // ------------------------------------------------------------------
+
+  test("warc.gz round-trip: gzip sink → per-record members → identical parse; mixed plain/gz dirs read under one glob") {
+    import graft.sources.Warc
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.example/x", "<html><body>hello world</body></html>"),
+      (2L, "https://b.example/y?q=1", "multi\nline\nbody with ünïcödé"),
+      (3L, "https://c.example/z", "")).toDF("doc_id", "url", "html")
+    val dir = Files.createTempDirectory("graft_warc_gz").toString
+    Warc.writeWarc(pages, dir, 2, gzip = true)
+    // files are .warc.gz and genuinely compressed (gzip magic first)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".warc.gz"))
+    assert(files.nonEmpty)
+    val head2 = {
+      val in = new java.io.FileInputStream(files.head)
+      try { val a = in.read(); val b = in.read(); (a, b) } finally in.close()
+    }
+    assert(head2 == ((0x1f, 0x8b)))
+    val back = Warc.readWarc(spark, dir).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 0)
+    val got = back.filter(col("warc_type") === "response")
+      .select(Warc.docIdCol(col("record_id")).as("doc_id"),
+              col("target_uri").as("url"),
+              Warc.httpBodyCol(col("content")).as("html"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == pages.as[(Long, String, String)].collect().toSeq.sortBy(_._1))
+    // mixed directory: drop a PLAIN .warc next to the .gz files —
+    // the default glob + per-file magic sniff reads both
+    val extra = Seq((9L, "https://d.example/p", "plain sibling"))
+      .toDF("doc_id", "url", "html")
+    Warc.writeWarc(extra, s"$dir", 1, gzip = false)
+    // plain writer names part-00000.warc — no collision with .warc.gz
+    val mixed = Warc.readWarc(spark, dir)
+      .filter(col("warc_type") === "response")
+    assert(mixed.count() == 4)
+    assert(mixed.filter(Warc.docIdCol(col("record_id")) === 9L).count() == 1)
+  }
+
+  test("wet.gz round-trip through the gzip sink") {
+    import graft.sources.Warc
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "https://w.example/a", "extracted text with ünïcödé"),
+      (6L, "https://w.example/b", "line one\nline two")).toDF("doc_id", "url", "text")
+    val dir = Files.createTempDirectory("graft_wet_gz").toString
+    Warc.writeWet(docs, dir, 1, gzip = true)
+    assert(new java.io.File(dir).listFiles.exists(_.getName.endsWith(".wet.gz")))
+    val back = Warc.readWet(spark, dir)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == docs.as[(Long, String, String)].collect().toSeq.sortBy(_._1))
+  }
+
+  test("gz member quarantine: a corrupt member costs one quarantine row, good members on both sides survive") {
+    import graft.sources.{Gzip, Warc}
+    val g1 = Gzip.member(Warc.responseRecord(10L, "https://e.example/1", "first page"))
+    val g2 = Gzip.member(Warc.responseRecord(11L, "https://e.example/2", "second page"))
+    val g3 = Gzip.member(Warc.responseRecord(12L, "https://e.example/3", "third page"))
+
+    // (a) deflate corruption mid-member: flip bytes in g2's body
+    val badBody = g2.clone()
+    for (i <- 20 until math.min(badBody.length - 9, 40)) badBody(i) = 0x55
+    val a = Warc.parseRecords(g1 ++ badBody ++ g3)
+    assert(a.count(_._corrupt_record != null) >= 1)
+    assert(a.exists(r => r._corrupt_record != null &&
+                         r._corrupt_record.toLowerCase.contains("gzip")))
+    assert(a.filter(_._corrupt_record == null).map(_.record_id) ==
+           Seq("<urn:graft:10>", "<urn:graft:12>"))
+
+    // (b) truncated final member: quarantines, doesn't throw or hang.
+    // Depending on where the cut lands relative to deflate block
+    // boundaries the record's bytes may still be fully recoverable
+    // (only the trailer was lost) — either way the truncation is
+    // FLAGGED and the earlier member is untouched.
+    val b = Warc.parseRecords(g1 ++ g2.dropRight(12))
+    assert(b.count(_._corrupt_record != null) >= 1)
+    assert(b.filter(_._corrupt_record == null).map(_.record_id)
+             .headOption.contains("<urn:graft:10>"))
+
+    // (c) raw junk between members: marker row + resync onto g3's magic
+    val junk = "some raw uncompressed junk".getBytes("ISO-8859-1")
+    val c = Warc.parseRecords(g1 ++ junk ++ g3)
+    assert(c.filter(_._corrupt_record == null).map(_.record_id) ==
+           Seq("<urn:graft:10>", "<urn:graft:12>"))
+
+    // (d) CRC-mismatch: flip a bit in g2's stored CRC32 (bytes -8..-5)
+    val badCrc = g2.clone()
+    badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 0x01).toByte
+    val d = Warc.parseRecords(g1 ++ badCrc ++ g3)
+    assert(d.exists(r => r._corrupt_record != null &&
+                         r._corrupt_record.contains("CRC32")))
+    // the damaged member's bytes still parsed (damage only provable at
+    // the trailer) — all three records present, plus the marker row
+    assert(d.filter(_._corrupt_record == null).map(_.record_id) ==
+           Seq("<urn:graft:10>", "<urn:graft:11>", "<urn:graft:12>"))
+  }
+
+  test("gz single-member whole-file: a .warc.gz compressed as ONE member parses identically") {
+    import graft.sources.{Gzip, Warc}
+    val plain = Warc.responseRecord(20L, "https://e.example/a", "alpha") ++
+      Warc.responseRecord(21L, "https://e.example/b", "beta")
+    val recs = Warc.parseRecords(Gzip.member(plain))
+    assert(recs.size == 2 && recs.forall(_._corrupt_record == null))
+    assert(recs.map(_.record_id) == Seq("<urn:graft:20>", "<urn:graft:21>"))
+  }
 }
