@@ -630,16 +630,37 @@ object Similarity {
     * each table's search at ~linear candidate cost. `dim` is the
     * vector dimensionality (the hyperplanes must match it — the
     * facade contract is ANY (vec_id, embedding) frame, not the
-    * fixture's 64 dims). */
+    * fixture's 64 dims).
+    *
+    * Bucket-count policy — the declared-complexity knob:
+    *   - default (`targetOccupancy = None`): h ≈ log2(√n) ⇒ ~√n
+    *     buckets of ~√n vectors — the classic IVF sizing; per-query
+    *     candidates grow as √n, so an ALL-PAIRS self-kNN totals n^1.5
+    *     (q_ann_ivf / q_ann_quant's declared exponent).
+    *   - occupancy-targeted (`targetOccupancy = Some(B)`):
+    *     h ≈ log2(n/B) ⇒ ~n/B buckets of ~B vectors — per-query
+    *     candidates are bounded at ~tables·(flips+1)·B BY DESIGN
+    *     whatever n does, so the all-pairs total is O(n) and an index
+    *     rebuild at 100× the corpus re-sizes the bucket space instead
+    *     of letting ADC candidate streams balloon (the q_ann_pq r15
+    *     policy — its declared exponent is earned down to 1.0 by this
+    *     line, not by measurement luck). */
   private[graft] def annIndex(base: DataFrame, n: Long,
                               tables: Int = NumTables,
                               flips: Int = DefaultProbeFlips,
-                              dim: Int = Dim): DataFrame = {
+                              dim: Int = Dim,
+                              targetOccupancy: Option[Long] = None): DataFrame = {
     require(tables >= 1 && flips >= 0,
       s"annIndex: need tables >= 1 and flips >= 0, got ($tables, $flips)")
     VectorFunctions.register(base.sparkSession)
-    val h = math.max(3,
-      math.round(math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt)
+    val h = targetOccupancy match {
+      case Some(b) =>
+        require(b >= 1, s"annIndex: targetOccupancy must be >= 1, got $b")
+        math.max(3, math.round(
+          math.log(math.max(1.0, n.toDouble / b)) / math.log(2)).toInt)
+      case None => math.max(3,
+        math.round(math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt)
+    }
     val probeFlips = math.min(flips, h) // probes per table = 1 + probeFlips
     val rng = new scala.util.Random(42)
     val planes = Array.fill(tables, h)(Array.fill(dim)(rng.nextGaussian()))

@@ -239,15 +239,24 @@ object ScaleCheck {
     // r14 additions
     "q_warc_triad" -> 1.0,    // WARC render + parse are per-page; the
                               // triad behind them is q_crawl_triad
+    "q_warc_gz" -> 1.0,       // r15: same per-page shape + per-record
+                              // gzip members (deflate is linear in
+                              // payload bytes)
     "q_train_quality" -> 1.0, // fixed iterations × one narrow
                               // aggregate scan each
     "q_training_stable" -> 1.0, // hash shard + segmented rank +
                               // banded prefix sums
     "q_multimodal_features" -> 1.0, // per-doc fixture encode + header
                               // parses, no shuffle
-    "q_ann_pq" -> 1.5,        // same all-pairs-over-IVF candidates as
-                              // q_ann_ivf; PQ changes bytes/row and
-                              // kernel, not candidate counts
+    "q_ann_pq" -> 1.0,        // r15: the PQ tier's OWN bucket space is
+                              // sized by target occupancy (h ≈
+                              // log2(n/B), B = PqOccupancy) — per-probe
+                              // ADC candidates are bounded at
+                              // ~T·(q+1)·B by construction, so the
+                              // all-pairs total is O(n); the √n-bucket
+                              // n^1.5 shape stays with q_ann_ivf/
+                              // q_ann_quant, whose buckets still scale
+                              // as √n
   )
 
   def main(args: Array[String]): Unit = {

@@ -101,9 +101,10 @@ class QuantSpec extends AnyFunSuite {
     val pqAnn = pairs(graft.Queries.all("q_ann_pq")(spark, dir))
     val rPq = (pqAnn & exact).size.toDouble / exact.size
     // 8-byte codes + exact refine of the ADC top-R shortlist: the
-    // floor documents the tier's contract (int8 floor 0.7; measured
-    // PQ 0.82 at sf0.1 / higher at sf0.001 with R=30)
-    assert(rPq >= 0.7, s"pq recall floor: $rPq")
+    // floor documents the tier's contract (r15 PqTune sweep: measured
+    // 0.940 at sf0.1 with B=64/q=4/R=80, higher at sf0.001 — floor
+    // raised 0.7 → 0.85 with margin)
+    assert(rPq >= 0.85, s"pq recall floor: $rPq")
     // the size story is the POINT of PQ: one packed 8-byte code word
     // vs 64 int8s + scale — at rest the PQ posting table must be
     // <= 1/4 of the int8 posting table (same tbl/bucket/vec_id keys)
