@@ -1237,6 +1237,7 @@ object Queries {
 
   val text: Map[String, Q] = Map(
     "q_tokenize"     -> (Text.qTokenize _),
+    "q_tokenize_cjk" -> (Text.qTokenizeCjk _),
     "q_ngram_bigram" -> (Text.qNgramBigram _),
     "q_ngram_n"      -> (Text.qNgramN _),
     "q_ngram_count"  -> (Text.qNgramCount _),
@@ -1268,6 +1269,35 @@ object Queries {
       s"""SELECT doc_id, array_to_string($TOKS, '|') AS toks,
          |  len($TOKS)::INT AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // r15: script-aware tokenization over constructed mixed-script
+    // input — the same regex class / run extraction / bigram slide as
+    // Text.tokenizeScriptAware (RE2 \x{...} spelling of the Java
+    // \uXXXX class; DuckDB substr/len are character-based like
+    // Spark's, and the snippet literals are the same CjkFixtureChars)
+    "q_tokenize_cjk" -> {
+      val re = Text.CjkClassRe2 + "+"
+      val cs = Text.CjkFixtureChars.map(c => s"'$c'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, text,
+         |    cs[(doc_id % 11)::INT + 1] || cs[((doc_id + 3) % 11)::INT + 1] ||
+         |    cs[((doc_id * 7 + 1) % 11)::INT + 1] AS snip
+         |  FROM (SELECT doc_id, text, $cs AS cs FROM documents
+         |        WHERE doc_id < 200)),
+         |m AS (SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN text || ' ' || snip
+         |                    WHEN 1 THEN snip || ' ' || text
+         |                    ELSE snip END AS text
+         |  FROM d),
+         |t AS (SELECT doc_id, list_concat(
+         |    list_filter(string_split(lower(trim(regexp_replace(text, '$re', ' ', 'g'))), ' '),
+         |                x -> x <> ''),
+         |    flatten(list_transform(regexp_extract_all(text, '$re'),
+         |      r -> list_transform(generate_series(1, greatest(len(r) - 1, 1)),
+         |                          i -> substr(r, i, 2))))) AS toks
+         |  FROM m)
+         |SELECT doc_id, array_to_string(toks, '|') AS toks,
+         |  len(toks)::INT AS n_tokens
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "q_ngram_bigram" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents)
          |SELECT doc_id,
@@ -1714,6 +1744,7 @@ object Queries {
 
   val extras: Map[String, Q] = Map(
     "q_lang_id"             -> (TextAnalysis.qLangId _),
+    "q_lang_id_script"      -> (TextAnalysis.qLangIdScript _),
     "q_quality_score"       -> (TextAnalysis.qQualityScore _),
     "q_token_count"         -> (TextAnalysis.qTokenCount _),
     "q_fingerprint"         -> (TextAnalysis.qFingerprint _),
@@ -1829,6 +1860,40 @@ object Queries {
     "fr" -> Seq("le", "de", "un", "et", "la", "il", "ne", "je", "pas", "que"),
     "zh" -> Seq("de", "yi", "shi", "bu", "le", "ren", "wo", "zai", "you", "ta"),
   )
+
+  /** The q_lang_id oracle, parameterized by source relation (r15:
+    * q_lang_id_script feeds a constructed mixed-script subquery).
+    * Mirrors TextAnalysis.langId exactly: SCRIPT TIER FIRST (kana ⇒
+    * ja, hangul ⇒ ko, Han ⇒ zh — character counts by delete-and-
+    * length-diff, same as the Spark side), stopword-overlap argmax
+    * with alphabetical tiebreak within Latin. */
+  private def langIdOracleSql(src: String): String = {
+    val scores = langLists.map { case (l, ws) =>
+      s"len(list_intersect(tset, ${sqlList(ws)}))::INT AS s_$l" }.mkString(",\n  ")
+    val langs = langLists.map(_._1)
+    val cases = langs.map { l =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge AND s_$l > 0 THEN '$l'" }.mkString("\n    ")
+    def nScript(cls: String) =
+      s"length(text) - length(regexp_replace(text, '$cls', '', 'g'))"
+    val kana = nScript("[\\x{3040}-\\x{30FF}]")
+    val hangul = nScript("[\\x{AC00}-\\x{D7AF}]")
+    val han = nScript("[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]")
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |  list_distinct($TOKS) AS tset FROM $src),
+       |s AS (SELECT doc_id, lang, text,
+       |  $scores
+       |FROM t),
+       |p AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |  CASE WHEN $kana > 0 THEN 'ja'
+       |       WHEN $hangul > 0 THEN 'ko'
+       |       WHEN $han > 0 THEN 'zh'
+       |       ELSE CASE $cases ELSE 'und' END END AS pred
+       |FROM s)
+       |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, pred,
+       |  (pred = lang) AS agrees
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
   private def sqlList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -2309,24 +2374,16 @@ object Queries {
          |  w_milli > 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
     "q_train_quality" -> trainQualityOracleSql(),
-    "q_lang_id" -> {
-      val scores = langLists.map { case (l, ws) =>
-        s"len(list_intersect(tset, ${sqlList(ws)}))::INT AS s_$l" }.mkString(",\n  ")
-      val langs = langLists.map(_._1)
-      val cases = langs.map { l =>
-        val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $ge AND s_$l > 0 THEN '$l'" }.mkString("\n    ")
-      s"""WITH t AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents),
-         |s AS (SELECT doc_id, lang,
-         |  $scores
-         |FROM t),
-         |p AS (SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
-         |  CASE $cases ELSE 'und' END AS pred
-         |FROM s)
-         |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, pred,
-         |  (pred = lang) AS agrees
-         |FROM p ORDER BY doc_id""".stripMargin
-    },
+    "q_lang_id" -> langIdOracleSql("documents"),
+    // r15: the script tier driven by constructed mixed-script input
+    // (cohorts by doc_id mod 4: Han / kana+Han / Hangul / untouched)
+    "q_lang_id_script" -> langIdOracleSql(
+      """(SELECT doc_id, lang,
+        |   text || CASE doc_id % 4 WHEN 0 THEN ' 中文数据'
+        |                           WHEN 1 THEN ' あい中'
+        |                           WHEN 2 THEN ' 한국'
+        |                           ELSE '' END AS text
+        | FROM documents WHERE doc_id < 400)""".stripMargin),
     "q_quality_score" -> {
       val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -110,6 +110,79 @@ object Text {
               size(col("toks")).as("n_tokens"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------------------------
+  // Script-aware tokenization (r15): CJK text does not whitespace-
+  // delimit words, so whitespace tokenization collapses a CJK sentence
+  // into ONE giant token — token counts, dedup shingles, BM25 and the
+  // quality gates all silently degrade on the CJK slice of any real
+  // web corpus. The standard no-segmenter fallback is CHARACTER
+  // BIGRAMS over CJK runs (what CJK analyzers in Lucene/Elastic do by
+  // default); Latin/other segments keep the whitespace tokenizer.
+  // ------------------------------------------------------------------
+
+  /** CJK codepoint class, Java regex syntax: Han (URO + Extension A),
+    * Hiragana, Katakana, Hangul syllables. */
+  private[graft] val CjkClassJava =
+    "[\\u4E00-\\u9FFF\\u3400-\\u4DBF\\u3040-\\u30FF\\uAC00-\\uD7AF]"
+
+  /** The same class in RE2 syntax — the DuckDB oracle mirror. */
+  private[graft] val CjkClassRe2 =
+    "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]"
+
+  /** Deterministic CJK chars for constructed-input fixtures (Han,
+    * Hiragana, Katakana, Hangul — the q_tokenize_cjk oracle carries
+    * the same literals). */
+  private[graft] val CjkFixtureChars: Seq[String] =
+    Seq("中", "文", "分", "词", "数", "据", "あ", "い", "カ", "한", "국")
+
+  /** Character bigrams of every CJK run in `text` (a 1-char run
+    * yields the char itself — substr(1,2) of a 1-char string). Pure
+    * column arithmetic: regexp_extract_all + nested transform, stays
+    * in whole-stage codegen, no UDF. */
+  def cjkBigrams(text: Column): Column = {
+    val runs = regexp_extract_all(text, lit(CjkClassJava + "+"), lit(0))
+    flatten(transform(runs, r =>
+      transform(sequence(lit(1), greatest(length(r) - 1, lit(1))),
+                i => r.substr(i, lit(2)))))
+  }
+
+  /** Script-aware tokenization: CJK runs become character bigrams
+    * (appended after the whitespace tokens — deterministic order both
+    * engines can mirror), everything else is the standard lowercase
+    * whitespace tokenizer with CJK runs blanked first. Drop-in
+    * `array<string>` shape — composes with the shingle/dedup/BM25
+    * stack unchanged (TextOpsPropertiesSpec pins a MinHash-shingle
+    * composition over CJK tokens). */
+  def tokenizeScriptAware(text: Column): Column = {
+    val latin = split(lower(trim(regexp_replace(text, CjkClassJava + "+", " "))),
+                      "\\s+")
+    concat(filter(latin, t => length(t) > 0), cjkBigrams(text))
+  }
+
+  /** q_tokenize_cjk: [[tokenizeScriptAware]] over a CONSTRUCTED
+    * mixed-script corpus (the q_upsert constructed-input pattern —
+    * the fixture documents are ASCII, so the CJK branches must be
+    * driven by planted runs): per doc a deterministic 3-char CJK
+    * snippet lands as a suffix, a prefix, or the whole text by
+    * doc_id mod 3. Oracle-checked — the DuckDB mirror runs the same
+    * regex class, run extraction, and bigram slide. */
+  def qTokenizeCjk(spark: SparkSession, dir: String): DataFrame = {
+    val cs = typedlit(CjkFixtureChars)
+    def pick(e: Column) = element_at(cs, (pmod(e, lit(11)) + 1).cast("int"))
+    val snip = concat(pick(col("doc_id")), pick(col("doc_id") + 3),
+                      pick(col("doc_id") * 7 + 1))
+    val mixed = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+              when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), snip))
+                .when(col("doc_id") % 3 === 1, concat(snip, lit(" "), col("text")))
+                .otherwise(snip).as("text"))
+    mixed
+      .withColumn("toks", tokenizeScriptAware(col("text")))
+      .select(col("doc_id"), array_join(col("toks"), "|").as("toks"),
+              size(col("toks")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** q_ngram_bigram: the reference operator (R6) — per-doc bigram array,
     * 1:1, empty array when < 2 tokens. Uses the MLlib path (flagship,
     * SURVEY.md §7.3); goldens assert ml ≡ expression form.

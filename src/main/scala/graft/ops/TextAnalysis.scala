@@ -23,14 +23,52 @@ object TextAnalysis {
     "zh" -> Seq("de", "yi", "shi", "bu", "le", "ren", "wo", "zai", "you", "ta"),
   )
 
-  /** q_lang_id: n-gram/stopword-overlap language identification.
-    * Emits per-language scores, the argmax prediction ('und' when no
-    * marker hits), and agreement with the labeled lang. */
+  // Script classes for the lang-ID script tier (r15). Kana is checked
+  // before Han (Japanese text mixes kanji + kana; Han-only ⇒ zh),
+  // Hangul identifies Korean.
+  private[graft] val HanJava = "[\\u4E00-\\u9FFF\\u3400-\\u4DBF]"
+  private[graft] val KanaJava = "[\\u3040-\\u30FF]"
+  private[graft] val HangulJava = "[\\uAC00-\\uD7AF]"
+
+  /** Characters of `text` matching a script class — length difference
+    * after deleting them; pure column arithmetic. */
+  private def scriptCount(text: Column, cls: String): Column =
+    length(text) - length(regexp_replace(text, cls, ""))
+
+  /** q_lang_id: language identification — SCRIPT HISTOGRAM FIRST
+    * (kana ⇒ ja, hangul ⇒ ko, Han-only ⇒ zh: scripts that don't
+    * whitespace-delimit defeat stopword matching by construction),
+    * stopword-overlap argmax within Latin. Emits per-language marker
+    * scores, the prediction ('und' when nothing fires), and agreement
+    * with the labeled lang. */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.docTokens(spark, dir))
 
+  /** q_lang_id_script (r15): the script tier driven by CONSTRUCTED
+    * mixed-script input (the fixture corpus is ASCII, so q_lang_id's
+    * script branches never fire there) — per doc_id mod 4 a Han,
+    * kana+Han, or Hangul snippet is appended (cohort 3 untouched
+    * Latin). Oracle-checked: the DuckDB mirror runs the same script
+    * counts and CASE chain, so ja/ko/zh decisions are correctness-
+    * gated, not just golden-pinned. */
+  def qLangIdScript(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = when(col("doc_id") % 4 === 0, lit(" 中文数据"))
+      .when(col("doc_id") % 4 === 1, lit(" あい中"))
+      .when(col("doc_id") % 4 === 2, lit(" 한국"))
+      .otherwise(lit(""))
+    val m = Tables.documents(spark, dir).filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("lang"),
+              concat(col("text"), suffix).as("text"))
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    langId(m)
+  }
+
   /** [[qLangId]]'s engine over any (doc_id, lang, toks) DataFrame —
-    * the library entry point ([[graft.Graft.langId]]). */
+    * the library entry point ([[graft.Graft.langId]]). When a raw
+    * `text` column is present the script tier gates the prediction;
+    * a toks-only frame falls back to pure stopword argmax (script
+    * runs survive whitespace tokenization inside tokens, but the
+    * raw text is the honest place to count them). */
   def langId(docToks: DataFrame): DataFrame = {
     val d = docToks
       .withColumn("tset", array_distinct(col("toks")))
@@ -40,12 +78,19 @@ object TextAnalysis {
     }
     // argmax with alphabetical tiebreak: first lang (in sorted order)
     // whose score is >= all others and > 0.
-    val pred = markers.map(_._1).foldRight(lit("und"): Column) { (lang, els) =>
+    val stopwordPred = markers.map(_._1).foldRight(lit("und"): Column) { (lang, els) =>
       val ge = markers.map(_._1).filter(_ != lang)
         .map(o => col(s"s_$lang") >= col(s"s_$o"))
         .reduce(_ && _)
       when(ge && col(s"s_$lang") > 0, lit(lang)).otherwise(els)
     }
+    val pred =
+      if (docToks.columns.contains("text"))
+        when(scriptCount(col("text"), KanaJava) > 0, lit("ja"))
+          .when(scriptCount(col("text"), HangulJava) > 0, lit("ko"))
+          .when(scriptCount(col("text"), HanJava) > 0, lit("zh"))
+          .otherwise(stopwordPred)
+      else stopwordPred
     scored
       .withColumn("pred", pred)
       .select(col("doc_id") +: col("lang") +:
