@@ -1828,6 +1828,7 @@ object Queries {
     "q_quality_tiers"       -> (TextAnalysis.qQualityTiers _),
     "q_heavy_hitters_by_lang" -> (TextAnalysis.qHeavyHittersByLang _),
     "q_upsert"              -> (Dedup.qUpsert _),
+    "q_corpus_refresh"      -> (Dedup.qCorpusRefresh _),
     "q_sql_q8"              -> (Sql.qSqlQ8 _),
     "q_sql_q15"             -> (Sql.qSqlQ15 _),
     "q_html_extract"        -> (Html.qHtmlExtract _),
@@ -2574,6 +2575,42 @@ object Queries {
         |  FROM documents s FULL OUTER JOIN last l ON s.doc_id = l.doc_id
         |  WHERE l.op IS NULL OR l.op = 'U')
         |SELECT doc_id, md5(text) AS h FROM nxt ORDER BY doc_id""".stripMargin,
+    // r15: refresh-at-rest — the q_upsert fold restricted to
+    // doc_id < 150 + the insert block, then the writeShards shard
+    // aggregates (span 100) and the affected-shard flag; the Spark
+    // side reads these from the PATCHED at-rest manifest, so a stale
+    // or lost manifest row hash-diffs here
+    "q_corpus_refresh" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 'D' AS op, NULL::VARCHAR AS text, 1::BIGINT AS seq
+        |  FROM documents WHERE doc_id % 10 = 7 AND doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id, 'U', text || ' stale', 1 FROM documents
+        |  WHERE doc_id % 10 = 3 AND doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id, 'U', text || ' v2', 2 FROM documents
+        |  WHERE doc_id % 10 = 3 AND doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'U', text, 1 FROM documents WHERE doc_id < 20),
+        |last AS (
+        |  SELECT doc_id, op, text AS new_text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |nxt AS (
+        |  SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+        |    CASE WHEN l.op = 'U' THEN l.new_text ELSE s.text END AS text
+        |  FROM documents s FULL OUTER JOIN last l ON s.doc_id = l.doc_id
+        |  WHERE l.op IS NULL OR l.op = 'U'),
+        |m AS (
+        |  SELECT (doc_id - doc_id % 100) // 100 AS shard,
+        |    count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |  FROM nxt GROUP BY 1),
+        |aff AS (SELECT DISTINCT (doc_id - doc_id % 100) // 100 AS shard FROM ch)
+        |SELECT m.shard, n_docs, n_tokens, min_doc_id, max_doc_id,
+        |  (m.shard IN (SELECT shard FROM aff)) AS changed
+        |FROM m ORDER BY m.shard""".stripMargin,
     "q_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h_old FROM documents),
         |v2x AS (

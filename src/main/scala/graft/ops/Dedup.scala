@@ -1033,6 +1033,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The q_corpus_refresh CDC batch: the q_upsert shapes RESTRICTED to
+    * doc_id < 150 — so only the low shards (plus the insert block's
+    * shard) are touched and every other shard of the at-rest corpus
+    * must come through the refresh byte-identical. */
+  private[graft] def refreshCdcBatch(v1: DataFrame): DataFrame = {
+    val low = v1.filter(col("doc_id") < 150)
+    val dels = low.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), lit("D").as("op"),
+              lit(null).cast("string").as("text"), lit(1L).as("seq"))
+    val stale = low.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), lit("U").as("op"),
+              concat(col("text"), lit(" stale")).as("text"), lit(1L).as("seq"))
+    val fresh = low.filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), lit("U").as("op"),
+              concat(col("text"), lit(" v2")).as("text"), lit(2L).as("seq"))
+    val ins = v1.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 500000).as("doc_id"), lit("U").as("op"),
+              col("text"), lit(1L).as("seq"))
+    dels.unionAll(stale).unionAll(fresh).unionAll(ins)
+  }
+
+  /** Content-keyed at-rest corpus for q_corpus_refresh:
+    * [[graft.sources.Formats.writeShards]] of (doc_id, text) at
+    * span=100. The refresh MUTATES this directory — safe because the
+    * delta is idempotent (re-applying converges to the same corpus
+    * and manifest), so re-runs of the query are deterministic. */
+  private val refreshFixture = new IndexCache[String]("documents", { (s, d) =>
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_refresh_corpus").toString
+    graft.sources.Formats.writeShards(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), p, 100L)
+    p
+  })
+
+  /** q_corpus_refresh (r15, verdict ask #5): apply a CDC delta to a
+    * corpus AT REST and re-emit ONLY the changed shards —
+    * [[graft.sources.Formats.refreshShards]] composing the q_upsert
+    * fold with writeShards' stable doc_id-div sharding. Emits the
+    * post-refresh manifest with the per-shard `changed` flag; the
+    * oracle recomputes the folded corpus' shard aggregates and the
+    * affected-shard set in SQL, so wrong shard routing, a lost
+    * untouched-shard row, or a stale manifest row all hash-diff.
+    * Byte-identity of untouched shard FILES is pinned in SourcesSpec
+    * (not SQL-expressible). */
+  def qCorpusRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val path = refreshFixture.get(spark, dir)
+    val ch = refreshCdcBatch(Tables.documents(spark, dir))
+    graft.sources.Formats.refreshShards(path, ch, shardSpan = 100L)
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+              col("n_tokens"), col("min_doc_id"), col("max_doc_id"),
+              col("changed"))
+      .orderBy("shard")
+  }
+
   /** q_corpus_diff: [[corpusDiff]] against a synthetic v2 snapshot —
     * docs ending in 7 dropped, docs ending in 3 rewritten, a block of
     * new ids appended. */

@@ -225,4 +225,99 @@ object Formats {
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     manifest
   }
+
+  /** Incremental corpus maintenance AT REST (r15, verdict ask #5): fold
+    * a CDC batch (doc_id, op ∈ {U, D}, text, seq — the
+    * [[graft.ops.Dedup.applyChanges]] contract) into a corpus
+    * previously written by [[writeShards]], REWRITING ONLY THE SHARDS
+    * THE DELTA TOUCHES. At 100 TB re-emitting everything per refresh
+    * is the expensive default this kills: the shard key is
+    * `doc_id div span` — stable under appends and reruns — so the
+    * affected-shard set is a pure function of the delta's doc_ids,
+    * and every other shard's files are left BYTE-UNTOUCHED on disk
+    * (SourcesSpec pins this with md5s across a refresh).
+    *
+    * Mechanics, in order:
+    *  1. affected = distinct shards of the delta — delta-scale,
+    *     collected to the driver because partition pruning needs
+    *     literal values (a daily delta is small by definition; the
+    *     corpus side is never enumerated);
+    *  2. one PARTITION-PRUNED read of only those shards, the CDC
+    *     fold against it (corpus rows outside the affected shards
+    *     can't change — the shard function is keyed on doc_id);
+    *  3. the next version of the affected shards lands in a staging
+    *     dir (breaking the read-write lineage on shards/), then
+    *     DYNAMIC partition overwrite replaces exactly the partitions
+    *     present in it; shards the delta EMPTIED (dynamic overwrite
+    *     can't touch a partition with no output rows) are deleted
+    *     explicitly;
+    *  4. the manifest is PATCHED, not recomputed: untouched rows are
+    *     kept, affected rows re-aggregated from the staged data, and
+    *     the new manifest swaps in atomically (write-aside + rename —
+    *     overwriting a path being read is illegal in Spark, and the
+    *     swap means a reader never sees a half-written manifest).
+    *
+    * Returns the new manifest plus a `changed` flag per shard (true
+    * for rewritten/created shards; emptied shards simply have no
+    * row). Idempotent for idempotent deltas: re-applying the same
+    * batch converges to the same corpus and manifest. */
+  def refreshShards(path: String, changes: DataFrame, shardSpan: Long = 1000,
+                    tokenCount: Column = size(split(col("text"), " "))): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val spark = changes.sparkSession
+    def shardOf = expr(
+      s"(doc_id - pmod(doc_id, ${shardSpan}L)) div ${shardSpan}L")
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(s"$path/shards")) &&
+            fs.exists(new Path(s"$path/manifest")),
+      s"refreshShards: $path is not a writeShards corpus (shards/ + manifest expected)")
+    val affected = changes.select(shardOf.as("shard")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (affected.isEmpty) // empty delta: a refresh is a no-op
+      return spark.read.parquet(s"$path/manifest")
+        .withColumn("changed", lit(false)).orderBy("shard")
+    val staging = s"$path/refresh-staging-tmp"
+    try {
+      val atRest = spark.read.parquet(s"$path/shards")
+        .filter(col("shard").isin(affected: _*))
+        .select(col("doc_id"), col("text"))
+      graft.ops.Dedup.applyChanges(atRest, changes)
+        .withColumn("shard", shardOf)
+        .withColumn("n_toks", tokenCount.cast("long"))
+        .write.mode("overwrite").parquet(staging)
+      val staged = spark.read.parquet(staging)
+      staged
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(s"$path/shards")
+      val survivors = staged.select(col("shard")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      affected.filterNot(survivors).foreach { s =>
+        fs.delete(new Path(s"$path/shards/shard=$s"), true)
+      }
+      // patch the manifest: untouched rows kept verbatim, affected
+      // rows re-aggregated from the staged (post-fold) data
+      val freshM = staged
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+             min(col("doc_id")).as("min_doc_id"),
+             max(col("doc_id")).as("max_doc_id"))
+      val nextManifest = spark.read.parquet(s"$path/manifest")
+        .filter(!col("shard").isin(affected: _*))
+        .unionByName(freshM)
+        .orderBy("shard")
+      nextManifest.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/manifest.next")
+      fs.delete(new Path(s"$path/manifest"), true)
+      if (!fs.rename(new Path(s"$path/manifest.next"), new Path(s"$path/manifest")))
+        throw new java.io.IOException(s"manifest swap failed under $path")
+    } finally {
+      fs.delete(new Path(staging), true); ()
+    }
+    spark.read.parquet(s"$path/manifest")
+      .withColumn("changed", col("shard").isin(affected: _*))
+      .orderBy("shard")
+  }
 }

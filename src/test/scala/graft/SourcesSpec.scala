@@ -540,6 +540,67 @@ class SourcesSpec extends AnyFunSuite {
            Seq("<urn:graft:10>", "<urn:graft:11>", "<urn:graft:12>"))
   }
 
+  // ------------------------------------------------------------------
+  // Corpus refresh at rest (r15): only changed shards are re-emitted
+  // ------------------------------------------------------------------
+
+  test("refreshShards: untouched shards byte-identical, touched rewritten, emptied deleted, created appear, manifest patched") {
+    import graft.sources.Formats
+    import spark.implicits._
+    def md5s(dir: String): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          f.getPath -> d.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    // corpus v1: 400 docs across shards 0..3 (span 100)
+    val v1 = (0L until 400L).map(i => (i, s"doc $i body word")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_refresh").toString
+    Formats.writeShards(v1, dir, 100L)
+    val before = md5s(s"$dir/shards")
+    // delta: update one doc in shard 1, delete ALL of shard 3, insert doc 999 (new shard 9)
+    val ch = Seq((150L, "U", "doc 150 rewritten body", 1L)) ++
+      (300L until 400L).map(i => (i, "D", null.asInstanceOf[String], 1L)) ++
+      Seq((999L, "U", "brand new doc", 1L))
+    val manifest = Formats.refreshShards(dir, ch.toDF("doc_id", "op", "text", "seq"), 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val after = md5s(s"$dir/shards")
+    // shards 0 and 2: same file paths, same bytes — never rewritten
+    val untouched = before.keys.filter(p => p.contains("shard=0/") || p.contains("shard=2/"))
+    assert(untouched.nonEmpty)
+    untouched.foreach(p => assert(after.get(p).contains(before(p)), s"shard file rewritten: $p"))
+    // shard 1 rewritten (no old file survives), shard 3 gone, shard 9 created
+    before.keys.filter(_.contains("shard=1/")).foreach(p => assert(!after.contains(p)))
+    assert(!after.keys.exists(_.contains("shard=3/")))
+    assert(after.keys.exists(_.contains("shard=9/")))
+    // manifest: patched rows + changed flags
+    assert(manifest.keySet == Set(0L, 1L, 2L, 9L))
+    assert(manifest(0L) == ((100L, 0L, 99L, false)))
+    assert(manifest(2L) == ((100L, 200L, 299L, false)))
+    assert(manifest(1L) == ((100L, 100L, 199L, true)))
+    assert(manifest(9L) == ((1L, 999L, 999L, true)))
+    // corpus content equals the straight CDC fold of v1
+    val got = spark.read.parquet(s"$dir/shards")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 301)
+    assert(got(150L) == "doc 150 rewritten body")
+    assert(got(999L) == "brand new doc")
+    assert(!got.contains(350L) && got(42L) == "doc 42 body word")
+    // idempotency: re-applying the same delta changes nothing on disk
+    Formats.refreshShards(dir, ch.toDF("doc_id", "op", "text", "seq"), 100L)
+    val again = spark.read.parquet(s"$dir/shards")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(again == got)
+  }
+
   test("gz single-member whole-file: a .warc.gz compressed as ONE member parses identically") {
     import graft.sources.{Gzip, Warc}
     val plain = Warc.responseRecord(20L, "https://e.example/a", "alpha") ++
