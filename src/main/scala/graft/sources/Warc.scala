@@ -213,6 +213,58 @@ object Warc {
       path, nFiles, "wet", gzip)(r =>
       conversionRecord(r.getLong(0), r.getString(1), r.getString(2)))
 
+  /** A `metadata` record — the WAT member of the crawl format triple:
+    * per source page, derived metadata as a compact JSON payload
+    * (real WAT is JSON too, a much fatter envelope). */
+  private[graft] def metadataRecord(docId: Long, url: String,
+                                    json: String): Array[Byte] =
+    renderRecord(Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> s"<urn:graft:$docId>",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> FixtureDate,
+      "Content-Type" -> "application/json"),
+      json.getBytes(StandardCharsets.UTF_8))
+
+  /** WAT sink (r15 — the third member of the WARC/WAT/WET triple):
+    * per-page LINK METADATA as `metadata` records. `links` is the
+    * [[graft.ops.Links.extractLinks]] output shape (doc_id, href,
+    * anchor), rolled up to one sorted outlinks array per page and
+    * serialized as a JSON payload; pages with no outlinks still get a
+    * record (empty list) — a WAT file covers every response of its
+    * WARC sibling. One hash shuffle on doc_id for the rollup, then
+    * the shared committed record writer. */
+  def writeWat(pages: DataFrame, links: DataFrame, path: String,
+               nFiles: Int, gzip: Boolean = false): Unit = {
+    val rolled = links
+      .groupBy(col("doc_id").cast("long").as("doc_id"))
+      .agg(sort_array(collect_list(struct(col("href"), col("anchor"))))
+        .as("outlinks"))
+    val rows = pages
+      .select(col("doc_id").cast("long").as("doc_id"), col("url"))
+      .join(rolled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"),
+              when(col("outlinks").isNull, lit("""{"outlinks":[]}"""))
+                .otherwise(to_json(struct(col("outlinks")))).as("json"))
+    writeRecordFiles(rows, path, nFiles, "wat", gzip)(r =>
+      metadataRecord(r.getLong(0), r.getString(1), r.getString(2)))
+  }
+
+  /** WAT source: good `metadata` records parsed back to
+    * (doc_id, url, outlinks: array&lt;struct&lt;href, anchor&gt;&gt;).
+    * The glob admits `.wat` and `.wat.gz`. */
+  def readWat(spark: SparkSession, path: String,
+              glob: String = "*.wat*"): DataFrame =
+    readWarc(spark, path, glob)
+      .where(col("warc_type") === "metadata" &&
+             col("_corrupt_record").isNull)
+      .select(docIdCol(col("record_id")).as("doc_id"),
+              col("target_uri").as("url"),
+              from_json(col("content").cast("string"),
+                  "outlinks ARRAY<STRUCT<href: STRING, anchor: STRING>>",
+                  Map.empty[String, String])
+                .getField("outlinks").as("outlinks"))
+
   /** WET source: the same streaming parser ([[readWarc]]) filtered to
     * good `conversion` records, payload decoded as UTF-8 —
     * (doc_id, url, text), ready for the curation pipeline with no

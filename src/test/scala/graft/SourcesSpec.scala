@@ -540,6 +540,30 @@ class SourcesSpec extends AnyFunSuite {
            Seq("<urn:graft:10>", "<urn:graft:11>", "<urn:graft:12>"))
   }
 
+  test("wat round-trip: extractLinks → metadata records (JSON outlinks) → parsed back; linkless pages get empty lists") {
+    import graft.sources.Warc
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://a.example/", """<html><a href="https://b.example/x">B page</a>""" +
+        """<a href="https://c.example/y">C page</a></html>"""),
+      (2L, "https://b.example/x", """<html><a href="https://a.example/">back home</a></html>"""),
+      (3L, "https://c.example/y", "<html>no links at all</html>"))
+      .toDF("doc_id", "url", "html")
+    val links = graft.ops.Links.extractLinks(pages)
+    val dir = Files.createTempDirectory("graft_wat_rt").toString
+    Warc.writeWat(pages, links, dir, 2, gzip = true)
+    assert(new java.io.File(dir).listFiles.exists(_.getName.endsWith(".wat.gz")))
+    val back = Warc.readWat(spark, dir).cache()
+    assert(back.count() == 3) // every page has a record, linkless included
+    val got = back.select(col("doc_id"), explode(col("outlinks")).as("l"))
+      .select(col("doc_id"), col("l.href"), col("l.anchor"))
+      .as[(Long, String, String)].collect().toSet
+    val want = links.as[(Long, String, String)].collect().toSet
+    assert(got == want)
+    assert(back.filter(col("doc_id") === 3L)
+      .select(size(col("outlinks"))).as[Int].head() == 0)
+  }
+
   // ------------------------------------------------------------------
   // Corpus refresh at rest (r15): only changed shards are re-emitted
   // ------------------------------------------------------------------
