@@ -1840,6 +1840,7 @@ object Queries {
     "q_dedup_url"           -> (Url.qDedupUrl _),
     "q_url_filter"          -> (Url.qUrlFilter _),
     "q_anchor_text"         -> (Links.qAnchorText _),
+    "q_wat_links"           -> (Links.qWatLinks _),
     "q_page_rank"           -> (Graph.qPageRank _),
     "q_link_degree"         -> (Graph.qLinkDegree _),
     "q_graph_reciprocity"   -> (Graph.qGraphReciprocity _),
@@ -2316,6 +2317,9 @@ object Queries {
     "q_dedup_url" -> Url.dedupOracleSql,
     "q_url_filter" -> Url.filterOracleSql,
     "q_anchor_text" -> Links.oracleSql,
+    // r15: q_wat_links is the same rollup through a gzipped WAT round
+    // trip — shares the oracle verbatim (the q_warc_triad pattern)
+    "q_wat_links" -> Links.oracleSql,
     "q_page_rank" -> Graph.oracleSql(),
     "q_link_degree" -> Graph.degreeOracleSql,
     "q_graph_reciprocity" -> Graph.reciprocityOracleSql,

@@ -101,6 +101,35 @@ object Links {
       Tables.documents(spark, dir)
         .select(col("doc_id"), renderLinkPage.as("html"))))
 
+  /** Content-keyed WAT fixture: the SAME link pages as [[qAnchorText]]
+    * extracted and written as gzipped `metadata` records
+    * ([[graft.sources.Warc.writeWat]]), 8 files. */
+  private val watFixture = new graft.ops.IndexCache[String]("documents", { (s, d) =>
+    val p = java.nio.file.Files.createTempDirectory("graft-wat").toString
+    val pages = Tables.documents(s, d)
+      .select(col("doc_id"), renderLinkPage.as("html"),
+              concat(lit("https://x.example/"), col("doc_id")).as("url"))
+    graft.sources.Warc.writeWat(pages, extractLinks(pages), p, 8, gzip = true)
+    p
+  })
+
+  /** q_wat_links (r15): the identical anchor rollup fed THROUGH a WAT
+    * round trip — the same link pages are extracted, rolled up to
+    * JSON outlink payloads in gzipped `metadata` records
+    * ([[graft.sources.Warc.writeWat]]), parsed back
+    * ([[graft.sources.Warc.readWat]]), and re-exploded into the
+    * [[anchorStats]] rollup — so the WAT encode→member-frame→parse→
+    * JSON round trip shares q_anchor_text's oracle verbatim: a lost
+    * link, a JSON escaping bug, or a member-framing bug surfaces as
+    * a rollup diff. */
+  def qWatLinks(spark: SparkSession, dir: String): DataFrame = {
+    val back = graft.sources.Warc.readWat(spark, watFixture.get(spark, dir))
+    anchorStats(back
+      .select(col("doc_id"), explode(col("outlinks")).as("l"))
+      .select(col("doc_id"), col("l.href").as("href"),
+              col("l.anchor").as("anchor")))
+  }
+
   // DuckDB oracle from the SAME constants (lockstep unnest of the two
   // capture-group extractions is DuckDB's multi-unnest zip).
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
