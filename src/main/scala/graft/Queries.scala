@@ -1666,6 +1666,38 @@ object Queries {
          |  FROM itr i JOIN szi si ON si.doc_id = i.inc_id
          |             JOIN szc sc ON sc.doc_id = i.corpus_id) q
          |WHERE jac >= 0.8 ORDER BY doc_id, corpus_id""".stripMargin,
+    // r15: index maintenance — the incr-near probe decides accepts,
+    // then the accepted docs' band rows are recomputed with the SAME
+    // md5/permutation constants the index build uses
+    "q_dedup_index_append" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |ti AS (SELECT doc_id + 100000 AS doc_id,
+         |         toks[1:len(toks)-1] AS toks
+         |       FROM t WHERE doc_id < 50
+         |       UNION ALL
+         |       SELECT doc_id + 200000,
+         |         list_transform(toks, x -> 'x' || x)
+         |       FROM t WHERE doc_id < 30),
+         |$mhPermsCte,
+         |${minhashCtes("mh_", "t")},
+         |${minhashCtes("mi_", "ti")},
+         |cand AS (SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corpus_id
+         |  FROM mh_bnd c JOIN mi_bnd i ON c.band = i.band AND c.bkey = i.bkey),
+         |szc AS (SELECT doc_id, count(*) AS n FROM mh_sh GROUP BY doc_id),
+         |szi AS (SELECT doc_id, count(*) AS n FROM mi_sh GROUP BY doc_id),
+         |itr AS (SELECT c.inc_id, c.corpus_id, count(*) AS inter
+         |  FROM cand c JOIN mi_sh x ON x.doc_id = c.inc_id
+         |              JOIN mh_sh y ON y.doc_id = c.corpus_id AND y.h = x.h
+         |  GROUP BY c.inc_id, c.corpus_id),
+         |matched AS (SELECT DISTINCT inc_id FROM (
+         |  SELECT i.inc_id,
+         |    i.inter::DOUBLE / (si.n + sc.n - i.inter) AS jac
+         |  FROM itr i JOIN szi si ON si.doc_id = i.inc_id
+         |             JOIN szc sc ON sc.doc_id = i.corpus_id) q
+         |  WHERE jac >= 0.8)
+         |SELECT doc_id, band, bkey FROM mi_bnd
+         |WHERE doc_id NOT IN (SELECT inc_id FROM matched)
+         |ORDER BY doc_id, band""".stripMargin,
     "q_sim_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, list_distinct($TOKS) AS tset FROM documents)
          |SELECT doc_a, doc_b, ${rnd("jac", 6)} AS jac FROM (
@@ -1821,6 +1853,7 @@ object Queries {
     "q_bitmap_users"        -> (Aggregates.qBitmapUsers _),
     "q_scd2"                -> (Events.qScd2 _),
     "q_dedup_incr_near"     -> (Dedup.qDedupIncrNear _),
+    "q_dedup_index_append"  -> (Dedup.qDedupIndexAppend _),
     "q_semantic_decontaminate" -> (Similarity.qSemanticDecontaminate _),
     "q_sql_recursive"       -> (Sql.qSqlRecursive _),
     "q_corpus_diff"         -> (Dedup.qCorpusDiff _),

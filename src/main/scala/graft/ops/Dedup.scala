@@ -1101,6 +1101,51 @@ object Dedup {
     corpusDiff(v1, v2)
   }
 
+  /** Near-dup INDEX MAINTENANCE at rest (r15): the ACCEPT path that
+    * completes [[incrementalNearDup]]'s probe — incoming docs with a
+    * ≥ tau match are dropped (their keeper already lives in the
+    * index); novel docs' shingle + band rows are computed with the
+    * SAME fixed permutation constants and returned union-ready with
+    * the at-rest tables. The permutations are INDEX ARTIFACTS (the
+    * frozen-PQ-codebook / stableShard property for the dedup tier):
+    * appending can never move or invalidate an existing index row, so
+    * the daily fold is append-only and untouched index files stay
+    * byte-identical — re-banding the world is a deliberate,
+    * whole-index event. Returns (acceptedShingles, acceptedBands). */
+  def appendNearDupIndex(corpusShingles: DataFrame, corpusBands: DataFrame,
+                         incoming: DataFrame, tau: Double = 0.8,
+                         bands: Int = Bands): (DataFrame, DataFrame) = {
+    val matched = incrementalNearDup(corpusShingles, corpusBands,
+                                     incoming, tau, bands)
+      .select(col("doc_id")).distinct()
+    val (incSh, incBands) = buildNearDupIndex(incoming, bands)
+    (incSh.join(matched, Seq("doc_id"), "left_anti"),
+     incBands.join(matched, Seq("doc_id"), "left_anti"))
+  }
+
+  /** q_dedup_index_append (r15): [[appendNearDupIndex]] with a mixed
+    * synthetic batch — the q_dedup_incr_near truncated re-crawls
+    * (mostly ≥ tau vs their originals → rejected) plus x-prefixed
+    * novel docs (wholly new shingle sets → accepted). Emits the
+    * accepted docs' band rows (doc_id, band, bkey); the oracle
+    * recomputes the probe AND the accepted band rows with the same
+    * md5/permutation constants, so a wrong accept decision or a
+    * drifted band key both hash-diff. */
+  def qDedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val (sh, bandTab) = nearDupIndex(spark, dir)
+    val t = Tables.docTokens(spark, dir)
+    val recrawl = t.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks"))
+    val novel = t.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 200000).as("doc_id"),
+              transform(col("toks"), x => concat(lit("x"), x)).as("toks"))
+    val (_, acceptedBands) =
+      appendNearDupIndex(sh, bandTab, recrawl.unionAll(novel))
+    acceptedBands.select(col("doc_id"), col("band"), col("bkey"))
+      .orderBy("doc_id", "band")
+  }
+
   /** q_dedup_incr_near: [[incrementalNearDup]] with a synthetic
     * re-crawl batch — docs 0-49 re-fetched with their last token
     * dropped (high-Jaccard near-dups of their originals). Oracle-

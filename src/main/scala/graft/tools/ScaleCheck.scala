@@ -242,6 +242,14 @@ object ScaleCheck {
     "q_warc_gz" -> 1.0,       // r15: same per-page shape + per-record
                               // gzip members (deflate is linear in
                               // payload bytes)
+    "q_dedup_index_append" -> 1.0, // r15: batch bands broadcast to one
+                              // narrow corpus-band scan (the
+                              // incrementalNearDup shape) + batch-
+                              // scale banding of accepts
+    "q_corpus_refresh" -> 1.0, // r15: partition-pruned read of
+                              // delta-touched shards + manifest patch;
+                              // corpus-size terms are the pruned scan
+                              // and the manifest row filter
     "q_train_quality" -> 1.0, // fixed iterations × one narrow
                               // aggregate scan each
     "q_training_stable" -> 1.0, // hash shard + segmented rank +

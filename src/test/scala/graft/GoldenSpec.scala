@@ -600,6 +600,40 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup index append: accepted rows == a from-scratch rebuild's rows; matched docs appended nowhere") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val dir = TestSpark.sf0001
+    val (sh, bandTab) = Dedup.nearDupIndex(spark, dir)
+    val t = Tables.docTokens(spark, dir)
+    val recrawl = t.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks"))
+    val novel = t.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 200000).as("doc_id"),
+              transform(col("toks"), x => concat(lit("x"), x)).as("toks"))
+    val incoming = recrawl.unionAll(novel)
+    val (accSh, accBands) = Dedup.appendNearDupIndex(sh, bandTab, incoming)
+    val accIds = accSh.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every >= tau matched doc is rejected, every novel doc accepted
+    val matched = Dedup.incrementalNearDup(sh, bandTab, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accIds.intersect(matched).isEmpty)
+    assert(accIds.exists(_ >= 200000), "novel docs must be accepted")
+    // append == rebuild: the accepted docs' band rows are IDENTICAL to
+    // what a from-scratch index build over the same docs produces (the
+    // frozen-permutation contract — appending uses index-artifact
+    // constants, so it can never drift from a rebuild)
+    val (_, rebuiltBands) = Dedup.buildNearDupIndex(
+      incoming.filter(col("doc_id").isInCollection(accIds)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows(accBands) == rows(rebuiltBands))
+    // and the shingle rows ride along 1:1 with the band docs
+    assert(accBands.select("doc_id").distinct().count() == accIds.size)
+  }
+
   test("q_hll_users: sketch-union estimate within 5% of exact distinct users") {
     import org.apache.spark.sql.functions._
     val approx = Queries.all("q_hll_users")(spark, TestSpark.sf0001)
