@@ -3008,6 +3008,7 @@ object Queries {
     "q_crawl_triad"       -> (Curation.qCrawlTriad _),
     "q_warc_triad"        -> (Curation.qWarcTriad _),
     "q_warc_gz"           -> (Curation.qWarcGz _),
+    "q_warc_cdx"          -> (Curation.qWarcCdx _),
     "q_training_pipeline" -> (Curation.qTrainingPipeline _),
     "q_training_stable"   -> (Curation.qTrainingStable _),
     "q_mix_temperature"   -> (Curation.qMixTemperature _),
@@ -3063,14 +3064,21 @@ object Queries {
     // (per-record members) — same oracle, so the gzip member walk is
     // correctness-gated end to end
     "q_warc_gz" -> crawlTriadOracle,
+    // r15: ranged point reads through the CDX sidecar — the oracle
+    // reconstructs the sampled pages from the shared triad CTE, so a
+    // wrong offset / mis-sliced member / drifted index row hash-diffs
+    "q_warc_cdx" ->
+      s"""WITH $triadPagesCte
+         |SELECT doc_id, md5(html) AS h, length(html)::INT AS n_chars
+         |FROM pg WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
   )
 
-  private lazy val crawlTriadOracle: String = {
+  /** The triad-pages construction as a DuckDB CTE body — ONE fixture
+    * expression shared by crawlTriadOracle and q_warc_cdx so the two
+    * cannot drift. */
+  private lazy val triadPagesCte: String = {
       def lit0(s: String) = "'" + s.replace("'", "''") + "'"
-      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
-      val quality = "least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
-        " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE"
-      s"""WITH pg AS (
+      s"""pg AS (
          |  -- url/html render from the ORIGINAL doc_id, the page id
          |  -- offset applied OUTSIDE (nested like Url.dedupOracleSql,
          |  -- never relying on lateral-alias precedence)
@@ -3089,7 +3097,14 @@ object Queries {
          |      'https://example-' || source || '.com/alt-' || doc_id::VARCHAR AS url,
          |      ${lit0(graft.ops.Curation.AltW1)} || text ||
          |        ${lit0(graft.ops.Curation.AltW2)} AS html
-         |    FROM documents WHERE doc_id % 10 = 5)),
+         |    FROM documents WHERE doc_id % 10 = 5))""".stripMargin
+  }
+
+  private lazy val crawlTriadOracle: String = {
+      val stop = sqlList(langLists.flatMap(_._2).distinct.sorted)
+      val quality = "least(n_toks::DOUBLE / 100.0, 1.0) * 0.3::DOUBLE" +
+        " + ttr * 0.3::DOUBLE + (1.0::DOUBLE - stop_ratio) * 0.4::DOUBLE"
+      s"""WITH $triadPagesCte,
          |d0 AS (SELECT doc_id, html, ${graft.ops.Url.defraggedSql} AS d FROM pg),
          |cn AS (SELECT doc_id, html, ${graft.ops.Url.canonSql} AS canon FROM d0),
          |k1 AS (SELECT doc_id, html FROM (

@@ -873,9 +873,33 @@ object Curation {
     * ship in). */
   private val warcGzFixture = new IndexCache[String]("documents", { (s, d) =>
     val p = java.nio.file.Files.createTempDirectory("graft-warcgz").toString
-    graft.sources.Warc.writeWarc(triadPages(s, d), p, 8, gzip = true)
+    graft.sources.Warc.writeWarc(triadPages(s, d), p, 8, gzip = true,
+                                 cdx = true)
     p
   })
+
+  /** q_warc_cdx (r15): RANGED POINT READS through the CDX sidecar —
+    * a doc_id-sampled subset of the gzipped fixture's index rows is
+    * fetched by (file, offset, length) slice
+    * ([[graft.sources.Warc.fetchRecords]]: one reused stream per
+    * segment, each slice a complete gzip member), unwrapped, and
+    * reduced to (doc_id, content hash, char count). The oracle
+    * reconstructs the same pages in SQL — so a wrong offset, a
+    * mis-sliced member, or a drifted index row all hash-diff. This is
+    * the record-serving path of a 100 TB archive: full scans are for
+    * pipelines; the CDX makes individual records addressable. */
+  def qWarcCdx(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val fix = warcGzFixture.get(spark, dir)
+    val picks = Warc.readCdx(spark, fix)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+    Warc.fetchRecords(spark, fix, picks).toDF()
+      .where(col("_corrupt_record").isNull)
+      .select(Warc.docIdCol(col("record_id")).as("doc_id"),
+              md5(Warc.httpBodyCol(col("content"))).as("h"),
+              length(Warc.httpBodyCol(col("content"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
 
   /** q_warc_triad: the crawl triad fed THROUGH the WARC source — the
     * same three-cohort pages as [[qCrawlTriad]] are rendered to real

@@ -144,7 +144,8 @@ object Warc {
     * member (the Common-Crawl `.warc.gz` framing — per-record members
     * are what keep the format streamable and record-seekable). */
   private def writeRecordFiles(rows: DataFrame, path: String, nFiles: Int,
-                               ext: String, gzip: Boolean = false)
+                               ext: String, gzip: Boolean = false,
+                               cdx: Boolean = false)
                               (render: Row => Array[Byte]): Unit = {
     import org.apache.hadoop.fs.Path
     val ext1 = if (gzip) s"$ext.gz" else ext
@@ -160,13 +161,30 @@ object Warc {
           val dest = new Path(path, name)
           val tmp = new Path(path, s"_tmp-$name.attempt-${tc.taskAttemptId()}")
           val fs = dest.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          def emit(out: java.io.OutputStream, bytes: Array[Byte]): Unit =
-            if (gzip) out.write(Gzip.member(bytes)) else out.write(bytes)
+          def rendered(bytes: Array[Byte]): Array[Byte] =
+            if (gzip) Gzip.member(bytes) else bytes
+          // CDX sidecar rows: (file, doc_id, url, offset, length) per
+          // DATA record — with per-record gzip members the (offset,
+          // length) slice is one complete member, which is exactly why
+          // crawl archives compress per record: byte-ranged point
+          // reads stay possible through compression
+          val cdxLines = new StringBuilder
           var ok = false
+          var pos = 0L
           val out = fs.create(tmp, true)
           try {
-            emit(out, warcinfoRecord(name))
-            it.foreach(r => emit(out, render(r)))
+            val info = rendered(warcinfoRecord(name))
+            out.write(info); pos += info.length
+            it.foreach { r =>
+              val bytes = rendered(render(r))
+              if (cdx)
+                cdxLines.append(name).append('\t')
+                  .append(r.getLong(0)).append('\t')
+                  .append(r.getString(1)).append('\t')
+                  .append(pos).append('\t')
+                  .append(bytes.length).append('\n')
+              out.write(bytes); pos += bytes.length
+            }
             ok = true
           } finally {
             out.close()
@@ -175,6 +193,28 @@ object Warc {
               if (!fs.rename(tmp, dest))
                 throw new java.io.IOException(s"commit rename failed: $tmp -> $dest")
             } else fs.delete(tmp, false)
+          }
+          if (ok && cdx) {
+            // named so no data glob can match it (*.warc* / *.wet* /
+            // *.wat*); committed with the same temp+rename protocol,
+            // AFTER the data file — a reader never sees an index row
+            // pointing at an uncommitted byte range
+            val cdxName = f"index-part-$pid%05d.cdx"
+            val cdxDest = new Path(path, cdxName)
+            val cdxTmp = new Path(path, s"_tmp-$cdxName.attempt-${tc.taskAttemptId()}")
+            val co = fs.create(cdxTmp, true)
+            var cok = false
+            try {
+              co.write(cdxLines.toString.getBytes(StandardCharsets.UTF_8))
+              cok = true
+            } finally {
+              co.close()
+              if (cok) {
+                fs.delete(cdxDest, false)
+                if (!fs.rename(cdxTmp, cdxDest))
+                  throw new java.io.IOException(s"cdx commit failed: $cdxDest")
+              } else fs.delete(cdxTmp, false)
+            }
           }
         }
       }
@@ -185,10 +225,10 @@ object Warc {
     * — every record its own gzip member ([[Gzip.member]]), the
     * framing real crawl dumps ship in. */
   def writeWarc(pages: DataFrame, path: String, nFiles: Int,
-                gzip: Boolean = false): Unit =
+                gzip: Boolean = false, cdx: Boolean = false): Unit =
     writeRecordFiles(
       pages.select(col("doc_id").cast("long"), col("url"), col("html")),
-      path, nFiles, "warc", gzip)(r =>
+      path, nFiles, "warc", gzip, cdx)(r =>
       responseRecord(r.getLong(0), r.getString(1), r.getString(2)))
 
   /** A `conversion` record — the WET (extracted-text) member of the
@@ -445,6 +485,69 @@ object Warc {
         parseStream(in, p)
       }
       .toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // CDX record index + ranged point reads (r15): what makes a 100 TB
+  // archive RANDOMLY ACCESSIBLE — full scans are for pipelines, but
+  // serving/debugging/sampling needs "give me THIS record" without
+  // reading the segment. The sidecar maps (doc_id, url) → (file,
+  // offset, length); per-record gzip members make the byte slice a
+  // complete decompressible unit (the reason the framing exists).
+  // ------------------------------------------------------------------
+
+  /** The CDX sidecars of a record-file directory as a DataFrame
+    * (file, doc_id, url, offset, length) — written by the sinks when
+    * `cdx = true`. */
+  def readCdx(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .schema("file STRING, doc_id LONG, url STRING, offset LONG, length LONG")
+      .csv(s"$path/*.cdx")
+
+  /** Distributed RANGED point reads: each (file, offset, length) row
+    * seeks into its segment and parses exactly that slice (a complete
+    * gzip member or plain record — [[parseStream]]'s magic sniff
+    * handles both). Rows are routed per file and fetched in offset
+    * order on ONE reused stream per file (forward seeks, no reopen
+    * churn); hostile lengths are quarantined, never allocated. At
+    * cluster scale this is the batched point-read pattern over object
+    * storage (ranged GETs grouped by object). */
+  def fetchRecords(spark: SparkSession, dir: String,
+                   cdx: DataFrame): Dataset[WarcRecord] = {
+    import spark.implicits._
+    cdx.select(col("file"), col("offset"), col("length"))
+      .repartition(col("file"))
+      .sortWithinPartitions("file", "offset")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var curFile: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeIn(): Unit = if (in != null) {
+          try in.close() catch { case _: java.io.IOException => () }
+          in = null
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+        it.flatMap { case (file, off, len) =>
+          if (len < 0 || len > MaxRecordBytes + 4096)
+            Iterator.single(WarcRecord(file, null, null, null, null, null,
+              Array.emptyByteArray, s"cdx: hostile length $len"))
+          else {
+            if (file != curFile) {
+              closeIn()
+              val p = new org.apache.hadoop.fs.Path(dir, file)
+              in = p.getFileSystem(conf).open(p)
+              curFile = file
+            }
+            in.seek(off)
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(buf)
+            parseRecords(buf, s"$file@$off")
+          }
+        }
+      }
   }
 
   /** One streamed WARC record: [[WarcRecord]] flattened with the

@@ -540,6 +540,47 @@ class SourcesSpec extends AnyFunSuite {
            Seq("<urn:graft:10>", "<urn:graft:11>", "<urn:graft:12>"))
   }
 
+  test("cdx sidecar: offsets land on member/record boundaries, point fetch == full scan, plain files too") {
+    import graft.sources.Warc
+    import spark.implicits._
+    val pages = (0L until 20L)
+      .map(i => (i, s"https://e.example/$i", s"<html>page body $i with some words</html>"))
+      .toDF("doc_id", "url", "html")
+    for (gz <- Seq(true, false)) {
+      val dir = Files.createTempDirectory(s"graft_cdx_$gz").toString
+      Warc.writeWarc(pages, dir, 3, gzip = gz, cdx = true)
+      val cdx = Warc.readCdx(spark, dir).cache()
+      assert(cdx.count() == 20) // one index row per data record, warcinfo excluded
+      // every offset lands exactly on a gzip member magic (gz) or a
+      // WARC/ version line (plain)
+      cdx.select("file", "offset").as[(String, Long)].collect().foreach {
+        case (f, off) =>
+          val raf = new java.io.RandomAccessFile(new java.io.File(dir, f), "r")
+          try {
+            raf.seek(off)
+            val b = new Array[Byte](5); raf.readFully(b)
+            if (gz) assert((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b, s"$f@$off")
+            else assert(new String(b, "ISO-8859-1") == "WARC/", s"$f@$off")
+          } finally raf.close()
+      }
+      // point fetch of every row reproduces the full-scan content
+      val fetched = Warc.fetchRecords(spark, dir, cdx).toDF()
+        .where(col("_corrupt_record").isNull)
+        .select(Warc.docIdCol(col("record_id")).as("doc_id"),
+                Warc.httpBodyCol(col("content")).as("html"))
+        .as[(Long, String)].collect().toSet
+      assert(fetched == pages.select("doc_id", "html")
+        .as[(Long, String)].collect().toSet, s"gz=$gz")
+      // a hostile length quarantines instead of allocating
+      val evil = Seq(("part-00000." + (if (gz) "warc.gz" else "warc"),
+        999L, "u", 0L, Long.MaxValue))
+        .toDF("file", "doc_id", "url", "offset", "length")
+      val q = Warc.fetchRecords(spark, dir, evil).collect()
+      assert(q.length == 1 && q.head._corrupt_record.contains("hostile length"))
+      cdx.unpersist()
+    }
+  }
+
   test("wat round-trip: extractLinks → metadata records (JSON outlinks) → parsed back; linkless pages get empty lists") {
     import graft.sources.Warc
     import spark.implicits._
