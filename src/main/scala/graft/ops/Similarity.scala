@@ -719,6 +719,23 @@ object Similarity {
     indexPaths.get(spark, dir)
   private[graft] def annIndexEntryCount: Int = indexPaths.entryCount
 
+  /** Incremental ANN index APPEND (r15): posting rows (vec_id, vn,
+    * tbl, bucket, pm) for NEW vectors under the corpus index's FROZEN
+    * geometry — completing the maintenance triple (near-dup bands:
+    * [[Dedup.appendNearDupIndex]]; PQ codes:
+    * [[Quant.encodePqAgainst]]). The hyperplanes are a pure function
+    * of (tables, h, dim) and a fixed seed, and h derives from the
+    * index's BUILD-TIME corpus size — so appending can never move an
+    * existing posting row, and a re-encode of an already-indexed
+    * vector reproduces its rows bit-identically (QuantSpec pins
+    * both). Re-sizing the bucket space for a grown corpus is a
+    * deliberate whole-index rebuild, which the content-keyed
+    * [[IndexCache]] performs automatically the moment the backing
+    * table itself changes. `vecs`: (vec_id, embedding). */
+  def encodeAnnAgainst(spark: SparkSession, dir: String,
+                       vecs: DataFrame): DataFrame =
+    annIndex(normalizeEmbeddings(vecs), corpusSize(spark, dir))
+
   /** The scored LSH candidate stream feeding [[qAnnIvf]]'s top-k cut —
     * exposed separately so AnnRecall can profile the generation stage
     * against the aggregation stage. */

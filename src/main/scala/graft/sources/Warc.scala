@@ -592,6 +592,28 @@ object Warc {
       }
   }
 
+  /** STREAMING WET sink (r15): a curated document stream emitted as
+    * one gzipped WET segment directory per micro-batch — the OUTPUT
+    * edge that closes the streaming crawl loop (readWarcStream →
+    * crawlTriadStream → writeWetStream): raw segments land, curated
+    * text ships, in the same format family it arrived in. Segment-
+    * per-batch is the real pattern (one WET drop per ingest window);
+    * consumers glob across the batch dirs (readWet over `path/&#42;`).
+    * `docs` must be a STREAMING (doc_id, url, text) frame; returns
+    * the started query (caller owns lifecycle). Batch dirs are
+    * zero-padded so lexical order = arrival order. */
+  def writeWetStream(docs: DataFrame, path: String, nFiles: Int = 1,
+                     gzip: Boolean = true,
+                     checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          writeWet(batch, f"$path/batch-$id%06d", nFiles, gzip)
+      }
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
+  }
+
   /** Good `response` records of a WARC stream unwrapped to the
     * (doc_id, url, html, ts) page shape `crawlTriadStream` consumes. */
   def pagesFromWarcStream(records: Dataset[WarcStreamRecord]): DataFrame =

@@ -151,6 +151,37 @@ class QuantSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("incremental ANN encode: frozen geometry, re-encode of indexed vectors reproduces their posting rows bit-identically") {
+    import graft.ops.Similarity
+    val posts = Similarity.annPostings(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("tbl"), col("bucket"),
+                concat_ws(",", col("pm")))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+    // re-encode three already-indexed vectors from their RAW
+    // embeddings: frozen (planes, h) must reproduce the exact rows
+    val raw = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(3L, 7L, 11L))
+    val enc = Similarity.encodeAnnAgainst(spark, dir, raw)
+    assert(rows(enc) == rows(posts.filter(col("vec_id").isin(3L, 7L, 11L))))
+    // genuinely new vectors get rows in the SAME bucket space (bucket
+    // ids within the index's range, tables complete)
+    val shifted = raw.select((col("vec_id") + 100000L).as("vec_id"),
+                             col("embedding"))
+    val nenc = Similarity.encodeAnnAgainst(spark, dir, shifted)
+    val maxBucket = posts.agg(max(col("bucket"))).collect().head.getInt(0)
+    val got = nenc.select("vec_id", "tbl", "bucket").collect()
+    assert(got.map(_.getLong(0)).forall(_ >= 100000L))
+    assert(got.map(_.getInt(1)).distinct.length ==
+      posts.select("tbl").distinct().count())
+    assert(got.map(_.getInt(2)).forall(b => b >= 0 && b <= maxBucket * 2 + 1))
+    // and a shifted copy of vec v buckets exactly where v does
+    assert(rows(nenc) == rows(enc.select((col("vec_id") + 100000L).as("vec_id"),
+      col("tbl"), col("bucket"), col("pm"))))
+  }
+
   test("quantized top-10 recalls >= 0.8 of the exact float dot top-10") {
     val emb = graft.Tables.embeddings(spark, dir)
     val approx = Quant.quantizedTopK(emb, nProbes = 5, k = 10)

@@ -782,4 +782,31 @@ class StreamingSpec extends AnyFunSuite {
         s"state rows ${prog.map(_.numRowsTotal).toSeq}")
     }
   }
+
+  test("writeWetStream: curated stream lands as one gzipped WET segment dir per micro-batch, round-trips by glob") {
+    import graft.sources.Warc
+    val ms = MemoryStream[(Long, String, String)](spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_stream").toString
+    val q = Warc.writeWetStream(
+      ms.toDF().toDF("doc_id", "url", "text"), dir)
+    try {
+      ms.addData(Seq(
+        (1L, "https://a.example/1", "first curated doc"),
+        (2L, "https://a.example/2", "second curated doc")))
+      q.processAllAvailable()
+      ms.addData(Seq((3L, "https://a.example/3", "a later wave")))
+      q.processAllAvailable()
+      // one batch dir per non-empty micro-batch, lexically ordered
+      val batches = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("batch-")).map(_.getName).sorted
+      assert(batches.length == 2, batches.toSeq)
+      assert(new java.io.File(s"$dir/${batches.head}").listFiles()
+        .exists(_.getName.endsWith(".wet.gz")))
+      // consumers glob across segments: all three docs round-trip
+      val back = Warc.readWet(spark, s"$dir/*")
+        .as[(Long, String, String)].collect().toSet
+      assert(back.map(_._1) == Set(1L, 2L, 3L))
+      assert(back.exists(r => r._1 == 3L && r._3 == "a later wave"))
+    } finally q.stop()
+  }
 }
