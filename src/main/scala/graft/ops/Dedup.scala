@@ -1115,9 +1115,12 @@ object Dedup {
   def appendNearDupIndex(corpusShingles: DataFrame, corpusBands: DataFrame,
                          incoming: DataFrame, tau: Double = 0.8,
                          bands: Int = Bands): (DataFrame, DataFrame) = {
-    val matched = incrementalNearDup(corpusShingles, corpusBands,
-                                     incoming, tau, bands)
-      .select(col("doc_id")).distinct()
+    // matched is DELTA-scale (≤ the incoming batch's doc count) —
+    // broadcast it; the localCheckpointed probe output has no stats,
+    // so without the hint the anti-join planned as a sort-merge
+    val matched = broadcast(
+      incrementalNearDup(corpusShingles, corpusBands, incoming, tau, bands)
+        .select(col("doc_id")).distinct())
     val (incSh, incBands) = buildNearDupIndex(incoming, bands)
     (incSh.join(matched, Seq("doc_id"), "left_anti"),
      incBands.join(matched, Seq("doc_id"), "left_anti"))
