@@ -1010,11 +1010,46 @@ object Graft {
                    bucketWidth: String = "1 hour"): DataFrame =
     ops.Relational.intervalJoin(a, b, aStart, aEnd, bStart, bEnd, bucketWidth)
 
+  // ---- r15: script-aware text + index/corpus maintenance ----
+
+  /** Script-aware tokenization: CJK runs (Han/kana/Hangul) become
+    * character bigrams, everything else the whitespace tokenizer —
+    * adds `toks` to any (doc_id, text) frame, drop-in for the
+    * shingle/dedup/BM25 stack on mixed-script corpora. */
+  def tokenizeScriptAware(docs: DataFrame): DataFrame =
+    docs.withColumn("toks",
+      ops.Text.tokenizeScriptAware(org.apache.spark.sql.functions.col("text")))
+
+  /** Near-dup index MAINTENANCE: fold an incoming (doc_id, toks)
+    * batch into a materialized band index — ≥ tau matches rejected,
+    * novel docs' (shingles, bands) returned union-ready; frozen
+    * permutations mean appends never move an existing row. */
+  def appendNearDupIndex(corpusShingles: DataFrame, corpusBands: DataFrame,
+                         incoming: DataFrame,
+                         tau: Double = 0.8): (DataFrame, DataFrame) =
+    ops.Dedup.appendNearDupIndex(corpusShingles, corpusBands, incoming, tau)
+
+  /** Training-shard writer: deterministic doc_id-div sharding +
+    * manifest ([[graft.sources.Formats.writeShards]]). */
+  def writeShards(docs: DataFrame, path: String,
+                  shardSpan: Long = 1000): DataFrame =
+    sources.Formats.writeShards(docs, path, shardSpan)
+
+  /** Corpus refresh AT REST: fold a CDC batch into a [[writeShards]]
+    * corpus rewriting ONLY the delta-touched shards; untouched shard
+    * files stay byte-identical; returns the patched manifest with a
+    * per-shard `changed` flag. */
+  def refreshShards(path: String, changes: DataFrame,
+                    shardSpan: Long = 1000): DataFrame =
+    sources.Formats.refreshShards(path, changes, shardSpan)
+
   /** Registers every graft SQL function on the session — or build the
     * session with `.withExtensions(new plans.GraftExtensions)` to get
     * functions AND the as-of planner strategy. Streaming operators
     * (content-hash dedup, interval join, custom sessions) live in
-    * [[graft.streaming.EventStreams]]. */
+    * [[graft.streaming.EventStreams]]; the WARC/WAT/WET/CDX container
+    * family (batch + streaming + gzip members + ranged point reads)
+    * lives in [[graft.sources.Warc]]. */
   def registerFunctions(spark: SparkSession): Unit =
     functions.GraftFunctions.registerAll(spark)
 }

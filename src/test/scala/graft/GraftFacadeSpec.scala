@@ -713,4 +713,26 @@ class GraftFacadeSpec extends AnyFunSuite {
       .toDF("score", "label")).collect()(0)
     assert(a.getDouble(2) == 1.0)
   }
+
+  test("r15 facade: tokenizeScriptAware, appendNearDupIndex, writeShards -> refreshShards chain") {
+    import org.apache.spark.sql.functions._
+    val cjk = Graft.tokenizeScriptAware(
+      Seq((1L, "hello 中文")).toDF("doc_id", "text"))
+      .select("toks").as[Seq[String]].head()
+    assert(cjk == Seq("hello", "中文"))
+    // index maintenance: a wholly novel doc is accepted
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val (sh, bands) = Graft.buildNearDupIndex(corpus)
+    val (accSh, accBands) = Graft.appendNearDupIndex(sh, bands,
+      Seq((99L, Seq("x", "y", "z", "w", "v"))).toDF("doc_id", "toks"))
+    assert(accSh.count() == 1 && accBands.count() > 0)
+    // shard write + refresh round trip through the facade
+    val dir = java.nio.file.Files.createTempDirectory("graft_facade_refresh").toString
+    Graft.writeShards(Seq((1L, "one doc"), (250L, "two doc")).toDF("doc_id", "text"),
+      dir, 100L)
+    val m = Graft.refreshShards(dir,
+      Seq((1L, "U", "one doc v2", 1L)).toDF("doc_id", "op", "text", "seq"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(m == Map(0L -> true, 2L -> false))
+  }
 }
