@@ -246,6 +246,10 @@ object ScaleCheck {
                               // narrow corpus-band scan (the
                               // incrementalNearDup shape) + batch-
                               // scale banding of accepts
+    "q_warc_cdx" -> 1.0,      // r15: CDX scan is records-linear; the
+                              // sampled point fetch reads only its
+                              // byte ranges (sub-linear in archive
+                              // bytes by construction)
     "q_corpus_refresh" -> 1.0, // r15: partition-pruned read of
                               // delta-touched shards + manifest patch;
                               // corpus-size terms are the pruned scan
