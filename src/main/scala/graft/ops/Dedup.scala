@@ -929,9 +929,24 @@ object Dedup {
   def incrementalNearDup(corpusShingles: DataFrame, corpusBands: DataFrame,
                          incoming: DataFrame, tau: Double = 0.8,
                          bands: Int = Bands): DataFrame = {
-    val spark = incoming.sparkSession
     val (incSh, incBands) = buildNearDupIndex(incoming, bands)
     val incShP = incSh.persist()
+    try incrementalNearDupFrom(corpusShingles, corpusBands,
+                               (incShP, incBands), tau)
+    finally { incShP.unpersist(false); () }
+  }
+
+  /** [[incrementalNearDup]] over a PREBUILT incoming index — so
+    * [[appendNearDupIndex]], which needs the (shingles, bands) frames
+    * anyway, probes without paying the MinHash/shingle pass twice.
+    * Caching of the incoming frames is the CALLER's responsibility
+    * (the result is localCheckpointed, so the caller may unpersist
+    * as soon as this returns). */
+  private[graft] def incrementalNearDupFrom(corpusShingles: DataFrame,
+                                            corpusBands: DataFrame,
+                                            inc: (DataFrame, DataFrame),
+                                            tau: Double): DataFrame = {
+    val (incShP, incBands) = inc
     val cands = corpusBands
       .join(broadcast(incBands
               .select(col("doc_id").as("inc_id"), col("band"), col("bkey"))),
@@ -953,11 +968,10 @@ object Dedup {
       .filter(col("jac") >= tau)
       .select(col("doc_id"), col("corpus_id"), round(col("jac"), 6).as("jac"))
       .orderBy("doc_id", "corpus_id")
-      // materialize (lineage cut) so the batch-shingle cache can be
-      // released here — repeated probe calls must not accumulate
-      // cached DataFrames until LRU eviction
+      // materialize (lineage cut) so the caller can release the
+      // batch-shingle cache immediately — repeated probe calls must
+      // not accumulate cached DataFrames until LRU eviction
       .localCheckpoint()
-    incShP.unpersist()
     out
   }
 
@@ -1115,15 +1129,28 @@ object Dedup {
   def appendNearDupIndex(corpusShingles: DataFrame, corpusBands: DataFrame,
                          incoming: DataFrame, tau: Double = 0.8,
                          bands: Int = Bands): (DataFrame, DataFrame) = {
-    // matched is DELTA-scale (≤ the incoming batch's doc count) —
-    // broadcast it; the localCheckpointed probe output has no stats,
-    // so without the hint the anti-join planned as a sort-merge
-    val matched = broadcast(
-      incrementalNearDup(corpusShingles, corpusBands, incoming, tau, bands)
-        .select(col("doc_id")).distinct())
-    val (incSh, incBands) = buildNearDupIndex(incoming, bands)
-    (incSh.join(matched, Seq("doc_id"), "left_anti"),
-     incBands.join(matched, Seq("doc_id"), "left_anti"))
+    // build the incoming index ONCE, cache it across the probe and
+    // the accept outputs (the MinHash/shingle pass is the dominant
+    // cost of an append — recomputing it per consumer doubled the
+    // operation), localCheckpoint the delta-scale results so the
+    // cache can be dropped before returning
+    val (incSh0, incBands0) = buildNearDupIndex(incoming, bands)
+    val incSh = incSh0.persist()
+    val incBands = incBands0.persist()
+    try {
+      // matched is DELTA-scale (≤ the incoming batch's doc count) —
+      // broadcast it; the localCheckpointed probe output has no
+      // stats, so without the hint the anti-join planned as a
+      // sort-merge
+      val matched = broadcast(
+        incrementalNearDupFrom(corpusShingles, corpusBands,
+                               (incSh, incBands), tau)
+          .select(col("doc_id")).distinct())
+      (incSh.join(matched, Seq("doc_id"), "left_anti").localCheckpoint(),
+       incBands.join(matched, Seq("doc_id"), "left_anti").localCheckpoint())
+    } finally {
+      incSh.unpersist(false); incBands.unpersist(false); ()
+    }
   }
 
   /** q_dedup_index_append (r15): [[appendNearDupIndex]] with a mixed

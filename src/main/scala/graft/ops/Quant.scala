@@ -332,8 +332,10 @@ object Quant {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ann_pq").toString
       import s.implicits._
-      val vecs = Similarity.annPostings(s, d)
-        .select(col("vec_id"), col("vn")).distinct()
+      // one narrow scan of the embeddings table — NOT a distinct()
+      // over the float index's n·T posting rows (same vn values: the
+      // postings' vn column is this very expression)
+      val vecs = Similarity.normalized(s, d)
       val n = vecs.count()
       // deterministic ~4k-vector training sample by HASH of vec_id —
       // id-agnostic, unlike `vec_id % stride`, which grossly
@@ -498,12 +500,12 @@ object Quant {
                             decodeCol.as("cdec"))
     // probe routing comes from the PQ tier's OWN bucket space
     // (probes.parquet); the full-precision probe vector joins in by
-    // id from the float index — n·T rows before the probe fan-out
+    // id from ONE narrow embeddings scan (Similarity.normalized —
+    // not a distinct() over the float index's n·T posting rows)
     val probes = spark.read.parquet(s"$idxDir/probes.parquet")
-      .join(Similarity.annPostings(spark, dir)
+      .join(Similarity.normalized(spark, dir)
               .select(col("vec_id"),
-                      transform(col("vn"), x => x.cast("double")).as("va"))
-              .distinct(),
+                      transform(col("vn"), x => x.cast("double")).as("va")),
             "vec_id")
       .select(col("vec_id").as("id_a"), col("va"), col("tbl"),
               explode(transform(col("pm"), m => col("bucket").bitwiseXOR(m)))
@@ -516,9 +518,9 @@ object Quant {
     // full-precision vectors again
     val short = Similarity.topKCut(cands, refineR, distinct = true)
       .select("id_a", "id_b")
-    val vecs = Similarity.annPostings(spark, dir)
+    val vecs = Similarity.normalized(spark, dir)
       .select(col("vec_id"), transform(col("vn"), x => x.cast("double"))
-        .as("vd")).distinct()
+        .as("vd"))
     val exact = short
       .join(vecs.select(col("vec_id").as("id_a"), col("vd").as("va")), "id_a")
       .join(vecs.select(col("vec_id").as("id_b"), col("vd").as("vb")), "id_b")

@@ -310,9 +310,18 @@ object Formats {
         .orderBy("shard")
       nextManifest.coalesce(1).write.mode("overwrite")
         .parquet(s"$path/manifest.next")
-      fs.delete(new Path(s"$path/manifest"), true)
-      if (!fs.rename(new Path(s"$path/manifest.next"), new Path(s"$path/manifest")))
-        throw new java.io.IOException(s"manifest swap failed under $path")
+      // rename-ASIDE swap, never delete-then-rename: a crash between
+      // the two renames leaves manifest.old as a recoverable copy —
+      // at no instant is the corpus without a manifest on disk
+      val mPath = new Path(s"$path/manifest")
+      val mOld = new Path(s"$path/manifest.old")
+      fs.delete(mOld, true)
+      if (!fs.rename(mPath, mOld))
+        throw new java.io.IOException(s"manifest set-aside failed under $path")
+      if (!fs.rename(new Path(s"$path/manifest.next"), mPath))
+        throw new java.io.IOException(
+          s"manifest swap failed under $path (previous manifest preserved at $mOld)")
+      fs.delete(mOld, true)
     } finally {
       fs.delete(new Path(staging), true); ()
     }

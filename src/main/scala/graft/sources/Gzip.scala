@@ -50,21 +50,33 @@ private[graft] object Gzip {
     a == 0x1f && b == 0x8b
   }
 
-  /** The decompressed concatenation of the stream's gzip members.
-    * A corrupt member (bad header, corrupt deflate, truncated or
-    * mismatching trailer) injects `marker(why)` bytes into the
-    * output and resyncs to the next `1f 8b 08` in the RAW stream —
-    * the caller's parser turns the marker into a quarantine row.
-    * A CRC/ISIZE-mismatch marker necessarily arrives AFTER the
-    * member's decompressed bytes (the damage is only provable at the
-    * trailer), flagging the preceding record as suspect rather than
-    * suppressing it. Closing the returned stream closes `raw`. */
-  def memberStream(raw: InputStream,
-                   marker: String => Array[Byte]): InputStream =
-    new GzipMemberInputStream(raw, marker)
+  /** Raised by [[memberStream]] when a member is corrupt (bad header,
+    * corrupt deflate, truncated, CRC/ISIZE mismatch). By the time it
+    * is thrown the stream has already RESYNCED to the next `1f 8b 08`
+    * in the raw input, so the caller can quarantine one row and keep
+    * reading. An exception — not an in-band marker — because the
+    * record parser may be mid-`readFully` (inside a Content-Length
+    * payload) when a member dies: injected marker bytes would be
+    * silently swallowed AS payload, emitting a corrupted record with
+    * a clean `_corrupt_record` and desynchronizing the next one. A
+    * throw is unswallowable from any parser state. */
+  final class CorruptMemberException(msg: String)
+      extends java.io.IOException(msg)
 
-  private final class GzipMemberInputStream(raw: InputStream,
-                                            marker: String => Array[Byte])
+  /** The decompressed concatenation of the stream's gzip members.
+    * A corrupt member raises [[CorruptMemberException]] from `read`
+    * AFTER resyncing the raw stream to the next member magic — one
+    * quarantine row per dead member, the rest of the file survives.
+    * A CRC/ISIZE mismatch necessarily surfaces after the member's
+    * decompressed bytes were already delivered (the damage is only
+    * provable at the trailer): the throw then flags the PRECEDING
+    * record as suspect (or interrupts it mid-payload if the length
+    * drifted) — audit-visible either way, never silent. Closing the
+    * returned stream closes `raw`. */
+  def memberStream(raw: InputStream): InputStream =
+    new GzipMemberInputStream(raw)
+
+  private final class GzipMemberInputStream(raw: InputStream)
       extends InputStream {
     private val in = new PushbackInputStream(raw, 1 << 16)
     private val inf = new Inflater(true) // raw deflate; member framing is ours
@@ -72,8 +84,6 @@ private[graft] object Gzip {
     private val buf = new Array[Byte](8192)
     private var lastFill = 0        // bytes of buf most recently fed to inf
     private var inMember = false
-    private var pending: Array[Byte] = null // marker bytes being drained
-    private var pendingPos = 0
     private var eof = false
 
     override def read(): Int = {
@@ -85,13 +95,6 @@ private[graft] object Gzip {
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       if (len == 0) return 0
       while (true) {
-        if (pending != null) {
-          val n = math.min(len, pending.length - pendingPos)
-          System.arraycopy(pending, pendingPos, b, off, n)
-          pendingPos += n
-          if (pendingPos == pending.length) pending = null
-          return n
-        }
         if (eof) return -1
         if (!inMember) readHeader()
         else if (inf.finished()) finishMember()
@@ -157,7 +160,8 @@ private[graft] object Gzip {
 
     /** Deflate body done: give unconsumed input back to the raw
       * stream, verify the 8-byte CRC32+ISIZE trailer. A mismatch
-      * markers (framing is intact — no resync needed). */
+      * throws (framing is intact — the stream is already positioned
+      * on the next member, so no resync scan is needed). */
     private def finishMember(): Unit = {
       val rem = inf.getRemaining
       val written = inf.getBytesWritten
@@ -169,8 +173,8 @@ private[graft] object Gzip {
       while (off < 8) {
         val n = in.read(tr, off, 8 - off)
         if (n < 0) {
-          pending = marker("truncated gzip trailer"); pendingPos = 0
-          eof = true; return
+          eof = true
+          throw new CorruptMemberException("truncated gzip trailer")
         }
         off += n
       }
@@ -178,20 +182,21 @@ private[graft] object Gzip {
         (tr(i) & 0xffL) | ((tr(i + 1) & 0xffL) << 8) |
           ((tr(i + 2) & 0xffL) << 16) | ((tr(i + 3) & 0xffL) << 24)
       if (le32(0) != gotCrc)
-        { pending = marker("gzip member CRC32 mismatch"); pendingPos = 0 }
-      else if (le32(4) != (written & 0xffffffffL))
-        { pending = marker("gzip member ISIZE mismatch"); pendingPos = 0 }
+        throw new CorruptMemberException("gzip member CRC32 mismatch")
+      if (le32(4) != (written & 0xffffffffL))
+        throw new CorruptMemberException("gzip member ISIZE mismatch")
     }
 
     /** Abandons the current member: unconsumed inflater input goes
-      * back to the raw stream, a marker is queued, and the raw stream
-      * is scanned forward to the next `1f 8b 08`. */
+      * back to the raw stream, the raw stream is scanned forward to
+      * the next `1f 8b 08`, and THEN the corruption is raised — the
+      * caller can quarantine and keep reading from the next member. */
     private def corrupt(why: String): Unit = {
       val rem = inf.getRemaining
       if (rem > 0) in.unread(buf, lastFill - rem, rem)
       inf.reset(); crc.reset(); inMember = false
-      pending = marker(why); pendingPos = 0
       resync()
+      throw new CorruptMemberException(why)
     }
 
     /** Scans the raw stream for the next member magic, leaving the

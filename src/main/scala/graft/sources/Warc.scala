@@ -350,31 +350,32 @@ object Warc {
   private def snippet(s: String): String =
     if (s.length <= 200) s else s.substring(0, 200)
 
-  /** The in-band corruption signal [[Gzip.memberStream]] injects when
-    * it skips a corrupt member: a line the record parser can only
-    * quarantine (not `WARC/`), carrying the reason — so a dead gzip
-    * member costs exactly one `_corrupt_record` row and the parser's
-    * own resync takes over, same as plain-WARC corruption. The
-    * leading CRLF closes any partial line the dead member left
-    * behind (a stray blank line is skipped as an inter-record gap). */
-  private def gzMarker(why: String): Array[Byte] =
-    ("\r\nGZIP-MEMBER-CORRUPT: " + why + "\r\n")
-      .getBytes(StandardCharsets.ISO_8859_1)
-
   /** Streams records off `in`. Lazy: pulls one record per `next()`,
     * so the caller's flatMap keeps only one payload in memory. The
-    * stream is closed on exhaustion. Transparently handles gzipped
-    * input (2-byte magic sniff → [[Gzip.memberStream]]): `.warc` and
+    * stream is closed on exhaustion AND unconditionally at task end
+    * (a completion listener registered here, so limit/take
+    * short-circuits release both the file handle and the gzip
+    * layer's native Inflater). Transparently handles gzipped input
+    * (2-byte magic sniff → [[Gzip.memberStream]]): `.warc` and
     * `.warc.gz` flow through the identical record parser, and the
     * one-record memory high-water survives compression because the
-    * member layer is itself streaming. */
+    * member layer is itself streaming. A corrupt gzip member raises
+    * [[Gzip.CorruptMemberException]] from the read — caught here
+    * into one quarantine row from WHATEVER parser state (header
+    * line, mid-payload), with the member layer already resynced to
+    * the next member, whose decompressed bytes re-enter the normal
+    * record loop. */
   private[graft] def parseStream(in0: InputStream,
                                  path: String): Iterator[WarcRecord] = {
     val base = new BufferedInputStream(in0, 1 << 16)
     val plain =
       if (Gzip.isGzipped(base))
-        new BufferedInputStream(Gzip.memberStream(base, gzMarker), 1 << 16)
+        new BufferedInputStream(Gzip.memberStream(base), 1 << 16)
       else base
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        try plain.close() catch { case _: java.io.IOException => () }
+      })
     new Iterator[WarcRecord] {
       private val in = plain
       private var pending: String = null // a WARC/ line found during resync
@@ -395,7 +396,7 @@ object Warc {
 
       private def advance(): Unit = {
         nextRec = null
-        while (nextRec == null && !closed) {
+        while (nextRec == null && !closed) try {
           val first =
             if (pending != null) { val p = pending; pending = null; p }
             else readLine(in)
@@ -445,6 +446,11 @@ object Warc {
               }
             }
           }
+        } catch {
+          // a dead gzip member: the member layer has already resynced
+          // to the next member — quarantine one row and keep reading
+          case e: Gzip.CorruptMemberException =>
+            nextRec = corrupt("gzip member corrupt", e.getMessage)
         }
       }
 
@@ -469,21 +475,14 @@ object Warc {
     * streaming its file with one-record memory. Plain and gzipped
     * files mix freely under one glob (per-file magic sniff). A task
     * that does not exhaust its iterator (limit/take short-circuits
-    * the flatMap) still releases the file handle: the completion
-    * listener closes the stream when the task ends, not when the
-    * iterator drains. */
+    * the flatMap) still releases the file handle AND the gzip
+    * layer's native Inflater: [[parseStream]] registers a
+    * task-completion listener on the whole stream chain. */
   def readWarc(spark: SparkSession, path: String,
                glob: String = "*.warc*"): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(s"$path/$glob")
-      .flatMap { case (p, pds) =>
-        val in = pds.open()
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit] { _ =>
-            try in.close() catch { case _: java.io.IOException => () }
-          })
-        parseStream(in, p)
-      }
+      .flatMap { case (p, pds) => parseStream(pds.open(), p) }
       .toDF()
   }
 
@@ -531,10 +530,14 @@ object Warc {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
         it.flatMap { case (file, off, len) =>
-          if (len < 0 || len > MaxRecordBytes + 4096)
+          def quarantine(why: String) =
             Iterator.single(WarcRecord(file, null, null, null, null, null,
-              Array.emptyByteArray, s"cdx: hostile length $len"))
-          else {
+              Array.emptyByteArray, why))
+          if (len < 0 || len > MaxRecordBytes + 4096)
+            quarantine(s"cdx: hostile length $len")
+          else if (off < 0)
+            quarantine(s"cdx: negative offset $off")
+          else try {
             if (file != curFile) {
               closeIn()
               val p = new org.apache.hadoop.fs.Path(dir, file)
@@ -545,6 +548,16 @@ object Warc {
             val buf = new Array[Byte](len.toInt)
             in.readFully(buf)
             parseRecords(buf, s"$file@$off")
+          } catch {
+            // a drifted/stale index row (offset past EOF, rewritten
+            // segment, missing file) costs ONE quarantine row — the
+            // same contract as hostile lengths; it must not fail the
+            // task and take a 100k-record point-read batch with it.
+            // The stream may be mid-file in an unknown state — drop
+            // it so the next row reopens cleanly.
+            case e: java.io.IOException =>
+              closeIn(); curFile = null
+              quarantine(s"cdx: unreadable range $file@$off+$len: ${e.getMessage}")
           }
         }
       }

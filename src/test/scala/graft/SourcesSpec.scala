@@ -535,9 +535,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(d.exists(r => r._corrupt_record != null &&
                          r._corrupt_record.contains("CRC32")))
     // the damaged member's bytes still parsed (damage only provable at
-    // the trailer) — all three records present, plus the marker row
+    // the trailer) — all three records present, plus the flag row
     assert(d.filter(_._corrupt_record == null).map(_.record_id) ==
            Seq("<urn:graft:10>", "<urn:graft:11>", "<urn:graft:12>"))
+
+    // (e) corruption MID-PAYLOAD of a large member: the parser is
+    // inside readFully when the member dies — the throw-based signal
+    // must quarantine the damaged record (an in-band marker would be
+    // silently swallowed AS payload bytes, emitting a corrupted
+    // record with a clean _corrupt_record) and the next member must
+    // survive. Content integrity: every GOOD record must carry its
+    // exact original body.
+    val rng = new scala.util.Random(7)
+    val bigBody = Array.fill(30000)(('a' + rng.nextInt(26)).toChar).mkString
+    val bigGz = Gzip.member(Warc.responseRecord(11L, "https://e.example/big", bigBody))
+    assert(bigGz.length > 10000, s"fixture must not be trivially compressible: ${bigGz.length}")
+    // DELETE bytes mid-member: the decompressed byte count desyncs
+    // from Content-Length, so the parser is guaranteed to be inside
+    // readFully when the member dies (a bit-flip can decode to the
+    // original length and only fail at the trailer — that is case
+    // (d)'s flag-after semantics, not this one)
+    val cut = bigGz.length * 2 / 3
+    val badMid = bigGz.take(cut) ++ bigGz.drop(cut + 50)
+    val e = Warc.parseRecords(g1 ++ badMid ++ g3)
+    assert(e.exists(_._corrupt_record != null))
+    def httpBody(b: Array[Byte]): String = {
+      val s = new String(b, "UTF-8"); val i = s.indexOf("\r\n\r\n")
+      if (i < 0) s else s.substring(i + 4)
+    }
+    val goodBodies = e.filter(_._corrupt_record == null)
+      .map(r => r.record_id -> httpBody(r.content)).toMap
+    assert(goodBodies.keySet.subsetOf(
+      Set("<urn:graft:10>", "<urn:graft:12>")), s"damaged record leaked as good: ${goodBodies.keySet}")
+    assert(goodBodies("<urn:graft:10>") == "first page")
+    assert(goodBodies("<urn:graft:12>") == "third page")
   }
 
   test("cdx sidecar: offsets land on member/record boundaries, point fetch == full scan, plain files too") {
