@@ -61,6 +61,28 @@ object Tables {
     * on this data.
     */
   def docTokens(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
+    // widen BEFORE the split so tokenization itself runs at cluster
+    // parallelism (r16 — see [[widen]]: the single-split fixture scan
+    // would otherwise tokenize the whole corpus on one core). Safe
+    // for every consumer: redistribution moves whole doc rows, and a
+    // doc's exploded tokens/features stay inside one partition, so
+    // per-doc aggregates fold in an unchanged order.
+    widen(documents(spark, dir))
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+
+  /** Widen a NARROW scan to cluster parallelism (r16, guide §2.5's
+    * unsplittable-input rule: "repartition immediately after the
+    * read"). The driver fixtures are single-row-group parquet files —
+    * one split, so scan-adjacent narrow compute (regex chains, codec
+    * work, shingle hashing) serializes on ONE core no matter how many
+    * the session has. A production corpus arrives in thousands of
+    * splits and takes the no-op branch, so no shuffle is ever added
+    * at scale — the condition, not the repartition, is the contract.
+    * Callers must be row-local or order-independent downstream
+    * (round-robin redistribution reorders rows across partitions).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

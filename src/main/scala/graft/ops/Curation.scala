@@ -733,8 +733,11 @@ object Curation {
     * the same composition in DuckDB, generated from the same
     * constants. */
   def qCurateWeb(spark: SparkSession, dir: String): DataFrame = {
-    val pages = Tables.documents(spark, dir)
-      .select(col("doc_id"), Html.renderPlainPage.as("html"))
+    // widen (r16): the single-split fixture scan serialized the whole
+    // regex-extract chain on one core; every downstream step is
+    // row-local or integer-keyed, so redistribution is order-safe
+    val pages = Tables.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), Html.renderPlainPage.as("html")))
     // The extraction stage is MATERIALIZED (in production: landed in a
     // table — crawl pipelines always persist extraction output between
     // stages). Besides matching reality, this is load-bearing for the

@@ -492,20 +492,24 @@ object Dedup {
     // reliable checkpoint dir on a cluster). The symmetric edge list
     // comes from ONE explode pass (not pairs ∪ swap), so the feeding
     // pair query is evaluated exactly once, inside this checkpoint.
-    // Explicit repartition on src before the checkpoint: AQE right-
-    // sizes the FEEDING query's last shuffle for its own output volume
-    // (often 1 partition for a small pair list), and the checkpoint
-    // would freeze that width for EVERY round of the loop — serializing
-    // the iteration on one task. The iterative joins/groupBys all key
-    // on src/id, so hash-distributing on src here is also the layout
-    // each round wants.
+    // Explicit repartition before the checkpoint: AQE right-sizes the
+    // FEEDING query's last shuffle for its own output volume (often 1
+    // partition for a small pair list), and the checkpoint would
+    // freeze that width for EVERY round of the loop — serializing the
+    // iteration on one task.
     val nParts = pairDf.sparkSession.sparkContext.defaultParallelism
+    // partitioned on dst, NOT src (r16): the per-round neighbour-min
+    // join probes edges.dst = labels.id, so a src-partitioned edge
+    // table was re-shuffled by dst in EVERY round — dst-partitioning
+    // satisfies that join for free (the list is symmetric, so the two
+    // layouts hold identical rows). The one groupBy(src) that keyed
+    // off the old layout is the seed aggregate, paid once.
     val edges = pairDf
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(nParts, col("src"))
+      .repartition(nParts, col("dst"))
       .localCheckpoint()
     // lazy per-round checkpoints: the convergence aggregate right after
     // each one materializes it, so every round costs ONE job, not a
@@ -748,19 +752,27 @@ object Dedup {
     require(widths.nonEmpty && widths.forall(_ >= 1))
     val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
-    val base = docToks
-      .select(col("doc_id").cast("long").as("doc_id"), col("toks"))
+    val base = graft.Tables.widen(docToks
+      .select(col("doc_id").cast("long").as("doc_id"), col("toks")))
       .persist()
-    val flags = widths.map { w =>
-      // shingleHashes emits per-doc DISTINCT hashes, so count(*) per
-      // span value counts DOCS — cross-doc iff >= 2
-      val sp = base.select(col("doc_id"),
-        explode(SetFunctions.shingleHashes(col("toks"), w, 0L)).as("h"))
-      val dup = sp.groupBy("h").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2)
-      sp.join(dup, "h").select(col("doc_id")).distinct()
-        .withColumn("w", lit(w))
-    }.reduce(_ unionAll _)
+    // ALL widths ride ONE tagged span stream (r16): the per-width
+    // loop ran 5 separate groupBy+join pipelines, each evaluating the
+    // shingle-hash explode twice (agg side + probe side) — 10 hash
+    // passes and 5× the stages. One (h, w)-keyed aggregate + one join
+    // computes the identical flag set: shingleHashes stays per-doc
+    // DISTINCT within each width, and the w tag keeps widths separate
+    // under the shared key, so count(*) per (h, w) still counts DOCS.
+    val sp = base.select(col("doc_id"),
+      explode(flatten(array(widths.map { w =>
+        transform(SetFunctions.shingleHashes(col("toks"), w, 0L),
+                  h => struct(h.as("h"), lit(w).as("w")))
+      }: _*))).as("s"))
+      .select(col("doc_id"), col("s.h").as("h"), col("s.w").as("w"))
+    val dup = sp.groupBy("h", "w").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h", "w")
+    val flags = sp.join(dup, Seq("h", "w"))
+      .select(col("doc_id"), col("w")).distinct()
     val depth = flags.groupBy("doc_id").agg(max(col("w")).as("depth"))
     val out = base
       .select(col("doc_id"), size(col("toks")).as("n_toks"))

@@ -37,33 +37,40 @@ object Graph {
   def pageRank(edgeDf: DataFrame, iters: Int = 10): DataFrame = {
     val spark = edgeDf.sparkSession
     val nParts = spark.sparkContext.defaultParallelism
+    val outDeg0 = edgeDf.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // out-degree is ITERATION-INVARIANT, so it is attached to the edge
+    // table ONCE here instead of re-joined inside every round (r16,
+    // guide §2.4: two operations keyed the same way share one
+    // exchange — ten od joins collapse into one). The division r/od
+    // stays per-edge with the same operands, so the arithmetic is
+    // bit-identical to the unrolled oracle.
     val edges = edgeDf.select(col("src"), col("dst"))
+      .join(outDeg0, "src")
       .repartition(nParts, col("src"))
       .localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
+    // nodes carry the (iteration-invariant) dangling flag — a node is
+    // dangling iff it never appears as a src. Folding the flag into
+    // the node table (and below into the rank table) replaces the
+    // per-round rank⋈danglingNodes join with a flag-filtered partial
+    // aggregate over rank itself (r16: one fewer exchange per round).
+    val nodes = edges.select(col("src").as("node"), lit(false).as("dang"))
+      .union(edges.select(col("dst").as("node"), lit(true).as("dang")))
+      .groupBy(col("node")).agg(min(col("dang")).as("dang"))
       .repartition(nParts, col("node"))
       .localCheckpoint()
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint()
-    // graph SIZE and the (iteration-invariant) dangling node set are
-    // computed ONCE outside the loop: nc is bounded model state (one
-    // long, the dedupClusters convergence-scalar contract), and
-    // re-deriving the dangling set per round would repeat the same
-    // anti-join ten times for a set that never changes
+    // graph SIZE is computed ONCE outside the loop: nc is bounded
+    // model state (one long, the dedupClusters convergence-scalar
+    // contract)
     val nc = nodes.count()
     // empty graph: return the empty (node, pr) frame instead of
     // dividing the uniform init by zero (ANSI mode throws)
     if (nc == 0) return nodes.select(col("node"), lit(0.0).as("pr"))
-    val danglingNodes = nodes
-      .join(outDeg, nodes("node") === outDeg("src"), "left_anti")
-      .localCheckpoint()
     var rank = nodes
-      .select(col("node"), (lit(1.0) / lit(nc)).as("r"))
+      .select(col("node"), col("dang"), (lit(1.0) / lit(nc)).as("r"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      rank = pageRankRound(nodes, edges, outDeg, danglingNodes, rank, nc)
+      rank = pageRankRound(nodes, edges, rank, nc)
         .localCheckpoint(false)
     }
     rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
@@ -79,25 +86,28 @@ object Graph {
     * nested-loop cross (bounded — one row by construction); never a
     * CartesianProduct. */
   private[graft] def pageRankRound(nodes: DataFrame, edges: DataFrame,
-                                   outDeg: DataFrame,
-                                   danglingNodes: DataFrame,
                                    rank: DataFrame, nc: Long): DataFrame = {
     // lit(double), NOT expr("0.85"): Spark parses a bare decimal
     // literal as DECIMAL(2,2), which would silently run the whole
     // iteration in decimal arithmetic while DuckDB runs ::DOUBLE
     val d = lit(Damping.toDouble)
     val t = lit(Teleport.toDouble)
+    // `edges` arrives with the out-degree pre-attached (see
+    // [[pageRank]]): one equi-join + map-side-combined partial sum
     val contrib = edges
       .join(rank, edges("src") === rank("node"))
-      .join(outDeg, "src")
       .select(col("dst"), (col("r") / col("od")).as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-    val dangling = rank.join(danglingNodes, "node")
+    // dangling mass: flag-filtered partial aggregate over the rank
+    // table itself (rank carries the iteration-invariant `dang` flag)
+    // — no join; the filter keeps the summed term set identical to
+    // the old rank⋈danglingNodes form
+    val dangling = rank.where(col("dang"))
       .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
     nodes
       .join(contrib, nodes("node") === contrib("dst"), "left")
       .crossJoin(broadcast(dangling))
-      .select(col("node"),
+      .select(col("node"), col("dang"),
               (t / lit(nc) +
                 d * (coalesce(col("contrib"), lit(0.0)) +
                       col("dm") / lit(nc))).as("r"))
@@ -121,45 +131,50 @@ object Graph {
                            iters: Int = 10): DataFrame = {
     val spark = edgeDf.sparkSession
     val nParts = spark.sparkContext.defaultParallelism
+    val outDeg0 = edgeDf.select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // out-degree attached to the edge table ONCE (the r16 [[pageRank]]
+    // treatment): ten in-loop od joins collapse into one setup join;
+    // r/od operands unchanged, so the oracle arithmetic is identical
     val edges = edgeDf.select(col("src"), col("dst"))
+      .join(outDeg0, "src")
       .repartition(nParts, col("src"))
       .localCheckpoint()
-    val nodes0 = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
+    val nodes0 = edges.select(col("src").as("node"), lit(false).as("dang"))
+      .union(edges.select(col("dst").as("node"), lit(true).as("dang")))
+      .groupBy(col("node")).agg(min(col("dang")).as("dang"))
       .repartition(nParts, col("node"))
     val seedSet = seeds.select(col("node")).distinct()
+    // nodes carry BOTH iteration-invariant flags: the seed indicator
+    // and the dangling flag (no out-edges) — the per-round dangling
+    // join becomes a flag-filtered aggregate over rank (r16)
     val nodes = nodes0
       .join(seedSet.select(col("node"), lit(1.0).as("is_seed")),
             Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(0.0)).as("is_seed"))
-      .localCheckpoint()
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .select(col("node"), col("dang"),
+              coalesce(col("is_seed"), lit(0.0)).as("is_seed"))
       .localCheckpoint()
     // |S| is bounded model state (one long), like pageRank's nc
     val ns = nodes.where(col("is_seed") === 1.0).count()
     if (ns == 0) return nodes.select(col("node"), lit(0.0).as("pr"))
       .orderBy("node")
-    val danglingNodes = nodes.select(col("node"))
-      .join(outDeg, nodes("node") === outDeg("src"), "left_anti")
-      .localCheckpoint()
     val d = lit(Damping.toDouble)
     val t = lit(Teleport.toDouble)
     var rank = nodes
-      .select(col("node"), (col("is_seed") / lit(ns)).as("r"))
+      .select(col("node"), col("dang"), col("is_seed"),
+              (col("is_seed") / lit(ns)).as("r"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(rank, edges("src") === rank("node"))
-        .join(outDeg, "src")
         .select(col("dst"), (col("r") / col("od")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      val dangling = rank.join(danglingNodes, "node")
+      val dangling = rank.where(col("dang"))
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
       rank = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"), col("is_seed"),
+        .select(col("node"), col("dang"), col("is_seed"),
                 ((t + d * col("dm")) * col("is_seed") / lit(ns) +
                   d * coalesce(col("contrib"), lit(0.0))).as("r"))
         .localCheckpoint(false)
@@ -301,6 +316,14 @@ object Graph {
     val edges = edgeDf.select(col("src"), col("dst"))
       .repartition(nParts, col("src"))
       .localCheckpoint()
+    // SECOND copy of the adjacency partitioned on dst (r16, guide
+    // §2.4): the hub update joins edges on dst every round, and a
+    // src-partitioned edge table would be re-shuffled by dst ten
+    // times — the standard both-orientations adjacency layout. Same
+    // rows, so every join result (and the oracle) is unchanged.
+    val edgesByDst = edges
+      .repartition(nParts, col("dst"))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -338,7 +361,7 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .select(col("dst").as("node"), col("a"))
         .localCheckpoint(false)
-      hub = edges.join(auth, edges("dst") === auth("node"))
+      hub = edgesByDst.join(auth, edgesByDst("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("node"), col("h"))
         .localCheckpoint(false)
@@ -506,11 +529,15 @@ object Graph {
     for (_ <- 1 to iters) {
       val freq = und.join(labels, und("b") === labels("node"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("a")
-        .orderBy(col("cnt").desc, col("lbl").asc)
-      val top = freq.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("a").as("node"), col("lbl").as("newl"))
+      // arg-max as a partial-aggregable min over (-cnt, lbl) structs
+      // (r16): ≡ the former row_number window ordered (cnt DESC, lbl
+      // ASC) — struct ordering is lexicographic and (a, lbl) rows are
+      // unique — but map-side combinable and sort-free, so the round
+      // sheds the window's full-row shuffle + sort.
+      val top = freq
+        .groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
+        .select(col("a").as("node"), col("b.lbl").as("newl"))
       labels = labels.join(top, Seq("node"), "left")
         .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
         .localCheckpoint(false)

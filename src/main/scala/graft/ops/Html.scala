@@ -156,8 +156,10 @@ object Html {
   /** q_html_extract: render + extract over the documents table. */
   def qHtmlExtract(spark: SparkSession, dir: String): DataFrame =
     htmlExtract(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), renderHtml.as("html")))
+      // widen (r16): the strip/decode regex chain is the whole query;
+      // one-split scans would run it single-threaded
+      Tables.widen(Tables.documents(spark, dir)
+        .select(col("doc_id"), renderHtml.as("html"))))
 
   // ------------------------------------------------------------------
   // DuckDB oracle, generated from the SAME constants. DuckDB regexp_*

@@ -736,8 +736,11 @@ object Multimodal {
   def qImageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pngUdf = udf((id: Long) => gradientPng(id))
-    val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), pngUdf(col("doc_id")).as("media"),
+    // widen (r16): the single-split fixture scan serialized PNG
+    // encode+decode on one core; rows are independent downstream
+    val media = Tables.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"))).select(col("doc_id"),
+              pngUdf(col("doc_id")).as("media"),
               lit("image/png").as("mime"))
       .as[MediaRow]
     thumbnails(media, tw = 5, th = 5)
@@ -855,7 +858,8 @@ object Multimodal {
         case 1 => pcmWavFixture(id)
         case _ => mp4MetaFixture(id)
       })
-    val media = Tables.documents(spark, dir)
+    val media = Tables.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
               when(col("doc_id") % 4 === 3, encode(col("text"), "UTF-8"))
                 .otherwise(fixtureUdf(col("doc_id"))).as("media"),
@@ -923,13 +927,24 @@ object Multimodal {
     * box walk, marker slicing and JDK JPEG decode, while the expected
     * lumas stay SQL-regenerable from doc_id (the [[qImageResize]]
     * analytic-fixture discipline). */
-  private[graft] def mjpegFixture(docId: Long): Array[Byte] = {
+  private[graft] def mjpegFixture(docId: Long): Array[Byte] =
+    mjpegFixture(docId, solidJpeg(_))
+
+  /** [[mjpegFixture]] with a caller-supplied frame encoder — the
+    * task-local form: the fixture's frame space is the 256 solid
+    * grays, so a per-task gray→bytes cache caps the ImageIO encoder
+    * (writer construction + compression) at 256 invocations per task
+    * instead of one per frame (guide §4.5: heavyweight state once per
+    * task). Byte-identical output: the cache key IS the only encoder
+    * input. */
+  private[graft] def mjpegFixture(docId: Long,
+                                  frame: Int => Array[Byte]): Array[Byte] = {
     val n = (4 + java.lang.Math.floorMod(docId, 5L)).toInt
     val bos = new java.io.ByteArrayOutputStream()
     val payload = new java.io.ByteArrayOutputStream()
     (0 until n).foreach { i =>
       val g = java.lang.Math.floorMod(docId * 37 + i * 71L, 256L).toInt
-      payload.write(solidJpeg(g))
+      payload.write(frame(g))
     }
     def u32be(v: Int): Array[Byte] = Array[Byte](
       (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
@@ -1110,8 +1125,10 @@ object Multimodal {
   def qAudioStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wavUdf = udf((id: Long) => pcmWavFixture(id))
-    val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), wavUdf(col("doc_id")).as("media"),
+    // widen (r16): parallelize fixture PCM synthesis + RIFF decode
+    val media = Tables.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"))).select(col("doc_id"),
+              wavUdf(col("doc_id")).as("media"),
               lit("audio/wav").as("mime"))
       .as[MediaRow]
     audioStats(media).toDF().orderBy("doc_id")
@@ -1129,11 +1146,24 @@ object Multimodal {
     * DuckDB decoding anything. */
   def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vidUdf = udf((id: Long) => mjpegFixture(id))
-    val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), vidUdf(col("doc_id")).as("media"),
-              lit("video/mp4").as("mime"))
-      .as[MediaRow]
+    // fixture construction via mapPartitions with a TASK-LOCAL
+    // gray→JPEG cache (r16, guide §4.5): the per-row UDF paid a fresh
+    // ImageIO writer + compression per frame (~6 encodes/doc); the
+    // frame space is only the 256 solid grays, so each task now
+    // encodes each gray once and copies bytes after. The cache lives
+    // and dies with the task — nothing persists across runs — and the
+    // produced container bytes are identical.
+    val media = Tables.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"))).as[Long]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[Int, Array[Byte]]()
+        val frame = (g: Int) => {
+          var b = cache.get(g)
+          if (b == null) { b = solidJpeg(g); cache.put(g, b) }
+          b
+        }
+        it.map(id => MediaRow(id, mjpegFixture(id, frame), "video/mp4"))
+      }
     sampleFrames(media, every = 3)
       .toDF()
       .select(col("doc_id"), col("frame_idx"), col("n_frames"),

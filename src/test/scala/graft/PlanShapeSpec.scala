@@ -485,16 +485,22 @@ class PlanShapeSpec extends AnyFunSuite {
   test("PageRank round: contrib is equi-join + partial sum; dangling mass is the 1-row broadcast cross") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit}
-    val (edges, _) = roundFixture
-    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
-    val outDeg = edges.groupBy(col("src"))
+    val (edges0, _) = roundFixture
+    // r16 round contract: edges arrive with out-degree pre-attached,
+    // nodes/rank carry the iteration-invariant dangling flag — the od
+    // join and the dangling join are paid once at setup, not per round
+    val outDeg = edges0.groupBy(col("src"))
       .agg(count(lit(1)).as("od"))
-    val dangling = nodes.join(outDeg, nodes("node") === outDeg("src"), "left_anti")
-    val rank = nodes.select(col("node"), lit(0.25).as("r"))
+    val edges = edges0.join(outDeg, "src")
+    val nodes = Seq((1L, false), (2L, false), (3L, false), (4L, true))
+      .toDF("node", "dang")
+    val rank = nodes.select(col("node"), col("dang"), lit(0.25).as("r"))
     val p = graft.ops.Graph
-      .pageRankRound(nodes, edges, outDeg, dangling, rank, 4L)
+      .pageRankRound(nodes, edges, rank, 4L)
       .queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), p)
+    // exactly ONE equi-join feeds the contribution sum: the in-loop
+    // out-degree join must not come back
     // the deliberate 1-row dangling-mass cross must ride a BROADCAST
     // nested loop (bounded side), never a CartesianProduct
     assert(p.contains("BroadcastNestedLoopJoin"), p)
