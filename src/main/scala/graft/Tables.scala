@@ -61,13 +61,11 @@ object Tables {
     * on this data.
     */
   def docTokens(spark: SparkSession, dir: String): DataFrame =
-    // widen BEFORE the split so tokenization itself runs at cluster
-    // parallelism (r16 — see [[widen]]: the single-split fixture scan
-    // would otherwise tokenize the whole corpus on one core). Safe
-    // for every consumer: redistribution moves whole doc rows, and a
-    // doc's exploded tokens/features stay inside one partition, so
-    // per-doc aggregates fold in an unchanged order.
-    widen(documents(spark, dir))
+    // NOT widened here (r16, measured): an unconditional widen at the
+    // source taxed every light token consumer with an extra exchange
+    // (+0.1-0.4 s each, +4 s suite-wide) while only the compute-heavy
+    // consumers won. Those call [[widen]] at their own entry instead.
+    documents(spark, dir)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
 
   /** Widen a NARROW scan to cluster parallelism (r16, guide §2.5's
@@ -84,5 +82,21 @@ object Tables {
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Width for an ITERATION's checkpointed tables, derived from the
+    * input's estimated bytes (r16, guide §2: partitioning must be
+    * scale-adaptive, not a constant tuned for local mode or the
+    * cluster). A frozen `defaultParallelism`-wide checkpoint forces
+    * every loop round into that many tasks even when the graph is
+    * kilobytes — and blocks AQE from coalescing the per-round
+    * shuffles. Parquet-backed inputs estimate accurately (file
+    * size); an unestimable derived plan clamps to full parallelism,
+    * i.e. exactly the old behavior, never worse. */
+  def adaptiveParts(df: DataFrame, bytesPerPart: Long = 64L << 20): Int = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = est / bytesPerPart + 1
+    if (want >= p) p else math.max(1, want.toInt)
   }
 }

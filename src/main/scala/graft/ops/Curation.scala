@@ -1167,7 +1167,12 @@ object Curation {
     * pattern — in production the target counts come from a curated
     * exemplar corpus; the estimator mechanics are identical). */
   def qDsir(spark: SparkSession, dir: String): DataFrame =
-    dsirScores(Tables.docTokens(spark, dir), col("source") === "src0")
+    // widen (r16, measured −1 s): both DSIR passes explode + md5-hash
+    // ~2 features per token, which a one-split scan serializes on one
+    // core; per-doc avgs fold in unchanged order (a doc's features
+    // never split across partitions)
+    dsirScores(Tables.widen(Tables.docTokens(spark, dir)),
+               col("source") === "src0")
 
   /** The DSIR model as a driver-side artifact: per-bucket
     * log-likelihood ratios (≤`buckets` entries) plus the

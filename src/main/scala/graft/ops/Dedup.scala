@@ -497,7 +497,8 @@ object Dedup {
     // partition for a small pair list), and the checkpoint would
     // freeze that width for EVERY round of the loop — serializing the
     // iteration on one task.
-    val nParts = pairDf.sparkSession.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = graft.Tables.adaptiveParts(pairDf)
     // partitioned on dst, NOT src (r16): the per-round neighbour-min
     // join probes edges.dst = labels.id, so a src-partitioned edge
     // table was re-shuffled by dst in EVERY round — dst-partitioning
@@ -805,7 +806,10 @@ object Dedup {
     * SAME df filter. */
   def sharedSpans(docToks: DataFrame, w: Int = 20, maxDf: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = docToks
+    // widen (r16): the w-token window render + hash is the heavy
+    // narrow stage; one-split scans serialize it (integer counts
+    // downstream, order-safe)
+    val spans = graft.Tables.widen(docToks)
       .select(col("doc_id"),
               explode(array_distinct(Text.ngramCol(col("toks"), w))).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("sh"))

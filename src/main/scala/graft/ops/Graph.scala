@@ -36,7 +36,8 @@ object Graph {
     * out-edges are dangling and redistribute their mass uniformly. */
   def pageRank(edgeDf: DataFrame, iters: Int = 10): DataFrame = {
     val spark = edgeDf.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = Tables.adaptiveParts(edgeDf)
     val outDeg0 = edgeDf.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(count(lit(1)).as("od"))
     // out-degree is ITERATION-INVARIANT, so it is attached to the edge
@@ -130,7 +131,8 @@ object Graph {
   def personalizedPageRank(edgeDf: DataFrame, seeds: DataFrame,
                            iters: Int = 10): DataFrame = {
     val spark = edgeDf.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = Tables.adaptiveParts(edgeDf)
     val outDeg0 = edgeDf.select(col("src"), col("dst"))
       .groupBy(col("src")).agg(count(lit(1)).as("od"))
     // out-degree attached to the edge table ONCE (the r16 [[pageRank]]
@@ -312,7 +314,8 @@ object Graph {
     * Returns (node, hub, auth) rounded 6 dp, ordered by node. */
   def hits(edgeDf: DataFrame, iters: Int = 10): DataFrame = {
     val spark = edgeDf.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = Tables.adaptiveParts(edgeDf)
     val edges = edgeDf.select(col("src"), col("dst"))
       .repartition(nParts, col("src"))
       .localCheckpoint()
@@ -511,7 +514,8 @@ object Graph {
     * the driver. */
   def labelPropagation(edgeDf: DataFrame, iters: Int = 5): DataFrame = {
     val spark = edgeDf.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = Tables.adaptiveParts(edgeDf)
     val bid = edgeDf.select(col("src").as("a"), col("dst").as("b"))
       .union(edgeDf.select(col("dst").as("a"), col("src").as("b")))
     // adjacency = both edge directions + one self-loop per node (the
@@ -773,7 +777,8 @@ object Graph {
   def bfsDepth(edgeDf: DataFrame, seeds: DataFrame,
                maxDepth: Int = BfsMaxDepth): DataFrame = {
     val spark = edgeDf.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = Tables.adaptiveParts(edgeDf)
     val edges = edgeDf.select(col("src"), col("dst")).distinct()
       .repartition(nParts, col("src"))
       .localCheckpoint()
@@ -899,7 +904,8 @@ object Graph {
   def kCore(edgeDf: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val spark = edgeDf.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = Tables.adaptiveParts(edgeDf)
     val base = edgeDf.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     var edges = base
@@ -1017,7 +1023,8 @@ object Graph {
   def sssp(edgeDf: DataFrame, seeds: DataFrame,
            rounds: Int = SsspRounds): DataFrame = {
     val spark = edgeDf.sparkSession
-    val nParts = spark.sparkContext.defaultParallelism
+    // size-adaptive iteration width (r16): see [[Tables.adaptiveParts]]
+    val nParts = Tables.adaptiveParts(edgeDf)
     val edges = edgeDf.select(col("src"), col("dst"), col("cost"))
       .repartition(nParts, col("src"))
       .localCheckpoint()
