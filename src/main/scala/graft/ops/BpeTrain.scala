@@ -123,6 +123,16 @@ object BpeTrain {
       .select(split(col("w"), "").as("syms"), col("freq"))
       .repartition(nParts)
       .localCheckpoint()
+    // re-size the LOOP width from the materialized vocabulary count
+    // (r16, the dedupClusters discipline): the distinct-word table is
+    // vocabulary-scale — at test SFs a few thousand rows — and a
+    // defaultParallelism-wide checkpoint froze every merge round at
+    // that many near-empty tasks. One cheap count job right-sizes the
+    // whole loop; a 10^8-row production vocabulary keeps full width.
+    val vParts = math.max(1L, math.min(nParts.toLong,
+      words.count() / 262144L + 1L)).toInt
+    if (vParts < nParts)
+      words = words.repartition(vParts).localCheckpoint()
     val merges = mutable.Buffer.empty[(String, String, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {

@@ -505,13 +505,24 @@ object Dedup {
     // satisfies that join for free (the list is symmetric, so the two
     // layouts hold identical rows). The one groupBy(src) that keyed
     // off the old layout is the seed aggregate, paid once.
-    val edges = pairDf
+    var edges = pairDf
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(nParts, col("dst"))
       .localCheckpoint()
+    // re-size the ITERATION width from the MATERIALIZED edge count
+    // (r16): the feeding pair query's size estimate is usually
+    // unusable (adaptiveParts clamps to full parallelism), but once
+    // the checkpoint exists the true count is one cheap job — a
+    // small component graph then iterates at matching width instead
+    // of paying `defaultParallelism` tasks per stage per round. At
+    // scale the count keeps the full width and this is a no-op.
+    val itParts = math.max(1L, math.min(nParts.toLong,
+      edges.count() / 262144L + 1L)).toInt
+    if (itParts < nParts)
+      edges = edges.repartition(itParts, col("dst")).localCheckpoint()
     // lazy per-round checkpoints: the convergence aggregate right after
     // each one materializes it, so every round costs ONE job, not a
     // separate eager-checkpoint job plus the aggregate. Seed with

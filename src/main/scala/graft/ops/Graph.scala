@@ -834,6 +834,27 @@ object Graph {
   def connectedComponents(edgeDf: DataFrame): DataFrame = {
     val spark = edgeDf.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // LONG ids run the engine DIRECTLY (r16): the dictionary exists
+    // only to make arbitrary ids numeric and order-preserving, which
+    // longs already are — min-label over the raw ids IS "component =
+    // min original node", so the sort + zipWithIndex + two encode +
+    // two decode joins (~8 jobs) are pure overhead for numeric-keyed
+    // graphs (the entity-resolution path).
+    if (edgeDf.schema("src").dataType == LongType &&
+        edgeDf.schema("dst").dataType == LongType) {
+      val pairs = edgeDf.select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      // empty-graph guard stays OUTSIDE the engine (the engine's
+      // convergence scalar needs >= 1 label row)
+      if (pairs.isEmpty)
+        return pairs.select(col("doc_a").as("node"),
+          col("doc_a").as("component"), lit(0L).as("component_size"),
+          lit(false).as("is_root")).limit(0)
+      return Dedup.dedupClusters(pairs)
+        .select(col("doc_id").as("node"), col("cluster").as("component"),
+                col("cluster_size").as("component_size"),
+                col("is_keeper").as("is_root"))
+        .orderBy("node")
+    }
     val nodes = edgeDf.select(col("src").as("node"))
       .unionAll(edgeDf.select(col("dst").as("node")))
       .distinct()

@@ -181,7 +181,7 @@ object Quant {
     })
 
   private[graft] def quantPostings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(quantIndexPaths.get(spark, dir))
+    graft.Tables.widen(spark.read.parquet(quantIndexPaths.get(spark, dir)))
   private[graft] def quantIndexPath(spark: SparkSession, dir: String): String =
     quantIndexPaths.get(spark, dir)
 
@@ -494,7 +494,10 @@ object Quant {
         .bitwiseAND(lit(255L)).cast("int")
       element_at(cbJ, code + lit(1))
     }: _*))
-    val posts = spark.read.parquet(s"$idxDir/postings.parquet")
+    // widen (r16): the posting table lands as a single split at test
+    // scale, which serialized the whole decode+ADC scan on one task
+    val posts = graft.Tables.widen(
+      spark.read.parquet(s"$idxDir/postings.parquet"))
     val home = posts.select(col("tbl"), col("bucket"),
                             col("vec_id").as("id_b"),
                             decodeCol.as("cdec"))
@@ -502,7 +505,8 @@ object Quant {
     // (probes.parquet); the full-precision probe vector joins in by
     // id from ONE narrow embeddings scan (Similarity.normalized —
     // not a distinct() over the float index's n·T posting rows)
-    val probes = spark.read.parquet(s"$idxDir/probes.parquet")
+    val probes = graft.Tables.widen(
+        spark.read.parquet(s"$idxDir/probes.parquet"))
       .join(Similarity.normalized(spark, dir)
               .select(col("vec_id"),
                       transform(col("vn"), x => x.cast("double")).as("va")),

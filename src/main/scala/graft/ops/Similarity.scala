@@ -714,6 +714,10 @@ object Similarity {
     IndexCache.materializedParquet("embeddings", "graft_ann_index")(
       buildAnnIndex)
   private[graft] def annPostings(spark: SparkSession, dir: String): DataFrame =
+    // NOT widened here: the accessor also feeds the quant-index WRITE
+    // (widening there fans the at-rest table into tiny part files —
+    // QuantSpec's size golden caught it); search-side consumers widen
+    // at their own entry ([[annCandidates]])
     spark.read.parquet(indexPaths.get(spark, dir))
   private[graft] def annIndexPath(spark: SparkSession, dir: String): String =
     indexPaths.get(spark, dir)
@@ -740,7 +744,10 @@ object Similarity {
     * exposed separately so AnnRecall can profile the generation stage
     * against the aggregation stage. */
   private[graft] def annCandidates(spark: SparkSession, dir: String): DataFrame =
-    annCandidatesFrom(annPostings(spark, dir), corpusSize(spark, dir))
+    // widen (r16): the single-split posting table would serialize the
+    // whole probe×candidate scan on one task (read-side only)
+    annCandidatesFrom(graft.Tables.widen(annPostings(spark, dir)),
+                      corpusSize(spark, dir))
 
   /** Scored LSH candidates from any posting table ([[annIndex]]). */
   private[graft] def annCandidatesFrom(codes: DataFrame, n: Long,
