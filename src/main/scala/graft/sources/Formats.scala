@@ -268,6 +268,27 @@ object Formats {
     def shardOf = expr(
       s"(doc_id - pmod(doc_id, ${shardSpan}L)) div ${shardSpan}L")
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // crash recovery (r16, ADVICE): a refresh interrupted between the
+    // two manifest renames leaves manifest.old (+ maybe manifest.next)
+    // but no manifest. Complete the swap if the next manifest was
+    // fully written, else roll back to the set-aside copy — instead of
+    // refusing the directory until manual repair.
+    if (!fs.exists(new Path(s"$path/manifest")) &&
+        fs.exists(new Path(s"$path/manifest.old"))) {
+      val next = new Path(s"$path/manifest.next")
+      if (fs.exists(next) && fs.exists(new Path(next, "_SUCCESS"))) {
+        if (!fs.rename(next, new Path(s"$path/manifest")))
+          throw new java.io.IOException(
+            s"refreshShards: manifest swap recovery failed under $path")
+        fs.delete(new Path(s"$path/manifest.old"), true)
+      } else {
+        fs.delete(next, true)
+        if (!fs.rename(new Path(s"$path/manifest.old"),
+                       new Path(s"$path/manifest")))
+          throw new java.io.IOException(
+            s"refreshShards: manifest rollback recovery failed under $path")
+      }
+    }
     require(fs.exists(new Path(s"$path/shards")) &&
             fs.exists(new Path(s"$path/manifest")),
       s"refreshShards: $path is not a writeShards corpus (shards/ + manifest expected)")
@@ -278,7 +299,19 @@ object Formats {
         .withColumn("changed", lit(false)).orderBy("shard")
     val staging = s"$path/refresh-staging-tmp"
     try {
-      val atRest = spark.read.parquet(s"$path/shards")
+      val atRest0 = spark.read.parquet(s"$path/shards")
+      // schema gate (r16, ADVICE): the CDC fold rewrites (doc_id,
+      // text, n_toks, shard) only — an at-rest corpus carrying MORE
+      // columns would get them silently dropped from every rewritten
+      // shard (mixed-schema directory). Refuse loudly instead.
+      val extraCols = atRest0.columns.toSet --
+        Set("doc_id", "text", "n_toks", "shard")
+      require(extraCols.isEmpty,
+        s"refreshShards: at-rest shards carry column(s) ${extraCols.mkString(", ")} " +
+          "that the (doc_id, text) CDC fold would silently drop from " +
+          "rewritten shards — refresh supports the writeShards " +
+          "(doc_id, text[, n_toks]) shape only")
+      val atRest = atRest0
         .filter(col("shard").isin(affected: _*))
         .select(col("doc_id"), col("text"))
       graft.ops.Dedup.applyChanges(atRest, changes)
@@ -311,8 +344,14 @@ object Formats {
       nextManifest.coalesce(1).write.mode("overwrite")
         .parquet(s"$path/manifest.next")
       // rename-ASIDE swap, never delete-then-rename: a crash between
-      // the two renames leaves manifest.old as a recoverable copy —
-      // at no instant is the corpus without a manifest on disk
+      // the two renames leaves manifest.old (+ manifest.next) on disk
+      // and the NEXT refreshShards completes or rolls back the swap
+      // automatically (recovery block at entry). NOTE the window
+      // between the renames has no live `manifest` path: the contract
+      // is SINGLE-WRITER with reader-retry — a concurrent reader that
+      // races the swap must retry its read, exactly like any
+      // rename-swapped artifact (r16, ADVICE: the old comment
+      // overstated this as reader-atomic)
       val mPath = new Path(s"$path/manifest")
       val mOld = new Path(s"$path/manifest.old")
       fs.delete(mOld, true)

@@ -189,9 +189,19 @@ object Warc {
           } finally {
             out.close()
             if (ok) {
-              fs.delete(dest, false) // rename-over is not portable
-              if (!fs.rename(tmp, dest))
-                throw new java.io.IOException(s"commit rename failed: $tmp -> $dest")
+              // commit = rename into place ONLY when dest is absent
+              // (r16, ADVICE): the old delete-then-rename could lose a
+              // part file forever if a duplicate (speculative/retried)
+              // attempt died between deleting the already-committed
+              // file and renaming its own copy. Attempts write
+              // identical bytes for a partition, so "dest already
+              // exists" IS success — drop this attempt's temp.
+              if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+                if (!fs.exists(dest))
+                  throw new java.io.IOException(
+                    s"commit rename failed: $tmp -> $dest")
+                fs.delete(tmp, false)
+              }
             } else fs.delete(tmp, false)
           }
           if (ok && cdx) {
@@ -210,9 +220,12 @@ object Warc {
             } finally {
               co.close()
               if (cok) {
-                fs.delete(cdxDest, false)
-                if (!fs.rename(cdxTmp, cdxDest))
-                  throw new java.io.IOException(s"cdx commit failed: $cdxDest")
+                // same exists-wins commit as the data file (r16)
+                if (fs.exists(cdxDest) || !fs.rename(cdxTmp, cdxDest)) {
+                  if (!fs.exists(cdxDest))
+                    throw new java.io.IOException(s"cdx commit failed: $cdxDest")
+                  fs.delete(cdxTmp, false)
+                }
               } else fs.delete(cdxTmp, false)
             }
           }
@@ -501,6 +514,11 @@ object Warc {
   def readCdx(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("sep", "\t")
+      // the writer emits RAW unquoted TSV lines; disable the CSV
+      // reader's quote handling to match (r16, ADVICE: a legal '"' in
+      // a URL would otherwise misparse the row and corrupt the
+      // offset/length columns feeding ranged reads)
+      .option("quote", "\u0000")
       .schema("file STRING, doc_id LONG, url STRING, offset LONG, length LONG")
       .csv(s"$path/*.cdx")
 
