@@ -40,7 +40,7 @@ import org.apache.spark.sql.SparkSession
   *    corrupted artifact. retimed_slowest (informational) still
   *    reports an end-of-suite min-of-2 for each of the 5 slowest.
   *  - settle() between every execution: clearCache() plus an explicit
-  *    unpersist of all rdd-level blocks (lazy localCheckpoints of the
+  *    unpersist of all rdd-level blocks (localCheckpoints of the
   *    iterative queries would otherwise squat on the heap for the rest
   *    of the suite and inflate every later GC pause). INVARIANT this
   *    relies on: cross-query state must be DISK-backed — the

@@ -14,9 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Resolved-table memo (r16, guide §1.2 "time the computation"):
+    * `spark.read.parquet` pays Hadoop file listing + parquet footer
+    * schema inference on EVERY call — measured 80-100 ms per table
+    * (tools/RegProbe), and the SQL family re-resolves 9 tables per
+    * query. A production deployment registers tables ONCE in a
+    * catalog/metastore and re-resolving per query is pure overhead;
+    * this memo is that catalog. Values are LAZY plans only — no rows,
+    * no cached blocks, every action still scans parquet from disk —
+    * so this is metadata reuse, not result caching. Keyed by
+    * (session identity, dir, name); safe because fixture dirs are
+    * write-once (test fixtures create a fresh temp dir per write) and
+    * a new session re-resolves from scratch. */
+  private val resolved = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   /** Generic loader: `$dir/$name.parquet`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    resolved.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
@@ -64,8 +80,19 @@ object Tables {
     // NOT widened here (r16, measured): an unconditional widen at the
     // source taxed every light token consumer with an extra exchange
     // (+0.1-0.4 s each, +4 s suite-wide) while only the compute-heavy
-    // consumers won. Those call [[widen]] at their own entry instead.
+    // consumers won. Those use [[docTokensWide]] instead.
     documents(spark, dir)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+
+  /** [[docTokens]] with the text scan widened BEFORE tokenization
+    * (r16, guide §2.5): the exchange moves raw text (smaller than
+    * token arrays) and the split + downstream explode/hash work runs
+    * after it, in parallel. For HEAVY per-token consumers (full-corpus
+    * explode → aggregate pipelines); light consumers keep
+    * [[docTokens]] — see the measured note there. No-op partitioning
+    * on a multi-split production corpus, like [[widen]] itself. */
+  def docTokensWide(spark: SparkSession, dir: String): DataFrame =
+    widen(documents(spark, dir))
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
 
   /** Widen a NARROW scan to cluster parallelism (r16, guide §2.5's

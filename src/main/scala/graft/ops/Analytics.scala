@@ -45,7 +45,7 @@ object Analytics {
         (col("mc").cast("double") / 100).as("monetary"))
       // consumed four times (count + three rank sorts + final join):
       // materialize once, cut the event-scan lineage
-      .localCheckpoint(false)
+      .localCheckpoint()
     val n = per.count()
     if (n == 0)
       return per.select(col("user_id"), col("recency_days"),

@@ -23,7 +23,7 @@ import graft.Tables
   * of model state, the kmeans-centroid contract), then ONE narrow
   * merge rewrite of the symbol arrays (scalar UDF: left-to-right
   * non-overlapping replacement, no builtin expresses an indexed
-  * adjacent-pair rewrite) with a lazy localCheckpoint so the plan
+  * adjacent-pair rewrite) with an eager localCheckpoint so the plan
   * stays flat.
   *
   * MERGE BATCHING (r10, verdict ask #5): a production vocabulary is
@@ -156,7 +156,7 @@ object BpeTrain {
                              array(batch.map(m => lit(m._1)): _*),
                              array(batch.map(m => lit(m._2)): _*)).as("syms"),
                   col("freq"))
-          .localCheckpoint(false)
+          .localCheckpoint()
       }
     }
     merges.toSeq.zipWithIndex

@@ -59,6 +59,11 @@ object Clustering {
     require(k >= 1 && iters >= 1)
     val spark = embeddings.sparkSession
     VectorFunctions.register(spark)
+    // NOT widened (r16, measured): the per-iteration stages carry a
+    // ~300 ms fixed per-task cost at this scale (ProfileOne: exec time
+    // grows linearly with task count while wall stays flat), so
+    // fanning the one-split fixture to 32 tasks multiplied overhead
+    // without cutting wall time (q_kmeans 2.1 s -> 3.6 s, reverted).
     val v = embeddings
       .select(col("vec_id"),
               transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -69,14 +69,16 @@ object CorpusLaws {
     * log-log regression of frequency on rank over the top
     * [[ZipfTopK]] ranks. A natural corpus has slope ≈ −1. */
   def zipfFit(tokens: DataFrame): DataFrame = {
-    // lazy localCheckpoint: the totals and top-K branches BOTH consume
+    // EAGER localCheckpoint (r16 — see Graph.scala header: lazy
+    // first-materialization raced concurrent AQE stages into a
+    // checkpoint-lock deadlock): the totals and top-K branches BOTH consume
     // the token-count table, and exchange reuse does not collapse the
     // two shuffles (column pruning gives the branches different
     // parents) — without the checkpoint the corpus explode+count runs
     // twice. Materializes once on first action; vocabulary-sized, the
     // same block-level footprint as the graph iteratives' cuts.
     val counts = tokens.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val totals = counts.agg(count(lit(1)).as("n_types"),
                             sum(col("c")).as("n_tokens"))
     // TakeOrdered top-K, then rank INSIDE the bounded K-row set with

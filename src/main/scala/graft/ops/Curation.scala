@@ -259,7 +259,7 @@ object Curation {
       .select(col("doc_id").cast("long").as("doc_id"),
               md5(concat_ws(":", lit(salt), col("doc_id").cast("string")))
                 .as("skey"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val ranked = spark.createDataFrame(
       keyed.orderBy(col("skey").asc, col("doc_id").asc).rdd
@@ -307,7 +307,7 @@ object Curation {
       .select(col("doc_id").cast("long").as("doc_id"),
               size(col("toks")).cast("long").as("n_toks"))
       .withColumn("bucket", expr(s"n_toks div ${bucketWidth}L"))
-      .localCheckpoint(false) // the sort below feeds two passes
+      .localCheckpoint() // the sort below feeds two passes
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val ranked = spark.createDataFrame(
       sized.orderBy(col("bucket").asc, col("n_toks").desc, col("doc_id").asc)
@@ -316,7 +316,7 @@ object Curation {
       StructType(Seq(
         StructField("doc_id", LongType), StructField("n_toks", LongType),
         StructField("bucket", LongType), StructField("pos", LongType))))
-      .localCheckpoint(false) // consumed by the bucket-min agg AND the join
+      .localCheckpoint() // consumed by the bucket-min agg AND the join
     val bucketBase = ranked.groupBy("bucket").agg(min(col("pos")).as("base"))
     ranked.join(broadcast(bucketBase), "bucket")
       .withColumn("r", col("pos") - col("base"))
@@ -358,7 +358,7 @@ object Curation {
               col("source"),
               md5(concat_ws(":", lit(salt), col("doc_id").cast("string")))
                 .as("skey"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
       StructField, StructType}
     val ranked = spark.createDataFrame(
@@ -368,14 +368,14 @@ object Curation {
       StructType(Seq(
         StructField("doc_id", LongType), StructField("source", StringType),
         StructField("pos", LongType))))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val srcBase = ranked.groupBy("source")
       .agg(min(col("pos")).as("base"), count(lit(1)).as("n"))
     val sched = ranked.join(broadcast(srcBase), "source")
       .withColumn("pos_in_source", col("pos") - col("base"))
       .withColumn("sched",
         (col("pos_in_source") + lit(1L)).cast("double") / sqrt(col("n")))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val global = spark.createDataFrame(
       sched.select(col("doc_id"), col("source"), col("pos_in_source"),
                    col("sched"))
@@ -533,7 +533,7 @@ object Curation {
   /** q_decontaminate: eval split = doc_id % 50 == 0, train = the
     * rest; 4-gram collisions. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.docTokens(spark, dir)
+    val d = Tables.docTokensWide(spark, dir)
     decontaminate(d.filter(col("doc_id") % 50 =!= 0),
                   d.filter(col("doc_id") % 50 === 0))
   }
@@ -1047,7 +1047,7 @@ object Curation {
       .select(col("doc_id").cast("long").as("doc_id"),
               col("n_toks").cast("long").as("n_toks"), col("quality"))
       .withColumn("shard", stableShard(col("doc_id"), salt, shards))
-      .localCheckpoint(false)
+      .localCheckpoint()
     // segmented per-shard rank: global (shard, doc_id) sort + offsets
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType,
       StructField, StructType}
@@ -1060,7 +1060,7 @@ object Curation {
         StructField("doc_id", LongType), StructField("n_toks", LongType),
         StructField("quality", DoubleType), StructField("shard", IntegerType),
         StructField("pos", LongType))))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val base = ranked.groupBy("shard").agg(min(col("pos")).as("p0"))
     val placed = ranked.join(broadcast(base), "shard")
       .withColumn("pos_in_shard", col("pos") - col("p0"))

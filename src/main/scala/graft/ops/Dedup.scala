@@ -245,22 +245,38 @@ object Dedup {
                                           tau: Double): DataFrame = {
     SetFunctions.register(d.sparkSession, permA, permB, MersennePrime)
     val prefixLen = col("nset") - ceil(col("nset") * tau).cast("int") + 1
+    // r16 (guide §2.2 "shuffle fewer bytes"): the container side
+    // explodes its FULL ranked list (that is the algorithm), so
+    // carrying hset_b through that explode duplicated each container's
+    // array |B| times — O(Σ|B|²) join-input bytes — and the verify
+    // intersect ran once per SHARED PREFIX TOKEN of a pair instead of
+    // once per pair. Candidates are now generated array-free, deduped
+    // to distinct (doc_a, doc_b) FIRST, and the two arrays re-attach
+    // by equi-join against the (bounded, at-rest) set table before a
+    // single verify per pair. Same candidate set, same verify kernel,
+    // same emitted rows.
     val a = d.select(col("doc_id").as("doc_a"), col("lang"),
-                     col("nset").as("n_a"), col("hset").as("hset_a"),
+                     col("nset").as("n_a"),
                      explode(slice(col("hset"), lit(1), prefixLen)).as("p"))
     val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-                     col("nset").as("n_b"), col("hset").as("hset_b"),
+                     col("nset").as("n_b"),
                      explode(col("hset")).as("p_b"))
-    a.join(b,
+    val cand = a.join(b,
         col("lang") === col("lang_b") && col("p") === col("p_b")
           && col("doc_a") =!= col("doc_b")
           && col("n_b") >= col("n_a") * tau)
+      .select(col("doc_a"), col("doc_b"), col("n_a"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("hset").as("hset_a")),
+            "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hset").as("hset_b")),
+            "doc_b")
       .withColumn("inter",
         SetFunctions.sortedIntersectSize(col("hset_a"), col("hset_b")))
       .select(col("doc_a"), col("doc_b"),
               (col("inter").cast("double") / col("n_a")).as("cont"))
       .filter(col("cont") >= tau)
-      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), round(col("cont"), 6).as("cont"))
       .orderBy("doc_a", "doc_b")
   }
@@ -530,7 +546,7 @@ object Dedup {
     // (one groupBy on the edge list, no join).
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     // labels only ever DECREASE (min propagation), so the label sum
     // strictly decreases iff any label changed — a 1-row aggregate per
     // round instead of a (self-lineage-ambiguous) prev⋈next join.
@@ -543,7 +559,7 @@ object Dedup {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      labels = propagationRound(edges, labels).localCheckpoint(false)
+      labels = propagationRound(edges, labels).localCheckpoint()
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

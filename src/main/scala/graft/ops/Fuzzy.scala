@@ -246,7 +246,7 @@ object Fuzzy {
     // consumed by both edge joins and the final assembly.
     val names = ids.groupBy("s")
       .agg(min(col("id")).as("nid"), count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     // edges checkpoint EAGERLY: connectedComponents' pre-loop stages
     // (node-set union/distinct, dictionary build, encoded-edge join)
     // would otherwise re-evaluate this aggregate+JW+two-join lineage
@@ -262,7 +262,7 @@ object Fuzzy {
     val cc = Graph.connectedComponents(edges)
       .select(col("node").as("nid"), col("component"))
     // consumed twice (component sizes + final assembly)
-    val nameEnt = names.join(cc, Seq("nid"), "left").localCheckpoint(false)
+    val nameEnt = names.join(cc, Seq("nid"), "left").localCheckpoint()
     // entity size counts ROWS, not names: Σ duplication over the
     // component's names
     val compSize = nameEnt.filter(col("component").isNotNull)

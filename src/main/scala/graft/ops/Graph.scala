@@ -15,9 +15,22 @@ import graft.{Queries, Tables}
   * the fixed `iters` rounds is one hash shuffle (contribution sum
   * grouped by dst) plus a 1-row dangling-mass aggregate that stays IN
   * PLAN (cross-join of a scalar aggregate — no collect in the data
-  * path), and ends in a lazy localCheckpoint so the logical plan
+  * path), and ends in an EAGER localCheckpoint so the logical plan
   * never grows with the round count. At 100 TB the per-round cost is
   * one shuffle of the rank table keyed the same way every round.
+  *
+  * EAGER, not lazy (r16): a LAZILY-checkpointed round table is first
+  * materialized inside the NEXT round's action, where AQE runs the
+  * broadcast stage (dangling-mass scalar) and the shuffle stage
+  * (contrib join) concurrently — both computing the same
+  * un-materialized checkpoint. That race (a) double-computes the
+  * round and (b) can deadlock outright: `RDD.doCheckpoint` takes
+  * RDDCheckpointData$ then the RDD lock while
+  * `DAGScheduler.getCacheLocs` takes them in the opposite order
+  * (observed as a permanent hang in PlanShapeSpec). Eager
+  * materialization finishes the checkpoint before any concurrent
+  * consumer exists — and measured FASTER suite-wide (the redundant
+  * double-compute dominated the one extra job per round).
   *
   * Fixed iteration count (no convergence test) keeps the run
   * deterministic and lets the DuckDB oracle UNROLL the same `iters`
@@ -69,10 +82,10 @@ object Graph {
     if (nc == 0) return nodes.select(col("node"), lit(0.0).as("pr"))
     var rank = nodes
       .select(col("node"), col("dang"), (lit(1.0) / lit(nc)).as("r"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       rank = pageRankRound(nodes, edges, rank, nc)
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
     rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
   }
@@ -125,7 +138,7 @@ object Graph {
     *
     * Same iteration discipline and oracle story as [[pageRank]]:
     * fixed rounds, edges/nodes/dangling checkpointed once, the
-    * dangling-mass scalar in-plan, per-round lazy checkpoints; the
+    * dangling-mass scalar in-plan, per-round eager checkpoints; the
     * seed flag is one broadcast semi-join at setup. `seeds` is a
     * (node) DataFrame; ids absent from the graph are ignored. */
   def personalizedPageRank(edgeDf: DataFrame, seeds: DataFrame,
@@ -165,7 +178,7 @@ object Graph {
     var rank = nodes
       .select(col("node"), col("dang"), col("is_seed"),
               (col("is_seed") / lit(ns)).as("r"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(rank, edges("src") === rank("node"))
@@ -179,7 +192,7 @@ object Graph {
         .select(col("node"), col("dang"), col("is_seed"),
                 ((t + d * col("dm")) * col("is_seed") / lit(ns) +
                   d * coalesce(col("contrib"), lit(0.0))).as("r"))
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
     rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
   }
@@ -357,17 +370,17 @@ object Graph {
     // fix. Zeros are filled at presentation.
     var hub = edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("h"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     var auth = hub // placeholder; assigned in round 1
     for (k <- 1 to iters) {
       auth = edges.join(hub, edges("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .select(col("dst").as("node"), col("a"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       hub = edgesByDst.join(auth, edgesByDst("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("node"), col("h"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       if (k % 5 == 0 && k < iters) {
         val s = hub.agg(sum(col("h")).as("s"))
         hub = hub.crossJoin(broadcast(s))
@@ -375,7 +388,7 @@ object Graph {
                   (col("h") / when(col("s") > 0d,
                       pow(lit(2.0), floor(log(2.0, col("s")))))
                     .otherwise(lit(1.0))).as("h"))
-          .localCheckpoint(false)
+          .localCheckpoint()
       }
     }
     val hNorm = hub.agg(sum(col("h")).as("nh"))
@@ -529,7 +542,7 @@ object Graph {
     var labels = und.select(col("a").as("node")).distinct()
       .repartition(nParts, col("node"))
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val freq = und.join(labels, und("b") === labels("node"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -544,7 +557,7 @@ object Graph {
         .select(col("a").as("node"), col("b.lbl").as("newl"))
       labels = labels.join(top, Seq("node"), "left")
         .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .localCheckpoint()
     }
     labels.select(col("node"), col("lbl").as("community")).orderBy("node")
   }
@@ -803,10 +816,10 @@ object Graph {
         .select(col("dst").as("node")).distinct()
       val fresh = reached.join(dist, Seq("node"), "left_anti")
         .withColumn("depth", lit(d.toLong))
-        .localCheckpoint(false)
+        .localCheckpoint()
       if (fresh.isEmpty) done = true
       else {
-        dist = dist.unionAll(fresh).localCheckpoint(false)
+        dist = dist.unionAll(fresh).localCheckpoint()
         frontier = fresh
         d += 1
       }
@@ -920,7 +933,7 @@ object Graph {
     * Scale shape per round: one partial-agg degree count riding the
     * same src hash-partitioning as the edge table, two broadcast-able
     * semi-joins (the survivor list only SHRINKS, so late rounds get
-    * cheaper), lazy localCheckpoint to cut lineage, two 1-row counts
+    * cheaper), eager localCheckpoint to cut lineage, two 1-row counts
     * of driver traffic. */
   def kCore(edgeDf: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
@@ -941,12 +954,12 @@ object Graph {
       val surv = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
-        .localCheckpoint(false) // feeds both semi-joins below
+        .localCheckpoint() // feeds both semi-joins below
       val pruned = edges
         .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(false)
+        .localCheckpoint()
       val after = pruned.count()
       converged = after == before
       edges = pruned
@@ -1039,7 +1052,7 @@ object Graph {
     * Scale shape per round: one equi-join of the reached table against
     * the edge list (both hash-partitioned on the join key), one
     * partial-agg min — shuffle volume is frontier-adjacent edges, not
-    * the graph; lazy localCheckpoint cuts the iterative lineage.
+    * the graph; eager localCheckpoint cuts the iterative lineage.
     * Unreachable nodes report dist −1. */
   def sssp(edgeDf: DataFrame, seeds: DataFrame,
            rounds: Int = SsspRounds): DataFrame = {
@@ -1076,7 +1089,7 @@ object Graph {
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val cur = scalar(dist)
       if (cur == prev) done = true
       prev = cur

@@ -121,33 +121,68 @@ object Quant {
 
   /** JL-project any (vec_id, embedding: array&lt;float&gt;) DataFrame to
     * [[ProjDim]] dims: (vec_id, proj), rounded 6 dp for display. A
-    * pure narrow projection — one scan, no shuffle. */
+    * pure narrow projection — one scan, no shuffle.
+    *
+    * r16 (guide §4): each plane's dot is the codegen
+    * [[graft.functions.DotProduct]] over the once-cast double array —
+    * the previous `aggregate(zip_with(...))` form ran 16 interpreted
+    * per-element lambda chains per row (the 7x-slower HOF path the
+    * int8 kernel comment documents). Bit-identical: float→double
+    * widening is exact, and DotProduct sums (double)x·w ascending —
+    * the same products in the same order as the left fold. The input
+    * is widened (fixture = one split; no-op on a multi-split corpus).
+    */
   def projectEmbeddings(embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val proj = array(Planes.map { plane =>
-      val p = typedlit(plane.toSeq)
-      round(aggregate(
-        zip_with(col("embedding"), p, (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v), 6)
+      round(graft.functions.VectorFunctions.dot(
+        col("vd"), typedlit(plane.toSeq)), 6)
     }: _*)
-    // fail fast on a dimension mismatch: zip_with null-pads the
-    // shorter side, which would silently project every row to nulls
-    val guarded = when(size(col("embedding")) === Dim, proj)
+    // fail fast on a dimension mismatch: a short embedding would
+    // otherwise silently project from a truncated dot
+    val guarded = when(size(col("vd")) === Dim, proj)
       .otherwise(raise_error(concat(
         lit(s"projectEmbeddings: expected $Dim-dim embedding, got "),
-        size(col("embedding")).cast("string"))))
-    embeddings.select(col("vec_id"), guarded.as("proj")).orderBy("vec_id")
+        size(col("vd")).cast("string"))))
+    embeddings
+      .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("vd"))
+      .select(col("vec_id"), guarded.as("proj")).orderBy("vec_id")
   }
 
-  /** q_embed_project: [[projectEmbeddings]] on the test corpus,
-    * posexploded to one `(vec_id, dim, value)` row per output
+  /** q_embed_project: the [[projectEmbeddings]] projection on the
+    * test corpus, emitted as one `(vec_id, dim, value)` row per output
     * dimension. The library API keeps the array shape
     * ([[projectEmbeddings]]); the registered query emits scalar
     * columns only, because the correctness gate's comparator sorts
-    * on every column and cannot hash an array cell. */
-  def qEmbedProject(spark: SparkSession, dir: String): DataFrame =
-    projectEmbeddings(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+    * on every column and cannot hash an array cell.
+    *
+    * r16 (guide §4): the scalar rows come from a broadcast cross join
+    * against the 16-row (dim, plane) literal table with ONE codegen
+    * dot per output row — the previous array-then-posexplode form put
+    * the 16-dot array inside a Generate, which measured ~15x slower
+    * end-to-end at sf0.1 (tools/ProjProbe: 1.8 s vs 0.11 s; the
+    * Generate stage alone carried ~1 s regardless of sorts or
+    * barriers). Same rows: dim is the plane index (0-based, the
+    * posexplode position), value the identically-ordered dot, and the
+    * raise_error dimension guard fires on the same inputs. */
+  def qEmbedProject(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val planes = broadcast(
+      Planes.zipWithIndex.map { case (p, i) => (i, p.toSeq) }.toSeq
+        .toDF("dim", "plane"))
+    val value = when(size(col("vd")) === Dim,
+        round(graft.functions.VectorFunctions.dot(col("vd"), col("plane")), 6))
+      .otherwise(raise_error(concat(
+        lit(s"projectEmbeddings: expected $Dim-dim embedding, got "),
+        size(col("vd")).cast("string"))))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+      .crossJoin(planes)
+      .select(col("vec_id"), col("dim"), value.as("value"))
       .orderBy("vec_id", "dim")
+  }
 
   // ------------------------------------------------------------------
   // Quantized-posting ANN: the q_ann_ivf bucket structure with INT8

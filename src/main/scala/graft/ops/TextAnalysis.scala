@@ -273,7 +273,7 @@ object TextAnalysis {
       // (zipWithIndex's offset pass + the final aggregate) and the
       // count() next; without this the whole quality lineage would
       // recompute three times
-      .localCheckpoint(false)
+      .localCheckpoint()
     // n as a driver long (bounded model state) instead of a broadcast
     // 1-row DF: removes a third consumer of the ranked plan
     val n = q.count()
