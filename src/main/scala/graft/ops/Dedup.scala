@@ -539,9 +539,11 @@ object Dedup {
       edges.count() / 262144L + 1L)).toInt
     if (itParts < nParts)
       edges = edges.repartition(itParts, col("dst")).localCheckpoint()
-    // lazy per-round checkpoints: the convergence aggregate right after
-    // each one materializes it, so every round costs ONE job, not a
-    // separate eager-checkpoint job plus the aggregate. Seed with
+    // EAGER per-round checkpoints (r16 — see Graph.scala header): the
+    // labels table feeds BOTH the convergence aggregate and the next
+    // propagation round, and a lazy first materialization of that
+    // shared checkpoint can race concurrent AQE stages into redundant
+    // recompute or the doCheckpoint/getCacheLocs deadlock. Seed with
     // min(id, min neighbour) — the first propagation round for free
     // (one groupBy on the edge list, no join).
     var labels = edges.groupBy(col("src").as("id"))

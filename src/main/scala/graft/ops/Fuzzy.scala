@@ -242,8 +242,8 @@ object Fuzzy {
     graft.functions.GraftFunctions.registerAll(spark)
     // one row per distinct value: its minimum id (the CC node label —
     // the component minimum over these IS the global minimum id) and
-    // its duplication count (for entity sizes). Checkpointed lazily:
-    // consumed by both edge joins and the final assembly.
+    // its duplication count (for entity sizes). Checkpointed (eager,
+    // r16): consumed by both edge joins and the final assembly.
     val names = ids.groupBy("s")
       .agg(min(col("id")).as("nid"), count(lit(1)).as("cnt"))
       .localCheckpoint()

@@ -323,7 +323,8 @@ object Graph {
     * Same iteration discipline as [[pageRank]]: edges checkpointed
     * once, two contribution shuffles per round (auth ← hubs over
     * in-edges, hub ← auths over out-edges), normalizer scalars stay
-    * in-plan, lazy per-round localCheckpoint.
+    * in-plan, eager per-round localCheckpoint on the hub table only
+    * (intermediate auth has a single consumer — see the loop note).
     * Returns (node, hub, auth) rounded 6 dp, ordered by node. */
   def hits(edgeDf: DataFrame, iters: Int = 10): DataFrame = {
     val spark = edgeDf.sparkSession
@@ -373,10 +374,18 @@ object Graph {
       .localCheckpoint()
     var auth = hub // placeholder; assigned in round 1
     for (k <- 1 to iters) {
-      auth = edges.join(hub, edges("src") === hub("node"))
+      // auth is NOT checkpointed on intermediate rounds (r16): it has
+      // exactly ONE consumer (this round's hub update), so the hub
+      // checkpoint below already truncates lineage at depth two joins
+      // and there is no second consumer to double-compute — dropping
+      // it removes ~2 driver jobs per round from a query that is
+      // job-count-bound (ProfileOne: 85 jobs, 86 tasks, 1.2 s of task
+      // work in a 4 s wall). The LAST round's auth feeds two
+      // consumers (final join + its norm), so it alone checkpoints.
+      val authRaw = edges.join(hub, edges("src") === hub("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
         .select(col("dst").as("node"), col("a"))
-        .localCheckpoint()
+      auth = if (k == iters) authRaw.localCheckpoint() else authRaw
       hub = edgesByDst.join(auth, edgesByDst("dst") === auth("node"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("node"), col("h"))
@@ -523,7 +532,7 @@ object Graph {
     * repartitioned + checkpointed ONCE on `b` — the key every
     * round's join probes — so the checkpointed partitioning satisfies
     * the join requirement and the edge list is never reshuffled;
-    * lazy per-round localCheckpoint truncates lineage, nothing to
+    * eager per-round localCheckpoint truncates lineage, nothing to
     * the driver. */
   def labelPropagation(edgeDf: DataFrame, iters: Int = 5): DataFrame = {
     val spark = edgeDf.sparkSession
