@@ -83,6 +83,10 @@ object Graph {
     var rank = nodes
       .select(col("node"), col("dang"), (lit(1.0) / lit(nc)).as("r"))
       .localCheckpoint()
+    // per-round EAGER checkpoint: a 2-round cadence was A/B'd and lost
+    // (ProfileOne: 5 fewer jobs but +620 ms of recomputed stage work —
+    // exchange reuse does not cover the round's final co-located join,
+    // which both next-round consumers then re-evaluate).
     for (_ <- 1 to iters) {
       rank = pageRankRound(nodes, edges, rank, nc)
         .localCheckpoint()
