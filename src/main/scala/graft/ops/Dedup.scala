@@ -355,6 +355,11 @@ object Dedup {
     // verify joins — without it each consumer re-parses, re-hashes and
     // re-sorts every document (4× the dominant cost). At cluster scale
     // this is the signature table you'd materialize to storage.
+    // NOT widened (r16, measured): unlike q_dedup_span's explode
+    // pipeline, widening this shingle projection cost more than the
+    // one-split materialization it parallelized (2.4 vs 1.75 s — the
+    // verify joins broadcast the docs side, and the exchange +
+    // 32-partition cache taxed every consumer).
     val docs = docToks
       .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -370,6 +375,14 @@ object Dedup {
       .select(col("doc_id"), col("band"),
               bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
       .persist()
+    // Materialize BOTH caches on one thread before consumers fan out
+    // (r16): under AQE the band self-join's two sides and the two
+    // verify-join docs sides run as CONCURRENT stages, and a cache
+    // miss does not wait for a racing computer — each stage re-ran the
+    // shingle+signature pipeline (~0.5 s per stage, ProfileOne). One
+    // count pass through `banded` computes and stores docs' and
+    // banded's blocks; every later consumer reads warm cache.
+    banded.count()
     val cands = bandCandidates(banded)
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -874,6 +887,11 @@ object Dedup {
     val docs = docToks
       .select(col("doc_id"), SimHashFunctions.simhash64(col("toks")).as("sh"))
       .persist()  // feeds both sides of the band self-join
+    // one-thread materialization before the self-join's concurrent
+    // stages race the cache miss (r16 — the nearDupPairs fix): a
+    // racing stage recomputes the whole simhash pass instead of
+    // waiting for the block
+    docs.count()
     val banded = docs
       .select(col("doc_id"), col("sh"),
               explode(sequence(lit(0), lit(3))).as("band"))
