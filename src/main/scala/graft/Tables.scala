@@ -29,10 +29,17 @@ object Tables {
   private val resolved = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  /** Generic loader: `$dir/$name.parquet`. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Generic loader: `$dir/$name.parquet`. The memo is BOUNDED (r17,
+    * ADVICE): a long-lived JVM cycling many sessions/dirs (the test
+    * suite's temp fixtures) would otherwise retain every session and
+    * its file listings forever. Past the cap the memo clears — the
+    * next load of each table re-pays one 80-100 ms resolution, never
+    * a correctness change. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (resolved.size() > 256) resolved.clear()
     resolved.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
@@ -111,6 +118,46 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Runs an ITERATION LOOP's body under the fixed-width execution
+    * regime (r17, guide §1 "measure first" finding): AQE off and
+    * `spark.sql.shuffle.partitions` pinned to the loop's
+    * [[adaptiveParts]]-derived width, previous values restored after.
+    *
+    * Why: under AQE every exchange of every per-round eager
+    * localCheckpoint materializes as its OWN driver job (~25-30 ms of
+    * scheduling floor each — ProfileOne r16: q_page_rank was 83 jobs
+    * for 86 tasks, the wall dominated by job latency, not task work).
+    * Inside a loop AQE buys nothing the loop hasn't already done by
+    * hand: every in-loop exchange is either an explicit
+    * `repartition(nParts, key)` or a groupBy whose width this regime
+    * pins to the SAME size-derived nParts, so runtime coalescing is a
+    * no-op — but its stage-by-stage materialization still charges the
+    * per-job floor per exchange. With the regime a round's checkpoint
+    * is ONE job. Setup (edge/node checkpoints embedding corpus-scale
+    * feeding queries) stays OUTSIDE the regime so big one-off shuffles
+    * keep AQE coalescing and skew handling.
+    *
+    * Scale honesty: the width is derived from data bytes
+    * ([[adaptiveParts]]), not from local core count, so the regime is
+    * the same decision at 100 TB (where nParts = full parallelism).
+    * What a cluster loses is AQE's in-loop skew-join splitting;
+    * `spark.graft.iter.aqe=true` opts a deployment back into AQE
+    * rounds without a code change. */
+  def withIterConf[T](spark: SparkSession, parts: Int)(body: => T): T = {
+    val conf = spark.conf
+    if (conf.get("spark.graft.iter.aqe", "false") == "true") return body
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val sp = conf.get("spark.sql.shuffle.partitions",
+      spark.sparkContext.defaultParallelism.toString)
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
   /** Width for an ITERATION's checkpointed tables, derived from the
     * input's estimated bytes (r16, guide §2: partitioning must be
     * scale-adaptive, not a constant tuned for local mode or the
@@ -122,8 +169,26 @@ object Tables {
     * i.e. exactly the old behavior, never worse. */
   def adaptiveParts(df: DataFrame, bytesPerPart: Long = 64L << 20): Int = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val est = plan.stats.sizeInBytes
     val want = est / bytesPerPart + 1
-    if (want >= p) p else math.max(1, want.toInt)
+    if (want >= p) p
+    else {
+      // A LOW estimate is trusted in full only when the plan is a bare
+      // scan (parquet file sizes and literal relations estimate
+      // honestly). Catalyst's size propagation through joins and
+      // aggregates can UNDERestimate (r16 ADVICE), and pinning every
+      // round of a cluster-scale loop to ~1 task on a bad guess is the
+      // expensive failure mode — derived plans keep a
+      // defaultParallelism/8 floor. Loops whose width truly matters
+      // re-derive it from a materialized count (dedupClusters).
+      val bareScan = plan match {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _ => false
+      }
+      val floor = if (bareScan) 1 else math.max(1, p / 8)
+      math.max(floor, want.toInt)
+    }
   }
 }

@@ -135,6 +135,8 @@ object BpeTrain {
       words = words.repartition(vParts).localCheckpoint()
     val merges = mutable.Buffer.empty[(String, String, Long)]
     var exhausted = false
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    graft.Tables.withIterConf(spark, vParts) {
     while (merges.size < nMerges && !exhausted) {
       val top = words
         .filter(size(col("syms")) > 1)
@@ -158,6 +160,7 @@ object BpeTrain {
                   col("freq"))
           .localCheckpoint()
       }
+    }
     }
     merges.toSeq.zipWithIndex
       .map { case ((a, b, c), i) => (i + 1, a, b, c) }

@@ -111,6 +111,8 @@ object Clustering {
       .otherwise(raise_error(concat(
         lit("kmeans: embedding value has >50 fraction bits: "),
         col("x").cast("string"))))
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    Tables.withIterConf(v.sparkSession, Tables.adaptiveParts(v)) {
     for (_ <- 1 to iters) {
       val means = assign(v, centroids)
         .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
@@ -128,21 +130,42 @@ object Clustering {
       // empty cluster -> previous centroid survives
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    }
     centroids
   }
 
   /** One assign pass: (vec_id, v, cluster, d2) with the argmin
-    * centroid id and squared distance. */
+    * centroid id and squared distance.
+    *
+    * Centroids are passed as DATA, not literals (r17): baking each
+    * round's centroids in as `typedlit` constants made every Lloyd
+    * round a DISTINCT generated class — recompiled and JIT-cold each
+    * round (ProfileOne r16: per-rep wall 31.8 → 7.4 → 3.9 s as the
+    * JIT warmed). Referencing them through a broadcast 1-row
+    * (cs, c2s) table keeps the generated source identical across
+    * rounds (only k and dim shape the expression tree), so one
+    * compiled class serves the whole run. Arithmetic is unchanged bit
+    * for bit: ‖c‖² is still the driver-side Scala fold (now shipped
+    * as a value instead of a literal), the dot is the same ascending
+    * codegen loop, and `element_at` only changes WHERE the operand
+    * bytes come from. */
   private[graft] def assign(v: DataFrame,
                      centroids: IndexedSeq[Seq[Double]]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cdf = Seq((
+      centroids.map(_.toArray).toArray,
+      centroids.map(c => c.map(x => x * x).sum).toArray
+    )).toDF("cs", "c2s")
     val vv = VectorFunctions.dot(col("v"), col("v"))
-    val scored: Seq[Column] = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((vv - lit(2.0) * VectorFunctions.dot(col("v"), typedlit(c))
-               + lit(c2)).as("d2"),
+    val scored: Seq[Column] = centroids.indices.map { i =>
+      struct((vv - lit(2.0) *
+                VectorFunctions.dot(col("v"), element_at(col("cs"), i + 1))
+               + element_at(col("c2s"), i + 1)).as("d2"),
              lit(i).as("cid"))
     }
-    v.withColumn("best", array_min(array(scored: _*)))
+    v.crossJoin(broadcast(cdf))
+      .withColumn("best", array_min(array(scored: _*)))
       .select(col("vec_id"), col("v"),
               col("best.cid").as("cluster"),
               // clamp tiny negative FP residue so sqrt stays real

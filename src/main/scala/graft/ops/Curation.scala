@@ -803,18 +803,25 @@ object Curation {
                  corpusBands: DataFrame, tau: Double = 0.8,
                  minQuality: Double = 0.5,
                  maxDupTokFrac: Double = 0.6): DataFrame = {
+    // Both dedup gates are ARG-MIN-BY-doc_id selections; as
+    // row_number windows they shuffled + sorted every FULL page row.
+    // As min(struct(doc_id, payload)) aggregates (r17 — the r16 LPA
+    // treatment) they are map-side combinable: each partition emits
+    // one candidate row per key instead of all rows, and the sort
+    // disappears. doc_id leads the struct and is unique, so the
+    // surviving row per key is identical (and tie-free by
+    // construction where the window relied on unstable tiebreak).
     val canonFirst = pages
-      .withColumn("canon", Url.canonCol(col("url")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("canon").orderBy("doc_id")))
-      .filter(col("rn") === 1)
+      .groupBy(Url.canonCol(col("url")).as("canon"))
+      .agg(min(struct(col("doc_id"), col("html"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.html").as("html"))
     val extracted = canonFirst
       .select(col("doc_id"), Html.contentColumn(col("html")).as("text"))
       .localCheckpoint()
     val hashFirst = extracted
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
-      .filter(col("rn") === 1)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     // the SHARED stream/batch gate (TextAnalysis.qualityGate — the
     // streaming pipeline calls the same definition)
     val gated = TextAnalysis.qualityGate(

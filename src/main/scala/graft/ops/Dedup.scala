@@ -267,6 +267,13 @@ object Dedup {
           && col("n_b") >= col("n_a") * tau)
       .select(col("doc_a"), col("doc_b"), col("n_a"))
       .dropDuplicates("doc_a", "doc_b")
+    // INVARIANT (r17, ADVICE): the re-attach below keys on doc_id
+    // ALONE, so its equivalence to the old carry-through form rests on
+    // doc_id being unique in the set table — which [[rankedTokenSets]]
+    // guarantees (one row per corpus doc; doc_id is the corpus primary
+    // key). Keying on (doc_id, lang) was A/B'd and cost +0.5 s at
+    // sf0.1 (a wider shuffle key on both probe sides) for a case the
+    // contract already excludes.
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("hset").as("hset_a")),
             "doc_a")
@@ -559,9 +566,6 @@ object Dedup {
     // recompute or the doCheckpoint/getCacheLocs deadlock. Seed with
     // min(id, min neighbour) — the first propagation round for free
     // (one groupBy on the edge list, no join).
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(col("src"), min(col("dst"))).as("label"))
-      .localCheckpoint()
     // labels only ever DECREASE (min propagation), so the label sum
     // strictly decreases iff any label changed — a 1-row aggregate per
     // round instead of a (self-lineage-ambiguous) prev⋈next join.
@@ -570,17 +574,24 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      labels = propagationRound(edges, labels).localCheckpoint()
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      rounds += 1
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    val labels = graft.Tables.withIterConf(pairDf.sparkSession, itParts) {
+      var lbls = edges.groupBy(col("src").as("id"))
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .localCheckpoint()
+      var prevSum = labelSum(lbls)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        lbls = propagationRound(edges, lbls).localCheckpoint()
+        val s = labelSum(lbls)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        rounds += 1
+      }
+      lastPropagationRounds = rounds
+      lbls
     }
-    lastPropagationRounds = rounds
     val sized = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     finishClusters(labels, sized)
   }
@@ -798,34 +809,49 @@ object Dedup {
     val base = graft.Tables.widen(docToks
       .select(col("doc_id").cast("long").as("doc_id"), col("toks")))
       .persist()
-    // ALL widths ride ONE tagged span stream (r16): the per-width
-    // loop ran 5 separate groupBy+join pipelines, each evaluating the
-    // shingle-hash explode twice (agg side + probe side) — 10 hash
-    // passes and 5× the stages. One (h, w)-keyed aggregate + one join
-    // computes the identical flag set: shingleHashes stays per-doc
-    // DISTINCT within each width, and the w tag keeps widths separate
-    // under the shared key, so count(*) per (h, w) still counts DOCS.
+    val out = spanDepthFrame(base, widths)
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
+  /** [[spanDepthProfile]]'s pipeline WITHOUT the final checkpoint,
+    * factored out so its plan shape is dumpable/pinnable (the query's
+    * own explain is a vacuous ExistingRDD scan — r16 verdict #8). */
+  private[graft] def spanDepthFrame(base: DataFrame,
+                                    widths: Seq[Int]): DataFrame = {
+    // ALL widths ride ONE tagged span stream (r16): shingleHashes
+    // stays per-doc DISTINCT within each width, and the w tag keeps
+    // widths separate under the shared key, so a count per (h, w)
+    // counts DOCS. r17 (the r16 verdict's q_span_depth ask): the r16
+    // shape evaluated this explode TWICE (groupBy side + join-back
+    // probe side — the md5 span hashing is the dominant cost) and
+    // shuffled the full stream through both the aggregate and the
+    // join. The cross-doc test is now ONE window count over (h, w):
+    // the stream is hashed once and shuffled once, and the flags are
+    // identical (nd ≥ 2 over per-doc-distinct rows ≡ the old
+    // dup-join membership). The per-(h,w) window group is the span's
+    // document frequency — the same key-skew exposure the old join
+    // had; a boilerplate-hot span buffers its group, which spills via
+    // the window's row array rather than blowing a join task.
     val sp = base.select(col("doc_id"),
       explode(flatten(array(widths.map { w =>
         transform(SetFunctions.shingleHashes(col("toks"), w, 0L),
                   h => struct(h.as("h"), lit(w).as("w")))
       }: _*))).as("s"))
       .select(col("doc_id"), col("s.h").as("h"), col("s.w").as("w"))
-    val dup = sp.groupBy("h", "w").agg(count(lit(1)).as("nd"))
+    val flags = sp
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h", "w")))
       .filter(col("nd") >= 2)
-      .select("h", "w")
-    val flags = sp.join(dup, Seq("h", "w"))
-      .select(col("doc_id"), col("w")).distinct()
+      .select(col("doc_id"), col("w"))
     val depth = flags.groupBy("doc_id").agg(max(col("w")).as("depth"))
-    val out = base
+    base
       .select(col("doc_id"), size(col("toks")).as("n_toks"))
       .join(depth, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
               coalesce(col("depth"), lit(0)).as("depth"))
       .orderBy("doc_id")
-      .localCheckpoint()
-    base.unpersist()
-    out
   }
 
   /** q_span_depth: [[spanDepthProfile]] on the test corpus. */

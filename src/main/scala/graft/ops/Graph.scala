@@ -80,16 +80,20 @@ object Graph {
     // empty graph: return the empty (node, pr) frame instead of
     // dividing the uniform init by zero (ANSI mode throws)
     if (nc == 0) return nodes.select(col("node"), lit(0.0).as("pr"))
-    var rank = nodes
-      .select(col("node"), col("dang"), (lit(1.0) / lit(nc)).as("r"))
-      .localCheckpoint()
     // per-round EAGER checkpoint: a 2-round cadence was A/B'd and lost
     // (ProfileOne: 5 fewer jobs but +620 ms of recomputed stage work —
     // exchange reuse does not cover the round's final co-located join,
-    // which both next-round consumers then re-evaluate).
-    for (_ <- 1 to iters) {
-      rank = pageRankRound(nodes, edges, rank, nc)
+    // which both next-round consumers then re-evaluate). The loop runs
+    // under the fixed-width regime (r17): see [[Tables.withIterConf]].
+    val rank = Tables.withIterConf(spark, nParts) {
+      var r = nodes
+        .select(col("node"), col("dang"), (lit(1.0) / lit(nc)).as("r"))
         .localCheckpoint()
+      for (_ <- 1 to iters) {
+        r = pageRankRound(nodes, edges, r, nc)
+          .localCheckpoint()
+      }
+      r
     }
     rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
   }
@@ -179,24 +183,28 @@ object Graph {
       .orderBy("node")
     val d = lit(Damping.toDouble)
     val t = lit(Teleport.toDouble)
-    var rank = nodes
-      .select(col("node"), col("dang"), col("is_seed"),
-              (col("is_seed") / lit(ns)).as("r"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(rank, edges("src") === rank("node"))
-        .select(col("dst"), (col("r") / col("od")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      val dangling = rank.where(col("dang"))
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      rank = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(broadcast(dangling))
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    val rank = Tables.withIterConf(spark, nParts) {
+      var r0 = nodes
         .select(col("node"), col("dang"), col("is_seed"),
-                ((t + d * col("dm")) * col("is_seed") / lit(ns) +
-                  d * coalesce(col("contrib"), lit(0.0))).as("r"))
+                (col("is_seed") / lit(ns)).as("r"))
         .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(r0, edges("src") === r0("node"))
+          .select(col("dst"), (col("r") / col("od")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        val dangling = r0.where(col("dang"))
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+        r0 = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"), col("dang"), col("is_seed"),
+                  ((t + d * col("dm")) * col("is_seed") / lit(ns) +
+                    d * coalesce(col("contrib"), lit(0.0))).as("r"))
+          .localCheckpoint()
+      }
+      r0
     }
     rank.select(col("node"), round(col("r"), 6).as("pr")).orderBy("node")
   }
@@ -377,6 +385,8 @@ object Graph {
       .select(col("node"), lit(1.0).as("h"))
       .localCheckpoint()
     var auth = hub // placeholder; assigned in round 1
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    Tables.withIterConf(spark, nParts) {
     for (k <- 1 to iters) {
       // auth is NOT checkpointed on intermediate rounds (r16): it has
       // exactly ONE consumer (this round's hub update), so the hub
@@ -403,6 +413,7 @@ object Graph {
                     .otherwise(lit(1.0))).as("h"))
           .localCheckpoint()
       }
+    }
     }
     val hNorm = hub.agg(sum(col("h")).as("nh"))
     val aNorm = auth.agg(sum(col("a")).as("na"))
@@ -552,25 +563,29 @@ object Graph {
         .select(col("a"), col("a").as("b")))
       .repartition(nParts, col("b"))
       .localCheckpoint()
-    var labels = und.select(col("a").as("node")).distinct()
-      .repartition(nParts, col("node"))
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val freq = und.join(labels, und("b") === labels("node"))
-        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      // arg-max as a partial-aggregable min over (-cnt, lbl) structs
-      // (r16): ≡ the former row_number window ordered (cnt DESC, lbl
-      // ASC) — struct ordering is lexicographic and (a, lbl) rows are
-      // unique — but map-side combinable and sort-free, so the round
-      // sheds the window's full-row shuffle + sort.
-      val top = freq
-        .groupBy(col("a"))
-        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
-        .select(col("a").as("node"), col("b.lbl").as("newl"))
-      labels = labels.join(top, Seq("node"), "left")
-        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    val labels = Tables.withIterConf(spark, nParts) {
+      var lbls = und.select(col("a").as("node")).distinct()
+        .repartition(nParts, col("node"))
+        .select(col("node"), col("node").as("lbl"))
         .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val freq = und.join(lbls, und("b") === lbls("node"))
+          .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // arg-max as a partial-aggregable min over (-cnt, lbl) structs
+        // (r16): ≡ the former row_number window ordered (cnt DESC, lbl
+        // ASC) — struct ordering is lexicographic and (a, lbl) rows are
+        // unique — but map-side combinable and sort-free, so the round
+        // sheds the window's full-row shuffle + sort.
+        val top = freq
+          .groupBy(col("a"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
+          .select(col("a").as("node"), col("b.lbl").as("newl"))
+        lbls = lbls.join(top, Seq("node"), "left")
+          .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      lbls
     }
     labels.select(col("node"), col("lbl").as("community")).orderBy("node")
   }
@@ -817,25 +832,29 @@ object Graph {
       .unionAll(seedNodes.select(col("node")))
       .distinct()
       .localCheckpoint()
-    var dist = seedNodes
-      .withColumn("depth", lit(0L))
-      .localCheckpoint()
-    var frontier = dist
-    var d = 1
-    var done = false
-    while (d <= maxDepth && !done) {
-      val reached = frontier
-        .join(edges, frontier("node") === edges("src"))
-        .select(col("dst").as("node")).distinct()
-      val fresh = reached.join(dist, Seq("node"), "left_anti")
-        .withColumn("depth", lit(d.toLong))
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    val dist = Tables.withIterConf(spark, nParts) {
+      var dst = seedNodes
+        .withColumn("depth", lit(0L))
         .localCheckpoint()
-      if (fresh.isEmpty) done = true
-      else {
-        dist = dist.unionAll(fresh).localCheckpoint()
-        frontier = fresh
-        d += 1
+      var frontier = dst
+      var d = 1
+      var done = false
+      while (d <= maxDepth && !done) {
+        val reached = frontier
+          .join(edges, frontier("node") === edges("src"))
+          .select(col("dst").as("node")).distinct()
+        val fresh = reached.join(dst, Seq("node"), "left_anti")
+          .withColumn("depth", lit(d.toLong))
+          .localCheckpoint()
+        if (fresh.isEmpty) done = true
+        else {
+          dst = dst.unionAll(fresh).localCheckpoint()
+          frontier = fresh
+          d += 1
+        }
       }
+      dst
     }
     nodes.join(dist, Seq("node"), "left")
       .select(col("node"), coalesce(col("depth"), lit(-1L)).as("depth"))
@@ -963,6 +982,8 @@ object Graph {
     var before = edges.count()
     var converged = before == 0L
     var r = 0
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    Tables.withIterConf(spark, nParts) {
     while (!converged && r < maxRounds) {
       val surv = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
@@ -978,6 +999,7 @@ object Graph {
       edges = pruned
       before = after
       r += 1
+    }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -1083,6 +1105,8 @@ object Graph {
       .distinct()
       .localCheckpoint()
     var dist = seedNodes.withColumn("dist", lit(0L)).localCheckpoint()
+    // fixed-width loop regime (r17): see [[Tables.withIterConf]]
+    Tables.withIterConf(spark, nParts) {
     // convergence scalar: reached-count and total distance; distances
     // only DECREASE and the reached set only GROWS under min
     // relaxation, so an unchanged (count, sum) pair means a fixpoint —
@@ -1107,6 +1131,7 @@ object Graph {
       if (cur == prev) done = true
       prev = cur
       k += 1
+    }
     }
     nodes.join(dist, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))

@@ -25,12 +25,18 @@ object Sql {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Registers all test tables as temp views (idempotent; no-op when
-    * `dir` is already the session's current registration). */
+    * `dir` is already the session's current registration). The dir is
+    * recorded AFTER all nine views exist (r17, ADVICE): recording it
+    * first meant a mid-loop load failure (missing/corrupt table) left
+    * the session claiming registration it never completed — every
+    * later q_sql_* would fail on missing views with no retry path. */
   def registerTables(spark: SparkSession, dir: String): Unit =
-    if (lastRegistered.put(spark, dir) != dir)
+    if (lastRegistered.get(spark) != dir) {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings")
         .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+      lastRegistered.put(spark, dir)
+    }
 
   /** TPC-H Q3 shape; `rnd` renders the engine's round-to-2 call. */
   def q3Template(rnd: String => String): String =

@@ -297,8 +297,7 @@ object Formats {
     if (affected.isEmpty) // empty delta: a refresh is a no-op
       return spark.read.parquet(s"$path/manifest")
         .withColumn("changed", lit(false)).orderBy("shard")
-    val staging = s"$path/refresh-staging-tmp"
-    try {
+    locally {
       val atRest0 = spark.read.parquet(s"$path/shards")
       // schema gate (r16, ADVICE): the CDC fold rewrites (doc_id,
       // text, n_toks, shard) only — an at-rest corpus carrying MORE
@@ -314,11 +313,21 @@ object Formats {
       val atRest = atRest0
         .filter(col("shard").isin(affected: _*))
         .select(col("doc_id"), col("text"))
-      graft.ops.Dedup.applyChanges(atRest, changes)
+      // the folded next version of the affected shards, materialized
+      // by an EAGER localCheckpoint (r17): the r15-r16 shape wrote it
+      // to a staging dir and read it back — one extra parquet write +
+      // three reads per refresh — purely to break the read-write
+      // lineage on shards/ (overwriting a path a plan reads is
+      // illegal). A checkpoint breaks the same lineage in memory: the
+      // dynamic overwrite below scans ExistingRDD, not shards/, and
+      // the delta-bounded fold (affected shards only) is the size
+      // contract that keeps the materialization small at any corpus
+      // scale. Crash-wise this is strictly cleaner — nothing staged
+      // ever lands under the corpus dir.
+      val staged = graft.ops.Dedup.applyChanges(atRest, changes)
         .withColumn("shard", shardOf)
         .withColumn("n_toks", tokenCount.cast("long"))
-        .write.mode("overwrite").parquet(staging)
-      val staged = spark.read.parquet(staging)
+        .localCheckpoint()
       staged
         .repartition(col("shard"))
         .sortWithinPartitions("shard", "doc_id")
@@ -361,8 +370,6 @@ object Formats {
         throw new java.io.IOException(
           s"manifest swap failed under $path (previous manifest preserved at $mOld)")
       fs.delete(mOld, true)
-    } finally {
-      fs.delete(new Path(staging), true); ()
     }
     spark.read.parquet(s"$path/manifest")
       .withColumn("changed", col("shard").isin(affected: _*))
