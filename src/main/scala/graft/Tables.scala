@@ -41,6 +41,21 @@ object Tables {
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Memoized ABSOLUTE-PATH parquet loader for write-once artifact
+    * paths (r17 — the [[load]] treatment extended to the derived-index
+    * accessors): every [[graft.ops.IndexCache]] artifact lands in a
+    * fresh temp dir per corpus fingerprint and is never rewritten in
+    * place, so the resolved plan can be reused for the path's
+    * lifetime. ConstructProbe measured 80-100 ms of listing + footer
+    * inference per `spark.read.parquet` call, paid by every ANN /
+    * dedup / graph query on every execution. Mutable directories
+    * (writeShards corpora — refreshed in place) must NOT use this. */
+  def loadPath(spark: SparkSession, path: String): DataFrame = {
+    if (resolved.size() > 256) resolved.clear()
+    resolved.computeIfAbsent((spark, path, ""),
+      _ => spark.read.parquet(path))
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

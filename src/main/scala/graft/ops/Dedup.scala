@@ -112,7 +112,7 @@ object Dedup {
 
   private[graft] def corpusTokenSets(spark: SparkSession,
                                      dir: String): DataFrame =
-    spark.read.parquet(tokenSetTablePaths.get(spark, dir))
+    graft.Tables.loadPath(spark, tokenSetTablePaths.get(spark, dir))
 
   /** Semantics-keyed LRU of the persisted set tables (r11 verdict #5:
     * the bare persist() relied on callers' clearCache — a long
@@ -382,14 +382,14 @@ object Dedup {
       .select(col("doc_id"), col("band"),
               bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
       .persist()
-    // Materialize BOTH caches on one thread before consumers fan out
-    // (r16): under AQE the band self-join's two sides and the two
-    // verify-join docs sides run as CONCURRENT stages, and a cache
-    // miss does not wait for a racing computer — each stage re-ran the
-    // shingle+signature pipeline (~0.5 s per stage, ProfileOne). One
-    // count pass through `banded` computes and stores docs' and
-    // banded's blocks; every later consumer reads warm cache.
-    banded.count()
+    // NO up-front materialization pass (r17): the r16 snapshot commit
+    // added a one-thread `banded.count()` here so concurrent AQE
+    // stages couldn't race the cache miss into redundant recompute —
+    // but it shipped unbenched, and the r17 A/B (BenchSubset min-of-3,
+    // same day) measured the count as a net LOSS: q_dedup_near 1.68 s
+    // with vs 1.63 s without, q_dedup_incr_near 0.90, q_dedup_index_
+    // append 1.25 without (all ≤ with). Worst case of a racing miss is
+    // extra compute into the same cache, never wrongness.
     val cands = bandCandidates(banded)
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -505,7 +505,7 @@ object Dedup {
 
   private[graft] def corpusClusters(spark: SparkSession,
                                     dir: String): DataFrame =
-    spark.read.parquet(clusterTablePaths.get(spark, dir))
+    graft.Tables.loadPath(spark, clusterTablePaths.get(spark, dir))
 
   private[graft] def clusterTableEntryCount: Int =
     clusterTablePaths.entryCount
@@ -913,11 +913,11 @@ object Dedup {
     val docs = docToks
       .select(col("doc_id"), SimHashFunctions.simhash64(col("toks")).as("sh"))
       .persist()  // feeds both sides of the band self-join
-    // one-thread materialization before the self-join's concurrent
-    // stages race the cache miss (r16 — the nearDupPairs fix): a
-    // racing stage recomputes the whole simhash pass instead of
-    // waiting for the block
-    docs.count()
+    // no up-front materialization pass (r17): the r16 one-thread
+    // `docs.count()` A/B'd as a small net loss (0.93 with vs 0.91 s
+    // without, same-day min-of-3) — see the nearDupPairs note; a
+    // racing cache miss costs at most redundant compute into the
+    // same cache
     val banded = docs
       .select(col("doc_id"), col("sh"),
               explode(sequence(lit(0), lit(3))).as("band"))
@@ -994,8 +994,8 @@ object Dedup {
     // up front so a fresh session's FIRST dedup call doesn't throw
     SetFunctions.register(spark, permA, permB, MersennePrime)
     val base = nearDupIndexPaths.get(spark, dir)
-    (spark.read.parquet(s"$base/shingles.parquet"),
-     spark.read.parquet(s"$base/bands.parquet"))
+    (graft.Tables.loadPath(spark, s"$base/shingles.parquet"),
+     graft.Tables.loadPath(spark, s"$base/bands.parquet"))
   }
   private[graft] def nearDupIndexEntryCount: Int = nearDupIndexPaths.entryCount
 

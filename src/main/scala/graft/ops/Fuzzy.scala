@@ -172,7 +172,12 @@ object Fuzzy {
 
   private[graft] def customerDistinctPairs(spark: SparkSession,
                                            dir: String): DataFrame =
-    spark.read.parquet(customerPairPaths.get(spark, dir))
+    // NOT widened (r17, measured): fanning the one-split pair scan to
+    // 32 partitions cost every consumer its exchange back — same-day
+    // min-of-3 with widen: q_entity_resolution 5.51 s (vs 3.94),
+    // q_jaro_sim 1.23 (vs 1.04), q_fuzzy_join 1.23 (vs 0.82). The JW /
+    // symmetrize work on ~0.5 M pairs is cheaper than the shuffle.
+    graft.Tables.loadPath(spark, customerPairPaths.get(spark, dir))
 
   /** The distinct pair table symmetrized to (name, m) — one row per
     * directed neighbor relation between distinct names. Explode-based:

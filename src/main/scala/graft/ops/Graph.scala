@@ -304,7 +304,7 @@ object Graph {
     IndexCache.materializedParquet("documents", "graft_page_edges")(
       buildPageEdges)
   private[graft] def pageEdges(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(pageEdgePaths.get(spark, dir))
+    Tables.loadPath(spark, pageEdgePaths.get(spark, dir))
   private[graft] def pageEdgeEntryCount: Int = pageEdgePaths.entryCount
 
   /** The matching pg/l/e oracle CTE block (no WITH) — the ONE SQL
@@ -613,7 +613,7 @@ object Graph {
     IndexCache.materializedParquet("documents", "graft_domain_edges")(
       buildDomainEdges)
   private[graft] def domainEdges(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(domainEdgePaths.get(spark, dir))
+    Tables.loadPath(spark, domainEdgePaths.get(spark, dir))
   private[graft] def domainEdgeEntryCount: Int = domainEdgePaths.entryCount
 
   /** The matching h/l/e oracle CTE block (no WITH keyword) — the ONE

@@ -216,7 +216,7 @@ object Quant {
     })
 
   private[graft] def quantPostings(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.widen(spark.read.parquet(quantIndexPaths.get(spark, dir)))
+    graft.Tables.widen(graft.Tables.loadPath(spark, quantIndexPaths.get(spark, dir)))
   private[graft] def quantIndexPath(spark: SparkSession, dir: String): String =
     quantIndexPaths.get(spark, dir)
 
@@ -450,9 +450,9 @@ object Quant {
   }
 
   private[graft] def pqPostings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${pqIndexPaths.get(spark, dir)}/postings.parquet")
+    graft.Tables.loadPath(spark, s"${pqIndexPaths.get(spark, dir)}/postings.parquet")
   private[graft] def pqCodebook(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${pqIndexPaths.get(spark, dir)}/codebook.parquet")
+    graft.Tables.loadPath(spark, s"${pqIndexPaths.get(spark, dir)}/codebook.parquet")
   private[graft] def pqIndexPath(spark: SparkSession, dir: String): String =
     s"${pqIndexPaths.get(spark, dir)}/postings.parquet"
 
@@ -502,14 +502,26 @@ object Quant {
   def qAnnPq(spark: SparkSession, dir: String): DataFrame =
     annPqFrom(spark, dir, pqIndexPaths.get(spark, dir), PqRefineR)
 
+  /** Collected-codebook memo (r17): the codebook is a FROZEN index
+    * artifact (a new corpus fingerprint lands in a new temp dir), so
+    * collecting its 2048 rows back to the driver on EVERY query
+    * execution (~150 ms of job + row conversion, ConstructProbe) is
+    * pure re-resolution — the Tables.load rationale applied to model
+    * state. Keyed by the index dir path; values are plain Scala data. */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Map[(Int, Int), Seq[Double]]]()
+
   /** The IVFADC+R search over a given PQ index dir, parameterized for
     * the [[graft.tools.PqTune]] sweep. */
   private[graft] def annPqFrom(spark: SparkSession, dir: String,
                                idxDir: String, refineR: Int): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val cb = spark.read.parquet(s"$idxDir/codebook.parquet").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
-      .toMap
+    if (codebookMemo.size() > 64) codebookMemo.clear()
+    val cb = codebookMemo.computeIfAbsent(idxDir, p =>
+      spark.read.parquet(s"$p/codebook.parquet").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+        .toMap)
     // Spark-native ADC: a per-probe LUT is the serial-CPU trick — in a
     // distributed plan a 2048-double LUT riding every exploded probe
     // row through two shuffles is the anti-pattern. Instead each
@@ -532,7 +544,7 @@ object Quant {
     // widen (r16): the posting table lands as a single split at test
     // scale, which serialized the whole decode+ADC scan on one task
     val posts = graft.Tables.widen(
-      spark.read.parquet(s"$idxDir/postings.parquet"))
+      graft.Tables.loadPath(spark, s"$idxDir/postings.parquet"))
     val home = posts.select(col("tbl"), col("bucket"),
                             col("vec_id").as("id_b"),
                             decodeCol.as("cdec"))
@@ -541,7 +553,7 @@ object Quant {
     // id from ONE narrow embeddings scan (Similarity.normalized —
     // not a distinct() over the float index's n·T posting rows)
     val probes = graft.Tables.widen(
-        spark.read.parquet(s"$idxDir/probes.parquet"))
+        graft.Tables.loadPath(spark, s"$idxDir/probes.parquet"))
       .join(Similarity.normalized(spark, dir)
               .select(col("vec_id"),
                       transform(col("vn"), x => x.cast("double")).as("va")),

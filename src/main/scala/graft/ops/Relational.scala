@@ -87,7 +87,7 @@ object Relational {
     * aggregate off the unpartitioned table with the same filter. */
   def qPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
     val base = partitionedDocsPaths.get(spark, dir)
-    spark.read.parquet(base)
+    graft.Tables.loadPath(spark, base)
       .filter(col("lang") === "en")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

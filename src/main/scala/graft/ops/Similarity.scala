@@ -718,7 +718,7 @@ object Similarity {
     // (widening there fans the at-rest table into tiny part files —
     // QuantSpec's size golden caught it); search-side consumers widen
     // at their own entry ([[annCandidates]])
-    spark.read.parquet(indexPaths.get(spark, dir))
+    graft.Tables.loadPath(spark, indexPaths.get(spark, dir))
   private[graft] def annIndexPath(spark: SparkSession, dir: String): String =
     indexPaths.get(spark, dir)
   private[graft] def annIndexEntryCount: Int = indexPaths.entryCount

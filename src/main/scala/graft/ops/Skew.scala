@@ -29,6 +29,14 @@ object Skew {
       pmod(hash(monotonically_increasing_id()), lit(buckets)))
     val o = other.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
-    s.join(o, Seq(key, "__salt"), "inner").drop("__salt")
+    // SHUFFLE_HASH, deliberately (r17, guide §3.1): salting exists to
+    // spread a SHUFFLE join's hot key across buckets — when Catalyst
+    // instead broadcasts the ×buckets-replicated side, the driver
+    // serially collects and hash-builds `buckets` copies of the dim
+    // table (~1 s at sf0.1) and the salt buys nothing. Forcing the
+    // shuffled hash join keeps the replicated build distributed;
+    // per-partition build side is |other| · buckets / shuffle-width
+    // rows. Result rows are identical under any strategy.
+    s.join(o.hint("shuffle_hash"), Seq(key, "__salt"), "inner").drop("__salt")
   }
 }

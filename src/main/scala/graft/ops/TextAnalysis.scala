@@ -143,7 +143,7 @@ object TextAnalysis {
 
   private[graft] def corpusQualityStats(spark: SparkSession,
                                         dir: String): DataFrame =
-    spark.read.parquet(qualityStatsPaths.get(spark, dir))
+    graft.Tables.loadPath(spark, qualityStatsPaths.get(spark, dir))
 
   /** q_quality_score: length / type-token-ratio / stopword-ratio
     * composite quality score per document — derived from the
@@ -835,7 +835,7 @@ object TextAnalysis {
     IndexCache.materializedParquet("documents", "graft_cooc_pairs")(
       (s, d) => cooccurPairCounts(Tables.docTokens(s, d)))
   private[graft] def coocPairs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(coocPairPaths.get(spark, dir))
+    graft.Tables.loadPath(spark, coocPairPaths.get(spark, dir))
   private[graft] def coocPairEntryCount: Int = coocPairPaths.entryCount
 
   /** The thresholded co-occurrence pair table WITHOUT the top-N
