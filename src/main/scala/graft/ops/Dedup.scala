@@ -579,11 +579,22 @@ object Dedup {
       var lbls = edges.groupBy(col("src").as("id"))
         .agg(least(col("src"), min(col("dst"))).as("label"))
         .localCheckpoint()
-      var prevSum = labelSum(lbls)
+      // the seed scalar rides node count alongside the convergence sum
+      // (one job): with the loop regime AQE no longer converts the
+      // per-round joins to broadcast at runtime, so the decision is
+      // made HERE from the measured node count — a label table provably
+      // under ~8 MB broadcasts in every round (map-side joins, the edge
+      // list is never sorted or re-shuffled); a cluster-scale node set
+      // keeps the partitioned joins. Same rule AQE applied, decided
+      // once from data, honest at any scale.
+      val first = lbls
+        .agg(sum(col("label").cast("decimal(38,0)")), count(lit(1))).head()
+      val bcastLabels = first.getLong(1) * 48L < (8L << 20)
+      var prevSum = first.getDecimal(0)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 50) {
-        lbls = propagationRound(edges, lbls).localCheckpoint()
+        lbls = propagationRound(edges, lbls, bcastLabels).localCheckpoint()
         val s = labelSum(lbls)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
@@ -603,11 +614,19 @@ object Dedup {
     * cartesian or a lost map-side combine. Shape contract: two
     * equi-joins (neighbour-min, pointer jump) + one partial-agg min;
     * no cartesian, no window. */
-  private[graft] def propagationRound(edges: DataFrame,
-                                      labels: DataFrame): DataFrame = {
+  private[graft] def propagationRound(edges: DataFrame, labels: DataFrame,
+                                      broadcastLabels: Boolean = false): DataFrame = {
+    // small-graph regime (r17): when the label table measurably fits a
+    // broadcast (decided once in [[dedupClusters]] from the seed
+    // count), every join of the round runs map-side — the checkpointed
+    // edge list is scanned once per round and never sorted/re-shuffled
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     // neighbour-min propagation ...
-    val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-      .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+    val lbl = maybeB(labels)
+    val nbrMin = maybeB(
+      edges.join(lbl, edges("dst") === lbl("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min")))
     val prop = labels
       .join(nbrMin, labels("id") === nbrMin("src"), "left")
       .select(col("id"),
@@ -617,7 +636,7 @@ object Dedup {
     // compression turns the O(diameter) round count into O(log d) —
     // every label is a node id, so the self-join always resolves
     prop.as("x")
-      .join(prop.select(col("id").as("jid"), col("label").as("jlabel")).as("j"),
+      .join(maybeB(prop.select(col("id").as("jid"), col("label").as("jlabel"))).as("j"),
             col("x.label") === col("j.jid"), "left")
       .select(col("x.id").as("id"),
               coalesce(col("j.jlabel"), col("x.label")).as("label"))
