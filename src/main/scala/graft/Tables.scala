@@ -117,20 +117,38 @@ object Tables {
     widen(documents(spark, dir))
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
 
-  /** Widen a NARROW scan to cluster parallelism (r16, guide §2.5's
-    * unsplittable-input rule: "repartition immediately after the
-    * read"). The driver fixtures are single-row-group parquet files —
-    * one split, so scan-adjacent narrow compute (regex chains, codec
-    * work, shingle hashing) serializes on ONE core no matter how many
-    * the session has. A production corpus arrives in thousands of
+  /** Widen a NARROW scan for a compute-heavy consumer (r16, guide
+    * §2.5's unsplittable-input rule: "repartition immediately after
+    * the read"). The driver fixtures are single-row-group parquet
+    * files — one split, so scan-adjacent narrow compute (regex chains,
+    * codec work, shingle hashing) serializes on ONE core no matter how
+    * many the session has. A production corpus arrives in thousands of
     * splits and takes the no-op branch, so no shuffle is ever added
     * at scale — the condition, not the repartition, is the contract.
     * Callers must be row-local or order-independent downstream
     * (round-robin redistribution reorders rows across partitions).
-    */
-  def widen(df: DataFrame): DataFrame = {
+    *
+    * Width (r17): derived from the input's ESTIMATED BYTES — one task
+    * per `bytesPerTask` of input, clamped to parallelism — instead of
+    * `defaultParallelism` outright. The r16 form fanned kilobyte
+    * fixtures to every core; at high core counts the fan-out overhead
+    * exceeded the win (five widened queries ran FASTER at 8 cores
+    * than 32 in the r16 driver's scaling block). A bytes-derived width
+    * is the same decision at every core count, so the helper no longer
+    * encodes the local machine's size. The default budget is small
+    * (64 KB/task) because every call site is scan-adjacent HEAVY
+    * compute — image/audio decode, regex extraction, shingle hashing —
+    * where CPU per byte, not bytes, is the bound. The no-op test uses
+    * the same estimate (splits the scan would produce at
+    * `maxPartitionBytes`), so construction never forces physical
+    * planning of the pre-widen plan (the r16 `df.rdd` probe did). */
+  def widen(df: DataFrame, bytesPerTask: Long = 8L << 10): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (est / bytesPerTask + 1).min(BigInt(p)).toInt
+    val splitBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val splitEst = est / splitBytes + 1
+    if (splitEst >= want) df else df.repartition(want)
   }
 
   /** Runs an ITERATION LOOP's body under the fixed-width execution

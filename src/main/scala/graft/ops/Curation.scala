@@ -973,6 +973,10 @@ object Curation {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+    // EAGER checkpoint (r17): gated feeds BOTH the placement join and
+    // shuffleShards — un-cached, the exact-dedup + quality-gate regex
+    // pass over the corpus evaluated twice per run (ProfileOne: two
+    // ~300 ms single-task stages reading the documents scan).
     val gated = TextAnalysis.qualityGate(
         docs.join(keepers, "doc_id")
           .select(col("doc_id"),
@@ -980,6 +984,7 @@ object Curation {
         minQuality, maxDupTokFrac)
       .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
               col("quality"))
+      .localCheckpoint()
     val placed = gated.join(
       shuffleShards(gated, salt, shards)
         .select(col("doc_id"), col("shard"), col("pos_in_shard")),
@@ -1178,7 +1183,8 @@ object Curation {
     // ~2 features per token, which a one-split scan serializes on one
     // core; per-doc avgs fold in unchanged order (a doc's features
     // never split across partitions)
-    dsirScores(Tables.widen(Tables.docTokens(spark, dir)),
+    dsirScores(Tables.widen(Tables.docTokens(spark, dir),
+                 bytesPerTask = 64L << 10),
                col("source") === "src0")
 
   /** The DSIR model as a driver-side artifact: per-bucket

@@ -367,10 +367,21 @@ object Dedup {
     // one-split materialization it parallelized (2.4 vs 1.75 s — the
     // verify joins broadcast the docs side, and the exchange +
     // 32-partition cache taxed every consumer).
+    // EAGER localCheckpoint, not persist (r17, measured): with a lazy
+    // cache the self-join sides and verify joins all start on a COLD
+    // cache and each recomputes the parse+hash+sort pipeline into it
+    // (ProfileOne: three serial ~530 ms single-task stages per run —
+    // the r16 priming count() guarded exactly this, but as an extra
+    // job; the eager checkpoint is the same materialization without
+    // one). Jobs 16 → 9, stage work 3.3 → 1.0 s (ProfileOne). Still
+    // NOT widened: re-measured under the checkpoint structure and the
+    // widen stayed a loss (q_dedup_near 1.74 vs 1.66 min-of-5,
+    // q_dedup_index_append 1.52 vs 1.15 — the exchange taxes the
+    // materialization more than the one-split shingle pass costs).
     val docs = docToks
       .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+      .localCheckpoint()
     // band → bucket key (hash of the band's signature slice). Only
     // (doc_id, band, bkey) flows through the self-join — the shingle
     // arrays are re-joined onto the deduplicated candidate PAIRS, not
@@ -381,15 +392,13 @@ object Dedup {
               explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
               bandKey(col("sig"), col("band"), rowsPerBand).as("bkey"))
-      .persist()
-    // NO up-front materialization pass (r17): the r16 snapshot commit
-    // added a one-thread `banded.count()` here so concurrent AQE
-    // stages couldn't race the cache miss into redundant recompute —
-    // but it shipped unbenched, and the r17 A/B (BenchSubset min-of-3,
-    // same day) measured the count as a net LOSS: q_dedup_near 1.68 s
-    // with vs 1.63 s without, q_dedup_incr_near 0.90, q_dedup_index_
-    // append 1.25 without (all ≤ with). Worst case of a racing miss is
-    // extra compute into the same cache, never wrongness.
+      .localCheckpoint()
+    // (r17 history: the r16 snapshot commit guarded the cache-miss
+    // race with a priming `banded.count()`; the first r17 A/B measured
+    // that count as a small net loss and removed it, but ProfileOne
+    // then showed the race really does triple the signature compute —
+    // the eager checkpoints above are the same guard without the extra
+    // job, and measure faster than both prior forms.)
     val cands = bandCandidates(banded)
     cands
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -825,13 +834,16 @@ object Dedup {
     require(widths.nonEmpty && widths.forall(_ >= 1))
     val spark = docToks.sparkSession
     SetFunctions.register(spark, permA, permB, MersennePrime)
+    // NO cache on base (r17): both consumers (the tagged-span explode
+    // and the n_toks projection) sit above the SAME widen exchange
+    // inside ONE plan, so exchange reuse already evaluates the scan +
+    // repartition once — the old persist paid a 40+ MB token-array
+    // cache write for work reuse the plan gets for free.
     val base = graft.Tables.widen(docToks
-      .select(col("doc_id").cast("long").as("doc_id"), col("toks")))
-      .persist()
-    val out = spanDepthFrame(base, widths)
+      .select(col("doc_id").cast("long").as("doc_id"), col("toks")),
+      bytesPerTask = 64L << 10)
+    spanDepthFrame(base, widths)
       .localCheckpoint()
-    base.unpersist()
-    out
   }
 
   /** [[spanDepthProfile]]'s pipeline WITHOUT the final checkpoint,
@@ -896,7 +908,7 @@ object Dedup {
     // widen (r16): the w-token window render + hash is the heavy
     // narrow stage; one-split scans serialize it (integer counts
     // downstream, order-safe)
-    val spans = graft.Tables.widen(docToks)
+    val spans = graft.Tables.widen(docToks, bytesPerTask = 64L << 10)
       .select(col("doc_id"),
               explode(array_distinct(Text.ngramCol(col("toks"), w))).as("span"))
       .select(col("doc_id"), xxhash64(col("span")).as("sh"))
@@ -929,14 +941,13 @@ object Dedup {
   def simhashDups(docToks: DataFrame, maxHamming: Int = 8): DataFrame = {
     val spark = docToks.sparkSession
     SimHashFunctions.register(spark)
+    // EAGER localCheckpoint, not persist (r17): both self-join sides
+    // start on a cold cache and each recomputes the simhash pipeline —
+    // the nearDupPairs finding; materialize once, without the extra
+    // job the r16 priming `docs.count()` paid.
     val docs = docToks
       .select(col("doc_id"), SimHashFunctions.simhash64(col("toks")).as("sh"))
-      .persist()  // feeds both sides of the band self-join
-    // no up-front materialization pass (r17): the r16 one-thread
-    // `docs.count()` A/B'd as a small net loss (0.93 with vs 0.91 s
-    // without, same-day min-of-3) — see the nearDupPairs note; a
-    // racing cache miss costs at most redundant compute into the
-    // same cache
+      .localCheckpoint()
     val banded = docs
       .select(col("doc_id"), col("sh"),
               explode(sequence(lit(0), lit(3))).as("band"))

@@ -980,10 +980,23 @@ object Graph {
       .repartition(nParts, col("src"))
       .localCheckpoint()
     var before = edges.count()
+    // re-size the ITERATION width from the MATERIALIZED edge count
+    // (r17 — the dedupClusters discipline): the symmetrize+distinct
+    // feed is a derived plan whose size Catalyst cannot estimate, so
+    // adaptiveParts clamps to full parallelism — and with the
+    // fixed-width regime below there is no AQE left to coalesce the
+    // per-round shuffles back down (measured: q_kcore 1.54 → 2.32 s,
+    // 687 tasks for a ~700-edge graph). One cheap job after the
+    // checkpoint gives the true count; a cluster-scale edge list keeps
+    // the full width and this is a no-op.
+    val itParts = math.max(1L, math.min(nParts.toLong,
+      before / 262144L + 1L)).toInt
+    if (itParts < nParts)
+      edges = edges.repartition(itParts, col("src")).localCheckpoint()
     var converged = before == 0L
     var r = 0
     // fixed-width loop regime (r17): see [[Tables.withIterConf]]
-    Tables.withIterConf(spark, nParts) {
+    Tables.withIterConf(spark, itParts) {
     while (!converged && r < maxRounds) {
       val surv = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)

@@ -216,7 +216,8 @@ object Quant {
     })
 
   private[graft] def quantPostings(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.widen(graft.Tables.loadPath(spark, quantIndexPaths.get(spark, dir)))
+    graft.Tables.widen(graft.Tables.loadPath(spark, quantIndexPaths.get(spark, dir)),
+      bytesPerTask = 64L << 10)
   private[graft] def quantIndexPath(spark: SparkSession, dir: String): String =
     quantIndexPaths.get(spark, dir)
 

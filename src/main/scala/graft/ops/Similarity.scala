@@ -746,7 +746,8 @@ object Similarity {
   private[graft] def annCandidates(spark: SparkSession, dir: String): DataFrame =
     // widen (r16): the single-split posting table would serialize the
     // whole probe×candidate scan on one task (read-side only)
-    annCandidatesFrom(graft.Tables.widen(annPostings(spark, dir)),
+    annCandidatesFrom(graft.Tables.widen(annPostings(spark, dir),
+                        bytesPerTask = 64L << 10),
                       corpusSize(spark, dir))
 
   /** Scored LSH candidates from any posting table ([[annIndex]]). */

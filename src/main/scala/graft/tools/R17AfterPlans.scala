@@ -59,6 +59,35 @@ object R17AfterPlans {
       .collect().map(_.getSeq[Double](1)).toIndexedSeq
     dump("kmeans assign pass", graft.ops.Clustering.assign(v, init))
 
+    // ---- CC propagation round, BOTH regimes, at a scale where the
+    //      structural claim is visible (r16 verdict ask #8: the old
+    //      dumps were toy-scale all-broadcast plans that showed no
+    //      difference). spark.range gives the planner honest
+    //      multi-megabyte size estimates, so the partitioned regime
+    //      plans its real sort-merge/shuffled joins and the broadcast
+    //      regime (the r17 small-graph gate) shows every join
+    //      map-side with the edge scan un-shuffled. ----
+    val edgesBig = spark.range(0, 2000000)
+      .select((col("id") % 500000).as("src"), ((col("id") * 7 + 1) % 500000).as("dst"))
+    val labelsBig = spark.range(0, 500000)
+      .select(col("id"), col("id").as("label"))
+    dump("CC propagation round — partitioned regime (cluster-scale node set)",
+      graft.ops.Dedup.propagationRound(edgesBig, labelsBig, broadcastLabels = false))
+    dump("CC propagation round — broadcast regime (small measured node set)",
+      graft.ops.Dedup.propagationRound(edgesBig, labelsBig, broadcastLabels = true))
+
+    // ---- LPA round fragment (r16 claim now visible at range scale:
+    //      arg-max is a min(struct) partial aggregate — no WindowExec
+    //      anywhere in the round) ----
+    val undBig = edgesBig.select(col("src").as("a"), col("dst").as("b"))
+    val lblsBig = labelsBig.select(col("id").as("node"), col("id").as("lbl"))
+    val freqBig = undBig.join(lblsBig, undBig("b") === lblsBig("node"))
+      .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+    dump("LPA round arg-max (min(struct) aggregate, no window)",
+      freqBig.groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl"))).as("b"))
+        .select(col("a").as("node"), col("b.lbl").as("newl")))
+
     spark.stop()
   }
 }
