@@ -67,9 +67,9 @@ object R17AfterPlans {
     //      plans its real sort-merge/shuffled joins and the broadcast
     //      regime (the r17 small-graph gate) shows every join
     //      map-side with the edge scan un-shuffled. ----
-    val edgesBig = spark.range(0, 2000000)
-      .select((col("id") % 500000).as("src"), ((col("id") * 7 + 1) % 500000).as("dst"))
-    val labelsBig = spark.range(0, 500000)
+    val edgesBig = spark.range(0, 20000000L)
+      .select((col("id") % 5000000L).as("src"), ((col("id") * 7 + 1) % 5000000L).as("dst"))
+    val labelsBig = spark.range(0, 5000000L)
       .select(col("id"), col("id").as("label"))
     dump("CC propagation round — partitioned regime (cluster-scale node set)",
       graft.ops.Dedup.propagationRound(edgesBig, labelsBig, broadcastLabels = false))
