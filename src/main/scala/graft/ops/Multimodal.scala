@@ -35,6 +35,16 @@ import graft.Tables
   */
 object Multimodal {
 
+  // JVM-global, runs once per JVM when this object first loads (driver
+  // AND executors — every decode path below is a member here): ImageIO
+  // wraps non-file streams in a DISK-backed cache by default, creating
+  // and deleting one /tmp file per image decode/encode. The in-memory
+  // cache is bit-identical and removes thousands of per-image FS
+  // round-trips per query (guide §6 I/O; also the source of the
+  // multi-second run-to-run variance the image queries showed under
+  // concurrent disk load).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: id + raw bytes + mime hint. */
   case class MediaRow(doc_id: Long, media: Array[Byte], mime: String)
 

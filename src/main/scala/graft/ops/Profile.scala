@@ -385,28 +385,33 @@ object Profile {
     val vc = perDoc.groupBy(col("source"), col(valCol).as("v"))
       .agg(count(lit(1)).as("c"))
     val perVal = vc.groupBy("v").agg(sum(col("c")).as("ct"))
-    val srcTot = vc.groupBy("source").agg(sum(col("c")).as("n_src"))
-    val allTot = perVal.agg(sum(col("ct")).as("n_all"))
     // every (source, value) grid cell: the per-source partition then
     // holds EVERY distinct value once, so the same per-source window
-    // yields both cum_src and the global cum — no global window
+    // yields both cum_src and the global cum — no global window.
+    // ALL per-source scalars ride that one source partitioning too
+    // (r17): n_src = Σc and n_all = Σct over the full source
+    // partition (each partition holds every value once, so Σct is the
+    // corpus total), and the D-maximum is a window max — the separate
+    // srcTot/allTot aggregates, their join-backs, and the max+rejoin
+    // pass (5 exchanges of a 21-job query) fold into the window stage
+    // on identical integer operands.
     val grid = vc.select("source").distinct()
       .crossJoin(vc.select("v").distinct())
     val w = Window.partitionBy("source").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy("source")
     val t = grid.join(vc, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
       .join(perVal, "v")
       .withColumn("cum_src", sum(col("c")).over(w))
       .withColumn("cum_all", sum(col("ct")).over(w))
-      .join(srcTot, "source").crossJoin(allTot) // 1-row side
+      .withColumn("n_src", sum(col("c")).over(wSrc))
+      .withColumn("n_all", sum(col("ct")).over(wSrc))
       .withColumn("n_rest", col("n_all") - col("n_src"))
       .withColumn("num",
         abs(dec(col("cum_src")) * dec(col("n_rest")) -
             dec(col("cum_all") - col("cum_src")) * dec(col("n_src"))))
-    val mx = t.groupBy("source").agg(max(col("num")).as("num_max"),
-      first(col("n_src")).as("n_src"), first(col("n_rest")).as("n_rest"))
-    t.select(col("source"), col("v"), col("num"))
-      .join(mx, "source").filter(col("num") === col("num_max"))
+      .withColumn("num_max", max(col("num")).over(wSrc))
+    t.filter(col("num") === col("num_max"))
       .groupBy(col("source"))
       .agg(first(col("n_src")).as("n_src"),
            first(col("n_rest")).as("n_rest"),

@@ -555,7 +555,13 @@ object TextAnalysis {
     // serial 170-410 ms single-task scan stages).
     val n1 = uc.agg(sum(col("c")).cast("double").as("n1"))
     val bg = toks.select(explode(Text.ngramCol(col("toks"), 2)).as("bigram"))
+    // eager checkpoint: the total's pruned subtree (c_ab only) is not
+    // canonical-equal to the join consumer's, so exchange reuse missed
+    // it and the bigram explode ran twice (ProfileOne: two identical
+    // 400-570 ms scan stages); the vocab-sized materialization
+    // guarantees one pass
     val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
     val n2 = bc.agg(sum(col("c_ab")).cast("double").as("n2"))
     bc.filter(col("c_ab") >= minSupport)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
@@ -738,7 +744,14 @@ object TextAnalysis {
                 slice(col("toks"), lit(1), size(col("toks")) - 1),
                 slice(col("toks"), lit(2), size(col("toks")) - 1))).as("b"))
       .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+    // bc is consumed FOUR ways (probe join, successor, continuation,
+    // type total); it is vocab²-bounded (bigram TYPES, not the
+    // stream), so one eager checkpoint materializes the corpus-scale
+    // bigram explode + count once and every model table reads blocks
+    // (r17, ProfileOne: the un-cached form re-ran the corpus scan per
+    // consumer — five scan stages per execution).
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val lc = bc.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
     val cc = bc.groupBy("w2").agg(count(lit(1)).as("n1back"))
