@@ -94,6 +94,60 @@ object R17Batch4Plans {
     dump("q_ks_test AFTER (scalars and max ride the source window)",
       graft.ops.Profile.ksBySource(perDoc))
 
+    // ---- q_join_skew: salted join strategy (batch 2). BEFORE is the
+    //      verbatim un-hinted fragment (Catalyst broadcasts the
+    //      x8-replicated dim side); AFTER is the real operator with
+    //      the SHUFFLE_HASH hint. ----
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = graft.Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    locally {
+      val s = li.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      val ob = o.withColumn("__salt", explode(sequence(lit(0), lit(7))))
+      val before = s.join(ob, Seq("o_orderkey", "__salt"), "inner").drop("__salt")
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+      dump("q_join_skew BEFORE (no hint: replicated dim side broadcasts)", before)
+    }
+    dump("q_join_skew AFTER (SHUFFLE_HASH: replicated build distributed)",
+      graft.ops.Relational.qJoinSkew(spark, dir))
+
+    // ---- q_perplexity_kn: BEFORE = verbatim un-checkpointed count
+    //      tables (the bigram explode feeds four consumers); AFTER =
+    //      real operator (bc checkpointed). ----
+    locally {
+      val docToks2 = graft.Tables.docTokens(spark, dir)
+      val bg = docToks2
+        .select(col("doc_id"),
+                explode(arrays_zip(
+                  slice(col("toks"), lit(1), size(col("toks")) - 1),
+                  slice(col("toks"), lit(2), size(col("toks")) - 1))).as("b"))
+        .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+      val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val lc = bc.groupBy("w1")
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
+      val cc = bc.groupBy("w2").agg(count(lit(1)).as("n1back"))
+      val tt = bc.agg(count(lit(1)).as("t"))
+      val d = lit(0.75)
+      val p = greatest(col("c12") - d, lit(0.0)) / col("c1") +
+        d * col("n1fwd") / col("c1") * (col("n1back") / col("t"))
+      val before = bg.join(bc, Seq("w1", "w2"))
+        .join(lc, "w1").join(cc, "w2").crossJoin(broadcast(tt))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), (-avg(log(p))).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+                round(col("nll"), 6).as("nll"),
+                round(exp(col("nll")), 6).as("ppl"))
+        .orderBy("doc_id")
+      dump("q_perplexity_kn BEFORE (bigram-count subtree replicated per consumer)",
+        before)
+    }
+    dump("q_perplexity_kn AFTER (bigram-type table checkpointed once)",
+      graft.ops.TextAnalysis.perplexityKn(graft.Tables.docTokens(spark, dir)))
+
     spark.stop()
   }
 }
