@@ -751,7 +751,6 @@ object TextAnalysis {
     // (r17, ProfileOne: the un-cached form re-ran the corpus scan per
     // consumer — five scan stages per execution).
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
     val lc = bc.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
     val cc = bc.groupBy("w2").agg(count(lit(1)).as("n1back"))
